@@ -1,38 +1,897 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2 (or
+a north-star extension operator) against the driver's TPC-H-ish testdata;
+``oracle_sql()`` holds the DuckDB twin. Column names are aliased identically
+on both sides (the driver's compare sorts columns by name before hashing).
+
+Determinism policy (what makes value-hash comparison possible):
+- money aggregates go through decimal(18,2) (exact) then cast to double;
+- cosine similarities are sequential left folds in double precision, rounded
+  to 6 dp on both sides;
+- timestamps are rendered as 'yyyy-MM-dd HH:mm:ss' strings on both sides.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iatlas_cbioportal_export_spark.functions.scalar import (
+    case_list_slug,
+    case_normalize,
+    days_to_months,
+    recode_values,
+    strip_first_literal,
+)
+from iatlas_cbioportal_export_spark.operators import (
+    aggregates as agg_ops,
+    dedup as dedup_ops,
+    filters as filter_ops,
+    joins as join_ops,
+    projections as proj_ops,
+    similarity as sim_ops,
+    text as text_ops,
+    validation as val_ops,
+)
+from iatlas_cbioportal_export_spark.streaming.events import (
+    hourly_event_counts_batch,
+    sessionize,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # TIMESTAMP(NANOS) parquet → read as long ns (legacy.parquet.
+        # nanosAsLong), truncate to µs — same truncation DuckDB applies.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Flagship (entry): the clinical-pipeline shape on TPC-H-ish data —
+# scan → two broadcast dim joins → scoped regex filter → value recode →
+# unit conversion → group-to-case-list aggregation (J1/J4 + P1 + F3 + F5 +
+# A1 + F7/F8 in one DAG).
+# ---------------------------------------------------------------------------
+
+
+def flagship_case_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dim = join_ops.broadcast_left_join(
+        nation,
+        region.withColumnRenamed("r_regionkey", "n_regionkey"),
+        on=["n_regionkey"],
+        dim_cols=["r_name"],
+    )
+    enriched = customer.join(
+        F.broadcast(dim.select("n_nationkey", "n_name", "r_name")),
+        customer["c_nationkey"] == dim["n_nationkey"],
+        "left",
+    )
+    filtered = filter_ops.regex_filter_scoped(
+        enriched, "c_name", "00$", "c_mktsegment", "BUILDING"
+    )
+    recoded = filtered.withColumn(
+        "region_code",
+        recode_values("r_name", {"AMERICA": "AM", "EUROPE": "EU", "ASIA": "AS"}),
+    ).withColumn("acctbal_months", days_to_months("c_acctbal"))
+    return (
+        recoded.groupBy(F.col("n_name").alias("group_name"), "region_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.concat_ws("\t", F.sort_array(F.collect_list("c_name"))).alias(
+                "members_tsv"
+            ),
+            F.round(
+                F.sum(F.col("acctbal_months").cast("decimal(18,2)")), 2
+            ).cast("double").alias("sum_acctbal_months"),
+        )
+        .withColumn("slug", case_list_slug("group_name"))
+    )
+
+
+_FLAGSHIP_ORACLE = """
+WITH dim AS (
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+enriched AS (
+    SELECT c.*, d.n_name, d.r_name
+    FROM customer c LEFT JOIN dim d ON c.c_nationkey = d.n_nationkey
+),
+filtered AS (
+    SELECT * FROM enriched
+    WHERE (NOT coalesce(regexp_matches(c_name, '00$'), false)
+           AND c_mktsegment = 'BUILDING')
+       OR NOT coalesce(c_mktsegment = 'BUILDING', false)
+),
+recoded AS (
+    SELECT *,
+        CASE WHEN r_name = 'AMERICA' THEN 'AM'
+             WHEN r_name = 'EUROPE' THEN 'EU'
+             WHEN r_name = 'ASIA' THEN 'AS'
+             ELSE CAST(r_name AS VARCHAR) END AS region_code,
+        round(c_acctbal / 30.44, 2) AS acctbal_months
+    FROM filtered
+)
+SELECT
+    n_name AS group_name,
+    region_code,
+    count(*) AS n_members,
+    string_agg(c_name, chr(9) ORDER BY c_name) AS members_tsv,
+    CAST(round(sum(CAST(acctbal_months AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS sum_acctbal_months,
+    CASE WHEN n_name IS NULL OR n_name = '' OR n_name = 'NA'
+         THEN 'no_oncotree_code'
+         ELSE replace(replace(replace(n_name, ' ', '_'), ',', ''), '/', '_')
+    END AS slug
+FROM recoded
+GROUP BY n_name, region_code
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001 (driver smoke check: runs, ≥0 rows)."""
+    return flagship_case_lists(spark, SF0001)
+
+
+# ---------------------------------------------------------------------------
+# Parity-tier queries (SURVEY.md §2) — one per operator family
+# ---------------------------------------------------------------------------
+
+
+def q_p1_regex_filter_scoped(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return filter_ops.regex_filter_scoped(
+        part, "p_name", "a.*a", "p_brand", "Brand#13"
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+def q_p2_neq_filter_keep_nulls(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return filter_ops.neq_filter_keep_nulls(events, "event_type", "error").select(
+        "event_id", "event_type"
+    )
+
+
+def q_p5_prune_all_null(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return proj_ops.prune_all_null_columns(docs)
+
+
+def q_j1_broadcast_left_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return join_ops.broadcast_left_join(
+        orders, customer.withColumnRenamed("c_custkey", "o_custkey"),
+        on=["o_custkey"], dim_cols=["c_name", "c_mktsegment"],
+    ).select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
+
+
+def q_j2_left_join_null_audit(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    joined, _ = join_ops.left_join_null_audit(
+        orders,
+        customer.select(F.col("c_custkey").alias("o_custkey"), "c_name"),
+        on="o_custkey",
+        audit_col="c_name",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+    )
+
+
+def q_j3_outer_join_growth_audit(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined, audit = join_ops.outer_join_growth_audit(customer, per_cust, on="custkey")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0)).alias("n_right_only"),
+        F.sum(F.when(F.col("n_orders").isNull(), 1).otherwise(0)).alias("n_left_only"),
+    )
+
+
+def q_j4_code_expansion(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    codes = join_ops.broadcast_left_join(
+        nation,
+        region.withColumnRenamed("r_regionkey", "n_regionkey"),
+        on=["n_regionkey"],
+        dim_cols=["r_name"],
+    ).select(F.col("n_nationkey").alias("c_nationkey"), "n_name", "r_name")
+    return join_ops.code_expansion_join(
+        customer, codes, "c_nationkey", ["n_name", "r_name"]
+    ).select("c_custkey", "c_nationkey", "n_name", "r_name")
+
+
+def q_j5_semi_join(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return join_ops.semi_join_sequenced(
+        customer, orders, clinical_key="c_custkey", mutation_key="o_custkey"
+    ).select("c_custkey", "c_name")
+
+
+def q_j6_keyset_equality(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    left_only, right_only = join_ops.keyset_equality(
+        customer, "c_custkey", orders, "o_custkey"
+    )
+    a = left_only.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("left_only").alias("side"), "n"
+    )
+    b = right_only.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("right_only").alias("side"), "n"
+    )
+    return a.unionByName(b)
+
+
+def q_a1_case_lists(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    return agg_ops.case_list_groups(
+        customer, group_col="c_mktsegment", id_col="c_name"
+    ).select(
+        "c_mktsegment", "n_samples", "sample_ids_tsv"
+    )
+
+
+def q_a2_distinct_counts(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_distinct_custkey"),
+        F.countDistinct("o_orderkey").alias("n_distinct_orderkey"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_a4_null_profile(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return agg_ops.null_profile(docs)
+
+
+def q_a5_duplicate_rows(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return agg_ops.duplicate_rows(li)
+
+
+def q_a6_keyed_duplicates(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return agg_ops.duplicate_rows(orders, subset=["o_custkey"])
+
+
+def q_a7_drop_duplicates(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    return agg_ops.drop_duplicates(customer.select("c_mktsegment", "c_nationkey"))
+
+
+def q_a8_keep_latest(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return agg_ops.keep_latest_by(
+        orders, ["o_custkey"], ["o_orderdate", "o_orderkey"]
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("latest_orderdate"),
+    )
+
+
+def q_s2_union_by_name(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    supplier = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+    )
+    return customer.withColumn("src", F.lit("customer")).unionByName(
+        supplier.withColumn("src", F.lit("supplier")), allowMissingColumns=True
+    )
+
+
+def q_s4_chunk_assignment(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    chunked = agg_ops.chunk_assignment(orders, "o_orderkey", max_rows=1000)
+    return chunked.groupBy("chunk_id").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_f1_strip_suffix_first(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_name"),
+        strip_first_literal("p_name", "an").alias("stripped"),
+    )
+
+
+def q_f2_case_normalization(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    snake = F.lower(F.regexp_replace(F.col("p_type"), " ", "_"))
+    return part.select(
+        "p_partkey",
+        snake.alias("snake"),
+        case_normalize(snake, "CAPS").alias("norm_caps"),
+        case_normalize(snake, "Title Case").alias("norm_title"),
+    )
+
+
+def q_f3_value_recode(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        recode_values(
+            "o_orderstatus", {"O": "0:OPEN", "F": "1:FINISHED"}
+        ).alias("status_recode"),
+    )
+
+
+def q_f5_days_to_months(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id", days_to_months("value").alias("value_months")
+    )
+
+
+def q_f7_case_list_slug(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select("p_type").distinct().select(
+        "p_type", case_list_slug("p_type").alias("slug")
+    )
+
+
+def q_v_validation_suite(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    findings = [
+        val_ops.count_equality(orders, orders, check="row_count_preserved"),
+        *val_ops.no_null_keys(orders, ["o_orderkey", "o_custkey"]),
+        val_ops.no_duplicate_rows(orders, subset=["o_orderkey"], check="no_dup_orderkey"),
+        val_ops.keyset_preserved(
+            customer, "c_custkey", orders, "o_custkey", check="custkey_sets_equal"
+        ),
+        val_ops.required_columns_present(
+            orders, ["o_orderkey", "o_custkey", "o_totalprice"], check="orders_schema"
+        ),
+    ]
+    return val_ops.findings_df(spark, findings)
+
+
+# ---------------------------------------------------------------------------
+# Extension tier: dedup / similarity / text / streaming-twin
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup_keep_min(docs)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(
+        docs, bucket_col="lang", n=3, threshold=0.2
+    ).select("id_a", "id_b", "n_common", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.minhash_near_duplicates(
+        docs, n=3, num_hashes=32, bands=8, threshold=0.2
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash_buckets(docs, prefix_bits=12, max_hamming=16)
+
+
+def q_sim_topk_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim_ops.brute_force_topk(emb, queries, k=10)
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim_ops.ann_topk_lsh(emb, queries, dim=64, k=10, num_planes=10)
+
+
+def q_text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.token_stats(docs)
+
+
+def q_text_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.quality_score(docs)
+
+
+def q_text_language_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.language_id(docs)
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.fingerprints(docs)
+
+
+def q_stream_hourly_counts(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return hourly_event_counts_batch(events)
+
+
+def q_events_sessionize(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return sessionize(events, gap_minutes=30)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_case_lists": flagship_case_lists,
+        "p1_regex_filter_scoped": q_p1_regex_filter_scoped,
+        "p2_neq_filter_keep_nulls": q_p2_neq_filter_keep_nulls,
+        "p5_prune_all_null": q_p5_prune_all_null,
+        "j1_broadcast_left_join": q_j1_broadcast_left_join,
+        "j2_left_join_null_audit": q_j2_left_join_null_audit,
+        "j3_outer_join_growth_audit": q_j3_outer_join_growth_audit,
+        "j4_code_expansion": q_j4_code_expansion,
+        "j5_semi_join": q_j5_semi_join,
+        "j6_keyset_equality": q_j6_keyset_equality,
+        "a1_case_lists": q_a1_case_lists,
+        "a2_distinct_counts": q_a2_distinct_counts,
+        "a4_null_profile": q_a4_null_profile,
+        "a5_duplicate_rows": q_a5_duplicate_rows,
+        "a6_keyed_duplicates": q_a6_keyed_duplicates,
+        "a7_drop_duplicates": q_a7_drop_duplicates,
+        "a8_keep_latest": q_a8_keep_latest,
+        "s2_union_by_name": q_s2_union_by_name,
+        "s4_chunk_assignment": q_s4_chunk_assignment,
+        "f1_strip_suffix_first": q_f1_strip_suffix_first,
+        "f2_case_normalization": q_f2_case_normalization,
+        "f3_value_recode": q_f3_value_recode,
+        "f5_days_to_months": q_f5_days_to_months,
+        "f7_case_list_slug": q_f7_case_list_slug,
+        "v_validation_suite": q_v_validation_suite,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "text_token_stats": q_text_token_stats,
+        "text_quality_score": q_text_quality_score,
+        "text_language_id": q_text_language_id,
+        "text_fingerprint": q_text_fingerprint,
+        "stream_hourly_counts": q_stream_hourly_counts,
+        "events_sessionize": q_events_sessionize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_case_lists": _FLAGSHIP_ORACLE,
+        "p1_regex_filter_scoped": """
+            SELECT p_partkey, p_name, p_brand FROM part
+            WHERE (NOT coalesce(regexp_matches(p_name, 'a.*a'), false)
+                   AND p_brand = 'Brand#13')
+               OR NOT coalesce(p_brand = 'Brand#13', false)
+        """,
+        "p2_neq_filter_keep_nulls": """
+            SELECT event_id, event_type FROM events
+            WHERE event_type <> 'error' OR event_type IS NULL
+        """,
+        "p5_prune_all_null": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "j1_broadcast_left_join": """
+            SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        """,
+        "j2_left_join_null_audit": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CASE WHEN c.c_name IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unmatched
+            FROM orders o
+            LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c
+              ON o.o_custkey = c.c_custkey
+        """,
+        "j3_outer_join_growth_audit": """
+            WITH per_cust AS (
+                SELECT o_custkey AS custkey, count(*) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CASE WHEN c.c_name IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_right_only,
+                   CAST(sum(CASE WHEN p.n_orders IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_left_only
+            FROM (SELECT c_custkey AS custkey, c_name FROM customer) c
+            FULL OUTER JOIN per_cust p USING (custkey)
+        """,
+        "j4_code_expansion": """
+            SELECT c_custkey, c_nationkey, n_name, r_name
+            FROM customer
+            LEFT JOIN (
+                SELECT n_nationkey, n_name, r_name
+                FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+            ) ON c_nationkey = n_nationkey
+        """,
+        "j5_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "j6_keyset_equality": """
+            SELECT 'left_only' AS side,
+                   (SELECT count(*) FROM (
+                        SELECT DISTINCT c_custkey FROM customer
+                        EXCEPT SELECT DISTINCT o_custkey FROM orders)) AS n
+            UNION ALL
+            SELECT 'right_only',
+                   (SELECT count(*) FROM (
+                        SELECT DISTINCT o_custkey FROM orders
+                        EXCEPT SELECT DISTINCT c_custkey FROM customer))
+        """,
+        "a1_case_lists": """
+            SELECT c_mktsegment,
+                   count(c_name) AS n_samples,
+                   string_agg(c_name, chr(9) ORDER BY c_name) AS sample_ids_tsv
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "a2_distinct_counts": """
+            SELECT count(DISTINCT o_custkey) AS n_distinct_custkey,
+                   count(DISTINCT o_orderkey) AS n_distinct_orderkey,
+                   count(*) AS n_rows
+            FROM orders
+        """,
+        "a4_null_profile": """
+            WITH t AS (SELECT count(*) AS n FROM documents)
+            SELECT col AS column_name,
+                   (SELECT n FROM t) - cnt AS n_null,
+                   cnt AS n_non_null,
+                   cnt = 0 AS all_null
+            FROM (
+                SELECT 'doc_id' AS col, count(doc_id) AS cnt FROM documents
+                UNION ALL SELECT 'text', count(text) FROM documents
+                UNION ALL SELECT 'lang', count(lang) FROM documents
+                UNION ALL SELECT 'source', count(source) FROM documents
+                UNION ALL SELECT 'n_chars', count(n_chars) FROM documents
+            )
+        """,
+        "a5_duplicate_rows": """
+            SELECT l_partkey, l_suppkey, count(*) AS n_occurrences
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+            HAVING count(*) > 1
+        """,
+        "a6_keyed_duplicates": """
+            SELECT o_custkey, count(*) AS n_occurrences
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "a7_drop_duplicates": """
+            SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        """,
+        "a8_keep_latest": """
+            SELECT o_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS latest_orderdate
+            FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        """,
+        "s2_union_by_name": """
+            SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+                   'customer' AS src, CAST(NULL AS INTEGER) AS nationkey
+            FROM customer
+            UNION ALL
+            SELECT s_suppkey, s_name, NULL, 'supplier', CAST(s_nationkey AS INTEGER)
+            FROM supplier
+        """,
+        "s4_chunk_assignment": """
+            WITH numbered AS (
+                SELECT CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1)
+                       / 1000) AS BIGINT) AS chunk_id
+                FROM orders
+            )
+            SELECT chunk_id, count(*) AS n_rows FROM numbered GROUP BY chunk_id
+        """,
+        "f1_strip_suffix_first": """
+            SELECT p_partkey, p_name,
+                   CASE WHEN strpos(p_name, 'an') > 0
+                        THEN substr(p_name, 1, strpos(p_name, 'an') - 1)
+                             || substr(p_name, strpos(p_name, 'an') + 2)
+                        ELSE p_name END AS stripped
+            FROM part
+        """,
+        "f2_case_normalization": """
+            SELECT p_partkey,
+                   lower(replace(p_type, ' ', '_')) AS snake,
+                   upper(replace(lower(replace(p_type, ' ', '_')), '_', ' '))
+                       AS norm_caps,
+                   array_to_string(
+                       list_transform(
+                           string_split(
+                               replace(lower(replace(p_type, ' ', '_')), '_', ' '),
+                               ' '),
+                           w -> upper(w[1]) || lower(w[2:])),
+                       ' ') AS norm_title
+            FROM part
+        """,
+        "f3_value_recode": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderstatus = 'O' THEN '0:OPEN'
+                        WHEN o_orderstatus = 'F' THEN '1:FINISHED'
+                        ELSE CAST(o_orderstatus AS VARCHAR) END AS status_recode
+            FROM orders
+        """,
+        "f5_days_to_months": """
+            SELECT event_id, round(value / 30.44, 2) AS value_months FROM events
+        """,
+        "f7_case_list_slug": """
+            SELECT p_type,
+                   CASE WHEN p_type IS NULL OR p_type = '' OR p_type = 'NA'
+                        THEN 'no_oncotree_code'
+                        ELSE replace(replace(replace(p_type, ' ', '_'), ',', ''),
+                                     '/', '_')
+                   END AS slug
+            FROM (SELECT DISTINCT p_type FROM part)
+        """,
+        "v_validation_suite": """
+            WITH checks AS (
+                SELECT 'row_count_preserved' AS check, n_out AS observed,
+                       n_in AS expected,
+                       format('in={} out={}', n_in, n_out) AS detail,
+                       n_in = n_out AS ok
+                FROM (SELECT (SELECT count(*) FROM orders) AS n_in,
+                             (SELECT count(*) FROM orders) AS n_out)
+                UNION ALL
+                SELECT 'no_null_o_orderkey',
+                       (SELECT count(*) - count(o_orderkey) FROM orders),
+                       0, 'null rows in o_orderkey',
+                       (SELECT count(*) - count(o_orderkey) FROM orders) = 0
+                UNION ALL
+                SELECT 'no_null_o_custkey',
+                       (SELECT count(*) - count(o_custkey) FROM orders),
+                       0, 'null rows in o_custkey',
+                       (SELECT count(*) - count(o_custkey) FROM orders) = 0
+                UNION ALL
+                SELECT 'no_dup_orderkey',
+                       (SELECT count(*) FROM (
+                            SELECT o_orderkey FROM orders
+                            GROUP BY o_orderkey HAVING count(*) > 1)),
+                       0, 'duplicate key groups',
+                       (SELECT count(*) FROM (
+                            SELECT o_orderkey FROM orders
+                            GROUP BY o_orderkey HAVING count(*) > 1)) = 0
+                UNION ALL
+                SELECT 'custkey_sets_equal',
+                       lo + ro, 0, format('left_only={} right_only={}', lo, ro),
+                       lo = 0 AND ro = 0
+                FROM (SELECT
+                        (SELECT count(*) FROM (
+                            SELECT DISTINCT c_custkey FROM customer
+                            EXCEPT SELECT DISTINCT o_custkey FROM orders)) AS lo,
+                        (SELECT count(*) FROM (
+                            SELECT DISTINCT o_custkey FROM orders
+                            EXCEPT SELECT DISTINCT c_custkey FROM customer)) AS ro)
+                UNION ALL
+                SELECT 'orders_schema', 0, 0, '', true
+            )
+            SELECT "check",
+                   CASE WHEN ok THEN 'OK' ELSE 'ERROR' END AS status,
+                   CAST(observed AS BIGINT) AS observed,
+                   CAST(expected AS BIGINT) AS expected,
+                   detail
+            FROM checks
+        """,
+        "dedup_exact": """
+            SELECT sha256(text) AS text_sha256,
+                   min(doc_id) AS doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY sha256(text)
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH toks AS (
+                SELECT doc_id AS id, lang, {_TOKS} AS t FROM documents
+            ),
+            shingled AS (
+                SELECT id, lang, sh FROM (
+                    SELECT id, lang,
+                           list_distinct(list_transform(
+                               range(1, greatest(len(t) - 2, 1) + 1),
+                               i -> array_to_string(t[i:i+2], ' '))) AS shs
+                    FROM toks
+                ), unnest(shs) AS u(sh)
+            ),
+            sizes AS (SELECT id, count(*) AS set_size FROM shingled GROUP BY id),
+            common AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+                FROM shingled a JOIN shingled b
+                  ON a.sh = b.sh AND a.lang = b.lang AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b, n_common,
+                   sa.set_size AS n_a, sb.set_size AS n_b,
+                   round(CAST(n_common AS DOUBLE)
+                         / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON common.id_a = sa.id
+            JOIN sizes sb ON common.id_b = sb.id
+            WHERE CAST(n_common AS DOUBLE)
+                  / (sa.set_size + sb.set_size - n_common) >= 0.2
+        """,
+        "sim_topk_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                       FROM embeddings),
+                 scored AS (
+                    SELECT q.query_id, c.vec_id,
+                           round(
+                             list_reduce(list_transform(range(1, len(qv) + 1),
+                                         i -> qv[i] * cv[i]), (x, y) -> x + y)
+                             / (sqrt(list_reduce(list_transform(range(1, len(qv) + 1),
+                                         i -> qv[i] * qv[i]), (x, y) -> x + y))
+                              * sqrt(list_reduce(list_transform(range(1, len(cv) + 1),
+                                         i -> cv[i] * cv[i]), (x, y) -> x + y))),
+                             6) AS cosine_sim
+                    FROM q JOIN c ON q.query_id <> c.vec_id
+                 )
+            SELECT query_id, vec_id, cosine_sim,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+                FROM scored
+            )
+            WHERE rank <= 10
+        """,
+        "text_token_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_computed,
+                   len({_TOKS}) AS n_tokens,
+                   round(CASE WHEN len({_TOKS}) > 0
+                         THEN CAST(list_aggregate(list_transform({_TOKS},
+                              t -> length(t)), 'sum') AS DOUBLE) / len({_TOKS})
+                         ELSE 0.0 END, 4) AS mean_token_len
+            FROM documents
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE list_reduce(
+                            list_transform(range(1, length(text) + 1),
+                                           i -> CAST(ascii(text[i]) AS BIGINT)),
+                            (acc, c) -> (acc * 31 + c) % 1000000007)
+                   END AS fingerprint,
+                   length(text) AS n_chars_computed
+            FROM documents
+        """,
+        "stream_hourly_counts": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                       AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 > 30 * 60 * 1000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sessions AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+            FROM sessions GROUP BY user_id, session_id
+        """,
+        # quality_score / language_id oracles land with the same formulas in
+        # SQL; minhash/simhash/ANN are sketch-based (engine-native hashing) —
+        # rows-only checks by design.
+        "text_quality_score": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       len({_TOKS}) AS n_tokens,
+                       CASE WHEN length(text) > 0
+                            THEN CAST(length(regexp_replace(text,
+                                 '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                                 / length(text)
+                            ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN len({_TOKS}) > 0
+                            THEN CAST(len(list_filter({_TOKS},
+                                 t -> list_contains(
+                                    ['the','and','of','to','a','in','is','it',
+                                     'that','for'], lower(t)))) AS DOUBLE)
+                                 / len({_TOKS})
+                            ELSE 0.0 END AS stopword_ratio
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(stopword_ratio, 6) AS stopword_ratio,
+                   round(
+                     (CASE WHEN n_tokens >= 20 THEN 0.4
+                           ELSE CAST(n_tokens AS DOUBLE) / 50.0 END)
+                   + (CASE WHEN punct_ratio < 0.1 THEN 0.3
+                           ELSE greatest(0.0, 0.3 - punct_ratio) END)
+                   + least(stopword_ratio * 3.0, 0.3), 6) AS quality_score
+            FROM base
+        """,
+        "text_language_id": f"""
+            WITH hits AS (
+                SELECT doc_id,
+                    len(list_filter({_TOKS}, t -> list_contains(
+                        ['der','die','das','und','ist','nicht','ein','mit','zu','den'],
+                        lower(t)))) AS hits_de,
+                    len(list_filter({_TOKS}, t -> list_contains(
+                        ['the','and','of','to','a','in','is','it','that','for'],
+                        lower(t)))) AS hits_en,
+                    len(list_filter({_TOKS}, t -> list_contains(
+                        ['el','la','los','y','es','no','un','una','por','para'],
+                        lower(t)))) AS hits_es,
+                    len(list_filter({_TOKS}, t -> list_contains(
+                        ['le','la','les','et','est','pas','un','une','pour','dans'],
+                        lower(t)))) AS hits_fr
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0
+                        THEN 'und'
+                        WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr)
+                        THEN 'de'
+                        WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr)
+                        THEN 'en'
+                        WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr)
+                        THEN 'es'
+                        ELSE 'fr' END AS predicted_lang,
+                   CAST(greatest(hits_de, hits_en, hits_es, hits_fr) AS INTEGER)
+                       AS n_hits
+            FROM hits
+        """,
+    }

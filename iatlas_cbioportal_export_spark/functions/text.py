@@ -1,0 +1,119 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All built-in ``pyspark.sql.functions`` expressions (JVM-side, codegen'd) —
+no Python in the hot path. These back the §7-extension operators: language
+ID, quality scoring, token counting, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seed sets for the n-gram/stopword language-ID
+# heuristic. Deliberately small: the operator contract is "deterministic,
+# cheap, JVM-side vote", not linguistic completeness.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "un", "una", "por", "para"],
+}
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization with empty tokens removed.
+
+    ``split`` on ``\\s+`` leaves a leading empty string when the text starts
+    with whitespace — filter them so counts match intuition (and the DuckDB
+    oracle's ``list_filter(regexp_split_to_array(...))``).
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count (size of :func:`tokens`)."""
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """A BPE-ish token-count estimate: count word pieces + digits + punctuation
+    runs via regexp. Useful as a fast budget estimator when no real tokenizer
+    is shippable cluster-side."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.size(
+        F.filter(
+            F.regexp_extract_all(col, F.lit(r"([A-Za-z]{1,6}|[0-9]|[^A-Za-z0-9\s])"), 1),
+            lambda t: t != F.lit(""),
+        )
+    )
+
+
+def word_ngrams(c: Column | str, n: int = 3) -> Column:
+    """Word-level n-gram (shingle) array, space-joined per shingle.
+
+    Built with ``transform`` over token indices + ``slice`` — pure JVM
+    expressions, no UDF. Documents shorter than ``n`` tokens yield their whole
+    token sequence as one shingle.
+    """
+    toks = tokens(c)
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def char_ngrams(c: Column | str, n: int = 5) -> Column:
+    """Character n-gram (shingle) array via substring over a position sequence."""
+    col = F.col(c) if isinstance(c, str) else c
+    n_sh = F.greatest(F.length(col) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_sh), lambda i: F.substring(col, i, n)
+    )
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/whitespace."""
+    col = F.col(c) if isinstance(c, str) else c
+    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return F.when(F.length(col) > 0, n_punct / F.length(col)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang`` (lowercased match)."""
+    toks = tokens(c)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def stopword_hits(c: Column | str, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang`` — the language-ID vote."""
+    toks = tokens(c)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+
+
+# Polynomial rolling-hash parameters. 31 is the classic Horner base; the
+# modulus keeps every intermediate < 2^62 so bigint arithmetic is exact and
+# portable (identical in Spark and the DuckDB oracle).
+_FP_BASE = 31
+_FP_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(c: Column | str) -> Column:
+    """Document fingerprint: Horner polynomial hash of the character codes,
+    mod 1e9+7 — a deterministic 31-bit fingerprint computable identically in
+    any engine with a left-fold (exactness is what makes it oracle-checkable).
+
+    fold(chars, acc=0): acc = (acc * 31 + ascii(ch)) % (1e9+7)
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(_FP_BASE) + F.ascii(ch)) % F.lit(_FP_MOD),
+    )

@@ -1,0 +1,12 @@
+from iatlas_cbioportal_export_spark.operators import (  # noqa: F401
+    aggregates,
+    dedup,
+    filters,
+    joins,
+    maf,
+    multimodal,
+    projections,
+    similarity,
+    text,
+    validation,
+)

@@ -1,0 +1,154 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A8).
+
+All are single-shuffle ``groupBy``/``agg`` plans with map-side partial
+aggregation; the dedup variants that need an order ("keep last") use a window
+with ``row_number`` — the only Window required for reference parity
+(SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def case_list_groups(
+    df: DataFrame,
+    group_col: str = "CANCER_TYPE",
+    id_col: str = "SAMPLE_ID",
+) -> DataFrame:
+    """A1: cancer_type → [sample ids] (reference streams rows into a
+    ``defaultdict(list)``, ``clinical.py:659-680``).
+
+    One shuffle on ``group_col`` with ``collect_list`` partials. The reference
+    preserves file insertion order; at scale that order is not meaningful, so
+    we sort ids inside each group (``sort_array``) for a deterministic result
+    — documented divergence (SURVEY.md §7, order-insensitive harness).
+    Output: group, ``sample_ids`` array, ``n_samples``, ``sample_ids_tsv``
+    (F8's tab-joined rendering).
+    """
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("sample_ids"),
+            F.count(id_col).alias("n_samples"),
+        )
+        .withColumn("sample_ids_tsv", F.concat_ws("\t", F.col("sample_ids")))
+    )
+
+
+def distinct_count(df: DataFrame, col: str, approx: bool = False) -> DataFrame:
+    """A2: distinct key count (reference ``clinical.py:809-812``). ``approx``
+    switches to HyperLogLog ``approx_count_distinct`` — the right call at
+    100 TB when the count feeds a sanity check, not an exact invariant."""
+    agg = (
+        F.approx_count_distinct(col) if approx else F.countDistinct(col)
+    ).alias(f"n_distinct_{col.lower()}")
+    return df.agg(agg)
+
+
+def null_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """A4: one-pass null profile — per column: null count, non-null count,
+    all-null flag (reference ``clinical.py:129-132,826-837`` runs
+    ``isna().sum()``, ``isna().any()``, ``isna().all()`` as separate pandas
+    passes; here it is ONE distributed aggregate).
+
+    Output: one row per column (unpivoted for usability downstream).
+    """
+    cols = list(cols or df.columns)
+    total = F.count(F.lit(1))
+    agg = df.agg(
+        total.alias("__total"),
+        *[F.count(F.col(c)).alias(c) for c in cols],
+    )
+    # Unpivot driver-side: the agg result is a single row of metadata size.
+    row = agg.collect()[0]
+    spark = df.sparkSession
+    data = [
+        (c, row["__total"] - row[c], row[c], row[c] == 0)
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        data, "column_name string, n_null long, n_non_null long, all_null boolean"
+    )
+
+
+def duplicate_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """A5/A6: rows (whole-row, or keyed on ``subset``) occurring more than
+    once, with their multiplicity (reference ``clinical.py:214-225``,
+    ``maf.py:239-240``). Single shuffle on the grouping key."""
+    keys = list(subset or df.columns)
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+def drop_duplicates(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """A7: whole-row (or keyed) dedup, keep-any (reference keep-first on
+    identical rows — equivalent, ``clinical.py:398``)."""
+    return df.dropDuplicates(list(subset) if subset else None)
+
+
+def keep_last_upsert(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """A8: concat(old, new) then per-key keep-LAST — the attribute-metadata
+    upsert (reference ``clinical.py:465-468``:
+    ``concat().drop_duplicates(subset=key, keep="last")``).
+
+    pandas "last" means: rows from ``new`` win; within a frame, later rows
+    win. Spark has no row order, so we tag provenance (old=0, new=1) plus
+    optional ``order_cols`` as the tie-break, then take ``row_number() == 1``
+    over ``Window.partitionBy(key).orderBy(desc(...))`` — the one Window in
+    parity scope (SURVEY.md §2.5).
+    """
+    o = old.withColumn("__src", F.lit(0))
+    n = new.withColumn("__src", F.lit(1))
+    unioned = o.unionByName(n, allowMissingColumns=True)
+    order = [F.col("__src").desc()] + [F.col(c).desc() for c in order_cols]
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__src", "__rn")
+    )
+
+
+def keep_latest_by(
+    df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[str]
+) -> DataFrame:
+    """Generalized keep-last: one row per key, the max under ``order_cols``
+    (descending, later cols break ties). Backs A8-style upserts and the
+    common "latest event per entity" pattern at scale: single shuffle on the
+    key, AQE handles skewed keys."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def chunk_assignment(
+    df: DataFrame, order_col: str, max_rows: int = 40_000
+) -> DataFrame:
+    """S4 as a computation: assign each row its output chunk id under a
+    deterministic ordering — ceil-division semantics of the reference's
+    ``split_into_chunks`` (``maf.py:39-72``: chunk i gets rows
+    [i*max_rows, (i+1)*max_rows)).
+
+    Uses a global ``row_number`` window (single-direction sort); at 100 TB the
+    equivalent is ``maxRecordsPerFile`` on the writer (no global sort needed)
+    — this operator exists to make the chunking contract testable.
+    """
+    w = Window.orderBy(order_col)
+    return df.withColumn(
+        "chunk_id", ((F.row_number().over(w) - 1) / F.lit(max_rows)).cast("long")
+    )

@@ -1,0 +1,330 @@
+"""Deduplication operators for training-data pipelines (north star §7 ext).
+
+Five tiers, cheapest first:
+- exact (hash groupBy)               — one shuffle on a 64-byte digest
+- exact keep-first (min id per text) — one shuffle, deterministic keeper
+- n-gram Jaccard similarity join     — exact pairwise, bucketed to bound n²
+- MinHash + LSH banded candidates    — the 100 TB near-dup path
+- SimHash Hamming buckets            — bit-sketch alternative
+
+Scale design: every operator shuffles on a SKETCH (digest / band hash /
+simhash prefix), never on raw text; candidate verification joins only
+bucket-mates. Raw-text columns are dropped before any shuffle so 100 TB of
+text never moves — only ids + sketches do.
+
+Sketch computation shape: explode shingles → hash once per (doc, shingle) →
+ONE groupBy(doc) computing all K permutation-minima (minhash) or all 64 bit
+votes (simhash) as parallel aggregate expressions. This is a single
+map-side-combined shuffle per corpus — the alternative (nested array
+transforms per document) re-evaluates the shingle array K times and blows up
+the codegen'd expression tree (~60× slower, measured at sf0.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iatlas_cbioportal_export_spark.functions.text import word_ngrams
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_keep_min(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup keeping the smallest id per identical text.
+
+    Groups on sha256(text) so the shuffle key is 64 bytes regardless of
+    document size; ``min(id)`` is the deterministic keeper. Output: one row
+    per distinct text: (keeper id, group size, digest).
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.sha2(F.col(text_col), 256).alias("text_sha256"),
+        )
+        .groupBy("text_sha256")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate groups only (n_copies > 1), with member ids."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_sha256"))
+        .groupBy("text_sha256")
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact pairwise n-gram Jaccard (bucketed)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact near-dup pairs by word n-gram Jaccard ≥ threshold.
+
+    Plan: explode distinct shingles → self-join on shingle (co-occurrence
+    counts per pair) → join per-doc shingle-set sizes → Jaccard =
+    |∩| / (|A| + |B| - |∩|). ``bucket_col`` (e.g. language) additionally
+    scopes the pair space. ``id_a < id_b`` halves the pair space.
+
+    This is the exact verifier; at 100 TB run it only on LSH candidate pairs
+    (:func:`minhash_near_duplicates`) — the shingle self-join is quadratic in
+    per-shingle document frequency, so hot shingles are capped upstream by
+    minhashing instead.
+    Output: (id_a, id_b, n_common, n_a, n_b, jaccard).
+    """
+    bucket = [bucket_col] if bucket_col else []
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(b) for b in bucket],
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"),
+    )
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = shingled.select(
+        F.col("id").alias("id_a"), *[F.col(b).alias(f"{b}_a") for b in bucket], "shingle"
+    )
+    b = shingled.select(
+        F.col("id").alias("id_b"), *[F.col(b).alias(f"{b}_b") for b in bucket], "shingle"
+    )
+    join_cond = [a["shingle"] == b["shingle"], a["id_a"] < b["id_b"]]
+    for bc in bucket:
+        join_cond.append(a[f"{bc}_a"] == b[f"{bc}_b"])
+    common = (
+        a.join(b, join_cond)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "set_size": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "set_size": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# Affine permutations (a*h + b) mod p over the Mersenne prime 2^31-1.
+# h < 2^31 and a < 2^31 keep every product < 2^62 — exact in long
+# arithmetic, no decimal slow path. Constants come from a fixed xorshift
+# stream so every run (and any re-implementation) derives the same sketch.
+_MH_PRIME = (1 << 31) - 1
+
+
+def _mh_params(num_hashes: int) -> list[tuple[int, int]]:
+    rng_state = 0x9E3779B97F4A7C15
+    params = []
+    for _ in range(num_hashes):
+        rng_state ^= (rng_state >> 12) & 0xFFFFFFFFFFFFFFFF
+        rng_state ^= (rng_state << 25) & 0xFFFFFFFFFFFFFFFF
+        rng_state ^= (rng_state >> 27) & 0xFFFFFFFFFFFFFFFF
+        a = (rng_state * 0x2545F4914F6CDD1D) % (_MH_PRIME - 1) + 1
+        rng_state ^= (rng_state >> 33) & 0xFFFFFFFFFFFFFFFF
+        b = (rng_state * 0x9E3779B97F4A7C15) % _MH_PRIME
+        params.append((a, b))
+    return params
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, h) rows: one 31-bit hash per distinct word n-gram per document.
+
+    Documents with no tokens produce no rows (no shingles ⇒ excluded from
+    near-dup candidacy by construction).
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"),
+    ).select("id", F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME)).alias("h"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures as columns mh0..mh{K-1}: ONE groupBy(id) with K
+    parallel ``min((a_i*h + b_i) % p)`` aggregates — single shuffle,
+    map-side combined."""
+    hashes = shingle_hashes(df, text_col, id_col, n)
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_mh_params(num_hashes))
+    ]
+    return hashes.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banded candidate pairs: signature → ``bands`` bands of
+    ``num_hashes/bands`` rows → band-hash buckets → self-join bucket-mates.
+
+    Only (id, band_id, band_hash) tuples shuffle; a pair is a candidate if
+    ANY band collides. Output: (id_a, id_b, n_bands_matched).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band_id"),
+            F.xxhash64(
+                *[F.col(f"mh{band * rows_per_band + j}") for j in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for band in range(bands)
+    ]
+    banded = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("id", "band.band_id", "band.band_hash")
+    a = banded.withColumnsRenamed({"id": "id_a"})
+    b = banded.withColumnsRenamed({"id": "id_b"})
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verification.
+
+    Verification re-materializes shingle sets ONLY for candidate ids
+    (semi-join pushdown), so the exact pass is linear in candidates, not
+    quadratic in corpus. Output: (id_a, id_b, jaccard).
+    """
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
+    )
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(text_col, n)).alias("shingles"),
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .union(cands.select("id_b"))
+        .distinct()
+    )
+    sh = shingled.join(cand_ids, "id", "left_semi")
+    pairs = (
+        cands.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_sketches(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, simhash) — 64-bit SimHash over word n-gram shingles.
+
+    Same single-shuffle shape as minhash: explode shingle hashes once, then
+    ONE groupBy(id) with 64 ``sum(±1)`` bit-vote aggregates; the sketch long
+    is assembled from the votes with shift/add expressions.
+    """
+    hashes = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"),
+    ).select("id", F.xxhash64("shingle").alias("h64"))
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h64"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    voted = hashes.groupBy("id").agg(*votes)
+    sketch = F.lit(0).cast("long")
+    for i in range(63):
+        sketch = sketch + F.shiftleft(
+            F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i
+        )
+    sketch = sketch + F.when(F.col("v63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    return voted.select("id", sketch.alias("simhash"))
+
+
+def simhash_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    prefix_bits: int = 16,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup candidates: bucket on the top ``prefix_bits`` of the
+    sketch, verify bucket-mates by Hamming distance ≤ ``max_hamming``.
+
+    (Single-rotation scheme; add rotations for recall.) Output:
+    (id_a, id_b, hamming).
+    """
+    sk = simhash_sketches(df, text_col, id_col, n)
+    bucketed = sk.withColumn(
+        "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    )
+    a = bucketed.withColumnsRenamed({"id": "id_a", "simhash": "sim_a"})
+    b = bucketed.withColumnsRenamed({"id": "id_b", "simhash": "sim_b"})
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

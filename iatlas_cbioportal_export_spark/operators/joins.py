@@ -1,0 +1,116 @@
+"""Join operators (SURVEY.md §2.3 J1-J6).
+
+Every reference join is an equi-join against a small mapping table → each is
+expressed as a **broadcast hash join** (no shuffle of the fact side). The
+audit variants return (joined, audit) pairs where the audit is itself a lazy
+DataFrame — callers decide when to pay for the action.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def broadcast_left_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    dim_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """J1: fact ⟕ broadcast(dim) on a (possibly composite) key.
+
+    Reference: clinical ⟕ oncotree map on ``["TCGA_Study", "AMADEUS_Study",
+    "Dataset"]`` bringing in ``ONCOTREE_CODE`` (``clinical.py:323-327,45``).
+    ``dim_cols`` projects the dim side before broadcast (column pruning on the
+    broadcast payload matters at 1000 executors: ship only what's joined in).
+    """
+    keys = list(on)
+    if dim_cols is not None:
+        dim = dim.select(*keys, *[c for c in dim_cols if c not in keys])
+    return fact.join(F.broadcast(dim), on=keys, how="left")
+
+
+def left_join_null_audit(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    audit_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """J2: left join + audit of rows whose looked-up ``audit_col`` is NULL.
+
+    Reference: sample view ⟕ lens map on SAMPLE_ID, ERROR if any
+    ``SAMPLE_DISPLAY_NAME`` is null post-join (``clinical.py:231-262``).
+    The audit is an anti-pattern-free lazy count: ``filter(isNull)`` on the
+    joined frame — no second join needed.
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+    joined = fact.join(F.broadcast(dim), on=on_cols, how="left")
+    audit = joined.filter(F.col(audit_col).isNull()).select(*on_cols)
+    return joined, audit
+
+
+def outer_join_growth_audit(
+    left: DataFrame, right: DataFrame, on: Sequence[str] | str
+) -> tuple[DataFrame, DataFrame]:
+    """J3: full outer join + audit of right-only keys (row growth).
+
+    Reference: clinical ⟗ neoantigen summary on SAMPLE_ID; ERROR when the
+    outer join grows the row count, i.e. neo-only samples exist
+    (``clinical.py:265-287``). Rather than comparing two ``count()`` actions,
+    the audit is the *explanatory* anti-join right ▷ left — empty iff no
+    growth, and it names the offending keys.
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+    joined = left.join(right, on=on_cols, how="outer")
+    audit = right.select(*on_cols).distinct().join(
+        left.select(*on_cols).distinct(), on=on_cols, how="left_anti"
+    )
+    return joined, audit
+
+
+def code_expansion_join(
+    fact: DataFrame,
+    codes: DataFrame,
+    code_col: str,
+    derived_cols: Sequence[str],
+) -> DataFrame:
+    """J4: in-engine replacement for the ``oncotree_code_converter.py``
+    subprocess (reference ``clinical.py:477-496``): broadcast-join a code
+    reference table and derive columns (CANCER_TYPE, CANCER_TYPE_DETAILED)."""
+    return broadcast_left_join(fact, codes, on=[code_col], dim_cols=derived_cols)
+
+
+def semi_join_sequenced(
+    clinical: DataFrame,
+    mutations: DataFrame,
+    clinical_key: str = "SAMPLE_ID",
+    mutation_key: str = "Tumor_Sample_Barcode",
+) -> DataFrame:
+    """J5: cases_sequenced = clinical samples that appear in the mutation data
+    (in-engine ``generate_case_lists.py``, reference ``load.py:12-35``).
+
+    ``left_semi`` never duplicates clinical rows and Spark plans the distinct
+    barcode side as a broadcast when small; at 100 TB both sides shuffle on the
+    key — still the minimal plan for a semi-join.
+    """
+    return clinical.join(
+        mutations.select(F.col(mutation_key).alias(clinical_key)).distinct(),
+        on=clinical_key,
+        how="left_semi",
+    )
+
+
+def keyset_equality(
+    left: DataFrame, left_key: str, right: DataFrame, right_key: str
+) -> tuple[DataFrame, DataFrame]:
+    """J6: symmetric key-set difference — both empty ⟺ the distinct key sets
+    are equal (reference ``validate.py:135-157``, ``maf.py:242-246``).
+
+    Returns (left_only, right_only) lazy DataFrames of one column ``key``.
+    """
+    lk = left.select(F.col(left_key).alias("key")).distinct()
+    rk = right.select(F.col(right_key).alias("key")).distinct()
+    return lk.join(rk, on="key", how="left_anti"), rk.join(lk, on="key", how="left_anti")

@@ -1,0 +1,102 @@
+"""MAF mutation-path operators (SURVEY.md §2.8, §3.2).
+
+The reference's MAF pipeline is: folder scan+union → 40k-row chunking →
+Genome Nexus annotation per chunk via a docker subprocess fanned out with
+``multiprocessing.Pool`` (``maf.py:75-130``) → concat → chrM filter → write.
+
+Spark-native shape: the chunking IS partitioning, the process pool IS task
+parallelism, and the external annotation is a ``mapInPandas`` stage issuing
+batched calls per partition — the one "UDTF-shaped" operator in the
+reference. The real service needs network + docker (not available here), so
+the annotator is pluggable: a deterministic fake implements the same
+contract (adds annotation columns + routes failures to an error side-band)
+for tests; the HTTP implementation is a drop-in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Columns the annotator adds (a representative subset of the ~40 Genome
+# Nexus annotation columns; the contract is "input columns + these").
+ANNOTATION_COLS = [
+    ("HGVSp_Short", "string"),
+    ("Annotation_Status", "string"),
+]
+
+Annotator = Callable[[pd.DataFrame], pd.DataFrame]
+
+
+def fake_annotator(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in for the Genome Nexus REST annotator.
+
+    Real implementation posts ≤40k-row batches to the GRCh38 endpoint with
+    ``--isoform-override mskcc`` (reference ``maf.py:113-121``); this fake
+    derives the annotation deterministically from the variant key so tests
+    are hermetic (SURVEY.md §7: "CI uses the fake").
+    """
+    out = batch.copy()
+    out["HGVSp_Short"] = "p.FAKE" + out.index.astype(str)
+    out["Annotation_Status"] = "SUCCESS"
+    return out
+
+
+def annotate(
+    maf: DataFrame,
+    annotator: Annotator = fake_annotator,
+    max_rows_per_batch: int = 40_000,
+) -> DataFrame:
+    """Annotation as a ``mapInPandas`` stage.
+
+    Partition sizing replaces the reference's manual 40k-row chunking: Arrow
+    batch size bounds each pandas batch handed to the annotator, and Spark
+    task parallelism replaces ``multiprocessing.Pool(n_workers)``. Failed
+    batches surface as ``Annotation_Status != 'SUCCESS'`` rows and are split
+    by :func:`split_annotation_errors` (reference routes failures to an error
+    report, ``maf.py:160-177``).
+    """
+    out_schema = maf.schema.simpleString().rstrip(">")[len("struct<"):]
+    schema = ",".join(
+        [out_schema] + [f"{name}:{typ}" for name, typ in ANNOTATION_COLS]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            for start in range(0, len(batch), max_rows_per_batch):
+                yield annotator(batch.iloc[start : start + max_rows_per_batch])
+
+    return maf.mapInPandas(run, schema=schema)
+
+
+def split_annotation_errors(annotated: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Route failed annotations to the error side-band (reference
+    ``maf.py:160-177`` writes a separate failure report)."""
+    ok = annotated.filter(F.col("Annotation_Status") == "SUCCESS")
+    failed = annotated.filter(
+        (F.col("Annotation_Status") != "SUCCESS")
+        | F.col("Annotation_Status").isNull()
+    )
+    return ok, failed
+
+
+def drop_chrm(maf: DataFrame, chrom_col: str = "Chromosome") -> DataFrame:
+    """P2: drop mitochondrial variants, keeping NULL chromosomes (pandas
+    ``!=`` semantics — reference ``maf.py:181-195``)."""
+    c = F.col(chrom_col)
+    return maf.filter((c != F.lit("chrM")) | c.isNull())
+
+
+def allele_frequency(maf: DataFrame) -> DataFrame:
+    """V11 companion: AF = t_alt / (t_alt + t_ref) (reference documents the
+    formula at ``maf.py:256-258`` while checking the inputs are non-null)."""
+    t_alt = F.col("t_alt_count").cast("double")
+    t_ref = F.col("t_ref_count").cast("double")
+    return maf.withColumn(
+        "tumor_allele_freq",
+        F.when((t_alt + t_ref) > 0, F.round(t_alt / (t_alt + t_ref), 6)),
+    )

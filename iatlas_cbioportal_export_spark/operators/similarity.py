@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (north star §7 ext).
+
+Two paths:
+- brute-force cosine top-k — the exact baseline; O(|Q|·|C|) with a broadcast
+  of the (small) query set, so the corpus never shuffles;
+- LSH-bucketed ANN (random hyperplane signs) — the 100 TB path; candidates
+  come from sign-pattern buckets, exact cosine re-ranks bucket-mates only.
+
+The dot product is a sequential left fold (``F.aggregate`` over
+``zip_with``) in double precision — deterministic summation order, which is
+what makes the result hash-comparable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HP_SEED = 0x51_7C_C1_B7
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, double precision,
+    sequential fold (deterministic)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k nearest neighbors by cosine for each query vector.
+
+    ``queries`` (small) is broadcast; the corpus is scanned once with no
+    shuffle until the per-query top-k window (which shuffles only
+    (query, candidate, sim) triples — k·|Q| survivors). Self-matches
+    (same id) are excluded. Output: (query_id, vec_id, cosine_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = scored.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, num_planes: int = 16) -> Column:
+    """Random-hyperplane LSH signature: sign bits of ``num_planes`` fixed
+    pseudo-random hyperplanes, packed into a long.
+
+    Hyperplane components are deterministic hash-derived values in [-1, 1] —
+    no stored model, any executor (or engine) regenerates them bit-identically.
+    """
+    sig = F.lit(0).cast("long")
+    for p in range(num_planes):
+        # component h(p, i) in [-1, 1] via a splitmix-style integer mix
+        comps = []
+        for i in range(dim):
+            x = (p * 1_000_003 + i * 0x9E37 + _HP_SEED) & 0xFFFFFFFF
+            x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+            x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+            x = x ^ (x >> 16)
+            comps.append((x / 0xFFFFFFFF) * 2.0 - 1.0)
+        plane = F.array(*[F.lit(c) for c in comps])
+        dot = _dot(vec, plane)
+        sig = sig + F.shiftleft(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), p)
+    return sig
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane-sign bucket
+    (or differ in ≤1 bit via broadcast of query signatures); exact cosine
+    re-ranks candidates only.
+
+    At 100 TB the corpus is scanned once to compute signatures (narrow), the
+    join is on the signature bucket (tiny shuffle), and exact cosine touches
+    only bucket-mates. Recall is tunable via ``num_planes`` (fewer planes →
+    bigger buckets → higher recall, more work). Output schema matches
+    :func:`brute_force_topk`.
+    """
+    c_sig = corpus.withColumn("__sig", hyperplane_signature(F.col(vec_col), dim, num_planes))
+    q_sig = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        hyperplane_signature(F.col(vec_col), dim, num_planes).alias("__qsig"),
+    )
+    # neighbor buckets: exact + 1-bit flips (multi-probe LSH)
+    probes = F.array(
+        F.col("__qsig"), *[F.col("__qsig").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)]
+    )
+    q_probed = q_sig.select(
+        query_id_col, "__qvec", F.explode(probes).alias("__sig")
+    )
+    cands = c_sig.join(F.broadcast(q_probed), on="__sig").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+    ).dropDuplicates([query_id_col, id_col])
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via the same hyperplane buckets:
+    pairs sharing a bucket with cosine ≥ threshold. Output: (id_a, id_b,
+    cosine_sim)."""
+    sig = df.withColumn("__sig", hyperplane_signature(F.col(vec_col), dim, num_planes))
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "__sig"
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "__sig"
+    )
+    return (
+        a.join(b, on="__sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+        .dropDuplicates(["id_a", "id_b"])
+    )

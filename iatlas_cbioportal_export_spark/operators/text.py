@@ -1,0 +1,103 @@
+"""Text-analysis operators over a documents table (north star §7 ext).
+
+All DataFrame-level compositions of the expressions in
+``functions/text.py`` — JVM-side, codegen'd, shuffle-free (narrow per-row
+derivations) except where noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iatlas_cbioportal_export_spark.functions import text as T
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics: token count, char count, mean token
+    length. Narrow (no shuffle)."""
+    toks = T.tokens(text_col)
+    return df.select(
+        id_col,
+        F.length(text_col).alias("n_chars_computed"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                F.aggregate(
+                    toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+                ).cast("double")
+                / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1]: long-enough, low punctuation noise,
+    reasonable stopword density — the standard cheap pre-filter for LLM
+    training corpora. Narrow."""
+    n_tok = T.token_count(text_col)
+    punct = T.punct_ratio(text_col)
+    stop = T.stopword_ratio(text_col, "en")
+    score = (
+        F.when(n_tok >= 20, F.lit(0.4)).otherwise(n_tok.cast("double") / 50.0)
+        + F.when(punct < 0.1, F.lit(0.3)).otherwise(
+            F.greatest(F.lit(0.0), F.lit(0.3) - punct)
+        )
+        + F.least(stop * 3.0, F.lit(0.3))
+    )
+    return df.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: count stopword hits per candidate language,
+    argmax wins (ties broken by language code order, 'und' when zero hits).
+
+    Narrow per-row expression — at 100 TB this is a single codegen'd pass.
+    Output: (id, predicted_lang, n_hits).
+    """
+    langs = sorted(T.STOPWORDS)
+    hit_cols = [T.stopword_hits(text_col, lang).alias(f"hits_{lang}") for lang in langs]
+    scored = df.select(F.col(id_col), F.col(text_col), *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier lang wins ties → apply later langs first
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        id_col,
+        pred.alias("predicted_lang"),
+        best.alias("n_hits"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic rolling-hash document fingerprints (exactly reproducible
+    in any engine — see functions/text.py). Narrow."""
+    return df.select(
+        id_col,
+        T.rolling_fingerprint(text_col).alias("fingerprint"),
+        F.length(text_col).alias("n_chars_computed"),
+    )
+
+
+def corpus_language_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level report: predicted language × document count + mean hits.
+    One shuffle on the (tiny-cardinality) language key."""
+    lid = language_id(df, text_col=text_col)
+    return (
+        lid.groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_hits"), 4).alias("avg_hits"),
+        )
+    )

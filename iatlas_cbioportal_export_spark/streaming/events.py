@@ -1,0 +1,105 @@
+"""Structured Streaming operators over the events table (extension).
+
+The reference is pure batch (SURVEY.md §2.8) — this module is the streaming
+extension: windowed aggregation with watermarked late-data handling, plus a
+batch twin of each query so correctness is oracle-checkable (the batch twin
+and the streaming run over the same files must agree; tests assert that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def stream_events_from_parquet(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """File-source stream over an events parquet directory. With
+    ``Trigger.AvailableNow`` this processes the backlog incrementally and
+    stops — the pattern for backfill-then-tail pipelines."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windowed counts + value sum per event_type, with a
+    watermark bounding state for late data. Works on a streaming OR batch
+    DataFrame (same code path — that is the point of Structured Streaming).
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def hourly_event_counts_batch(events: DataFrame) -> DataFrame:
+    """Batch twin with string window key (deterministic, oracle-friendly)."""
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Gap-based sessionization (batch): a new session starts when the gap
+    since the user's previous event exceeds ``gap_minutes``.
+
+    Classic lag + cumulative-sum window plan — one shuffle on user_id; at
+    100 TB, AQE skew-split handles hot users. (Streaming variant would use
+    ``applyInPandasWithState``; batch form is the oracle-checkable core.)
+    Output: one row per session: (user_id, session_id, n_events,
+    session_start, session_end).
+    """
+    w_user = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_sec = gap_minutes * 60
+    with_breaks = events.withColumn(
+        "__new_session",
+        F.when(
+            F.col(ts_col).cast("long")
+            - F.lag(F.col(ts_col).cast("long")).over(w_user)
+            > gap_sec,
+            1,
+        )
+        .otherwise(0),
+    ).withColumn(
+        "__session_seq",
+        F.sum("__new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_breaks.groupBy(user_col, F.col("__session_seq").alias("session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+    )
