@@ -1,0 +1,94 @@
+"""A1-A8 aggregation operators, incl. the keep-last upsert window and the
+chunk-assignment ceiling-division boundary cases (reference
+tests/test_maf.py:51-84)."""
+
+import pyspark.sql.functions as F
+
+from iatlas_cbioportal_export_spark.operators.aggregates import (
+    case_list_groups,
+    chunk_assignment,
+    drop_duplicates,
+    duplicate_rows,
+    keep_last_upsert,
+    keep_latest_by,
+    null_profile,
+)
+
+
+def test_case_list_groups(spark):
+    df = spark.createDataFrame(
+        [("Melanoma", "s1"), ("Melanoma", "s2"), ("Lung", "s3")],
+        "CANCER_TYPE string, SAMPLE_ID string",
+    )
+    out = {r["CANCER_TYPE"]: r for r in case_list_groups(df).collect()}
+    assert out["Melanoma"]["sample_ids"] == ["s1", "s2"]
+    assert out["Melanoma"]["n_samples"] == 2
+    assert out["Melanoma"]["sample_ids_tsv"] == "s1\ts2"
+    assert out["Lung"]["n_samples"] == 1
+
+
+def test_null_profile(spark):
+    df = spark.createDataFrame(
+        [("a", None, None), ("b", 1.0, None)], "x string, y double, z double"
+    )
+    prof = {r["column_name"]: r for r in null_profile(df).collect()}
+    assert prof["x"]["n_null"] == 0 and not prof["x"]["all_null"]
+    assert prof["y"]["n_null"] == 1 and not prof["y"]["all_null"]
+    assert prof["z"]["n_null"] == 2 and prof["z"]["all_null"]
+
+
+def test_duplicate_rows_whole_and_keyed(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 3)], "k string, v long"
+    )
+    whole = duplicate_rows(df).collect()
+    assert len(whole) == 1 and whole[0]["k"] == "a" and whole[0]["n_occurrences"] == 2
+    keyed = duplicate_rows(df, subset=["k"]).collect()
+    assert len(keyed) == 1 and keyed[0]["n_occurrences"] == 3
+
+
+def test_drop_duplicates(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    assert drop_duplicates(df).count() == 2
+
+
+def test_keep_last_upsert_new_wins(spark):
+    # reference clinical.py:465-468: concat(old,new) keep="last" on the key
+    old = spark.createDataFrame(
+        [("COL_A", "old_desc"), ("COL_B", "b_desc")],
+        "NORMALIZED_COLUMN_HEADER string, DESCRIPTION string",
+    )
+    new = spark.createDataFrame(
+        [("COL_A", "new_desc"), ("COL_C", "c_desc")],
+        "NORMALIZED_COLUMN_HEADER string, DESCRIPTION string",
+    )
+    out = {
+        r["NORMALIZED_COLUMN_HEADER"]: r["DESCRIPTION"]
+        for r in keep_last_upsert(old, new, "NORMALIZED_COLUMN_HEADER").collect()
+    }
+    assert out == {"COL_A": "new_desc", "COL_B": "b_desc", "COL_C": "c_desc"}
+
+
+def test_keep_latest_by(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "2024-01-01"), (1, 11, "2024-02-01"), (2, 20, "2024-01-15")],
+        "user long, oid long, d string",
+    )
+    out = {r["user"]: r["oid"] for r in keep_latest_by(df, ["user"], ["d", "oid"]).collect()}
+    assert out == {1: 11, 2: 20}
+
+
+def test_chunk_assignment_boundaries(spark):
+    # ceil-division chunk counts (reference tests/test_maf.py:51-84:
+    # 10/max5 -> 2; 0 -> 0; n=max -> 1; n=max+1 -> 2)
+    def n_chunks(n, max_rows):
+        if n == 0:
+            return 0
+        df = spark.range(n).withColumnRenamed("id", "k")
+        out = chunk_assignment(df, "k", max_rows=max_rows)
+        return out.select(F.countDistinct("chunk_id")).collect()[0][0]
+
+    assert n_chunks(10, 5) == 2
+    assert n_chunks(0, 5) == 0
+    assert n_chunks(5, 5) == 1
+    assert n_chunks(6, 5) == 2

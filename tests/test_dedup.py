@@ -1,0 +1,80 @@
+"""Dedup tier: exact, Jaccard pairs, MinHash-LSH recall, SimHash."""
+
+import pytest
+
+from iatlas_cbioportal_export_spark.operators.dedup import (
+    exact_dedup_keep_min,
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "the quick brown fox jumps over the lazy dog today"),   # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat today"),   # near dup of 1
+    (4, "completely different text about spark query engines and shuffles"),
+    (5, "another unrelated document mentioning parquet and columnar storage"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_keep_min(docs):
+    out = {r["doc_id"]: r["n_copies"] for r in exact_dedup_keep_min(docs).collect()}
+    assert out[1] == 2          # keeper is min(1,2)
+    assert 2 not in out
+    assert out[3] == 1
+
+
+def test_exact_duplicate_groups(docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["member_ids"] == [1, 2]
+
+
+def test_ngram_jaccard_pairs_exact_values(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)]["jaccard"] == 1.0          # identical
+    near = pairs[(1, 3)]
+    # 10 tokens -> 8 distinct trigrams each; the word at position 9 differs,
+    # which appears in the trigrams starting at 7 and 8 -> |∩|=6, union=10
+    assert near["n_a"] == 8 and near["n_b"] == 8 and near["n_common"] == 6
+    assert abs(near["jaccard"] - 6 / 10) < 1e-12
+    assert (4, 5) not in pairs
+
+
+def test_minhash_finds_planted_near_dups(docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(docs, threshold=0.3).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) in out           # near-dup recalled through LSH bands
+    assert (4, 5) not in out
+
+
+def test_minhash_agrees_with_exact_jaccard(docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(docs, threshold=0.3).collect()
+    }
+    for pair, j in mh.items():
+        assert abs(exact[pair] - j) < 1e-12  # verification stage is exact
+
+
+def test_simhash_buckets_find_exact_dups(docs):
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           simhash_buckets(docs, prefix_bits=8, max_hamming=16).collect()}
+    assert out.get((1, 2)) == 0  # identical text -> identical sketch

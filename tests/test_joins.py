@@ -1,0 +1,63 @@
+"""J1-J6 join operators, including the physical-plan assertion that
+dimension joins actually broadcast."""
+
+from iatlas_cbioportal_export_spark.operators.joins import (
+    broadcast_left_join,
+    keyset_equality,
+    left_join_null_audit,
+    outer_join_growth_audit,
+    semi_join_sequenced,
+)
+
+
+def _clinical(spark):
+    return spark.createDataFrame(
+        [("s1", "A"), ("s2", "A"), ("s3", "B")], "SAMPLE_ID string, Dataset string"
+    )
+
+
+def test_broadcast_left_join_is_broadcast(spark):
+    fact = _clinical(spark)
+    dim = spark.createDataFrame([("A", "codeA")], "Dataset string, ONCOTREE_CODE string")
+    out = broadcast_left_join(fact, dim, on=["Dataset"], dim_cols=["ONCOTREE_CODE"])
+    assert out.count() == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    row = {r["SAMPLE_ID"]: r["ONCOTREE_CODE"] for r in out.collect()}
+    assert row == {"s1": "codeA", "s2": "codeA", "s3": None}
+
+
+def test_left_join_null_audit(spark):
+    fact = _clinical(spark)
+    lens = spark.createDataFrame([("s1", "d1")], "SAMPLE_ID string, SAMPLE_DISPLAY_NAME string")
+    joined, audit = left_join_null_audit(fact, lens, "SAMPLE_ID", "SAMPLE_DISPLAY_NAME")
+    assert joined.count() == 3
+    assert sorted(r["SAMPLE_ID"] for r in audit.collect()) == ["s2", "s3"]
+
+
+def test_outer_join_growth_audit(spark):
+    clin = _clinical(spark)
+    neo = spark.createDataFrame(
+        [("s1", 10), ("sX", 99)], "SAMPLE_ID string, neo_count long"
+    )
+    joined, audit = outer_join_growth_audit(clin, neo, "SAMPLE_ID")
+    assert joined.count() == 4  # grew by the neo-only sample
+    assert [r["SAMPLE_ID"] for r in audit.collect()] == ["sX"]
+
+
+def test_semi_join_sequenced(spark):
+    clin = _clinical(spark)
+    maf = spark.createDataFrame(
+        [("s1",), ("s1",), ("s3",), ("zz",)], "Tumor_Sample_Barcode string"
+    )
+    out = semi_join_sequenced(clin, maf)
+    assert sorted(r["SAMPLE_ID"] for r in out.collect()) == ["s1", "s3"]
+    assert out.count() == 2  # no duplication from repeated barcodes
+
+
+def test_keyset_equality(spark):
+    left = spark.createDataFrame([("a",), ("b",)], "k string")
+    right = spark.createDataFrame([("b",), ("c",)], "k string")
+    lo, ro = keyset_equality(left, "k", right, "k")
+    assert [r["key"] for r in lo.collect()] == ["a"]
+    assert [r["key"] for r in ro.collect()] == ["c"]

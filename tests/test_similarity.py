@@ -1,0 +1,59 @@
+"""Similarity search: brute-force exactness + LSH recall floor."""
+
+import math
+
+import pytest
+
+from iatlas_cbioportal_export_spark.operators.similarity import (
+    ann_topk_lsh,
+    brute_force_topk,
+    embedding_near_duplicates,
+)
+
+
+def _unit(angle):
+    return [math.cos(angle), math.sin(angle)] + [0.0] * 6
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 40 vectors on a circle: neighbors in angle are neighbors in cosine
+    rows = [(i, _unit(i * 0.15)) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_exact(vectors):
+    out = brute_force_topk(vectors, vectors.filter("vec_id = 10"), k=2)
+    got = [(r["vec_id"], r["rank"]) for r in out.collect()]
+    # nearest by angle: 9 and 11 (cosine ties broken by id asc)
+    assert sorted(r[0] for r in got) == [9, 11]
+    ranks = {r["vec_id"]: r["rank"] for r in out.collect()}
+    assert ranks[9] == 1 and ranks[11] == 2  # tie at cos(0.15) -> id asc
+
+
+def test_brute_force_excludes_self(vectors):
+    out = brute_force_topk(vectors, vectors.filter("vec_id = 3"), k=5)
+    assert all(r["vec_id"] != 3 for r in out.collect())
+
+
+def test_ann_lsh_recall_floor(spark, vectors):
+    queries = vectors.filter("vec_id < 8")
+    exact = brute_force_topk(vectors, queries, k=5).collect()
+    approx = ann_topk_lsh(vectors, queries, dim=8, k=5, num_planes=8).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_duplicates(df, dim=3, threshold=0.99, num_planes=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)

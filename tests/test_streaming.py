@@ -1,0 +1,63 @@
+"""Structured Streaming: the streaming windowed agg must equal its batch
+twin over the same files (availableNow backfill)."""
+
+import pyspark.sql.functions as F
+
+from iatlas_cbioportal_export_spark.streaming.events import (
+    hourly_event_counts,
+    sessionize,
+    stream_events_from_parquet,
+)
+
+
+def _events(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 7, "click", 1.5),
+            (2, "2024-01-01 00:50:00", 7, "click", 2.5),
+            (3, "2024-01-01 01:10:00", 7, "view", 4.0),
+            (4, "2024-01-01 03:00:00", 8, "click", 8.0),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "events_parquet")
+    df.write.parquet(path)
+    return df, path
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    batch_df, path = _events(spark, tmp_path)
+    batch = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in hourly_event_counts(batch_df).collect()
+    }
+    stream = stream_events_from_parquet(spark, path)
+    assert stream.isStreaming
+    q = (
+        hourly_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in spark.sql("select * from hourly_test").collect()
+    }
+    assert got == batch
+    assert batch[("2024-01-01 00:00:00", "click")] == (2, 4.0)
+
+
+def test_sessionize_gap(spark, tmp_path):
+    df, _ = _events(spark, tmp_path)
+    sessions = sessionize(df, gap_minutes=30).collect()
+    by_user = {}
+    for r in sessions:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 7: events at 00:10, 00:50 (40min gap -> new session), 01:10
+    # (20min gap -> same session) => 2 sessions
+    assert len(by_user[7]) == 2
+    assert sorted(s["n_events"] for s in by_user[7]) == [1, 2]
+    assert len(by_user[8]) == 1

@@ -1,0 +1,56 @@
+"""Text analysis operators: token stats, quality, language ID, fingerprints."""
+
+from iatlas_cbioportal_export_spark.functions.text import STOPWORDS
+from iatlas_cbioportal_export_spark.operators.text import (
+    fingerprints,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, ""), (3, "  a b  ")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in token_stats(df).collect()}
+    assert out[1]["n_tokens"] == 2 and out[1]["mean_token_len"] == 5.0
+    assert out[2]["n_tokens"] == 0 and out[2]["mean_token_len"] == 0.0
+    assert out[3]["n_tokens"] == 2
+
+
+def test_language_id_votes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog for it is that"),
+            (2, "der hund und die katze ist nicht ein"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "the " * 30), (2, "!!!")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in quality_score(df).collect()}
+    assert 0.0 <= out[2]["quality_score"] < out[1]["quality_score"] <= 1.0
+
+
+def test_fingerprint_matches_python_reference(spark):
+    text = "spark engine"
+    expected = 0
+    for ch in text:
+        expected = (expected * 31 + ord(ch)) % 1_000_000_007
+    df = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r["fingerprint"] for r in fingerprints(df).collect()}
+    assert out[1] == expected
+    assert out[2] == 0
+
+
+def test_stopword_sets_disjoint_enough():
+    # language-ID votes rely on the seed sets not being identical
+    assert STOPWORDS["en"] != STOPWORDS["de"]
