@@ -37,6 +37,11 @@ from iatlas_cbioportal_export_spark.operators import (
     text as text_ops,
     validation as val_ops,
 )
+from iatlas_cbioportal_export_spark.plans.analytics import (
+    local_supplier_volume,
+    pricing_summary,
+    shipping_priority,
+)
 from iatlas_cbioportal_export_spark.streaming.events import (
     hourly_event_counts_batch,
     sessionize,
@@ -367,7 +372,7 @@ def q_v_validation_suite(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     findings = [
         val_ops.count_equality(orders, orders, check="row_count_preserved"),
-        *val_ops.no_null_keys(orders, ["o_orderkey", "o_custkey"]),
+        val_ops.no_null_keys(orders, ["o_orderkey", "o_custkey"]),
         val_ops.no_duplicate_rows(orders, subset=["o_orderkey"], check="no_dup_orderkey"),
         val_ops.keyset_preserved(
             customer, "c_custkey", orders, "o_custkey", check="custkey_sets_equal"
@@ -376,7 +381,7 @@ def q_v_validation_suite(spark, sf_dir):
             orders, ["o_orderkey", "o_custkey", "o_totalprice"], check="orders_schema"
         ),
     ]
-    return val_ops.findings_df(spark, findings)
+    return val_ops.findings_union(findings)
 
 
 # ---------------------------------------------------------------------------
@@ -440,6 +445,29 @@ def q_text_fingerprint(spark, sf_dir):
     return text_ops.fingerprints(docs)
 
 
+def q_tpch_q1(spark, sf_dir):
+    return pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_q3(spark, sf_dir):
+    return shipping_priority(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    return local_supplier_volume(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
 def q_stream_hourly_counts(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return hourly_event_counts_batch(events)
@@ -487,6 +515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": q_text_quality_score,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q5_local_supplier": q_tpch_q5,
         "stream_hourly_counts": q_stream_hourly_counts,
         "events_sessionize": q_events_sessionize,
     }
@@ -799,6 +830,66 @@ def oracle_sql() -> dict[str, str]:
                    END AS fingerprint,
                    length(text) AS n_chars_computed
             FROM documents
+        """,
+        "tpch_q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+                    AS sum_qty,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS sum_base_price,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                    AS DOUBLE) AS sum_disc_price,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                    * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2)
+                    AS DOUBLE) AS sum_charge,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*), 6) AS avg_qty,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*), 6) AS avg_price,
+                round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*), 6) AS avg_disc,
+                count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_shipping_priority": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                       AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q5_local_supplier": """
+            SELECT n_name,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                       AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND c_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "stream_hourly_counts": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

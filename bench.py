@@ -22,6 +22,9 @@ from iatlas_cbioportal_export_spark import get_spark  # noqa: E402
 
 HEADLINE = [
     "flagship_case_lists",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
     "j1_broadcast_left_join",
     "j5_semi_join",
     "a1_case_lists",

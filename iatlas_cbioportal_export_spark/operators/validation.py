@@ -1,140 +1,196 @@
-"""Validation suite (SURVEY.md §2.10 V1-V14) as findings DataFrames.
+"""Validation suite (SURVEY.md §2.10 V1-V14) as LAZY findings DataFrames.
 
 The reference's "query workload" is a set of read-aggregate-assert checks
 that log ERROR through a flag-collecting handler (``utils.py:52-58``); any
-ERROR fails the study (``clinical.py:949-950``). Here every check produces
-rows in a uniform findings schema — ``(check, status, observed, expected,
-detail)`` — so the suite is itself a queryable DataFrame and "any ERROR row"
-is a trivial filter.
+ERROR fails the study (``clinical.py:949-950``). Here every check builds a
+small lazy DataFrame in a uniform findings schema — ``(check, status,
+observed, expected, detail)`` — and :func:`findings_union` combines them so
+the WHOLE suite evaluates in one Spark action (the eager version paid one
+job per check; at 15k rows that was 6.5s of pure job overhead, measured).
 
-Scale: checks compose into a handful of aggregates over cached inputs; no
-check collects fact-table data to the driver.
+No check collects fact-table data to the driver; each is an aggregate whose
+result is a single row (or one row per audited column).
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from iatlas_cbioportal_export_spark.operators.joins import keyset_equality
-
-FINDINGS_SCHEMA = (
-    "check string, status string, observed long, expected long, detail string"
-)
+FINDINGS_COLUMNS = ["check", "status", "observed", "expected", "detail"]
 
 
-def _finding(check: str, ok: bool, observed: int, expected: int, detail: str):
-    return (check, "OK" if ok else "ERROR", observed, expected, detail)
+def _finding_row(
+    check: str, ok: Column, observed: Column, expected: Column, detail: Column
+) -> list[Column]:
+    return [
+        F.lit(check).alias("check"),
+        F.when(ok, F.lit("OK")).otherwise(F.lit("ERROR")).alias("status"),
+        observed.cast("long").alias("observed"),
+        expected.cast("long").alias("expected"),
+        detail.alias("detail"),
+    ]
 
 
 def count_equality(
     df_in: DataFrame, df_out: DataFrame, check: str = "row_count_preserved"
-) -> tuple:
+) -> DataFrame:
     """V2/V8: row count in == out (reference ``clinical.py:814-817``,
     ``maf.py:234-237``)."""
-    n_in, n_out = df_in.count(), df_out.count()
-    return _finding(check, n_in == n_out, n_out, n_in, f"in={n_in} out={n_out}")
+    a = df_in.agg(F.count(F.lit(1)).alias("n_in"))
+    b = df_out.agg(F.count(F.lit(1)).alias("n_out"))
+    return a.crossJoin(b).select(
+        *_finding_row(
+            check,
+            F.col("n_in") == F.col("n_out"),
+            F.col("n_out"),
+            F.col("n_in"),
+            F.format_string("in=%d out=%d", "n_in", "n_out"),
+        )
+    )
 
 
 def distinct_count_equality(
     df_in: DataFrame, df_out: DataFrame, col: str, check_prefix: str = "distinct"
-) -> tuple:
+) -> DataFrame:
     """V3/V4: distinct key counts in == out (reference ``clinical.py:809-825``)."""
-    n_in = df_in.select(col).distinct().count()
-    n_out = df_out.select(col).distinct().count()
-    return _finding(
-        f"{check_prefix}_{col.lower()}_preserved",
-        n_in == n_out,
-        n_out,
-        n_in,
-        f"in={n_in} out={n_out}",
+    a = df_in.agg(F.countDistinct(col).alias("n_in"))
+    b = df_out.agg(F.countDistinct(col).alias("n_out"))
+    return a.crossJoin(b).select(
+        *_finding_row(
+            f"{check_prefix}_{col.lower()}_preserved",
+            F.col("n_in") == F.col("n_out"),
+            F.col("n_out"),
+            F.col("n_in"),
+            F.format_string("in=%d out=%d", "n_in", "n_out"),
+        )
     )
 
 
-def no_null_keys(df: DataFrame, cols: Sequence[str]) -> list[tuple]:
+def no_null_keys(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """V5/V6/V11: key / required columns contain no nulls (reference
-    ``clinical.py:826-830``, ``maf.py:250-269`` for t_ref/t_alt counts).
-    One aggregate pass for all columns."""
-    row = df.agg(
+    ``clinical.py:826-830``; ``maf.py:250-269`` for t_ref/t_alt counts).
+    ONE aggregate pass for all columns; one finding row per column."""
+    agg = df.agg(
         F.count(F.lit(1)).alias("__n"),
-        *[F.count(F.col(c)).alias(c) for c in cols],
-    ).collect()[0]
-    return [
-        _finding(
-            f"no_null_{c.lower()}",
-            row["__n"] - row[c] == 0,
-            row["__n"] - row[c],
-            0,
-            f"null rows in {c}",
-        )
-        for c in cols
-    ]
+        *[F.count(F.col(c)).alias(f"__c_{c}") for c in cols],
+    )
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                (F.col("__n") - F.col(f"__c_{c}")).alias("n_null"),
+            )
+            for c in cols
+        ]
+    )
+    exploded = agg.select(F.explode(per_col).alias("f"))
+    return exploded.select(
+        *_finding_row(
+            "",  # placeholder, replaced below with a computed name
+            F.col("f.n_null") == 0,
+            F.col("f.n_null"),
+            F.lit(0),
+            F.concat(F.lit("null rows in "), F.col("f.col")),
+        )[1:],
+        F.concat(F.lit("no_null_"), F.lower(F.col("f.col"))).alias("check"),
+    ).select(*FINDINGS_COLUMNS)
 
 
-def no_all_null_columns(df: DataFrame) -> list[tuple]:
+def no_all_null_columns(df: DataFrame) -> DataFrame:
     """V7: no output column is 100% null (reference ``clinical.py:833-837``)."""
-    row = df.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[F.count(F.col(c)).alias(c) for c in df.columns if c != "__n"],
-    ).collect()[0]
-    bad = [c for c in df.columns if row[c] == 0]
-    return [
-        _finding(
-            "no_all_null_columns",
-            not bad,
-            len(bad),
-            0,
-            "all-null: " + ",".join(bad) if bad else "",
+    agg = df.agg(*[F.count(F.col(c)).alias(f"__c_{c}") for c in df.columns])
+    bad = F.array_compact(
+        F.array(
+            *[
+                F.when(F.col(f"__c_{c}") == 0, F.lit(c))
+                for c in df.columns
+            ]
         )
-    ]
+    )
+    return agg.select(
+        *_finding_row(
+            "no_all_null_columns",
+            F.size(bad) == 0,
+            F.size(bad),
+            F.lit(0),
+            F.when(
+                F.size(bad) > 0,
+                F.concat(F.lit("all-null: "), F.concat_ws(",", bad)),
+            ).otherwise(F.lit("")),
+        )
+    )
 
 
 def no_duplicate_rows(
     df: DataFrame, subset: Sequence[str] | None = None, check: str = "no_duplicate_rows"
-) -> tuple:
+) -> DataFrame:
     """V9/V14: duplicate detection (whole-row or keyed) — reference
     ``maf.py:239-240``, ``clinical.py:214-225``."""
     keys = list(subset or df.columns)
-    n_dup_groups = (
+    dup_groups = (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
-        .count()
+        .agg(F.count(F.lit(1)).alias("n_dup"))
     )
-    return _finding(check, n_dup_groups == 0, n_dup_groups, 0, "duplicate key groups")
+    return dup_groups.select(
+        *_finding_row(
+            check,
+            F.col("n_dup") == 0,
+            F.col("n_dup"),
+            F.lit(0),
+            F.lit("duplicate key groups"),
+        )
+    )
 
 
 def keyset_preserved(
     left: DataFrame, left_key: str, right: DataFrame, right_key: str,
     check: str = "keyset_preserved",
-) -> tuple:
+) -> DataFrame:
     """V10/V13: distinct key sets equal (reference ``maf.py:242-246``,
     ``validate.py:135-157``) via symmetric anti-joins (J6)."""
+    from iatlas_cbioportal_export_spark.operators.joins import keyset_equality
+
     lo, ro = keyset_equality(left, left_key, right, right_key)
-    n_lo, n_ro = lo.count(), ro.count()
-    return _finding(
-        check, n_lo == 0 and n_ro == 0, n_lo + n_ro, 0,
-        f"left_only={n_lo} right_only={n_ro}",
+    a = lo.agg(F.count(F.lit(1)).alias("n_lo"))
+    b = ro.agg(F.count(F.lit(1)).alias("n_ro"))
+    return a.crossJoin(b).select(
+        *_finding_row(
+            check,
+            (F.col("n_lo") == 0) & (F.col("n_ro") == 0),
+            F.col("n_lo") + F.col("n_ro"),
+            F.lit(0),
+            F.format_string("left_only=%d right_only=%d", "n_lo", "n_ro"),
+        )
     )
 
 
 def required_columns_present(
     df: DataFrame, required: Sequence[str], check: str = "required_columns_present"
-) -> tuple:
+) -> DataFrame:
     """V12: exact required-column presence (reference ``validate.py:159-172``
-    checks the 118-column MAF schema). Schema-only — no data read."""
+    checks the 118-column MAF schema). Schema-only — no data scan."""
     missing = [c for c in required if c not in df.columns]
-    return _finding(
-        check, not missing, len(missing), 0,
-        "missing: " + ",".join(missing) if missing else "",
+    return df.sparkSession.range(1).select(
+        *_finding_row(
+            check,
+            F.lit(not missing),
+            F.lit(len(missing)),
+            F.lit(0),
+            F.lit("missing: " + ",".join(missing) if missing else ""),
+        )
     )
 
 
-def findings_df(spark, findings: Sequence[tuple]) -> DataFrame:
-    """Assemble check tuples into the uniform findings DataFrame."""
-    return spark.createDataFrame(list(findings), FINDINGS_SCHEMA)
+def findings_union(findings: Sequence[DataFrame]) -> DataFrame:
+    """Combine check DataFrames into ONE lazy findings DataFrame (single
+    action evaluates the whole suite)."""
+    return reduce(lambda a, b: a.unionByName(b), findings)
 
 
 def has_errors(findings: DataFrame) -> bool:

@@ -1,0 +1,131 @@
+"""TPC-H-style analytical plans over the star schema (engine showcase).
+
+The reference has no numeric aggregations at all (SURVEY.md §2.4), so these
+are extension queries proving the engine's analytical tier: multi-way joins
+with broadcast dimensions, map-side partial aggregation, top-k.
+
+Determinism contract: money math goes through decimal (exact, engine-
+independent) and is cast to double only at the output edge, so results
+hash-match any correct engine bit-for-bit. ``sum(double)`` would depend on
+partitioning order — never used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_D = "decimal(18,2)"
+
+
+def _dec(c: str):
+    return F.col(c).cast(_D)
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) pricing summary.
+
+    One scan, one shuffle on a 6-value key; every sum partial-aggregates
+    map-side. The date filter pushes down to the parquet scan.
+    """
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(_D) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(_D) + _dec("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-03-15",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: top-k open orders by discounted revenue.
+
+    customer is the small side → broadcast into orders; the orders→lineitem
+    join shuffles on orderkey (the only unavoidable shuffle); top-k is a
+    global sort of the tiny aggregate, tie-broken by orderkey for
+    determinism.
+    """
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(_D) - _dec("l_discount"))
+    cut = F.lit(cutoff).cast("timestamp")
+    open_orders = orders.filter(F.col("o_orderdate") < cut).join(
+        F.broadcast(
+            customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+        ),
+        orders["o_custkey"] == F.col("c_custkey"),
+    )
+    return (
+        lineitem.filter(F.col("l_shipdate") > cut)
+        .join(open_orders, lineitem["l_orderkey"] == open_orders["o_orderkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+    )
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where customer and supplier share
+    the nation, within one region and order-date year.
+
+    nation⋈region collapses to a broadcast dim; supplier joins broadcast;
+    the two fact joins (orders⋈customer, lineitem⋈orders) shuffle on their
+    keys with AQE handling skew. 'Local' = c_nationkey == s_nationkey.
+    """
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(_D) - _dec("l_discount"))
+    nr = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        nation["n_regionkey"] == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(nr.withColumnRenamed("n_nationkey", "c_nationkey")), "c_nationkey"
+    ).select("c_custkey", F.col("c_nationkey").alias("cust_nation"), "n_name")
+    supp = supplier.select("s_suppkey", F.col("s_nationkey").alias("supp_nation"))
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", revenue.alias("rev"))
+        .join(ord_f, F.col("l_orderkey") == ord_f["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .filter(F.col("cust_nation") == F.col("supp_nation"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
+    )

@@ -1,9 +1,10 @@
-"""Validation suite V1-V14 as findings DataFrames."""
+"""Validation suite V1-V14 as lazy findings DataFrames (one action for the
+whole suite)."""
 
 from iatlas_cbioportal_export_spark.operators.validation import (
     count_equality,
     distinct_count_equality,
-    findings_df,
+    findings_union,
     has_errors,
     keyset_preserved,
     no_all_null_columns,
@@ -16,29 +17,40 @@ from iatlas_cbioportal_export_spark.operators.validation import (
 def test_findings_ok_and_error(spark):
     a = spark.createDataFrame([("s1",), ("s2",)], "SAMPLE_ID string")
     b = spark.createDataFrame([("s1",)], "SAMPLE_ID string")
-    findings = [
-        count_equality(a, a),                      # OK
-        count_equality(a, b, check="shrunk"),      # ERROR
-        distinct_count_equality(a, a, "SAMPLE_ID"),
-        *no_null_keys(a, ["SAMPLE_ID"]),
-        no_duplicate_rows(a),
-        keyset_preserved(a, "SAMPLE_ID", b, "SAMPLE_ID", check="sets"),  # ERROR
-        required_columns_present(a, ["SAMPLE_ID", "MISSING"], check="cols"),  # ERROR
-        *no_all_null_columns(a),
-    ]
-    df = findings_df(spark, findings)
-    status = {r["check"]: r["status"] for r in df.collect()}
+    findings = findings_union(
+        [
+            count_equality(a, a),                      # OK
+            count_equality(a, b, check="shrunk"),      # ERROR
+            distinct_count_equality(a, a, "SAMPLE_ID"),
+            no_null_keys(a, ["SAMPLE_ID"]),
+            no_duplicate_rows(a),
+            keyset_preserved(a, "SAMPLE_ID", b, "SAMPLE_ID", check="sets"),  # ERROR
+            required_columns_present(a, ["SAMPLE_ID", "MISSING"], check="cols"),  # ERROR
+            no_all_null_columns(a),
+        ]
+    )
+    rows = findings.collect()
+    status = {r["check"]: r["status"] for r in rows}
+    detail = {r["check"]: r["detail"] for r in rows}
     assert status["row_count_preserved"] == "OK"
-    assert status["shrunk"] == "ERROR"
-    assert status["sets"] == "ERROR"
-    assert status["cols"] == "ERROR"
+    assert status["shrunk"] == "ERROR" and detail["shrunk"] == "in=2 out=1"
+    assert status["no_null_sample_id"] == "OK"
+    assert status["sets"] == "ERROR" and detail["sets"] == "left_only=1 right_only=0"
+    assert status["cols"] == "ERROR" and detail["cols"] == "missing: MISSING"
     assert status["no_all_null_columns"] == "OK"
-    assert has_errors(df)
-    ok_only = findings_df(spark, [count_equality(a, a)])
-    assert not has_errors(ok_only)
+    assert has_errors(findings)
+    assert not has_errors(findings_union([count_equality(a, a)]))
 
 
 def test_null_key_finding(spark):
     df = spark.createDataFrame([("s1",), (None,)], "SAMPLE_ID string")
-    (f,) = no_null_keys(df, ["SAMPLE_ID"])
-    assert f[1] == "ERROR" and f[2] == 1
+    (row,) = no_null_keys(df, ["SAMPLE_ID"]).collect()
+    assert row["status"] == "ERROR" and row["observed"] == 1
+    assert row["detail"] == "null rows in SAMPLE_ID"
+
+
+def test_all_null_column_detected(spark):
+    df = spark.createDataFrame([("a", None), ("b", None)], "x string, dead string")
+    (row,) = no_all_null_columns(df).collect()
+    assert row["status"] == "ERROR"
+    assert row["detail"] == "all-null: dead"
