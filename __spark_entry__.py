@@ -32,11 +32,13 @@ from iatlas_cbioportal_export_spark.operators import (
     dedup as dedup_ops,
     filters as filter_ops,
     joins as join_ops,
+    maf as maf_ops,
     projections as proj_ops,
     similarity as sim_ops,
     text as text_ops,
     validation as val_ops,
 )
+from iatlas_cbioportal_export_spark.functions.scalar import coalesce_remap
 from iatlas_cbioportal_export_spark.plans.analytics import (
     local_supplier_volume,
     pricing_summary,
@@ -367,6 +369,58 @@ def q_f7_case_list_slug(spark, sf_dir):
     )
 
 
+def q_f4_coalesce_remap(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    base = customer.select(
+        "c_custkey",
+        F.when(k % 3 == 0, F.concat(F.lit("PUB-"), k.cast("string"))).alias(
+            "study_sample_name"
+        ),
+        F.col("c_name").alias("sample_name"),
+    )
+    return coalesce_remap(base, "SAMPLE_ID", "study_sample_name", "sample_name").select(
+        "c_custkey", "SAMPLE_ID"
+    )
+
+
+def _maf_shaped(spark, sf_dir):
+    """MAF-shaped frame derived deterministically from orders (the testdata
+    has no mutation table; the derivation is replicated verbatim in the
+    oracle SQL so the mapInPandas annotation path is value-hash checked)."""
+    k = F.col("o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        k.alias("variant_id"),
+        F.when(k % 25 == 0, F.lit("chrM"))
+        .when(k % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("chr"), ((k % 22) + 1).cast("string")))
+        .alias("Chromosome"),
+        ((k % 100000) + 1).cast("long").alias("Start_Position"),
+        F.concat(F.lit("TSB-"), (k % 500).cast("string")).alias(
+            "Tumor_Sample_Barcode"
+        ),
+        (k % 200).cast("long").alias("t_alt_count"),
+        ((k % 300) + 10).cast("long").alias("t_ref_count"),
+    )
+
+
+def q_maf_annotate_pipeline(spark, sf_dir):
+    """§3.2 MAF path end-to-end: mapInPandas annotation (deterministic fake
+    of the Genome Nexus stage) → chrM filter with pandas null semantics →
+    allele frequency. FAILED (null-chromosome) rows stay visible via
+    Annotation_Status — the error side-band is part of the checked output."""
+    ann = maf_ops.annotate(_maf_shaped(spark, sf_dir))
+    return maf_ops.allele_frequency(maf_ops.drop_chrm(ann)).select(
+        "variant_id",
+        "Chromosome",
+        "Start_Position",
+        "Tumor_Sample_Barcode",
+        "HGVSp_Short",
+        "Annotation_Status",
+        "tumor_allele_freq",
+    )
+
+
 def q_v_validation_suite(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
@@ -504,6 +558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_value_recode": q_f3_value_recode,
         "f5_days_to_months": q_f5_days_to_months,
         "f7_case_list_slug": q_f7_case_list_slug,
+        "f4_coalesce_remap": q_f4_coalesce_remap,
+        "maf_annotate_pipeline": q_maf_annotate_pipeline,
         "v_validation_suite": q_v_validation_suite,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -696,6 +752,45 @@ def oracle_sql() -> dict[str, str]:
                                      '/', '_')
                    END AS slug
             FROM (SELECT DISTINCT p_type FROM part)
+        """,
+        "f4_coalesce_remap": """
+            SELECT c_custkey,
+                   coalesce(
+                       CASE WHEN c_custkey % 3 = 0
+                            THEN 'PUB-' || CAST(c_custkey AS VARCHAR) END,
+                       c_name) AS SAMPLE_ID
+            FROM customer
+        """,
+        "maf_annotate_pipeline": """
+            WITH maf AS (
+                SELECT o_orderkey AS variant_id,
+                       CASE WHEN o_orderkey % 25 = 0 THEN 'chrM'
+                            WHEN o_orderkey % 17 = 0 THEN NULL
+                            ELSE 'chr' || CAST(o_orderkey % 22 + 1 AS VARCHAR)
+                       END AS Chromosome,
+                       CAST(o_orderkey % 100000 + 1 AS BIGINT) AS Start_Position,
+                       'TSB-' || CAST(o_orderkey % 500 AS VARCHAR)
+                           AS Tumor_Sample_Barcode,
+                       CAST(o_orderkey % 200 AS BIGINT) AS t_alt_count,
+                       CAST(o_orderkey % 300 + 10 AS BIGINT) AS t_ref_count
+                FROM orders
+            ),
+            ann AS (
+                SELECT *,
+                       CASE WHEN Chromosome IS NOT NULL
+                            THEN 'p.' || Chromosome || ':'
+                                 || CAST(Start_Position AS VARCHAR)
+                       END AS HGVSp_Short,
+                       CASE WHEN Chromosome IS NOT NULL THEN 'SUCCESS'
+                            ELSE 'FAILED' END AS Annotation_Status
+                FROM maf
+            )
+            SELECT variant_id, Chromosome, Start_Position,
+                   Tumor_Sample_Barcode, HGVSp_Short, Annotation_Status,
+                   round(CAST(t_alt_count AS DOUBLE)
+                         / (t_alt_count + t_ref_count), 6) AS tumor_allele_freq
+            FROM ann
+            WHERE Chromosome <> 'chrM' OR Chromosome IS NULL
         """,
         "v_validation_suite": """
             WITH checks AS (

@@ -37,12 +37,31 @@ def fake_annotator(batch: pd.DataFrame) -> pd.DataFrame:
 
     Real implementation posts ≤40k-row batches to the GRCh38 endpoint with
     ``--isoform-override mskcc`` (reference ``maf.py:113-121``); this fake
-    derives the annotation deterministically from the variant key so tests
-    are hermetic (SURVEY.md §7: "CI uses the fake").
+    derives the annotation from the VARIANT KEY (never from row/batch
+    position, which would vary with partitioning) so runs are hermetic and
+    value-hash reproducible (SURVEY.md §7: "CI uses the fake").
+
+    Contract: with ``Chromosome``+``Start_Position`` present,
+    ``HGVSp_Short = 'p.<chrom>:<pos>'`` and a NULL chromosome marks the row
+    FAILED (routed to the error side-band); without those columns the key is
+    the colon-joined row values and every row SUCCEEDs.
     """
     out = batch.copy()
-    out["HGVSp_Short"] = "p.FAKE" + out.index.astype(str)
-    out["Annotation_Status"] = "SUCCESS"
+    if {"Chromosome", "Start_Position"}.issubset(out.columns):
+        chrom = out["Chromosome"].astype("string")
+        pos = out["Start_Position"].astype("Int64").astype("string")
+        key = chrom + ":" + pos  # string-NA propagates
+    else:
+        key = pd.Series(
+            [
+                ":".join("" if pd.isna(v) else str(v) for v in row)
+                for row in batch.itertuples(index=False)
+            ],
+            index=batch.index,
+            dtype="string",
+        )
+    out["HGVSp_Short"] = ("p." + key).where(key.notna(), None)
+    out["Annotation_Status"] = key.notna().map({True: "SUCCESS", False: "FAILED"})
     return out
 
 
