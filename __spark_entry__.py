@@ -44,6 +44,7 @@ from iatlas_cbioportal_export_spark.plans.analytics import (
     pricing_summary,
     shipping_priority,
 )
+from iatlas_cbioportal_export_spark.plans.clinical_pipeline import preprocess_clinical
 from iatlas_cbioportal_export_spark.streaming.events import (
     hourly_event_counts_batch,
     sessionize,
@@ -369,6 +370,122 @@ def q_f7_case_list_slug(spark, sf_dir):
     )
 
 
+def _clinical_shaped(spark, sf_dir):
+    """Clinical-shaped frame derived deterministically from customer ⟕ nation
+    (the testdata has no clinical table; the derivation is replicated verbatim
+    in the oracle so the composed pipeline is value-hash checked)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("c_custkey")
+    base = customer.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")),
+        on="c_nationkey",
+        how="left",
+    )
+    return base.select(
+        k.alias("row_id"),
+        F.concat(
+            F.lit("SAMP-"),
+            k.cast("string"),
+            F.when(k % 11 == 0, F.lit("-nd-x")).otherwise(F.lit("")),
+        ).alias("sample_name"),
+        F.when(k % 5 != 0, F.concat(F.lit("PUB-"), k.cast("string"))).alias(
+            "study_sample_name"
+        ),
+        F.concat(F.lit("PAT-"), (k % 400).cast("string")).alias("patient_name"),
+        F.when(
+            k % 7 != 0, F.concat(F.lit("PPAT-"), (k % 400).cast("string"))
+        ).alias("study_patient_name"),
+        F.when(k % 3 == 0, F.lit("Anders_JITC_2022"))
+        .otherwise(F.concat(F.lit("Dataset_"), (k % 3).cast("string")))
+        .alias("Dataset"),
+        F.col("n_name").alias("TCGA_Study"),
+        F.col("c_mktsegment").alias("AMADEUS_Study"),
+        (k % 2).cast("int").alias("OS_STATUS"),
+        (k % 3).cast("int").alias("PFS_STATUS"),
+        F.col("c_acctbal").alias("OS_MONTHS"),
+        (k % 2000).cast("double").alias("PFS_MONTHS"),
+        F.when(k % 4 == 0, F.lit("stable_clinical_response_clinical_response"))
+        .when(k % 4 == 1, F.lit("partial_clinical_response"))
+        .when(k % 4 == 2, F.lit(None).cast("string"))
+        .otherwise(F.lit("complete"))
+        .alias("clinical_response"),
+    )
+
+
+def q_clinical_e2e_preprocess(spark, sf_dir):
+    """§3.1 flagship END-TO-END: the real composed ``preprocess_clinical``
+    DAG — J1 oncotree broadcast join → F4 id remap → J3 neoantigen outer join
+    → P6 rename → P1 scoped regex filter → F3 status recode → F5 days→months
+    → F1 table-wide first-occurrence suffix strip → F2 case normalization →
+    J4 code expansion — one lazy DAG, value-hash checked against the oracle.
+    """
+    clin = _clinical_shaped(spark, sf_dir)
+    oncotree_map = (
+        clin.select("TCGA_Study", "AMADEUS_Study", "Dataset")
+        .distinct()
+        .withColumn(
+            "ONCOTREE_CODE",
+            F.concat(
+                F.upper(F.substring("TCGA_Study", 1, 3)),
+                F.lit("_"),
+                F.length("AMADEUS_Study").cast("string"),
+            ),
+        )
+    )
+    neo = clin.filter(F.col("row_id") % 4 == 0).select(
+        F.coalesce("study_sample_name", "sample_name").alias("SAMPLE_ID"),
+        (F.col("row_id") % 50).cast("long").alias("NEO_COUNT"),
+    )
+    codes = oncotree_map.select("ONCOTREE_CODE").distinct().select(
+        "ONCOTREE_CODE",
+        F.concat(F.lit("Cancer "), "ONCOTREE_CODE").alias("CANCER_TYPE"),
+        F.concat(F.col("ONCOTREE_CODE"), F.lit(" detailed")).alias(
+            "CANCER_TYPE_DETAILED"
+        ),
+    )
+    out = preprocess_clinical(
+        clin,
+        oncotree_map,
+        neoantigen=neo,
+        header_renames={"NEO_COUNT": "NEOANTIGEN_COUNT"},
+        case_modes={"Dataset": "CAPS", "clinical_response": "Title Case"},
+        oncotree_codes=codes,
+    )
+    return out.select(
+        "row_id",
+        "SAMPLE_ID",
+        "PATIENT_ID",
+        "Dataset",
+        "TCGA_Study",
+        "AMADEUS_Study",
+        "ONCOTREE_CODE",
+        "OS_STATUS",
+        "PFS_STATUS",
+        "OS_MONTHS",
+        "PFS_MONTHS",
+        "clinical_response",
+        "NEOANTIGEN_COUNT",
+        "CANCER_TYPE",
+        "CANCER_TYPE_DETAILED",
+    )
+
+
+def q_p4_patient_sample_split(spark, sf_dir):
+    """P4+A7: mapping-driven patient view projection + whole-row dedup
+    (reference ``clinical.py:365-400``)."""
+    clin = _clinical_shaped(spark, sf_dir).withColumn(
+        "PATIENT_ID", F.col("patient_name")
+    )
+    attr_types = {
+        "TCGA_Study": "PATIENT",
+        "AMADEUS_Study": "PATIENT",
+        "OS_STATUS": "PATIENT",
+    }
+    patient, _sample = proj_ops.split_patient_sample(clin, attr_types)
+    return patient
+
+
 def q_f4_coalesce_remap(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
@@ -559,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f5_days_to_months": q_f5_days_to_months,
         "f7_case_list_slug": q_f7_case_list_slug,
         "f4_coalesce_remap": q_f4_coalesce_remap,
+        "p4_patient_sample_split": q_p4_patient_sample_split,
+        "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
         "maf_annotate_pipeline": q_maf_annotate_pipeline,
         "v_validation_suite": q_v_validation_suite,
         "dedup_exact": q_dedup_exact,
@@ -760,6 +879,100 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'PUB-' || CAST(c_custkey AS VARCHAR) END,
                        c_name) AS SAMPLE_ID
             FROM customer
+        """,
+        "p4_patient_sample_split": """
+            SELECT DISTINCT
+                'PAT-' || CAST(c_custkey % 400 AS VARCHAR) AS PATIENT_ID,
+                n_name AS TCGA_Study,
+                c_mktsegment AS AMADEUS_Study,
+                CAST(c_custkey % 2 AS INTEGER) AS OS_STATUS
+            FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "clinical_e2e_preprocess": """
+            WITH base AS (
+                SELECT c_custkey AS k,
+                    'SAMP-' || CAST(c_custkey AS VARCHAR) ||
+                        CASE WHEN c_custkey % 11 = 0 THEN '-nd-x' ELSE '' END
+                        AS sample_name,
+                    CASE WHEN c_custkey % 5 <> 0
+                         THEN 'PUB-' || CAST(c_custkey AS VARCHAR) END
+                        AS study_sample_name,
+                    'PAT-' || CAST(c_custkey % 400 AS VARCHAR) AS patient_name,
+                    CASE WHEN c_custkey % 7 <> 0
+                         THEN 'PPAT-' || CAST(c_custkey % 400 AS VARCHAR) END
+                        AS study_patient_name,
+                    CASE WHEN c_custkey % 3 = 0 THEN 'Anders_JITC_2022'
+                         ELSE 'Dataset_' || CAST(c_custkey % 3 AS VARCHAR)
+                    END AS Dataset,
+                    n_name AS TCGA_Study,
+                    c_mktsegment AS AMADEUS_Study,
+                    c_custkey % 2 AS os_status_raw,
+                    c_custkey % 3 AS pfs_status_raw,
+                    c_acctbal AS os_days,
+                    CAST(c_custkey % 2000 AS DOUBLE) AS pfs_days,
+                    CASE WHEN c_custkey % 4 = 0
+                         THEN 'stable_clinical_response_clinical_response'
+                         WHEN c_custkey % 4 = 1 THEN 'partial_clinical_response'
+                         WHEN c_custkey % 4 = 2 THEN NULL
+                         ELSE 'complete' END AS clinical_response
+                FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+            ),
+            keyed AS (
+                SELECT *,
+                    upper(substr(TCGA_Study, 1, 3)) || '_'
+                        || CAST(length(AMADEUS_Study) AS VARCHAR)
+                        AS ONCOTREE_CODE,
+                    coalesce(study_sample_name, sample_name) AS SAMPLE_ID,
+                    coalesce(study_patient_name, patient_name) AS PATIENT_ID
+                FROM base
+            ),
+            neo AS (
+                SELECT coalesce(study_sample_name, sample_name) AS SAMPLE_ID,
+                       CAST(k % 50 AS BIGINT) AS NEOANTIGEN_COUNT
+                FROM base WHERE k % 4 = 0
+            ),
+            joined AS (
+                SELECT w.*, n.NEOANTIGEN_COUNT
+                FROM keyed w LEFT JOIN neo n USING (SAMPLE_ID)
+            ),
+            filtered AS (
+                SELECT * FROM joined
+                WHERE (NOT coalesce(
+                           regexp_matches(SAMPLE_ID, '-(?:nd|ad|nr)-'), false)
+                       AND Dataset = 'Anders_JITC_2022')
+                   OR NOT coalesce(Dataset = 'Anders_JITC_2022', false)
+            ),
+            recoded AS (
+                SELECT *,
+                    CASE WHEN os_status_raw = 0 THEN '0:LIVING'
+                         WHEN os_status_raw = 1 THEN '1:DECEASED'
+                         ELSE CAST(os_status_raw AS VARCHAR) END AS OS_STATUS,
+                    CASE WHEN pfs_status_raw = 0 THEN '0:LIVING'
+                         WHEN pfs_status_raw = 1 THEN '1:DECEASED'
+                         ELSE CAST(pfs_status_raw AS VARCHAR) END AS PFS_STATUS,
+                    round(os_days / 30.44, 2) AS OS_MONTHS,
+                    round(pfs_days / 30.44, 2) AS PFS_MONTHS,
+                    CASE WHEN strpos(clinical_response, '_clinical_response') > 0
+                         THEN substr(clinical_response, 1,
+                                  strpos(clinical_response, '_clinical_response') - 1)
+                              || substr(clinical_response,
+                                  strpos(clinical_response, '_clinical_response') + 18)
+                         ELSE clinical_response END AS cr_stripped
+                FROM filtered
+            )
+            SELECT k AS row_id, SAMPLE_ID, PATIENT_ID,
+                upper(replace(Dataset, '_', ' ')) AS Dataset,
+                TCGA_Study, AMADEUS_Study, ONCOTREE_CODE,
+                OS_STATUS, PFS_STATUS, OS_MONTHS, PFS_MONTHS,
+                array_to_string(
+                    list_transform(
+                        string_split(replace(cr_stripped, '_', ' '), ' '),
+                        w -> upper(w[1]) || lower(w[2:])),
+                    ' ') AS clinical_response,
+                NEOANTIGEN_COUNT,
+                'Cancer ' || ONCOTREE_CODE AS CANCER_TYPE,
+                ONCOTREE_CODE || ' detailed' AS CANCER_TYPE_DETAILED
+            FROM recoded
         """,
         "maf_annotate_pipeline": """
             WITH maf AS (
