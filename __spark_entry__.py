@@ -33,6 +33,7 @@ from iatlas_cbioportal_export_spark.operators import (
     filters as filter_ops,
     joins as join_ops,
     maf as maf_ops,
+    multimodal as mm_ops,
     projections as proj_ops,
     similarity as sim_ops,
     text as text_ops,
@@ -596,6 +597,41 @@ def q_sim_ann_lsh(spark, sf_dir):
     return sim_ops.ann_topk_lsh(emb, queries, dim=64, k=10, num_planes=10)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup over hyperplane-LSH buckets. The testdata
+    vectors are random (max pairwise cosine ~0.4), so 20 scaled copies are
+    planted: cos(v, 1.5v) = 1 and scaling preserves every hyperplane sign,
+    so all 20 planted pairs MUST appear — a deterministic rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+        "label",
+    )
+    return sim_ops.embedding_near_duplicates(
+        emb.unionByName(planted), dim=64, threshold=0.99, num_planes=12
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing over mapInPandas: documents' text re-encoded as an
+    opaque binary payload column with typed metadata, then the deterministic
+    fake decode+feature-extract kernel (real codecs are stubbed — north star
+    multimodal contract). Rows-only: the kernel is engine-native."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    media = mm_ops.attach_metadata(media)
+    return mm_ops.extract_features(media)
+
+
 def q_text_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return text_ops.token_stats(docs)
@@ -686,6 +722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
         "text_token_stats": q_text_token_stats,
         "text_quality_score": q_text_quality_score,
         "text_language_id": q_text_language_id,
