@@ -1,0 +1,167 @@
+"""Study-bundle writer: the reference's complete per-dataset output surface
+(SURVEY.md §3.1 steps 6-7, §2.9) as one composed plan.
+
+For each dataset the reference emits (``clinical.py:572-656``, ``maf.py:168-216``,
+``load.py:12-35``):
+
+- ``data_clinical_patient.txt`` / ``data_clinical_sample.txt`` — the two
+  clinical views, 100%-null columns pruned (P5, ``clinical.py:581-582``),
+  each with the 4 ``#``-prefixed cBioPortal metadata header lines that the
+  ``insert_clinical_metadata.py`` subprocess used to add (``clinical.py:598-604``);
+- ``data_mutations_extended.txt`` parts — the annotated MAF, chunked to
+  ≤``max_rows`` rows per file (S4, ``maf.py:39-72``);
+- ``meta_*.txt`` — key:value descriptors per datatype plus ``meta_study.txt``
+  (study id ``iatlas_{dataset}``, reference genome hg38, ``clinical.py:645-656``);
+- ``case_lists/`` — ``cases_all`` (every sample), ``cases_sequenced``
+  (samples present in the mutation data — J5, ``load.py:16-18``), and one
+  list per CANCER_TYPE (A1+F7/F8, ``clinical.py:659-718``).
+
+Scale shape: the two clinical views and the MAF write distributed (csv sink
+tasks); only the case-list aggregation result (one row per cancer type, with
+its sample-id list) and the kilobyte meta documents are collected — bounded
+by id-list size, never by table width or the MAF. For a multi-dataset run,
+call once per dataset over a ``.filter(Dataset == d)`` slice — with the input
+stored partitioned by ``Dataset`` the filter is partition pruning, not a scan.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iatlas_cbioportal_export_spark.operators.aggregates import case_list_groups
+from iatlas_cbioportal_export_spark.operators.joins import semi_join_sequenced
+from iatlas_cbioportal_export_spark.operators.projections import (
+    prune_all_null_columns,
+)
+from iatlas_cbioportal_export_spark.sources.sinks import (
+    render_case_list_text,
+    render_meta_file,
+    write_cbioportal_clinical,
+    write_chunked_tsv,
+)
+
+
+def _meta_clinical(study_id: str, datatype: str, filename: str) -> Mapping[str, object]:
+    return {
+        "cancer_study_identifier": study_id,
+        "genetic_alteration_type": "CLINICAL",
+        "datatype": datatype,
+        "data_filename": filename,
+    }
+
+
+def write_study_bundle(
+    out_dir: str,
+    dataset: str,
+    clinical_patient: DataFrame,
+    clinical_sample: DataFrame,
+    mutations: DataFrame | None = None,
+    attr_meta: Mapping[str, Mapping[str, object]] | None = None,
+    sample_id_col: str = "SAMPLE_ID",
+    cancer_type_col: str = "CANCER_TYPE",
+    barcode_col: str = "Tumor_Sample_Barcode",
+    max_maf_rows: int = 40_000,
+) -> dict[str, str]:
+    """Write one dataset's complete cBioPortal study bundle; returns
+    artifact name → path."""
+    study_id = f"iatlas_{dataset}"
+    os.makedirs(out_dir, exist_ok=True)
+    case_list_dir = os.path.join(out_dir, "case_lists")
+    os.makedirs(case_list_dir, exist_ok=True)
+    attr_meta = attr_meta or {}
+    artifacts: dict[str, str] = {}
+
+    # Clinical views: prune 100%-null columns (P5), then header'd single file.
+    for name, view in (
+        ("data_clinical_patient.txt", clinical_patient),
+        ("data_clinical_sample.txt", clinical_sample),
+    ):
+        pruned = prune_all_null_columns(view)
+        path = os.path.join(out_dir, name)
+        artifacts[name] = write_cbioportal_clinical(pruned, path, attr_meta)
+        meta_name = "meta_" + name[len("data_") :]
+        datatype = "PATIENT_ATTRIBUTES" if "patient" in name else "SAMPLE_ATTRIBUTES"
+        meta_path = os.path.join(out_dir, meta_name)
+        with open(meta_path, "w") as fh:
+            fh.write(render_meta_file(_meta_clinical(study_id, datatype, name)))
+        artifacts[meta_name] = meta_path
+
+    # Mutations: chunked distributed TSV + meta descriptor.
+    if mutations is not None:
+        maf_dir = os.path.join(out_dir, "data_mutations_extended")
+        write_chunked_tsv(mutations, maf_dir, max_rows=max_maf_rows)
+        artifacts["data_mutations_extended"] = maf_dir
+        meta_path = os.path.join(out_dir, "meta_mutations_extended.txt")
+        with open(meta_path, "w") as fh:
+            fh.write(
+                render_meta_file(
+                    {
+                        "cancer_study_identifier": study_id,
+                        "genetic_alteration_type": "MUTATION_EXTENDED",
+                        "datatype": "MAF",
+                        "data_filename": "data_mutations_extended",
+                    }
+                )
+            )
+        artifacts["meta_mutations_extended.txt"] = meta_path
+
+    # meta_study.txt (reference clinical.py:645-656: hg38).
+    meta_study_path = os.path.join(out_dir, "meta_study.txt")
+    with open(meta_study_path, "w") as fh:
+        fh.write(
+            render_meta_file(
+                {
+                    "type_of_cancer": "mixed",
+                    "cancer_study_identifier": study_id,
+                    "name": f"iAtlas {dataset}",
+                    "description": f"iAtlas {dataset} immunotherapy trial export",
+                    "reference_genome": "hg38",
+                    "add_global_case_list": "true",
+                }
+            )
+        )
+    artifacts["meta_study.txt"] = meta_study_path
+
+    # Case lists. ONE aggregation pass (A1); collected result is one row per
+    # cancer type carrying its (sorted) sample-id list.
+    groups = case_list_groups(
+        clinical_sample, group_col=cancer_type_col, id_col=sample_id_col
+    ).collect()
+    all_ids: list[str] = []
+    for row in sorted(groups, key=lambda r: (r[cancer_type_col] is None, r[cancer_type_col])):
+        ids = row["sample_ids"]
+        all_ids.extend(ids)
+        slug, text = render_case_list_text(study_id, row[cancer_type_col], ids)
+        path = os.path.join(case_list_dir, f"cases_{slug}.txt")
+        with open(path, "w") as fh:
+            fh.write(text)
+        artifacts[f"case_lists/cases_{slug}.txt"] = path
+
+    path = os.path.join(case_list_dir, "cases_all.txt")
+    with open(path, "w") as fh:
+        fh.write(render_case_list_text(study_id, "all", sorted(all_ids))[1])
+    artifacts["case_lists/cases_all.txt"] = path
+
+    # cases_sequenced: samples present in the mutation data (J5 semi-join).
+    if mutations is not None:
+        sequenced = (
+            semi_join_sequenced(
+                clinical_sample.select(sample_id_col),
+                mutations,
+                clinical_key=sample_id_col,
+                mutation_key=barcode_col,
+            )
+            .select(sample_id_col)
+            .collect()
+        )
+        seq_ids = sorted(r[sample_id_col] for r in sequenced)
+        path = os.path.join(case_list_dir, "cases_sequenced.txt")
+        with open(path, "w") as fh:
+            fh.write(render_case_list_text(study_id, "sequenced", seq_ids)[1])
+        artifacts["case_lists/cases_sequenced.txt"] = path
+
+    return artifacts
