@@ -22,6 +22,8 @@ from iatlas_cbioportal_export_spark import get_spark  # noqa: E402
 
 HEADLINE = [
     "flagship_case_lists",
+    "clinical_e2e_preprocess",
+    "maf_annotate_pipeline",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",

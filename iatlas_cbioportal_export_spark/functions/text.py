@@ -50,19 +50,31 @@ def bpe_ish_token_count(c: Column | str) -> Column:
     )
 
 
-def word_ngrams(c: Column | str, n: int = 3) -> Column:
-    """Word-level n-gram (shingle) array, space-joined per shingle.
+def word_ngrams_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram (shingle) array from an ALREADY-MATERIALIZED token array
+    column — ``transform`` over indices + ``slice``, pure JVM expressions.
 
-    Built with ``transform`` over token indices + ``slice`` — pure JVM
-    expressions, no UDF. Documents shorter than ``n`` tokens yield their whole
-    token sequence as one shingle.
+    Callers must bind the token array in a separate projection first
+    (``df.select(tokens(c).alias("__toks")).select(word_ngrams_of_tokens(...))``):
+    inlining ``tokens(c)`` here would re-evaluate the split+filter once PER
+    SHINGLE INDEX inside the lambda — O(tokens²) per document, measured 5.8×
+    slower at sf0.1. CollapseProject keeps the two-projection form as two
+    steps because the token array is referenced more than once and is not
+    cheap. Documents shorter than ``n`` tokens yield their whole token
+    sequence as one shingle.
     """
-    toks = tokens(c)
     n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(1), n_sh),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
+
+
+def word_ngrams(c: Column | str, n: int = 3) -> Column:
+    """Word-level n-gram array straight from a text column. Convenience form
+    for one-shot use; hot paths that explode shingles should materialize
+    :func:`tokens` first and use :func:`word_ngrams_of_tokens` (see there)."""
+    return word_ngrams_of_tokens(tokens(c), n)
 
 
 def char_ngrams(c: Column | str, n: int = 5) -> Column:
@@ -89,11 +101,16 @@ def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def stopword_hits(c: Column | str, lang: str) -> Column:
-    """Count of tokens that are stopwords of ``lang`` — the language-ID vote."""
-    toks = tokens(c)
+def stopword_hits_of_tokens(toks: Column, lang: str) -> Column:
+    """Stopword-hit count from a materialized token array (see
+    ``word_ngrams_of_tokens`` for why hot paths pre-bind the array)."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+
+
+def stopword_hits(c: Column | str, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang`` — the language-ID vote."""
+    return stopword_hits_of_tokens(tokens(c), lang)
 
 
 # Polynomial rolling-hash parameters. 31 is the classic Horner base; the

@@ -25,7 +25,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from iatlas_cbioportal_export_spark.functions.text import word_ngrams
+from iatlas_cbioportal_export_spark.functions.text import (
+    tokens,
+    word_ngrams_of_tokens,
+)
+
+
+def _shingle_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, [extra…], shingles) with the token array materialized in its own
+    projection FIRST — tokenization runs once per document, not once per
+    shingle (see ``word_ngrams_of_tokens``)."""
+    extra = extra_cols or []
+    return df.select(
+        F.col(id_col).alias("id"), *extra, tokens(text_col).alias("__toks")
+    ).select(
+        "id",
+        *extra,
+        F.array_distinct(word_ngrams_of_tokens(F.col("__toks"), n)).alias(
+            "shingles"
+        ),
+    )
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -96,10 +121,8 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, n_common, n_a, n_b, jaccard).
     """
     bucket = [bucket_col] if bucket_col else []
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        *[F.col(b) for b in bucket],
-        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"),
+    shingled = _shingle_sets(df, text_col, id_col, n, extra_cols=bucket).select(
+        "id", *bucket, F.explode("shingles").alias("shingle")
     )
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     a = shingled.select(
@@ -162,10 +185,11 @@ def shingle_hashes(
     Documents with no tokens produce no rows (no shingles ⇒ excluded from
     near-dup candidacy by construction).
     """
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"),
-    ).select("id", F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME)).alias("h"))
+    return (
+        _shingle_sets(df, text_col, id_col, n)
+        .select("id", F.explode("shingles").alias("shingle"))
+        .select("id", F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME)).alias("h"))
+    )
 
 
 def minhash_signatures(
@@ -242,10 +266,7 @@ def minhash_near_duplicates(
     cands = minhash_lsh_candidates(
         df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
     )
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_ngrams(text_col, n)).alias("shingles"),
-    )
+    shingled = _shingle_sets(df, text_col, id_col, n)
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .union(cands.select("id_b"))
@@ -280,10 +301,11 @@ def simhash_sketches(
     ONE groupBy(id) with 64 ``sum(±1)`` bit-vote aggregates; the sketch long
     is assembled from the votes with shift/add expressions.
     """
-    hashes = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"),
-    ).select("id", F.xxhash64("shingle").alias("h64"))
+    hashes = (
+        _shingle_sets(df, text_col, id_col, n)
+        .select("id", F.explode("shingles").alias("shingle"))
+        .select("id", F.xxhash64("shingle").alias("h64"))
+    )
     votes = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("h64"), i).bitwiseAND(F.lit(1)) == 1, 1)

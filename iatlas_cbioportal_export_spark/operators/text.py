@@ -15,11 +15,16 @@ from iatlas_cbioportal_export_spark.functions import text as T
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document token statistics: token count, char count, mean token
-    length. Narrow (no shuffle)."""
-    toks = T.tokens(text_col)
+    length. Narrow (no shuffle); the token array is materialized in its own
+    projection so the split+filter runs once per row, not once per consuming
+    expression (see ``functions/text.py::word_ngrams_of_tokens``)."""
+    toks = F.col("__toks")
     return df.select(
+        id_col, F.length(text_col).alias("n_chars_computed"),
+        T.tokens(text_col).alias("__toks"),
+    ).select(
         id_col,
-        F.length(text_col).alias("n_chars_computed"),
+        "n_chars_computed",
         F.size(toks).alias("n_tokens"),
         F.round(
             F.when(
@@ -38,9 +43,18 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Heuristic quality score in [0,1]: long-enough, low punctuation noise,
     reasonable stopword density — the standard cheap pre-filter for LLM
     training corpora. Narrow."""
-    n_tok = T.token_count(text_col)
-    punct = T.punct_ratio(text_col)
-    stop = T.stopword_ratio(text_col, "en")
+    base = df.select(
+        id_col,
+        T.tokens(text_col).alias("__toks"),
+        T.punct_ratio(text_col).alias("__punct"),
+    )
+    toks = F.col("__toks")
+    n_tok = F.size(toks)
+    punct = F.col("__punct")
+    stop = F.when(
+        n_tok > 0,
+        T.stopword_hits_of_tokens(toks, "en") / n_tok,
+    ).otherwise(F.lit(0.0))
     score = (
         F.when(n_tok >= 20, F.lit(0.4)).otherwise(n_tok.cast("double") / 50.0)
         + F.when(punct < 0.1, F.lit(0.3)).otherwise(
@@ -48,7 +62,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         )
         + F.least(stop * 3.0, F.lit(0.3))
     )
-    return df.select(
+    return base.select(
         id_col,
         n_tok.alias("n_tokens"),
         F.round(punct, 6).alias("punct_ratio"),
@@ -65,8 +79,12 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     Output: (id, predicted_lang, n_hits).
     """
     langs = sorted(T.STOPWORDS)
-    hit_cols = [T.stopword_hits(text_col, lang).alias(f"hits_{lang}") for lang in langs]
-    scored = df.select(F.col(id_col), F.col(text_col), *hit_cols)
+    tokenized = df.select(F.col(id_col), T.tokens(text_col).alias("__toks"))
+    hit_cols = [
+        T.stopword_hits_of_tokens(F.col("__toks"), lang).alias(f"hits_{lang}")
+        for lang in langs
+    ]
+    scored = tokenized.select(F.col(id_col), *hit_cols)
     best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
     pred = F.lit("und")
     for lang in reversed(langs):  # earlier lang wins ties → apply later langs first

@@ -34,6 +34,16 @@ _DEFAULT_CONF: dict[str, str] = {
     # The reference relies on permissive coercions (pandas); keep ANSI off so
     # e.g. string/int comparisons behave like the oracle data model.
     "spark.sql.ansi.enabled": "false",
+    # InferFiltersFromGenerate synthesizes a `size(arr) > 0` filter under
+    # every explode; predicate pushdown then re-inlines the full
+    # array-producing expression into that filter, so expensive shingle/token
+    # expressions evaluate TWICE per row (and the tokenizer re-inlines to its
+    # O(tokens²) form). Non-outer explode already skips empty arrays, so the
+    # rule only costs here — excluding it measured 3-5× on the dedup
+    # sketches at sf0.1.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     # The testdata events table carries TIMESTAMP(NANOS) parquet columns,
     # which vanilla Spark rejects; read them as long (ns since epoch) and
     # convert at the scan (sources/readers.py).
