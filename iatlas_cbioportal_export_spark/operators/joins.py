@@ -103,6 +103,36 @@ def semi_join_sequenced(
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact key with a random-ish bucket
+    derived from other fact columns, replicate the (smaller) ``dim`` side
+    ``salt_buckets`` times, join on (key, salt).
+
+    AQE's skew-join split handles MOST skew at runtime (session.py turns it
+    on); explicit salting is the deterministic fallback for the pathological
+    case — one key holding >1 partition's worth of rows on BOTH sides of a
+    shuffle join, where AQE cannot split the build side. The salt is
+    ``pmod(xxhash64(all fact columns), B)`` — deterministic, so the plan is
+    reproducible run-to-run.
+
+    Result columns/rows equal the unsalted join (tested); only the shuffle
+    distribution changes: the hot key's rows spread over B reducers.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
+    salted_fact = fact.withColumn("__salt", salt)
+    replicated_dim = dim.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return salted_fact.join(replicated_dim, on=[on, "__salt"], how=how).drop("__salt")
+
+
 def keyset_equality(
     left: DataFrame, left_key: str, right: DataFrame, right_key: str
 ) -> tuple[DataFrame, DataFrame]:

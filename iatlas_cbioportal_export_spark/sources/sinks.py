@@ -133,6 +133,32 @@ def write_cbioportal_clinical(
     return path
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_cols: Iterable[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a table bucketed (and optionally sorted) by the join/agg key.
+
+    The 100 TB co-location path: two tables bucketed the same way on the same
+    key join with NO Exchange (and with ``sortBy``, no Sort) — the shuffle is
+    paid once at write time and amortized over every subsequent join/agg on
+    that key. Metastore-backed (``saveAsTable``), since bucketing metadata
+    lives in the catalog.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, bucket_col)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*list(sort_cols))
+    writer.saveAsTable(table)
+
+
 def render_case_list_text(
     study_id: str,
     cancer_type: str,
