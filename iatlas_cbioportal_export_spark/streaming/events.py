@@ -66,6 +66,86 @@ def hourly_event_counts_batch(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """STREAMING gap sessionization via ``applyInPandasWithState`` — the
+    custom stateful operator of the streaming extension (SURVEY.md §2.8).
+
+    Per-user state holds the OPEN session (start, end, count) as epoch
+    seconds; each micro-batch folds its (sorted) events in: a gap greater
+    than ``gap_minutes`` CLOSES the current session (emitted downstream,
+    append mode) and opens a new one. A processing-time timeout of one gap
+    closes idle sessions once new batches arrive. Semantics match the batch
+    :func:`sessionize` for all closed sessions; each user's final session
+    stays open until timeout (tested against the batch twin).
+
+    Scale: state is 3 longs per ACTIVE user (bounded by the timeout), and
+    each micro-batch shuffles once on ``user_col``.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_sec = gap_minutes * 60
+    out_schema = (
+        f"{user_col} long, session_start timestamp, session_end timestamp, "
+        "n_events long"
+    )
+    state_schema = "start long, end long, n long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        uid = key[0]
+
+        def emit(rows):
+            return pd.DataFrame(
+                {
+                    user_col: [uid] * len(rows),
+                    "session_start": [pd.to_datetime(s, unit="s") for s, _, _ in rows],
+                    "session_end": [pd.to_datetime(e, unit="s") for _, e, _ in rows],
+                    "n_events": [n for _, _, n in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield emit([(start, end, n)])
+            return
+        ts_all = sorted(
+            t.timestamp()
+            for pdf in pdf_iter
+            for t in pdf[ts_col]
+            if t is not None and t == t  # drop NaT
+        )
+        start, end, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_all:
+            if start is None:
+                start, end, n = t, t, 1
+            elif t - end > gap_sec:
+                closed.append((int(start), int(end), n))
+                start, end, n = t, t, 1
+            else:
+                end, n = t, n + 1
+        if closed:
+            yield emit(closed)
+        if start is not None:
+            state.update((int(start), int(end), n))
+            state.setTimeoutDuration(gap_sec * 1000)
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def sessionize(
     events: DataFrame, gap_minutes: int = 30, user_col: str = "user_id", ts_col: str = "ts"
 ) -> DataFrame:

@@ -6,6 +6,7 @@ import pyspark.sql.functions as F
 from iatlas_cbioportal_export_spark.streaming.events import (
     hourly_event_counts,
     sessionize,
+    sessionize_stream,
     stream_events_from_parquet,
 )
 
@@ -48,6 +49,42 @@ def test_stream_equals_batch(spark, tmp_path):
     }
     assert got == batch
     assert batch[("2024-01-01 00:00:00", "click")] == (2, 4.0)
+
+
+def test_sessionize_stream_closes_sessions(spark, tmp_path):
+    """Streamed stateful sessionization emits every CLOSED session; each
+    user's final session stays open (awaiting the processing-time timeout),
+    so the emitted set must equal the batch twin minus each user's last
+    session."""
+    batch_df, path = _events(spark, tmp_path)
+    stream = stream_events_from_parquet(spark, path)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql("select * from sessions_test").collect()
+    }
+    batch = sessionize(batch_df, gap_minutes=30).collect()
+    last_per_user = {}
+    for r in batch:
+        key = r["user_id"]
+        if key not in last_per_user or r["session_start"] > last_per_user[key]["session_start"]:
+            last_per_user[key] = r
+    expected = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in batch
+        if r is not last_per_user[r["user_id"]]
+    }
+    assert got == expected
+    # user 7's first session (single 00:10 event) is the one closed session
+    assert got == {(7, "2024-01-01 00:10:00", "2024-01-01 00:10:00", 1)}
 
 
 def test_sessionize_gap(spark, tmp_path):
