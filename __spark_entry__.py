@@ -597,6 +597,21 @@ def q_sim_ann_lsh(spark, sf_dir):
     return sim_ops.ann_topk_lsh(emb, queries, dim=64, k=10, num_planes=10)
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF ANN with planted scaled twins: cosine is scale-invariant so each
+    twin shares its original's Voronoi cell — top-1 must be the twin with
+    cosine 1.0 (deterministic rows-only check, 5 rows)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label",
+    )
+    return sim_ops.ivf_topk(
+        emb.unionByName(twins), twins, k=1, n_cells=16, n_probe=4
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup over hyperplane-LSH buckets. The testdata
     vectors are random (max pairwise cosine ~0.4), so 20 scaled copies are
@@ -722,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "text_token_stats": q_text_token_stats,

@@ -148,6 +148,83 @@ def ann_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _centroid_sims(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<sim,cell_id>> of cosine similarity to each centroid —
+    struct ordering compares ``sim`` first, so array_max / reverse(array_sort)
+    give nearest cells without any shuffle."""
+    return F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("sim"),
+                F.lit(cid).alias("cell_id"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN top-k: partition the corpus into ``n_cells`` Voronoi
+    cells around deterministic centroids; queries probe their ``n_probe``
+    nearest cells; exact cosine re-ranks candidates.
+
+    Centroids are the ``n_cells`` lowest-id corpus vectors (deterministic; a
+    production build would k-means them — the plan shape is identical). They
+    are collected to the driver (n_cells × dim doubles — kilobytes) and baked
+    into the plan as literals, so CELL ASSIGNMENT IS A NARROW MAP over the
+    corpus: ``array_max`` over the per-centroid similarity structs — no
+    shuffle, no window. The only shuffles are the tiny probed-cell broadcast
+    join and the final per-query top-k window over candidate rows.
+
+    Recall: a vector and any positive scaling of it share a cell (cosine is
+    scale-invariant), and probing ``n_probe`` cells bounds misses to
+    cell-boundary cases — the standard IVF trade; raise ``n_probe`` for
+    recall. Output schema matches :func:`brute_force_topk`.
+    """
+    centroids = [
+        (i, [float(x) for x in row[vec_col]])
+        for i, row in enumerate(
+            corpus.select(vec_col, id_col).orderBy(id_col).limit(n_cells).collect()
+        )
+    ]
+    assigned = corpus.withColumn(
+        "__cell", F.array_max(_centroid_sims(F.col(vec_col), centroids))["cell_id"]
+    )
+    probes = F.slice(
+        F.reverse(F.array_sort(_centroid_sims(F.col(vec_col), centroids))),
+        1,
+        n_probe,
+    )
+    q_probed = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probes).alias("__probe"),
+    ).select(query_id_col, "__qvec", F.col("__probe.cell_id").alias("__cell"))
+    cands = assigned.join(F.broadcast(q_probed), on="__cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+    ).dropDuplicates([query_id_col, id_col])
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     dim: int,

@@ -46,6 +46,41 @@ def test_ann_lsh_recall_floor(spark, vectors):
     assert recall >= 0.5, f"recall {recall}"
 
 
+def test_ivf_topk_finds_scaled_twin(spark, vectors):
+    from iatlas_cbioportal_export_spark.operators.similarity import ivf_topk
+    import pyspark.sql.functions as F
+
+    # plant scaled copies: cosine is scale-invariant so twin shares the cell
+    twins = vectors.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = vectors.select("vec_id", "embedding").unionByName(twins)
+    out = ivf_topk(
+        corpus, twins, k=1, n_cells=4, n_probe=2
+    ).collect()
+    got = {r["query_id"]: (r["vec_id"], r["cosine_sim"]) for r in out}
+    assert set(got) == {1000, 1001, 1002}
+    for qid, (vid, sim) in got.items():
+        assert vid == qid - 1000 and sim == 1.0
+
+
+def test_ivf_recall_floor_vs_brute_force(spark, vectors):
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    import pyspark.sql.functions as F
+
+    queries = vectors.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(vectors, queries, k=5).collect()
+    approx = ivf_topk(vectors, queries, k=5, n_cells=4, n_probe=3).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"IVF recall {recall} below floor"
+
+
 def test_embedding_near_duplicates(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
