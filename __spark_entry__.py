@@ -667,6 +667,34 @@ def q_text_fingerprint(spark, sf_dir):
     return text_ops.fingerprints(docs)
 
 
+def q_text_language_report(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.corpus_language_report(docs)
+
+
+def q_text_bpe_token_count(spark, sf_dir):
+    from iatlas_cbioportal_export_spark.functions.text import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    """The corpus has no natural exact dups — plant copies of the first 10
+    docs (replicated in the oracle) so the group structure is exercised."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return dedup_ops.exact_duplicate_groups(docs.unionByName(planted)).select(
+        "text_sha256",
+        F.concat_ws(",", "member_ids").alias("member_ids_csv"),
+        "n_copies",
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     return pricing_summary(_t(spark, sf_dir, "lineitem"))
 
@@ -744,6 +772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": q_text_quality_score,
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_language_report": q_text_language_report,
+        "text_bpe_token_count": q_text_bpe_token_count,
+        "dedup_exact_groups": q_dedup_exact_groups,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q5_local_supplier": q_tpch_q5,
@@ -1315,6 +1346,62 @@ def oracle_sql() -> dict[str, str]:
                            ELSE greatest(0.0, 0.3 - punct_ratio) END)
                    + least(stopword_ratio * 3.0, 0.3), 6) AS quality_score
             FROM base
+        """,
+        "text_language_report": f"""
+            WITH hits AS (
+                SELECT doc_id,
+                    len(list_filter({_TOKS}, t -> list_contains(
+                        ['der','die','das','und','ist','nicht','ein','mit','zu','den'],
+                        lower(t)))) AS hits_de,
+                    len(list_filter({_TOKS}, t -> list_contains(
+                        ['the','and','of','to','a','in','is','it','that','for'],
+                        lower(t)))) AS hits_en,
+                    len(list_filter({_TOKS}, t -> list_contains(
+                        ['el','la','los','y','es','no','un','una','por','para'],
+                        lower(t)))) AS hits_es,
+                    len(list_filter({_TOKS}, t -> list_contains(
+                        ['le','la','les','et','est','pas','un','une','pour','dans'],
+                        lower(t)))) AS hits_fr
+                FROM documents
+            ),
+            lid AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0
+                            THEN 'und'
+                            WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr)
+                            THEN 'de'
+                            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr)
+                            THEN 'en'
+                            WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr)
+                            THEN 'es'
+                            ELSE 'fr' END AS predicted_lang,
+                       greatest(hits_de, hits_en, hits_es, hits_fr) AS n_hits
+                FROM hits
+            )
+            SELECT predicted_lang, count(*) AS n_docs,
+                   round(avg(n_hits), 4) AS avg_hits
+            FROM lid GROUP BY predicted_lang
+        """,
+        "text_bpe_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                       '([A-Za-z]{1,6}|[0-9]|[^A-Za-z0-9\\s])', 1)) AS INTEGER)
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "dedup_exact_groups": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10
+            )
+            SELECT text_sha256, member_ids_csv, n_copies FROM (
+                SELECT sha256(text) AS text_sha256,
+                       array_to_string(list_sort(list(doc_id)), ',')
+                           AS member_ids_csv,
+                       count(*) AS n_copies
+                FROM corpus GROUP BY sha256(text)
+            ) WHERE n_copies > 1
         """,
         "text_language_id": f"""
             WITH hits AS (
