@@ -41,7 +41,9 @@ from iatlas_cbioportal_export_spark.operators import (
 )
 from iatlas_cbioportal_export_spark.functions.scalar import coalesce_remap
 from iatlas_cbioportal_export_spark.plans.analytics import (
+    forecast_revenue_change,
     local_supplier_volume,
+    order_priority_check,
     pricing_summary,
     shipping_priority,
 )
@@ -718,6 +720,16 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    return order_priority_check(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    return forecast_revenue_change(_t(spark, sf_dir, "lineitem"))
+
+
 def q_stream_hourly_counts(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return hourly_event_counts_batch(events)
@@ -777,7 +789,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q4_order_priority": q_tpch_q4,
         "tpch_q5_local_supplier": q_tpch_q5,
+        "tpch_q6_forecast_revenue": q_tpch_q6,
         "stream_hourly_counts": q_stream_hourly_counts,
         "events_sessionize": q_events_sessionize,
     }
@@ -1283,6 +1297,26 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        "tpch_q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+                       AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "stream_hourly_counts": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -89,6 +89,58 @@ def shipping_priority(
     )
 
 
+def order_priority_check(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+    returnflag: str = "R",
+) -> DataFrame:
+    """TPC-H Q4 shape: order counts by priority for orders in a date window
+    having at least one qualifying lineitem (EXISTS → left-semi join).
+
+    (The driver's lineitem has no commit/receipt dates, so the EXISTS
+    predicate is 'has a returned item' — the plan shape is Q4's: pushed-down
+    date filter on orders, distinct-key semi join, 5-value groupBy.)
+    """
+    qualifying = lineitem.filter(F.col("l_returnflag") == returnflag).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(qualifying, on="o_orderkey", how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    discount_lo: float = 0.05,
+    discount_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6: one-row filtered aggregate — the pure pushdown showcase.
+    Every predicate (shipdate range, discount band, quantity cap) reaches the
+    parquet scan; the aggregate is a map-side partial over decimal (exact)."""
+    rev = _dec("l_extendedprice") * _dec("l_discount")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= discount_lo)
+            & (F.col("l_discount") <= discount_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
 def local_supplier_volume(
     customer: DataFrame,
     orders: DataFrame,
