@@ -65,6 +65,61 @@ def fake_annotator(batch: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def http_annotator(
+    endpoint: str,
+    transport: Callable[[bytes], bytes] | None = None,
+    timeout_s: float = 60.0,
+    isoform_override: str = "mskcc",
+) -> Annotator:
+    """Build a REST annotator for the real Genome Nexus service (reference
+    runs it as a docker subprocess per 40k-row chunk, ``maf.py:113-121``,
+    GRCh38 endpoint with ``--isoform-override mskcc``).
+
+    Executor-side: each Arrow batch is POSTed as JSON records and the
+    response's annotation columns are joined back positionally. ``transport``
+    abstracts the wire call (bytes in → bytes out) so tests inject a fake;
+    the default uses stdlib ``urllib`` — no extra dependencies. Failures mark
+    the whole batch FAILED rather than raising, matching the reference's
+    error-report routing (``maf.py:160-177``).
+    """
+    import json
+
+    def default_transport(payload: bytes) -> bytes:
+        from urllib.request import Request, urlopen
+
+        req = Request(
+            f"{endpoint}?isoformOverrideSource={isoform_override}",
+            data=payload,
+            headers={"Content-Type": "application/json"},
+        )
+        with urlopen(req, timeout=timeout_s) as resp:  # noqa: S310 (cluster-side)
+            return resp.read()
+
+    send = transport or default_transport
+
+    def annotator(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        try:
+            payload = json.dumps(batch.to_dict(orient="records"), default=str).encode()
+            records = json.loads(send(payload))
+            ann = pd.DataFrame.from_records(records)
+            for name, _typ in ANNOTATION_COLS:
+                out[name] = (
+                    ann[name].to_numpy()
+                    if name in ann.columns and len(ann) == len(out)
+                    else None
+                )
+            if "Annotation_Status" not in ann.columns:
+                out["Annotation_Status"] = "SUCCESS"
+        except Exception as exc:  # network/parse failure → error side-band
+            for name, _typ in ANNOTATION_COLS:
+                out[name] = None
+            out["Annotation_Status"] = f"FAILED: {type(exc).__name__}"
+        return out
+
+    return annotator
+
+
 def annotate(
     maf: DataFrame,
     annotator: Annotator = fake_annotator,

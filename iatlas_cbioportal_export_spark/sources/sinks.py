@@ -133,6 +133,21 @@ def write_cbioportal_clinical(
     return path
 
 
+def write_partitioned_datasets(
+    df: DataFrame, path: str, partition_col: str = "Dataset", mode: str = "overwrite"
+) -> None:
+    """P3 at scale: ONE pass writing every dataset slice under
+    ``{path}/{partition_col}=<value>/`` — replaces the reference's 23-iteration
+    per-dataset filter loop (``clinical.py:922-950``) with a single
+    ``partitionBy`` write, and makes every later ``Dataset == d`` filter a
+    partition-pruned scan instead of a full read."""
+    (
+        df.write.mode(mode)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -54,3 +54,22 @@ def test_salted_join_equals_plain_join(spark):
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
     assert salted.count() == plain.count() > 0
+
+
+def test_write_partitioned_datasets(spark, tmp_path):
+    import os
+
+    from iatlas_cbioportal_export_spark.sources.sinks import (
+        write_partitioned_datasets,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 3)], "Dataset string, x int"
+    )
+    out = str(tmp_path / "datasets")
+    write_partitioned_datasets(df, out)
+    dirs = {d for d in os.listdir(out) if d.startswith("Dataset=")}
+    assert dirs == {"Dataset=A", "Dataset=B"}
+    back = spark.read.parquet(out)
+    assert back.filter("Dataset = 'A'").count() == 2
+    assert back.filter("Dataset = 'B'").count() == 1
