@@ -41,9 +41,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "PushedFilters: [IsNotNull"],
         ["CartesianProduct"],
     ),
+    "tpch_q4_order_priority": (
+        ["LeftSemi", "PushedFilters: [IsNotNull(o_orderdate)"],
+        ["CartesianProduct"],
+    ),
     "tpch_q5_local_supplier": (
         ["BroadcastHashJoin"],
         ["CartesianProduct"],
+    ),
+    "tpch_q6_forecast_revenue": (
+        ["PushedFilters: [IsNotNull(l_shipdate)"],
+        ["Exchange hashpartitioning"],
     ),
     "j1_broadcast_left_join": (
         ["BroadcastHashJoin", "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"],
