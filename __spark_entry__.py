@@ -45,7 +45,9 @@ from iatlas_cbioportal_export_spark.plans.analytics import (
     local_supplier_volume,
     order_priority_check,
     pricing_summary,
+    returned_item_report,
     shipping_priority,
+    volume_shipping,
 )
 from iatlas_cbioportal_export_spark.plans.clinical_pipeline import preprocess_clinical
 from iatlas_cbioportal_export_spark.streaming.events import (
@@ -734,6 +736,25 @@ def q_tpch_q6(spark, sf_dir):
     return forecast_revenue_change(_t(spark, sf_dir, "lineitem"))
 
 
+def q_tpch_q7(spark, sf_dir):
+    return volume_shipping(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    return returned_item_report(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
 def q_stream_hourly_counts(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return hourly_event_counts_batch(events)
@@ -796,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_order_priority": q_tpch_q4,
         "tpch_q5_local_supplier": q_tpch_q5,
         "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q7_volume_shipping": q_tpch_q7,
+        "tpch_q10_returned_items": q_tpch_q10,
         "stream_hourly_counts": q_stream_hourly_counts,
         "events_sessionize": q_events_sessionize,
     }
@@ -1321,6 +1344,42 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "tpch_q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                       AS revenue
+            FROM lineitem, orders, customer, supplier, nation n1, nation n2
+            WHERE l_orderkey = o_orderkey
+              AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                       AS revenue
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND l_returnflag = 'R'
+              AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
         """,
         "stream_hourly_counts": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

@@ -89,6 +89,89 @@ def shipping_priority(
     )
 
 
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+
+    Both nation lookups broadcast (two aliases of the same tiny dim); the
+    orders⋈lineitem shuffle on orderkey is the only fact shuffle — customer
+    and supplier join broadcast after their nation filters cut them down.
+    """
+    vol = _dec("l_extendedprice") * (F.lit(1).cast(_D) - _dec("l_discount"))
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(nation_a, nation_b))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(nation_a, nation_b))
+    supp = supplier.join(F.broadcast(n1), "s_nationkey").select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = customer.join(F.broadcast(n2), "c_nationkey").select(
+        "c_custkey", "cust_nation"
+    )
+    ord_c = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "cust_nation"
+    )
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(F.broadcast(supp), lineitem["l_suppkey"] == supp["s_suppkey"])
+        .join(ord_c, lineitem["l_orderkey"] == ord_c["o_orderkey"])
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(vol.alias("volume")), 2).cast("double").alias("revenue"))
+    )
+
+
+def returned_item_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned items in
+    a quarter. Broadcast nation; orders date filter pushes to the scan;
+    deterministic top-k tiebreak on custkey."""
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(_D) - _dec("l_discount"))
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", rev.alias("rev")
+    )
+    return (
+        returned.join(ord_f, returned["l_orderkey"] == ord_f["o_orderkey"])
+        .join(customer, F.col("o_custkey") == customer["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
 def order_priority_check(
     orders: DataFrame,
     lineitem: DataFrame,
