@@ -98,3 +98,75 @@ def test_sessionize_gap(spark, tmp_path):
     assert len(by_user[7]) == 2
     assert sorted(s["n_events"] for s in by_user[7]) == [1, 2]
     assert len(by_user[8]) == 1
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Append-mode windowed agg with a 2h watermark over two file-source
+    micro-batches: batch 2 carries an event whose 1h window closed below the
+    batch-1 watermark — it must NOT appear; windows still above the final
+    watermark must not be emitted either."""
+    import os
+    import time
+
+    import pandas as pd
+
+    d = str(tmp_path / "stream_src")
+    os.makedirs(d)
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pdf.to_parquet(os.path.join(d, name))
+
+    # batch 0: on-time events; max ts 03:30 → watermark advances to 01:30
+    write_batch(
+        "a.parquet",
+        [
+            (1, "2024-01-01 00:10:00", 7, "click", 1.0),
+            (2, "2024-01-01 00:40:00", 7, "click", 1.0),
+            (3, "2024-01-01 03:30:00", 8, "view", 1.0),
+        ],
+    )
+    time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    # batch 1: on-time filler; the 00:00 window (end 01:00 < wm 01:30) is
+    # evicted and emitted with count 2 during this batch
+    write_batch("b.parquet", [(4, "2024-01-01 03:40:00", 8, "view", 1.0)])
+    time.sleep(1.1)
+    # batch 2: a LATE click at 00:30 — its window closed two batches ago and
+    # the row is below the effective watermark → dropped, no re-emission
+    write_batch(
+        "c.parquet",
+        [
+            (5, "2024-01-01 00:30:00", 9, "click", 1.0),
+            (6, "2024-01-01 03:45:00", 8, "view", 1.0),
+        ],
+    )
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        # pandas writes TIMESTAMP(NANOS); the session reads nanos as long
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        hourly_event_counts(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from wm_test").collect()
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"] for r in rows
+    }
+    # exactly ONE emission: the 00:00 click window with only on-time events;
+    # the late click was dropped (no duplicate/late re-emission), and the
+    # still-open 03:00 view window was not emitted
+    assert len(rows) == 1
+    assert got == {("2024-01-01 00:00:00", "click"): 2}
