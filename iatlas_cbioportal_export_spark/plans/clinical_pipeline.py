@@ -49,13 +49,18 @@ def preprocess_clinical(
     out = broadcast_left_join(
         clinical, oncotree_map, on=ONCOTREE_MERGE_COLS, dim_cols=["ONCOTREE_CODE"]
     )
-    # F4: prefer paper ids where present (clinical.py:170-196)
-    if "study_sample_name" in out.columns:
-        out = out.withColumn(
-            "SAMPLE_ID", F.coalesce("study_sample_name", "sample_name")
-        ).withColumn(
-            "PATIENT_ID", F.coalesce("study_patient_name", "patient_name")
-        ).drop("study_sample_name", "sample_name", "study_patient_name", "patient_name")
+    # F4: prefer paper ids where present (clinical.py:170-196); with no
+    # study_* columns the base names promote to the canonical ids directly
+    for preferred, fallback, dest in (
+        ("study_sample_name", "sample_name", "SAMPLE_ID"),
+        ("study_patient_name", "patient_name", "PATIENT_ID"),
+    ):
+        if preferred in out.columns and fallback in out.columns:
+            out = out.withColumn(dest, F.coalesce(preferred, fallback)).drop(
+                preferred, fallback
+            )
+        elif fallback in out.columns:
+            out = out.withColumnRenamed(fallback, dest)
     # J3: neoantigen outer join (clinical.py:265-287); key cast to string first
     if neoantigen is not None:
         out = out.withColumn("SAMPLE_ID", F.col("SAMPLE_ID").cast("string")).join(

@@ -1,0 +1,72 @@
+"""CLI surface: the reference's four entry points driven end-to-end on tiny
+TSV inputs (clinical → bundle → validate → load)."""
+
+import os
+
+from iatlas_cbioportal_export_spark.cli import main
+
+
+def _write_inputs(tmp_path):
+    clinical = tmp_path / "clinical.tsv"
+    clinical.write_text(
+        "sample_name\tpatient_name\tTCGA_Study\tAMADEUS_Study\tDataset\tOS_STATUS\n"
+        "s1\tp1\tSKCM\tmel\tDemo\t0\n"
+        "s2\tp1\tSKCM\tmel\tDemo\t1\n"
+        "s3\tp2\tLUAD\tlung\tDemo\t1\n"
+    )
+    oncotree = tmp_path / "oncotree.tsv"
+    oncotree.write_text(
+        "TCGA_Study\tAMADEUS_Study\tDataset\tONCOTREE_CODE\n"
+        "SKCM\tmel\tDemo\tSKCM\n"
+        "LUAD\tlung\tDemo\tLUAD\n"
+    )
+    codes = tmp_path / "codes.tsv"
+    codes.write_text(
+        "ONCOTREE_CODE\tCANCER_TYPE\tCANCER_TYPE_DETAILED\n"
+        "SKCM\tMelanoma\tCutaneous Melanoma\n"
+        "LUAD\tLung Cancer\tLung Adenocarcinoma\n"
+    )
+    maf_dir = tmp_path / "mafs"
+    maf_dir.mkdir()
+    (maf_dir / "x.maf").write_text(
+        "#version\n"
+        "Hugo_Symbol\tChromosome\tStart_Position\tTumor_Sample_Barcode\n"
+        "TP53\tchr17\t100\ts1\n"
+        "KRAS\tchrM\t200\ts2\n"
+    )
+    return clinical, oncotree, codes, maf_dir
+
+
+def test_cli_clinical_validate_load_roundtrip(spark, tmp_path):
+    clinical, oncotree, codes, maf_dir = _write_inputs(tmp_path)
+    bundle = str(tmp_path / "bundle")
+
+    rc = main(
+        [
+            "clinical",
+            "--clinical", str(clinical),
+            "--oncotree", str(oncotree),
+            "--codes", str(codes),
+            "--dataset", "Demo",
+            "--out", bundle,
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(bundle, "data_clinical_sample.txt"))
+
+    rc = main(["maf", "--maf-folder", str(maf_dir), "--out", bundle])
+    assert rc == 0
+    maf_out = os.path.join(bundle, "data_mutations_extended")
+    assert any(f.endswith(".csv") for f in os.listdir(maf_out))
+
+    rc = main(["validate", "--bundle", bundle])
+    assert rc == 0
+
+    dest = str(tmp_path / "store")
+    rc = main(["load", "--bundle", bundle, "--dest", dest])
+    assert rc == 0
+    assert os.path.exists(os.path.join(dest, "meta_study.txt"))
+
+
+def test_cli_validate_fails_on_missing_file(tmp_path):
+    assert main(["validate", "--bundle", str(tmp_path / "nope")]) == 1
