@@ -30,7 +30,6 @@ import os
 from collections.abc import Mapping
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from iatlas_cbioportal_export_spark.operators.aggregates import case_list_groups
 from iatlas_cbioportal_export_spark.operators.joins import semi_join_sequenced
@@ -67,13 +66,22 @@ def write_study_bundle(
     max_maf_rows: int = 40_000,
 ) -> dict[str, str]:
     """Write one dataset's complete cBioPortal study bundle; returns
-    artifact name → path."""
+    artifact name → path.
+
+    ``clinical_sample`` feeds FOUR actions (P5 null-count aggregate, the file
+    write, the A1 case-list aggregation, the J5 semi-join) — without a
+    persist each action re-runs the whole upstream preprocess DAG, so both
+    views are cached for the bundle's lifetime (memory-and-disk: safe when a
+    dataset slice outgrows executor memory) and released before returning.
+    """
     study_id = f"iatlas_{dataset}"
     os.makedirs(out_dir, exist_ok=True)
     case_list_dir = os.path.join(out_dir, "case_lists")
     os.makedirs(case_list_dir, exist_ok=True)
     attr_meta = attr_meta or {}
     artifacts: dict[str, str] = {}
+    clinical_patient = clinical_patient.persist()
+    clinical_sample = clinical_sample.persist()
 
     # Clinical views: prune 100%-null columns (P5), then header'd single file.
     for name, view in (
@@ -164,4 +172,6 @@ def write_study_bundle(
             fh.write(render_case_list_text(study_id, "sequenced", seq_ids)[1])
         artifacts["case_lists/cases_sequenced.txt"] = path
 
+    clinical_patient.unpersist()
+    clinical_sample.unpersist()
     return artifacts

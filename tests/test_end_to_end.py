@@ -6,7 +6,6 @@ same checks the reference gates on (V1-V7 analogues) with zero ERROR rows.
 
 import os
 
-import pyspark.sql.functions as F
 
 from iatlas_cbioportal_export_spark.operators.maf import (
     annotate,

@@ -10,7 +10,6 @@ F3's recode-with-passthrough.
 import random
 import string
 
-import pyspark.sql.functions as F
 
 from iatlas_cbioportal_export_spark.functions.scalar import (
     case_list_slug,

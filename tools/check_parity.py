@@ -9,7 +9,6 @@ DuckDB over the same parquet tables, then compares row count, schema
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 import traceback
