@@ -42,9 +42,11 @@ from iatlas_cbioportal_export_spark.operators import (
 from iatlas_cbioportal_export_spark.functions.scalar import coalesce_remap
 from iatlas_cbioportal_export_spark.plans.analytics import (
     forecast_revenue_change,
+    large_volume_customers,
     local_supplier_volume,
     order_priority_check,
     pricing_summary,
+    promo_revenue_share,
     returned_item_report,
     shipping_priority,
     volume_shipping,
@@ -755,6 +757,20 @@ def q_tpch_q10(spark, sf_dir):
     )
 
 
+def q_tpch_q14(spark, sf_dir):
+    return promo_revenue_share(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    return large_volume_customers(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_stream_hourly_counts(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return hourly_event_counts_batch(events)
@@ -819,6 +835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": q_tpch_q6,
         "tpch_q7_volume_shipping": q_tpch_q7,
         "tpch_q10_returned_items": q_tpch_q10,
+        "tpch_q14_promo_share": q_tpch_q14,
+        "tpch_q18_large_volume": q_tpch_q18,
         "stream_hourly_counts": q_stream_hourly_counts,
         "events_sessionize": q_events_sessionize,
     }
@@ -1380,6 +1398,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "tpch_q14_promo_share": """
+            SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2))
+                               - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+                   AS promo_revenue_pct
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "tpch_q18_large_volume": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)
+                            AS DOUBLE) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)
+                            AS DOUBLE) > 250.0
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_totalprice, sum_qty
+            FROM big, orders, customer
+            WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
         """,
         "stream_hourly_counts": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

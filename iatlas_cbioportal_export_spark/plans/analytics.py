@@ -172,6 +172,65 @@ def returned_item_report(
     )
 
 
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-03-01",
+    date_to: str = "1996-04-01",
+    promo_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share for one month — part
+    broadcast into the date-filtered lineitem scan, conditional + total sums
+    in one aggregate, ratio at the edge."""
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(_D) - _dec("l_discount"))
+    joined = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        lineitem["l_partkey"] == F.col("p_partkey"),
+    )
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == promo_type, rev).otherwise(F.lit(0).cast(_D))).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty_sum: float = 250.0,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single orders exceed a quantity
+    threshold — aggregate-filter on lineitem produces the (tiny) qualifying
+    orderkey set, which re-joins as a broadcast; deterministic top-k."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_qty_sum)
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
 def order_priority_check(
     orders: DataFrame,
     lineitem: DataFrame,
