@@ -49,8 +49,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     queries = entrymod.queries()
-    # Warm the JVM/codegen once on a trivial action so q1 isn't charged startup.
+    # Warm the JVM once so the first timed query isn't charged session
+    # startup: a trivial job plus one tiny parquet read (initializes the
+    # Hadoop FS / datasource stack — measured ~3s on first touch).
     spark.range(1).count()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
