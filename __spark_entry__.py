@@ -41,6 +41,7 @@ from iatlas_cbioportal_export_spark.operators import (
 )
 from iatlas_cbioportal_export_spark.functions.scalar import coalesce_remap
 from iatlas_cbioportal_export_spark.plans.analytics import (
+    customer_order_distribution,
     forecast_revenue_change,
     large_volume_customers,
     local_supplier_volume,
@@ -49,6 +50,7 @@ from iatlas_cbioportal_export_spark.plans.analytics import (
     promo_revenue_share,
     returned_item_report,
     shipping_priority,
+    top_supplier,
     volume_shipping,
 )
 from iatlas_cbioportal_export_spark.plans.clinical_pipeline import preprocess_clinical
@@ -771,6 +773,18 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q13(spark, sf_dir):
+    return customer_order_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    return top_supplier(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
 def q_stream_hourly_counts(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return hourly_event_counts_batch(events)
@@ -835,7 +849,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": q_tpch_q6,
         "tpch_q7_volume_shipping": q_tpch_q7,
         "tpch_q10_returned_items": q_tpch_q10,
+        "tpch_q13_order_distribution": q_tpch_q13,
         "tpch_q14_promo_share": q_tpch_q14,
+        "tpch_q15_top_supplier": q_tpch_q15,
         "tpch_q18_large_volume": q_tpch_q18,
         "stream_hourly_counts": q_stream_hourly_counts,
         "events_sessionize": q_events_sessionize,
@@ -1398,6 +1414,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "tpch_q13_order_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "tpch_q15_top_supplier": """
+            WITH by_supp AS (
+                SELECT l_suppkey,
+                       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(18,2))
+                              - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                           AS DOUBLE) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM by_supp, supplier
+            WHERE l_suppkey = s_suppkey
+              AND total_revenue = (SELECT max(total_revenue) FROM by_supp)
         """,
         "tpch_q14_promo_share": """
             SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'

@@ -231,6 +231,53 @@ def large_volume_customers(
     )
 
 
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by order count, INCLUDING
+    zero-order customers — left outer join then two-level aggregation (the
+    first groupBy keys on custkey, the second on the tiny count domain)."""
+    per_cust = (
+        customer.select("c_custkey")
+        .join(orders.select("o_custkey", "o_orderkey"),
+              customer["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue — the
+    revenue aggregate self-joins against its own max (a one-row broadcast),
+    keeping ties like the spec's subquery formulation."""
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(_D) - _dec("l_discount"))
+    by_supp = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("total_revenue"))
+    )
+    max_rev = by_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        by_supp.join(F.broadcast(max_rev), by_supp["total_revenue"] == max_rev["max_revenue"])
+        .join(supplier, by_supp["l_suppkey"] == supplier["s_suppkey"])
+        .select(
+            F.col("s_suppkey"), "s_name", "total_revenue"
+        )
+    )
+
+
 def order_priority_check(
     orders: DataFrame,
     lineitem: DataFrame,
