@@ -785,6 +785,51 @@ def q_tpch_q15(spark, sf_dir):
     )
 
 
+def q_window_topk_per_group(spark, sf_dir):
+    """Per-group top-k via rank(): each customer's 2 highest-value orders,
+    ties kept by rank semantics — the window shape (dense per-key ranking)
+    the reference never needed but an analytics engine must have."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Multi-level aggregation via rollup(): lineitem revenue by
+    (returnflag, linestatus) with subtotals and a grand total — grouping-set
+    plans share one shuffle in Spark (Expand + single aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
 def q_stream_hourly_counts(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return hourly_event_counts_batch(events)
@@ -853,6 +898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo_share": q_tpch_q14,
         "tpch_q15_top_supplier": q_tpch_q15,
         "tpch_q18_large_volume": q_tpch_q18,
+        "window_topk_per_group": q_window_topk_per_group,
+        "rollup_revenue": q_rollup_revenue,
         "stream_hourly_counts": q_stream_hourly_counts,
         "events_sessionize": q_events_sessionize,
     }
@@ -1470,6 +1517,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
+        """,
+        "window_topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       rank() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC)
+                           AS rk
+                FROM orders
+            ) WHERE rk <= 2
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                       AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "stream_hourly_counts": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
