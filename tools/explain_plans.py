@@ -59,6 +59,9 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     "j5_semi_join": (["LeftSemi"], ["CartesianProduct"]),
     "a8_keep_latest": (["Window", "row_number"], ["CartesianProduct"]),
+    "window_topk_per_group": (["Window", "rank"], ["CartesianProduct"]),
+    # rollup = ONE Expand + ONE aggregate — not a shuffle per grouping level
+    "rollup_revenue": (["Expand", "HashAggregate"], ["CartesianProduct"]),
     "dedup_minhash_lsh": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "dedup_exact": (["HashAggregate"], ["Exchange rangepartitioning"]),
     "sim_topk_bruteforce": (
