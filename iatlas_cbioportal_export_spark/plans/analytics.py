@@ -134,7 +134,7 @@ def volume_shipping(
             | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(vol.alias("volume")), 2).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(vol), 2).cast("double").alias("revenue"))
     )
 
 
