@@ -66,6 +66,31 @@ def hourly_event_counts_batch(events: DataFrame) -> DataFrame:
     )
 
 
+def annotate_maf_stream(
+    spark: SparkSession,
+    maf_parquet_dir: str,
+    annotator=None,
+) -> DataFrame:
+    """Streaming variant of the §3.2 MAF annotation path: a file-source
+    stream of variant rows fanned through the same ``mapInPandas`` annotation
+    stage used in batch (operators/maf.py), chrM-filtered downstream.
+
+    The pattern for continuous ingestion: new MAF drops land in the folder,
+    each micro-batch annotates only the new files, and task parallelism
+    replaces the reference's process pool exactly as in batch — the operator
+    code is IDENTICAL because mapInPandas is stream/batch agnostic.
+    """
+    from iatlas_cbioportal_export_spark.operators.maf import (
+        annotate,
+        drop_chrm,
+        fake_annotator,
+    )
+
+    schema = spark.read.parquet(maf_parquet_dir).schema
+    stream = spark.readStream.schema(schema).parquet(maf_parquet_dir)
+    return drop_chrm(annotate(stream, annotator=annotator or fake_annotator))
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -170,3 +170,51 @@ def test_watermark_drops_late_event(spark, tmp_path):
     # still-open 03:00 view window was not emitted
     assert len(rows) == 1
     assert got == {("2024-01-01 00:00:00", "click"): 2}
+
+
+def test_streaming_maf_annotation_equals_batch(spark, tmp_path):
+    """The mapInPandas annotation stage is stream/batch agnostic: streaming
+    the same files through annotate+drop_chrm must equal the batch result."""
+    from iatlas_cbioportal_export_spark.operators.maf import (
+        annotate,
+        drop_chrm,
+        fake_annotator,
+    )
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        annotate_maf_stream,
+    )
+
+    maf = spark.createDataFrame(
+        [
+            ("TP53", "chr17", 100, 10, 30),
+            ("KRAS", "chrM", 200, 5, 20),
+            ("EGFR", "chr7", 300, 8, 40),
+            ("BRAF", None, 400, 2, 10),
+        ],
+        "Hugo_Symbol string, Chromosome string, Start_Position long, "
+        "t_alt_count long, t_ref_count long",
+    )
+    src = str(tmp_path / "maf_parquet")
+    maf.write.parquet(src)
+
+    q = (
+        annotate_maf_stream(spark, src)
+        .writeStream.format("memory")
+        .queryName("maf_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["Hugo_Symbol"], r["HGVSp_Short"], r["Annotation_Status"])
+        for r in spark.sql("select * from maf_stream_test").collect()
+    }
+    expected = {
+        (r["Hugo_Symbol"], r["HGVSp_Short"], r["Annotation_Status"])
+        for r in drop_chrm(annotate(maf, annotator=fake_annotator)).collect()
+    }
+    assert got == expected
+    # chrM dropped, null-chromosome kept and FAILED
+    assert {g[0] for g in got} == {"TP53", "EGFR", "BRAF"}
+    assert ("BRAF", None, "FAILED") in got
