@@ -225,6 +225,102 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Train IVF centroids with Lloyd's k-means, DataFrame-native.
+
+    Each iteration: (1) assign every vector to its nearest centroid — a
+    NARROW map (argmax over broadcast centroid literals, no shuffle, same
+    expression as :func:`ivf_topk`); (2) recompute centroids as the
+    element-wise mean per cell — ``posexplode`` to (cell, dim_pos, value)
+    rows and ONE groupBy, so the shuffle carries only n_cells × dim doubles
+    of aggregated state (map-side combined). Only the K×dim centroid matrix
+    ever reaches the driver. Seeds are the lowest-id vectors
+    (deterministic); empty cells keep their previous centroid.
+    """
+    centroids = [
+        (i, [float(x) for x in row[vec_col]])
+        for i, row in enumerate(
+            corpus.select(vec_col, id_col).orderBy(id_col).limit(n_cells).collect()
+        )
+    ]
+    for _ in range(iterations):
+        assigned = corpus.withColumn(
+            "__cell",
+            F.array_max(_centroid_sims(F.col(vec_col), centroids))["cell_id"],
+        ).select("__cell", F.posexplode(F.col(vec_col)).alias("__pos", "__val"))
+        means = (
+            assigned.groupBy("__cell", "__pos")
+            .agg(F.avg(F.col("__val").cast("double")).alias("__mean"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["__cell"], {})[r["__pos"]] = r["__mean"]
+        centroids = [
+            (
+                cid,
+                [by_cell[cid][p] for p in sorted(by_cell[cid])]
+                if cid in by_cell
+                else old,
+            )
+            for cid, old in centroids
+        ]
+    return centroids
+
+
+def ivf_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """:func:`ivf_topk` with k-means-trained centroids instead of raw seeds —
+    tighter cells, better recall at the same ``n_probe``. The training is the
+    iterative-algorithm path (driver loop over lazy jobs); search is
+    identical to the untrained variant."""
+    centroids = kmeans_centroids(
+        corpus, n_cells=n_cells, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    assigned = corpus.withColumn(
+        "__cell", F.array_max(_centroid_sims(F.col(vec_col), centroids))["cell_id"]
+    )
+    probes = F.slice(
+        F.reverse(F.array_sort(_centroid_sims(F.col(vec_col), centroids))),
+        1,
+        n_probe,
+    )
+    q_probed = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probes).alias("__probe"),
+    ).select(query_id_col, "__qvec", F.col("__probe.cell_id").alias("__cell"))
+    cands = assigned.join(F.broadcast(q_probed), on="__cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+    ).dropDuplicates([query_id_col, id_col])
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     dim: int,

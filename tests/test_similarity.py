@@ -92,3 +92,40 @@ def test_embedding_near_duplicates(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_kmeans_centroids_converge_toward_clusters(spark):
+    import pyspark.sql.functions as F
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    # two tight clusters around orthogonal axes
+    rows = []
+    for i in range(20):
+        eps = (i % 5) * 0.01
+        rows.append((i, [1.0, eps, 0.0, 0.0]))
+        rows.append((100 + i, [0.0, 0.0, 1.0, eps]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(df, n_cells=2, iterations=3)
+    assert len(cents) == 2
+    # one centroid dominated by dim0, the other by dim2
+    doms = sorted(max(range(4), key=lambda d: c[d]) for _, c in cents)
+    assert doms == [0, 2]
+
+
+def test_ivf_trained_recall_at_least_seeded(spark, vectors):
+    import pyspark.sql.functions as F
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_trained,
+    )
+
+    queries = vectors.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(vectors, queries, k=5).collect()}
+    trained = {(r["query_id"], r["vec_id"])
+               for r in ivf_topk_trained(vectors, queries, k=5, n_cells=4,
+                                         n_probe=3, iterations=2).collect()}
+    recall = len(exact & trained) / len(exact)
+    assert recall >= 0.4, f"trained IVF recall {recall} below floor"
