@@ -624,6 +624,21 @@ def q_sim_ivf_topk(spark, sf_dir):
     )
 
 
+def q_sim_ivf_trained(spark, sf_dir):
+    """k-means-trained IVF with the same planted-twin guarantee as
+    sim_ivf_topk: scaling preserves the cell, so each twin's top-1 is its
+    original at cosine 1.0 (deterministic rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        "label",
+    )
+    return sim_ops.ivf_topk_trained(
+        emb.unionByName(twins), twins, k=1, n_cells=8, n_probe=3, iterations=2
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup over hyperplane-LSH buckets. The testdata
     vectors are random (max pairwise cosine ~0.4), so 20 scaled copies are
@@ -878,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_trained": q_sim_ivf_trained,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "text_token_stats": q_text_token_stats,
