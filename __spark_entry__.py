@@ -845,6 +845,24 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+def q_asof_join_last_purchase(spark, sf_dir):
+    """As-of join: each event annotated with the user's latest purchase value
+    at-or-before that moment (union-LOCF plan — one shuffle, no match
+    fan-out). Oracle: DuckDB's native ASOF JOIN."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return join_ops.asof_join(
+        events, purchases, on="user_id", value_cols=["last_purchase_value"]
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("last_purchase_value", 6).alias("last_purchase_value"),
+    )
+
+
 def q_stream_hourly_counts(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return hourly_event_counts_batch(events)
@@ -914,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo_share": q_tpch_q14,
         "tpch_q15_top_supplier": q_tpch_q15,
         "tpch_q18_large_volume": q_tpch_q18,
+        "asof_join_last_purchase": q_asof_join_last_purchase,
         "window_topk_per_group": q_window_topk_per_group,
         "rollup_revenue": q_rollup_revenue,
         "stream_hourly_counts": q_stream_hourly_counts,
@@ -1533,6 +1552,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
+        """,
+        "asof_join_last_purchase": """
+            SELECT e.event_id, e.user_id, e.event_type,
+                   round(p.value, 6) AS last_purchase_value
+            FROM events e
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ) p ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
         "window_topk_per_group": """
             SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk

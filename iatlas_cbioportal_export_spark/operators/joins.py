@@ -103,6 +103,47 @@ def semi_join_sequenced(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] = (),
+) -> DataFrame:
+    """As-of join: for each left row, attach ``value_cols`` from the LATEST
+    right row with ``right_ts <= left_ts`` for the same key (NULL when no
+    prior right row exists).
+
+    Spark has no native as-of join; the naive formulation (theta-join on
+    ``right_ts <= left_ts`` + keep-latest) explodes to O(|matches|) rows
+    before pruning. This is the scale-correct union-LOCF plan instead: union
+    both sides, ONE shuffle on the key, and a running ``last(ignorenulls)``
+    window ordered by (timestamp, side) carries each right value forward to
+    the left rows that follow it. Ties (equal timestamps) sort the right row
+    first — inclusive as-of semantics, matching e.g. DuckDB's ASOF JOIN.
+    Cost: one shuffle + one sort of |left|+|right|, independent of match
+    fan-out.
+    """
+    from pyspark.sql import Window
+
+    vals = list(value_cols)
+    l_side = left.withColumn("__ts", F.col(left_ts)).withColumn("__src", F.lit(1))
+    r_side = (
+        right.select(on, F.col(right_ts).alias("__ts"), *vals)
+        .withColumn("__src", F.lit(0))
+    )
+    unioned = l_side.unionByName(r_side, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in vals:
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return unioned.filter(F.col("__src") == 1).drop("__src", "__ts")
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

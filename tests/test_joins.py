@@ -61,3 +61,30 @@ def test_keyset_equality(spark):
     lo, ro = keyset_equality(left, "k", right, "k")
     assert [r["key"] for r in lo.collect()] == ["a"]
     assert [r["key"] for r in ro.collect()] == ["c"]
+
+
+def test_asof_join_latest_prior_value(spark):
+    import pyspark.sql.functions as F
+
+    from iatlas_cbioportal_export_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(7, 10, "e1"), (7, 20, "e2"), (7, 5, "e0"), (8, 50, "e3")],
+        "user_id long, t long, name string",
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    right = spark.createDataFrame(
+        [(7, 10, "gold"), (7, 15, "silver"), (9, 1, "bronze")],
+        "user_id long, t long, tier string",
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    out = {
+        r["name"]: r["tier"]
+        for r in asof_join(
+            left, right, on="user_id", value_cols=["tier"]
+        ).collect()
+    }
+    assert out == {
+        "e0": None,       # before any right row
+        "e1": "gold",     # tie at t=10 is inclusive
+        "e2": "silver",   # latest prior at t=20
+        "e3": None,       # user 8 has no right rows
+    }
