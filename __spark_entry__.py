@@ -845,6 +845,25 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+def q_range_join_qty_size(spark, sf_dir):
+    """Range join via bucketized equi-join (no nested-loop): distinct
+    lineitem quantities against part-size intervals [p_size, p_size+2]."""
+    qty = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_quantity").cast("long").alias("qty"))
+        .distinct()
+    )
+    ranges = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_size").cast("long").alias("size_lo"))
+        .distinct()
+        .withColumn("size_hi", F.col("size_lo") + 2)
+    )
+    return join_ops.range_join(
+        qty, ranges, "qty", "size_lo", "size_hi", bucket_width=4.0
+    ).select("qty", "size_lo", "size_hi")
+
+
 def q_asof_join_last_purchase(spark, sf_dir):
     """As-of join: each event annotated with the user's latest purchase value
     at-or-before that moment (union-LOCF plan — one shuffle, no match
@@ -933,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_top_supplier": q_tpch_q15,
         "tpch_q18_large_volume": q_tpch_q18,
         "asof_join_last_purchase": q_asof_join_last_purchase,
+        "range_join_qty_size": q_range_join_qty_size,
         "window_topk_per_group": q_window_topk_per_group,
         "rollup_revenue": q_rollup_revenue,
         "stream_hourly_counts": q_stream_hourly_counts,
@@ -1552,6 +1572,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
+        """,
+        "range_join_qty_size": """
+            SELECT qty, size_lo, size_hi
+            FROM (SELECT DISTINCT CAST(l_quantity AS BIGINT) AS qty FROM lineitem)
+            JOIN (SELECT size_lo, size_lo + 2 AS size_hi FROM
+                    (SELECT DISTINCT CAST(p_size AS BIGINT) AS size_lo FROM part))
+              ON qty BETWEEN size_lo AND size_hi
         """,
         "asof_join_last_purchase": """
             SELECT e.event_id, e.user_id, e.event_type,

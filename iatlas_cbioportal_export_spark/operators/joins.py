@@ -144,6 +144,45 @@ def asof_join(
     return unioned.filter(F.col("__src") == 1).drop("__src", "__ts")
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Interval join: pair each left row with every right row whose
+    ``[lo_col, hi_col]`` interval contains ``left_val``.
+
+    Spark's native plan for the raw theta predicate is a broadcast
+    nested-loop / cartesian — O(|L|·|R|). The scale path bucketizes instead:
+    each right interval explodes into the ``bucket_width``-sized buckets it
+    overlaps, the left side maps to its single bucket, the join is an
+    EQUI-join on bucket id (shuffle- or broadcast-hash), and the exact
+    BETWEEN filter prunes bucket-mates. Cost: O(|L| + |R|·(span/width) +
+    |matches|). Pick ``bucket_width`` ≈ the median interval span so each
+    interval lands in O(1) buckets.
+    """
+    lo, hi, v = F.col(lo_col), F.col(hi_col), F.col(left_val)
+    w = float(bucket_width)
+    r_bucketed = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(lo / F.lit(w)).cast("long"),
+                F.floor(hi / F.lit(w)).cast("long"),
+            )
+        ),
+    )
+    l_bucketed = left.withColumn("__bucket", F.floor(v / F.lit(w)).cast("long"))
+    return (
+        l_bucketed.join(r_bucketed, on="__bucket")
+        .filter((v >= lo) & (v <= hi))
+        .drop("__bucket")
+    )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -88,3 +88,29 @@ def test_asof_join_latest_prior_value(spark):
         "e2": "silver",   # latest prior at t=20
         "e3": None,       # user 8 has no right rows
     }
+
+
+def test_range_join_bucketized_equals_theta(spark):
+    import pyspark.sql.functions as F
+
+    from iatlas_cbioportal_export_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 30)], "lid long, v double"
+    )
+    right = spark.createDataFrame(
+        [(1, 2.0, 5.0), (2, 4.5, 4.6), (3, 25.0, 40.0), (4, -3.0, 0.0)],
+        "rid long, lo double, hi double",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join(left, right, "v", "lo", "hi", bucket_width=3.0).collect()
+    }
+    expected = {
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+    assert (0, 4) in got  # boundary-inclusive at hi == v == 0
