@@ -58,6 +58,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["SortMergeJoin", "CartesianProduct"],
     ),
     "j5_semi_join": (["LeftSemi"], ["CartesianProduct"]),
+    "asof_join_last_purchase": (
+        ["Window"], ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # the whole point: the interval predicate must NOT plan as a nested loop
+    "range_join_qty_size": (
+        ["Generate explode"], ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "a8_keep_latest": (["Window", "row_number"], ["CartesianProduct"]),
     "window_topk_per_group": (["Window", "rank"], ["CartesianProduct"]),
     # rollup = ONE Expand + ONE aggregate — not a shuffle per grouping level
