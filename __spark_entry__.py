@@ -42,16 +42,27 @@ from iatlas_cbioportal_export_spark.operators import (
 from iatlas_cbioportal_export_spark.functions.scalar import coalesce_remap
 from iatlas_cbioportal_export_spark.plans.analytics import (
     customer_order_distribution,
+    discounted_brand_revenue,
+    excess_shipping_suppliers,
     forecast_revenue_change,
+    global_sales_opportunity,
+    important_part_value,
     large_volume_customers,
+    late_shipment_priority,
     local_supplier_volume,
+    min_cost_supplier,
+    national_market_share,
     order_priority_check,
+    parts_supplier_relationship,
     pricing_summary,
+    product_type_profit,
     promo_revenue_share,
     returned_item_report,
     shipping_priority,
+    small_quantity_revenue,
     top_supplier,
     volume_shipping,
+    waiting_orders_suppliers,
 )
 from iatlas_cbioportal_export_spark.plans.clinical_pipeline import preprocess_clinical
 from iatlas_cbioportal_export_spark.streaming.events import (
@@ -800,6 +811,96 @@ def q_tpch_q15(spark, sf_dir):
     )
 
 
+def q_tpch_q2(spark, sf_dir):
+    return min_cost_supplier(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    return national_market_share(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    return product_type_profit(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    return important_part_value(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    return late_shipment_priority(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    return parts_supplier_relationship(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    return small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    return discounted_brand_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    return excess_shipping_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    return waiting_orders_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    return global_sales_opportunity(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
 def q_window_topk_per_group(spark, sf_dir):
     """Per-group top-k via rank(): each customer's 2 highest-value orders,
     ties kept by rank semantics — the window shape (dense per-key ranking)
@@ -951,6 +1052,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo_share": q_tpch_q14,
         "tpch_q15_top_supplier": q_tpch_q15,
         "tpch_q18_large_volume": q_tpch_q18,
+        "tpch_q2_min_cost_supplier": q_tpch_q2,
+        "tpch_q8_market_share": q_tpch_q8,
+        "tpch_q9_product_profit": q_tpch_q9,
+        "tpch_q11_important_parts": q_tpch_q11,
+        "tpch_q12_late_priority": q_tpch_q12,
+        "tpch_q16_supplier_counts": q_tpch_q16,
+        "tpch_q17_small_qty_revenue": q_tpch_q17,
+        "tpch_q19_brand_bands": q_tpch_q19,
+        "tpch_q20_excess_shipping": q_tpch_q20,
+        "tpch_q21_waiting_suppliers": q_tpch_q21,
+        "tpch_q22_sales_opportunity": q_tpch_q22,
         "asof_join_last_purchase": q_asof_join_last_purchase,
         "range_join_qty_size": q_range_join_qty_size,
         "window_topk_per_group": q_window_topk_per_group,
@@ -1572,6 +1684,191 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
+        """,
+        "tpch_q2_min_cost_supplier": """
+            WITH offers AS (
+                SELECT l_partkey, l_suppkey,
+                       min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_type = 'LARGE' AND p_size <= 15)
+                GROUP BY 1, 2
+            ), best AS (
+                SELECT l_partkey AS b_partkey, min(cost) AS min_cost
+                FROM offers GROUP BY 1
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey,
+                   CAST(cost AS DOUBLE) AS min_supplycost
+            FROM offers, best, part, supplier, nation, region
+            WHERE offers.l_partkey = b_partkey AND cost = min_cost
+              AND p_partkey = offers.l_partkey
+              AND s_suppkey = offers.l_suppkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'EUROPE'
+            ORDER BY s_acctbal DESC, p_partkey ASC, s_suppkey ASC
+            LIMIT 100
+        """,
+        "tpch_q8_market_share": """
+            SELECT o_year,
+                   round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                         / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+            FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                         CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (CAST(1 AS DECIMAL(18,2))
+                                - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+                         n2.n_name AS supp_nation
+                  FROM lineitem, orders, customer, supplier,
+                       nation n1, nation n2, region, part
+                  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+                    AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+                    AND p_type = 'STANDARD'
+                    AND c_nationkey = n1.n_nationkey
+                    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+                    AND s_nationkey = n2.n_nationkey
+                    AND o_orderdate >= TIMESTAMP '1995-01-01'
+                    AND o_orderdate < TIMESTAMP '1997-01-01')
+            GROUP BY o_year
+        """,
+        "tpch_q9_product_profit": """
+            SELECT nation, o_year,
+                   CAST(round(sum(amount), 2) AS DOUBLE) AS profit
+            FROM (SELECT n_name AS nation,
+                         CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                         CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (CAST(1 AS DECIMAL(18,2))
+                                - CAST(l_discount AS DECIMAL(18,2)))
+                         - CAST(p_retailprice AS DECIMAL(18,2))
+                             * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+                  FROM lineitem, orders, supplier, part, nation
+                  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+                    AND l_partkey = p_partkey AND s_nationkey = n_nationkey
+                    AND p_name LIKE 'red%')
+            GROUP BY nation, o_year
+        """,
+        "tpch_q11_important_parts": """
+            WITH v AS (
+                SELECT l_partkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(18,2))
+                              - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+                FROM lineitem
+                WHERE l_suppkey IN (SELECT s_suppkey FROM supplier, nation
+                                    WHERE s_nationkey = n_nationkey
+                                      AND n_name = 'NATION_5')
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, CAST(round(value_dec, 2) AS DOUBLE) AS part_value
+            FROM v
+            WHERE CAST(value_dec AS DOUBLE) >
+                  (SELECT CAST(sum(value_dec) AS DOUBLE) * 0.001 FROM v)
+        """,
+        "tpch_q12_late_priority": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem, orders
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND date_diff('day', o_orderdate, l_shipdate) > 90
+            GROUP BY l_returnflag
+        """,
+        "tpch_q16_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey
+              AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "tpch_q17_small_qty_revenue": """
+            WITH li AS (
+                SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_brand = 'Brand#3'
+                                      AND p_type = 'SMALL')
+            ), pa AS (
+                SELECT l_partkey AS a_partkey,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                           / count(*) AS avg_qty
+                FROM li GROUP BY 1
+            )
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              AS DOUBLE) / 7.0, 2) AS avg_yearly
+            FROM li, pa
+            WHERE l_partkey = a_partkey AND l_quantity < 0.2 * avg_qty
+        """,
+        "tpch_q19_brand_bands": """
+            SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                       AS revenue
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey
+              AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                    AND l_quantity BETWEEN 1 AND 11)
+                OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                    AND l_quantity BETWEEN 10 AND 20)
+                OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+                    AND l_quantity BETWEEN 20 AND 30))
+        """,
+        "tpch_q20_excess_shipping": """
+            SELECT s_name, s_acctbal
+            FROM supplier, nation
+            WHERE s_nationkey = n_nationkey AND n_name = 'NATION_7'
+              AND s_suppkey IN (
+                SELECT l_suppkey FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'red%')
+                GROUP BY l_suppkey, l_partkey
+                HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       > 100.0)
+        """,
+        "tpch_q21_waiting_suppliers": """
+            WITH per_order AS (
+                SELECT l_orderkey AS po_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                           THEN l_suppkey END) AS n_bad_supp
+                FROM lineitem GROUP BY 1
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM lineitem l1, supplier, nation, orders, per_order
+            WHERE l1.l_returnflag = 'R'
+              AND l1.l_suppkey = s_suppkey
+              AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+              AND l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+              AND l1.l_orderkey = po_orderkey
+              AND n_supp > 1 AND n_bad_supp = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 100
+        """,
+        "tpch_q22_sales_opportunity": """
+            WITH seg AS (
+                SELECT * FROM customer
+                WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')
+            ), avg_bal AS (
+                SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                           / count(*) AS avg_bal
+                FROM seg WHERE c_acctbal > 0
+            )
+            SELECT c_mktsegment, count(*) AS numcust,
+                   CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS totacctbal
+            FROM seg, avg_bal
+            WHERE c_acctbal > avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_mktsegment
         """,
         "range_join_qty_size": """
             SELECT qty, size_lo, size_hi

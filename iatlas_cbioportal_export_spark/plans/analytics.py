@@ -370,3 +370,487 @@ def local_supplier_volume(
         .groupBy("n_name")
         .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H query shapes, adapted to the driver's star schema.
+#
+# The testdata has no partsupp table and lineitem carries no
+# commit/receipt dates, shipmode, or phone columns, so each query below
+# keeps its TPC-H plan SHAPE (the join/agg/subquery structure that makes
+# the query interesting to an optimizer) with a semantically equivalent
+# predicate over the columns that do exist. Substitutions are noted per
+# function.
+# ---------------------------------------------------------------------------
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    p_type: str = "LARGE",
+    max_size: int = 15,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) offering it
+    at the minimum cost within a region (partsupp → the observed
+    (part, supplier) offer list derived from lineitem; cost = min extended
+    price seen for the pair, exact under decimal).
+
+    Plan shape preserved from Q2: an aggregate over the offer relation
+    re-joined to its own per-part minimum (correlated-min subquery), with
+    all dimension joins broadcast. The part filter is applied *before* the
+    offer aggregation via a broadcast semi-join so the big scan only
+    aggregates qualifying parts — at 100 TB the groupBy shuffles ~size/300
+    after the cut instead of the full offer set.
+    """
+    parts = part.filter(
+        (F.col("p_type") == p_type) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_name")
+    supp_region = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == region_name)),
+                    nation["n_regionkey"] == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            supplier["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        lineitem.join(
+            F.broadcast(parts), lineitem["l_partkey"] == parts["p_partkey"], "left_semi"
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("cost"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            best,
+            (offers["l_partkey"] == best["b_partkey"])
+            & (offers["cost"] == best["min_cost"]),
+        )
+        .join(supp_region, offers["l_suppkey"] == supp_region["s_suppkey"])
+        .join(F.broadcast(parts), offers["l_partkey"] == parts["p_partkey"])
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("s_suppkey"),
+            F.col("cost").cast("double").alias("min_supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey").asc(), F.col("s_suppkey").asc())
+        .limit(k)
+    )
+
+
+def national_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+    p_type: str = "STANDARD",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape: the target nation's share of revenue for one product
+    type sold into one region's market, by order year.
+
+    All four dimension joins (part filter, supplier→nation, customer→
+    nation→region) broadcast; the two fact shuffles are lineitem⋈orders on
+    orderkey. The share is a conditional-sum / total-sum ratio computed in
+    one aggregate — no second pass.
+    """
+    vol = _dec("l_extendedprice") * (F.lit(1).cast(_D) - _dec("l_discount"))
+    parts = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    supp_n = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+            )
+        ),
+        supplier["s_nationkey"] == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    cust_region = customer.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.filter(F.col("r_name") == region_name)),
+                nation["n_regionkey"] == F.col("r_regionkey"),
+            ).select("n_nationkey")
+        ),
+        customer["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey")
+    ord_f = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(F.broadcast(cust_region), orders["o_custkey"] == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    return (
+        lineitem.join(F.broadcast(parts), lineitem["l_partkey"] == parts["p_partkey"], "left_semi")
+        .join(F.broadcast(supp_n), lineitem["l_suppkey"] == supp_n["s_suppkey"])
+        .join(ord_f, lineitem["l_orderkey"] == ord_f["o_orderkey"])
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == target_nation, vol).otherwise(
+                        F.lit(0).cast(_D)
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "red",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    whose name matches a pattern (ps_supplycost → p_retailprice × quantity,
+    the only cost signal in this schema; profit can go negative, fine).
+
+    part (name-filtered) and supplier→nation broadcast; lineitem⋈orders on
+    orderkey is the one fact shuffle. All money math decimal until the edge.
+    """
+    amount = _dec("l_extendedprice") * (F.lit(1).cast(_D) - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    parts = part.filter(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_n = supplier.join(
+        F.broadcast(
+            nation.select("n_nationkey", F.col("n_name").alias("nation"))
+        ),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    return (
+        lineitem.join(F.broadcast(parts), lineitem["l_partkey"] == parts["p_partkey"])
+        .join(F.broadcast(supp_n), lineitem["l_suppkey"] == supp_n["s_suppkey"])
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
+    )
+
+
+def important_part_value(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_5",
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue through one nation's suppliers
+    exceeds a fraction of that nation's total (partsupp value → revenue
+    observed in lineitem).
+
+    The per-part aggregate and its grand total come from the SAME cached
+    aggregate — the total is a one-row broadcast joined back, so the big
+    scan runs once. HAVING-over-scalar-subquery becomes filter-over-
+    broadcast-join, the idiomatic Spark translation.
+    """
+    vol = _dec("l_extendedprice") * (F.lit(1).cast(_D) - _dec("l_discount"))
+    nation_supp = supplier.join(
+        F.broadcast(
+            nation.filter(F.col("n_name") == nation_name).select("n_nationkey")
+        ),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+        "left_semi",
+    ).select("s_suppkey")
+    per_part = (
+        lineitem.join(
+            F.broadcast(nation_supp),
+            lineitem["l_suppkey"] == nation_supp["s_suppkey"],
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(vol).alias("value_dec"))
+    )
+    total = per_part.agg(
+        (F.sum("value_dec").cast("double") * F.lit(fraction)).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.round(F.col("value_dec"), 2).cast("double").alias("part_value"))
+    )
+
+
+def late_shipment_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    min_days_late: int = 90,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape: per shipping class, how many high- vs low-priority
+    orders shipped late (shipmode → l_returnflag, the only line-level
+    category; receipt-vs-commit lateness → shipdate more than N days after
+    the order date).
+
+    One shuffle: lineitem⋈orders on orderkey; the two conditional counts
+    fold into a single aggregate pass exactly like the spec query.
+    """
+    late = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    )
+    joined = late.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        late["l_orderkey"] == F.col("o_orderkey"),
+    ).filter(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > min_days_late)
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def parts_supplier_relationship(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excluded_brand: str = "Brand#5",
+    excluded_type: str = "PROMO",
+    sizes: tuple = (1, 4, 7, 10, 13, 16, 19, 22),
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size) for
+    qualifying parts, excluding suppliers from a denylist built by a
+    subquery (customer complaints → negative account balance).
+
+    The NOT IN subquery compiles to a broadcast anti-join on the supplier
+    key; part filters broadcast; the distinct-agg shuffles once on the
+    (brand, type, size) grouping key with partial distinct map-side.
+    """
+    parts = part.filter(
+        (F.col("p_brand") != excluded_brand)
+        & (F.col("p_type") != excluded_type)
+        & (F.col("p_size").isin(*sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad_supp), lineitem["l_suppkey"] == bad_supp["s_suppkey"], "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == parts["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#3",
+    p_type: str = "SMALL",
+    qty_fraction: float = 0.2,
+) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity orders
+    were not taken — lineitem rows under 20% of their part's average
+    quantity (container filter → p_type).
+
+    The correlated per-part scalar subquery becomes: aggregate per-part
+    averages over the brand-filtered keys (tiny), broadcast-join back, and
+    filter. The average is computed as exact decimal sum / count cast at
+    the edge so both engines derive the identical double threshold.
+    """
+    parts = part.filter(
+        (F.col("p_brand") == brand) & (F.col("p_type") == p_type)
+    ).select("p_partkey")
+    li_parts = lineitem.join(
+        F.broadcast(parts), lineitem["l_partkey"] == parts["p_partkey"], "left_semi"
+    )
+    per_part_avg = li_parts.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li_parts.join(F.broadcast(per_part_avg), li_parts["l_partkey"] == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.lit(qty_fraction) * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def discounted_brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three disjunctive brand/size/quantity
+    bands — the OR-of-ANDs predicate that exercises join-condition
+    pushdown (container/shipmode legs → p_size bands, which exist here).
+
+    part broadcasts; the quantity legs are pushed to the lineitem scan as
+    `l_quantity <= 30` (the union bound) by Catalyst, and the OR evaluates
+    post-join inside codegen — no fact shuffle at all.
+    """
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(_D) - _dec("l_discount"))
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        lineitem["l_partkey"] == F.col("p_partkey"),
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue")
+    )
+
+
+def excess_shipping_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "red",
+    min_qty: float = 100.0,
+    nation_name: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who moved more than a
+    threshold quantity of a name-matched part family (availqty-vs-shipped →
+    total shipped per (supplier, part) over threshold).
+
+    Nested subquery chain → two broadcast semi-joins: the per-(supp,part)
+    aggregate (keyed shuffle) feeds a distinct supplier set that semi-joins
+    into the nation-filtered supplier dim.
+    """
+    parts = part.filter(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    heavy = (
+        lineitem.join(F.broadcast(parts), lineitem["l_partkey"] == parts["p_partkey"], "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty").cast("double") > min_qty)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == nation_name).select("n_nationkey")),
+            supplier["s_nationkey"] == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(heavy), supplier["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+def waiting_orders_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_2",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers in one nation who were the ONLY supplier
+    with a returned line in a finished multi-supplier order (late-delivery
+    EXISTS/NOT-EXISTS pair → returnflag, the available per-line fault
+    signal).
+
+    The two correlated subqueries collapse into ONE per-order aggregate
+    (distinct suppliers, distinct faulting suppliers) joined back on
+    orderkey: EXISTS(other supplier) ⇒ n_supp > 1; NOT EXISTS(other
+    faulting supplier) ⇒ n_bad_supp == 1. Two shuffles on orderkey total —
+    versus the naive four-scan correlated plan.
+    """
+    per_order = lineitem.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_bad_supp"),
+    )
+    nation_supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name).select("n_nationkey")),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+        "left_semi",
+    ).select("s_suppkey", "s_name")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(F.broadcast(nation_supp), F.col("l_suppkey") == nation_supp["s_suppkey"])
+        .join(finished, F.col("l_orderkey") == finished["o_orderkey"], "left_semi")
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_bad_supp") == 1)),
+            F.col("l_orderkey") == F.col("po_orderkey"),
+            "left_semi",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(k)
+    )
+
+
+def global_sales_opportunity(
+    customer: DataFrame,
+    orders: DataFrame,
+    segments: tuple = ("BUILDING", "AUTOMOBILE", "MACHINERY"),
+    order_cutoff: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers in chosen segments with no
+    recent orders (phone country code → market segment; "no orders" → no
+    orders on/after the cutoff, since every synthetic customer has some
+    order).
+
+    The scalar AVG subquery is a one-row broadcast (exact decimal sum /
+    count → identical double on any engine); NOT EXISTS is a broadcast
+    anti-join against the date-filtered order keys.
+    """
+    seg = customer.filter(F.col("c_mktsegment").isin(*segments))
+    avg_bal = seg.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(order_cutoff).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        seg.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, seg["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+    )

@@ -53,6 +53,36 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["PushedFilters: [IsNotNull(l_shipdate)"],
         ["Exchange hashpartitioning"],
     ),
+    # q2: correlated-min subquery → aggregate re-joined to per-part min;
+    # all dims broadcast, no nested loop anywhere
+    "tpch_q2_min_cost_supplier": (
+        ["BroadcastHashJoin", "LeftSemi"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # q11: HAVING-over-scalar-subquery must plan as a one-row broadcast join,
+    # not a cartesian of the per-part aggregate with the total
+    "tpch_q11_important_parts": (
+        ["BroadcastNestedLoopJoin|BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    # q17: correlated per-part AVG → broadcast join back, single lineitem scan
+    # family (semi + agg), no shuffle of the unfiltered fact
+    "tpch_q17_small_qty_revenue": (
+        ["BroadcastHashJoin", "LeftSemi"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # q19: OR-of-ANDs must stay a broadcast equi-join with the disjunction as
+    # a post-join filter — never a nested loop
+    "tpch_q19_brand_bands": (
+        ["BroadcastHashJoin", "PushedFilters: [IsNotNull"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # q21: the EXISTS/NOT-EXISTS pair compiles to ONE per-order aggregate +
+    # semi-joins — no correlated re-scans, no nested loop
+    "tpch_q21_waiting_suppliers": (
+        ["LeftSemi", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "j1_broadcast_left_join": (
         ["BroadcastHashJoin", "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"],
         ["SortMergeJoin", "CartesianProduct"],
