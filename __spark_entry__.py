@@ -901,6 +901,36 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_window_moving_avg(spark, sf_dir):
+    from iatlas_cbioportal_export_spark.plans.analytics import daily_revenue_moving_avg
+
+    return daily_revenue_moving_avg(_t(spark, sf_dir, "orders"))
+
+
+def q_percentiles_by_segment(spark, sf_dir):
+    from iatlas_cbioportal_export_spark.plans.analytics import (
+        price_percentiles_by_segment,
+    )
+
+    return price_percentiles_by_segment(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    )
+
+
+def q_cube_revenue(spark, sf_dir):
+    from iatlas_cbioportal_export_spark.plans.analytics import cube_revenue
+
+    return cube_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+def q_events_attribution(spark, sf_dir):
+    """Batch twin of the stream-stream attribution join (the streaming run
+    over the same files is asserted equal in tests/test_streaming.py)."""
+    from iatlas_cbioportal_export_spark.streaming.events import attribute_purchases
+
+    return attribute_purchases(_t(spark, sf_dir, "events"))
+
+
 def q_window_topk_per_group(spark, sf_dir):
     """Per-group top-k via rank(): each customer's 2 highest-value orders,
     ties kept by rank semantics — the window shape (dense per-key ranking)
@@ -1067,6 +1097,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_qty_size": q_range_join_qty_size,
         "window_topk_per_group": q_window_topk_per_group,
         "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
+        "window_moving_avg": q_window_moving_avg,
+        "percentiles_by_segment": q_percentiles_by_segment,
+        "events_attribution": q_events_attribution,
         "stream_hourly_counts": q_stream_hourly_counts,
         "events_sessionize": q_events_sessionize,
     }
@@ -1906,6 +1940,55 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_revenue": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                       AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "window_moving_avg": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1
+            )
+            SELECT strftime(a.day, '%Y-%m-%d') AS day,
+                   CAST(round(a.rev, 2) AS DOUBLE) AS day_revenue,
+                   round(CAST(sum(b.rev) AS DOUBLE) / count(*), 4) AS ma7
+            FROM daily a JOIN daily b ON b.day BETWEEN a.day - 6 AND a.day
+            GROUP BY a.day, a.rev
+        """,
+        "percentiles_by_segment": """
+            WITH ranked AS (
+                SELECT c_mktsegment, o_totalprice,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice, o_orderkey) AS rn,
+                       count(*) OVER (PARTITION BY c_mktsegment) AS n
+                FROM orders, customer WHERE o_custkey = c_custkey
+            )
+            SELECT c_mktsegment,
+                   max(CASE WHEN rn = (n + 1) // 2
+                            THEN o_totalprice END) AS median_price,
+                   max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                            THEN o_totalprice END) AS p90_price
+            FROM ranked GROUP BY c_mktsegment
+        """,
+        "events_attribution": """
+            SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                   CAST(round(CAST(p.value AS DECIMAL(18,2)), 2) AS DOUBLE)
+                       AS purchase_value
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         """,
         "stream_hourly_counts": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

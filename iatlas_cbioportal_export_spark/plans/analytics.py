@@ -12,7 +12,7 @@ partitioning order — never used here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _D = "decimal(18,2)"
@@ -852,5 +852,86 @@ def global_sales_opportunity(
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+def daily_revenue_moving_avg(orders: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing N-day moving average of daily order revenue via a RANGE
+    window frame over the day number (existing days only — identical to a
+    correlated ±(N-1)-day self-join).
+
+    The frame runs over the DAILY AGGREGATE (a calendar-sized table, ~2.4k
+    rows even for a decade of data), never the order fact, so the
+    unpartitioned window is a deliberate single-partition op on a tiny
+    input; the fact table contributes one keyed-shuffle groupBy first.
+    """
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(_dec("o_totalprice")).alias("rev_dec")
+    )
+    w = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-(window_days - 1), 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("rev_dec", 2).cast("double").alias("day_revenue"),
+        F.round(
+            F.sum("rev_dec").over(w).cast("double") / F.count(F.lit(1)).over(w), 4
+        ).alias("ma7"),
+    )
+
+
+def price_percentiles_by_segment(
+    orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Exact median and p90 of order value per market segment by
+    rank-and-pick (percentile_disc semantics: the value at position
+    ceil(q·n), ties broken by orderkey).
+
+    Interpolated percentiles (Spark `percentile`, DuckDB `quantile_cont`)
+    differ across engines in float rounding, so the discrete formulation is
+    the hash-stable one. Plan: broadcast the customer dim, one shuffle on
+    the segment key shared by the row_number window and the final
+    aggregate.
+    """
+    j = orders.select("o_custkey", "o_totalprice", "o_orderkey").join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = j.select(
+        "c_mktsegment",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("c_mktsegment").agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("o_totalprice"))
+        ).alias("median_price"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")).cast("long"),
+                F.col("o_totalprice"),
+            )
+        ).alias("p90_price"),
+    )
+
+
+def cube_revenue(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets computed
+    in ONE Expand + ONE aggregate (a single shuffle) — not a union of
+    per-level re-scans of the fact table."""
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(_D) - _dec("l_discount"))
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_rows",
         )
     )

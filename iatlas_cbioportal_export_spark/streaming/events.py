@@ -208,3 +208,54 @@ def sessionize(
             F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         )
     )
+
+
+def attribute_purchases(
+    events: DataFrame,
+    attribution_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Click→purchase attribution: every purchase joined to each click by
+    the same user within the preceding ``attribution_minutes``.
+
+    Stream/batch agnostic, like :func:`hourly_event_counts`. On a streaming
+    input this is a STREAM-STREAM inner join: both sides carry watermarks
+    and the join condition bounds event time on both ends, so Spark can
+    size join state and evict rows older than the watermark — the two
+    requirements for an unbounded-input join to hold bounded state. On a
+    batch input the same code plans as an equi-join on user_id with the
+    interval predicate as a post-join filter (no nested loop).
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_minutes} MINUTES")
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round(F.col("purchase_value").cast("decimal(18,2)"), 2)
+        .cast("double")
+        .alias("purchase_value"),
+    )

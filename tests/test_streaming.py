@@ -218,3 +218,47 @@ def test_streaming_maf_annotation_equals_batch(spark, tmp_path):
     # chrM dropped, null-chromosome kept and FAILED
     assert {g[0] for g in got} == {"TP53", "EGFR", "BRAF"}
     assert ("BRAF", None, "FAILED") in got
+
+
+def test_attribution_stream_equals_batch(spark, tmp_path):
+    """Stream-stream inner join (watermarked both sides, event-time-bounded
+    condition) over availableNow backfill must equal the batch twin; a
+    purchase outside the attribution window must not match."""
+    from iatlas_cbioportal_export_spark.streaming.events import attribute_purchases
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 7, "click", 0.0),
+            (2, "2024-01-01 00:25:00", 7, "purchase", 9.5),   # 15min after click 1
+            (3, "2024-01-01 02:00:00", 7, "purchase", 4.0),   # outside any window
+            (4, "2024-01-01 00:20:00", 8, "click", 0.0),
+            (5, "2024-01-01 00:20:30", 8, "click", 0.0),
+            (6, "2024-01-01 00:45:00", 8, "purchase", 2.0),   # matches BOTH 8-clicks
+            (7, "2024-01-01 00:30:00", 9, "purchase", 1.0),   # user with no clicks
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "attr_events")
+    df.write.parquet(path)
+
+    batch = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["purchase_value"])
+        for r in attribute_purchases(df).collect()
+    }
+    assert batch == {(7, 1, 2, 9.5), (8, 4, 6, 2.0), (8, 5, 6, 2.0)}
+
+    stream = stream_events_from_parquet(spark, path)
+    q = (
+        attribute_purchases(stream)
+        .writeStream.format("memory")
+        .queryName("attr_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"], r["purchase_value"])
+        for r in spark.sql("select * from attr_test").collect()
+    }
+    assert got == batch

@@ -99,6 +99,15 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "window_topk_per_group": (["Window", "rank"], ["CartesianProduct"]),
     # rollup = ONE Expand + ONE aggregate — not a shuffle per grouping level
     "rollup_revenue": (["Expand", "HashAggregate"], ["CartesianProduct"]),
+    "cube_revenue": (["Expand", "HashAggregate"], ["CartesianProduct"]),
+    # RANGE frame over the daily aggregate, fact table grouped first
+    "window_moving_avg": (["Window", "specifiedwindowframe(RangeFrame"], ["CartesianProduct"]),
+    "percentiles_by_segment": (["Window", "row_number"], ["CartesianProduct"]),
+    # interval predicate must ride the user_id equi-join, never a nested loop
+    "events_attribution": (
+        ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "dedup_minhash_lsh": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "dedup_exact": (["HashAggregate"], ["Exchange rangepartitioning"]),
     "sim_topk_bruteforce": (
