@@ -931,6 +931,12 @@ def q_events_attribution(spark, sf_dir):
     return attribute_purchases(_t(spark, sf_dir, "events"))
 
 
+def q_events_json_extract(spark, sf_dir):
+    from iatlas_cbioportal_export_spark.functions.json import json_field_stats
+
+    return json_field_stats(_t(spark, sf_dir, "events"))
+
+
 def q_window_topk_per_group(spark, sf_dir):
     """Per-group top-k via rank(): each customer's 2 highest-value orders,
     ties kept by rank semantics — the window shape (dense per-key ranking)
@@ -1101,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_moving_avg": q_window_moving_avg,
         "percentiles_by_segment": q_percentiles_by_segment,
         "events_attribution": q_events_attribution,
+        "events_json_extract": q_events_json_extract,
         "stream_hourly_counts": q_stream_hourly_counts,
         "events_sessionize": q_events_sessionize,
     }
@@ -1989,6 +1996,15 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id
              AND c.event_type = 'click' AND p.event_type = 'purchase'
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        """,
+        "events_json_extract": """
+            SELECT event_type, count(k) AS n,
+                   CAST(sum(k) AS BIGINT) AS k_sum,
+                   round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS k_avg
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type
         """,
         "stream_hourly_counts": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
