@@ -78,14 +78,22 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dim: int, num_planes: int = 16) -> Column:
+def hyperplane_signature(vec: Column | str, dim: int, num_planes: int = 16) -> Column:
     """Random-hyperplane LSH signature: sign bits of ``num_planes`` fixed
-    pseudo-random hyperplanes, packed into a long.
+    pseudo-random hyperplanes, packed into a long (Horner fold over the
+    plane list — plane p holds bit ``num_planes-1-p``).
 
     Hyperplane components are deterministic hash-derived values in [-1, 1] —
     no stored model, any executor (or engine) regenerates them bit-identically.
+
+    Built as ONE ``F.expr`` string parsed JVM-side: the earlier per-component
+    ``lit()`` formulation created ~dim×num_planes Column objects through
+    py4j, which put SECONDS of driver-side chatter on every plan build; the
+    whole plane matrix is now a single nested-array literal inside one
+    parse call. ``vec`` may be a column name or a Column whose SQL rendering
+    is a plain reference.
     """
-    sig = F.lit(0).cast("long")
+    planes = []
     for p in range(num_planes):
         # component h(p, i) in [-1, 1] via a splitmix-style integer mix
         comps = []
@@ -95,10 +103,17 @@ def hyperplane_signature(vec: Column, dim: int, num_planes: int = 16) -> Column:
             x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
             x = x ^ (x >> 16)
             comps.append((x / 0xFFFFFFFF) * 2.0 - 1.0)
-        plane = F.array(*[F.lit(c) for c in comps])
-        dot = _dot(vec, plane)
-        sig = sig + F.shiftleft(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), p)
-    return sig
+        planes.append(comps)
+    vec_sql = vec if isinstance(vec, str) else vec._jc.toString()
+    matrix_sql = ",".join(
+        "array(" + ",".join(f"{c!r}D" for c in comps) + ")" for comps in planes
+    )
+    return F.expr(
+        f"aggregate(array({matrix_sql}), cast(0 as bigint), "
+        f"(acc, plane) -> acc * 2L + (case when "
+        f"aggregate(zip_with({vec_sql}, plane, (a, b) -> a * b), 0.0D, "
+        f"(s, x) -> s + x) > 0.0D then 1L else 0L end))"
+    )
 
 
 def ann_topk_lsh(
