@@ -43,8 +43,37 @@ def cmd_clinical(args: argparse.Namespace) -> int:
     oncotree = read_tsv(spark, args.oncotree)
     codes = read_tsv(spark, args.codes) if args.codes else None
     neo = read_tsv(spark, args.neoantigen) if args.neoantigen else None
-    pre = preprocess_clinical(clinical, oncotree, neoantigen=neo, oncotree_codes=codes)
-    attr_types = {c: "SAMPLE" for c in pre.columns if c not in ("PATIENT_ID",)}
+    header_renames: dict[str, str] = {}
+    case_modes: dict[str, str] = {}
+    attr_types: dict[str, str] = {}
+    if args.mapping:
+        # The cli→cBioPortal attribute mapping drives three things in the
+        # reference: header renames (clinical.py:334-340), per-column case
+        # normalization (clinical.py:136-167) and the PATIENT/SAMPLE split
+        # (clinical.py:381-395). It is a kilobyte dimension table — collect.
+        for row in read_tsv(spark, args.mapping).collect():
+            src = row["iATLAS_attribute"] if "iATLAS_attribute" in row else None
+            dst = row["NORMALIZED_HEADER"]
+            if src and dst and src != dst:
+                header_renames[src] = dst
+            case = row["Case"] if "Case" in row else None
+            if case:
+                case_modes[dst] = case
+            attr_type = row["ATTRIBUTE_TYPE"] if "ATTRIBUTE_TYPE" in row else None
+            if attr_type:
+                attr_types[dst] = attr_type
+    pre = preprocess_clinical(
+        clinical,
+        oncotree,
+        neoantigen=neo,
+        header_renames=header_renames or None,
+        case_modes=case_modes or None,
+        oncotree_codes=codes,
+    )
+    if not attr_types:
+        # no mapping given: the reference cannot split either — treat every
+        # non-key column as a sample attribute (documented degraded mode)
+        attr_types = {c: "SAMPLE" for c in pre.columns if c not in ("PATIENT_ID",)}
     patient, sample = split_patient_sample(pre, attr_types)
     artifacts = write_study_bundle(args.out, args.dataset, patient, sample)
     print(f"wrote {len(artifacts)} artifacts to {args.out}")
@@ -131,6 +160,12 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--oncotree", required=True)
     c.add_argument("--codes")
     c.add_argument("--neoantigen")
+    c.add_argument(
+        "--mapping",
+        help="clinical→cBioPortal attribute mapping TSV (iATLAS_attribute, "
+        "NORMALIZED_HEADER, ATTRIBUTE_TYPE, Case) driving renames, case "
+        "normalization and the patient/sample split",
+    )
     c.add_argument("--dataset", required=True)
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_clinical)

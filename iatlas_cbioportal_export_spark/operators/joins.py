@@ -203,7 +203,18 @@ def salted_join(
 
     Result columns/rows equal the unsalted join (tested); only the shuffle
     distribution changes: the hot key's rows spread over B reducers.
+
+    Only ``inner`` and ``left`` (fact-preserving) joins are equivalent to
+    the unsalted join: replicating the dim side B times would surface each
+    UNMATCHED dim row B times under right/full-outer semantics, silently
+    corrupting the result — those modes are rejected.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only (got {how!r}): "
+            "the replicated dim side would emit unmatched rows "
+            f"{salt_buckets}x under right/full-outer semantics"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
     salted_fact = fact.withColumn("__salt", salt)
     replicated_dim = dim.withColumn(

@@ -22,12 +22,58 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Columns the annotator adds (a representative subset of the ~40 Genome
-# Nexus annotation columns; the contract is "input columns + these").
-ANNOTATION_COLS = [
-    ("HGVSp_Short", "string"),
-    ("Annotation_Status", "string"),
+# Columns the annotator adds — the representative ~40-column Genome Nexus /
+# VEP annotation surface (reference ``maf.py:75-130`` returns the input
+# variants plus these; they are the annotation-pipeline-contributed subset of
+# the 118 REQUIRED_MAF_COLS in ``validate.py:14-133``). The contract is
+# "input columns + these"; together with a raw-MAF input they reconstitute
+# the full 118-column V12 schema end-to-end.
+_STR_ANNOTATION_COLS = [
+    "HGVSc",
+    "HGVSp",
+    "HGVSp_Short",
+    "Transcript_ID",
+    "RefSeq",
+    "Protein_position",
+    "Codons",
+    "Exon_Number",
+    "Consequence",
+    "Variant_Classification",
+    "Variant_Type",
+    "Allele",
+    "Amino_acids",
+    "BIOTYPE",
+    "CANONICAL",
+    "CCDS",
+    "CDS_position",
+    "CLIN_SIG",
+    "DOMAINS",
+    "ENSP",
+    "EXON",
+    "Existing_variation",
+    "Feature",
+    "Feature_type",
+    "Gene",
+    "HGNC_ID",
+    "IMPACT",
+    "INTRON",
+    "PolyPhen",
+    "SIFT",
+    "SWISSPROT",
+    "SYMBOL",
+    "SYMBOL_SOURCE",
+    "TREMBL",
+    "TSL",
+    "UNIPARC",
+    "VARIANT_CLASS",
+    "cDNA_position",
 ]
+_DBL_ANNOTATION_COLS = ["gnomADe_AF", "gnomADe_AFR_AF"]
+ANNOTATION_COLS = (
+    [(name, "string") for name in _STR_ANNOTATION_COLS]
+    + [(name, "double") for name in _DBL_ANNOTATION_COLS]
+    + [("Annotation_Status", "string")]
+)
 
 Annotator = Callable[[pd.DataFrame], pd.DataFrame]
 
@@ -41,10 +87,14 @@ def fake_annotator(batch: pd.DataFrame) -> pd.DataFrame:
     position, which would vary with partitioning) so runs are hermetic and
     value-hash reproducible (SURVEY.md §7: "CI uses the fake").
 
-    Contract: with ``Chromosome``+``Start_Position`` present,
-    ``HGVSp_Short = 'p.<chrom>:<pos>'`` and a NULL chromosome marks the row
-    FAILED (routed to the error side-band); without those columns the key is
-    the colon-joined row values and every row SUCCEEDs.
+    Contract: with ``Chromosome``+``Start_Position`` present, the variant key
+    is ``'<chrom>:<pos>'`` and a NULL chromosome marks the row FAILED (routed
+    to the error side-band, all annotation columns NULL); without those
+    columns the key is the colon-joined row values and every row SUCCEEDs.
+    Derivations (all reproducible in ANSI SQL for the oracle twin):
+    ``HGVSp_Short = 'p.' + key``; every other string annotation column i is
+    ``'<name>=' + key``; double columns are
+    ``round(((len(key)*31 + i*7) % 9973) / 9973, 6)``.
     """
     out = batch.copy()
     if {"Chromosome", "Start_Position"}.issubset(out.columns):
@@ -60,8 +110,15 @@ def fake_annotator(batch: pd.DataFrame) -> pd.DataFrame:
             index=batch.index,
             dtype="string",
         )
-    out["HGVSp_Short"] = ("p." + key).where(key.notna(), None)
-    out["Annotation_Status"] = key.notna().map({True: "SUCCESS", False: "FAILED"})
+    ok = key.notna()
+    for name in _STR_ANNOTATION_COLS:
+        prefix = "p." if name == "HGVSp_Short" else f"{name}="
+        out[name] = (prefix + key).where(ok, None)
+    key_len = key.str.len().astype("Int64")
+    for i, name in enumerate(_DBL_ANNOTATION_COLS):
+        vals = (((key_len * 31 + i * 7) % 9973) / 9973).round(6)
+        out[name] = vals.where(ok, None).astype("Float64")
+    out["Annotation_Status"] = ok.map({True: "SUCCESS", False: "FAILED"})
     return out
 
 
@@ -134,17 +191,31 @@ def annotate(
     by :func:`split_annotation_errors` (reference routes failures to an error
     report, ``maf.py:160-177``).
     """
-    out_schema = maf.schema.simpleString().rstrip(">")[len("struct<"):]
-    schema = ",".join(
-        [out_schema] + [f"{name}:{typ}" for name, typ in ANNOTATION_COLS]
-    )
+    # Built as a StructType, not a DDL string: MAF column names may contain
+    # dots (MHCflurry_2.1.1_*) which the DDL parser rejects unquoted. Dotted
+    # names also break mapInPandas itself (its internal per-column `df[name]`
+    # parses dots as struct-field access), so they are aliased to dot-free
+    # names around the stage and restored afterwards — metadata-only renames.
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    safe = {c: c.replace(".", "__dot__") for c in maf.columns if "." in c}
+    maf_safe = maf.withColumnsRenamed(safe) if safe else maf
+    ann_fields = [
+        StructField(name, DoubleType() if typ == "double" else StringType(), True)
+        for name, typ in ANNOTATION_COLS
+        if name not in maf.columns
+    ]
+    schema = StructType(list(maf_safe.schema.fields) + ann_fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             for start in range(0, len(batch), max_rows_per_batch):
                 yield annotator(batch.iloc[start : start + max_rows_per_batch])
 
-    return maf.mapInPandas(run, schema=schema)
+    out = maf_safe.mapInPandas(run, schema=schema)
+    if safe:
+        out = out.withColumnsRenamed({v: k for k, v in safe.items()})
+    return out
 
 
 def split_annotation_errors(annotated: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -13,6 +13,10 @@ what makes the result hash-comparable against the DuckDB oracle.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -43,6 +47,38 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _partition_topk(
+    df: DataFrame, k: int, group_col: str, order_col: str, tiebreak_col: str
+) -> DataFrame:
+    """Per-INPUT-PARTITION top-k rows per group — no shuffle.
+
+    A ``groupBy``/window keyed on (group, partition_id) still exchanges every
+    row (partial ``collect_list`` aggregation carries full lists through the
+    shuffle), so the partial top-k runs as an Arrow-batched ``mapInPandas``
+    stage instead: within one partition it folds batches keeping at most
+    k rows per group (vectorized ``sort_values`` + ``groupby().head``), so
+    downstream stages see ≤ k·|groups| rows per partition. The row order
+    (order desc, tiebreak asc) is a TOTAL order (ids unique), so any
+    globally-top-k row is necessarily in its partition's top-k — the final
+    k-of-(k·P) merge is exact, not approximate.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: pd.DataFrame | None = None
+        for batch in batches:
+            cur = batch if state is None else pd.concat((state, batch))
+            cur = cur.sort_values(
+                [group_col, order_col, tiebreak_col],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            state = cur.groupby(group_col, sort=False).head(k)
+        if state is not None:
+            yield state
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,10 +89,14 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k nearest neighbors by cosine for each query vector.
 
-    ``queries`` (small) is broadcast; the corpus is scanned once with no
-    shuffle until the per-query top-k window (which shuffles only
-    (query, candidate, sim) triples — k·|Q| survivors). Self-matches
-    (same id) are excluded. Output: (query_id, vec_id, cosine_sim, rank).
+    ``queries`` (small) is broadcast and the corpus is scanned once; scoring
+    is JVM codegen. The |C|·|Q| scored triples are then reduced to ≤ k·|Q|
+    rows PER PARTITION by a no-shuffle partial top-k (:func:`_partition_topk`)
+    before the global per-query window — the only exchange carries k·|Q|·P
+    survivor rows, not every scored pair (at 100 TB the full-pair exchange is
+    the bottleneck; it also serializes each query's ranking into a single
+    reducer task). Self-matches (same id) are excluded.
+    Output: (query_id, vec_id, cosine_sim, rank).
     """
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
@@ -69,11 +109,12 @@ def brute_force_topk(
         id_col,
         F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
     )
+    partial = _partition_topk(scored, k, query_id_col, "cosine_sim", id_col)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -157,6 +198,7 @@ def ann_topk_lsh(
         id_col,
         F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
     ).dropDuplicates([query_id_col, id_col])
+    scored = _partition_topk(scored, k, query_id_col, "cosine_sim", id_col)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
     )
@@ -232,6 +274,7 @@ def ivf_topk(
         id_col,
         F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
     ).dropDuplicates([query_id_col, id_col])
+    scored = _partition_topk(scored, k, query_id_col, "cosine_sim", id_col)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
     )
@@ -328,6 +371,7 @@ def ivf_topk_trained(
         id_col,
         F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
     ).dropDuplicates([query_id_col, id_col])
+    scored = _partition_topk(scored, k, query_id_col, "cosine_sim", id_col)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
     )
@@ -343,22 +387,48 @@ def embedding_near_duplicates(
     num_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via the same hyperplane buckets:
-    pairs sharing a bucket with cosine ≥ threshold. Output: (id_a, id_b,
-    cosine_sim)."""
-    sig = df.withColumn("__sig", hyperplane_signature(F.col(vec_col), dim, num_planes))
-    a = sig.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "__sig"
+    """Embedding-cosine near-dup pairs via hyperplane sign buckets.
+
+    Scale shape (mirrors ``minhash_near_duplicates``): ONLY (id, sig) pairs
+    shuffle for the bucket self-join — raw vectors never move on the
+    candidate path; they are fetched back by a semi-join on candidate ids for
+    the exact cosine verification. Buckets larger than ``max_bucket_size``
+    are dropped with the standard LSH justification: a quadratic blow-up
+    inside one sign bucket means ``num_planes`` is too low for the corpus's
+    density — re-run with more planes rather than letting one hot bucket
+    dominate the stage (the cap is a guard rail, not a tuning knob; it is far
+    above any healthy bucket size). Output: (id_a, id_b, cosine_sim).
+    """
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        hyperplane_signature(F.col(vec_col), dim, num_planes).alias("__sig"),
     )
-    b = sig.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "__sig"
+    bucket_sizes = sig.groupBy("__sig").agg(F.count(F.lit(1)).alias("__bn"))
+    sig = sig.join(
+        F.broadcast(bucket_sizes.filter(F.col("__bn") <= max_bucket_size)),
+        on="__sig",
+        how="left_semi",
     )
-    return (
+    a = sig.withColumnsRenamed({"id": "id_a"})
+    b = sig.withColumnsRenamed({"id": "id_b"})
+    cand = (
         a.join(b, on="__sig")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand_ids = cand.select(F.col("id_a").alias("id")).union(
+        cand.select("id_b")
+    ).distinct()
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec")).join(
+        cand_ids, "id", "left_semi"
+    )
+    return (
+        cand.join(vecs.withColumnsRenamed({"id": "id_a", "__vec": "vec_a"}), "id_a")
+        .join(vecs.withColumnsRenamed({"id": "id_b", "__vec": "vec_b"}), "id_b")
         .withColumn("cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
-        .dropDuplicates(["id_a", "id_b"])
     )

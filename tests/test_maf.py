@@ -45,8 +45,10 @@ def test_annotate_adds_columns_and_errors_split(spark):
         [("TP53", "chr17"), ("KRAS", "chr12")], "Hugo_Symbol string, Chromosome string"
     )
     ann = annotate(df, annotator=fake_annotator)
-    assert set(ann.columns) == {
-        "Hugo_Symbol", "Chromosome", "HGVSp_Short", "Annotation_Status"
+    from iatlas_cbioportal_export_spark.operators.maf import ANNOTATION_COLS
+
+    assert set(ann.columns) == {"Hugo_Symbol", "Chromosome"} | {
+        name for name, _t in ANNOTATION_COLS
     }
     ok, failed = split_annotation_errors(ann)
     assert ok.count() == 2 and failed.count() == 0

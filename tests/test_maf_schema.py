@@ -39,6 +39,45 @@ def test_v12_full_maf_schema_check(spark):
     assert err_row["detail"] == "missing: gnomADe_AF"
 
 
+def test_annotation_reconstitutes_118_col_schema(spark):
+    # V12 end-to-end through the annotator: a raw MAF carrying only the
+    # NON-annotation subset of REQUIRED_MAF_COLS, run through the fake
+    # Genome Nexus stage (~40 added columns), must come out covering the
+    # full 118-column surface (reference: validateData.py checks the
+    # ANNOTATED output, validate.py:159-172).
+    from iatlas_cbioportal_export_spark.operators.maf import (
+        ANNOTATION_COLS,
+        annotate,
+    )
+    from iatlas_cbioportal_export_spark.sources.maf_schema import _field_type
+    from pyspark.sql.types import StructField, StructType
+
+    added = {name for name, _t in ANNOTATION_COLS}
+    raw_cols = [c for c in REQUIRED_MAF_COLS if c not in added]
+    raw_schema = StructType(
+        [StructField(c, _field_type(c), True) for c in raw_cols]
+    )
+    raw = spark.createDataFrame(
+        [tuple(
+            7674220 if c == "Start_Position" else
+            "chr17" if c == "Chromosome" else
+            None
+            for c in raw_cols
+        )],
+        raw_schema,
+    )
+    out = annotate(raw)
+    (ok_row,) = required_columns_present(
+        out, REQUIRED_MAF_COLS, check="maf_118_post_annotation"
+    ).collect()
+    assert ok_row["status"] == "OK"
+    row = out.collect()[0]
+    assert row["HGVSp_Short"] == "p.chr17:7674220"
+    assert row["SYMBOL"] == "SYMBOL=chr17:7674220"
+    assert row["Annotation_Status"] == "SUCCESS"
+    assert isinstance(row["gnomADe_AF"], float)
+
+
 def test_maf_tsv_scan_with_declared_schema(spark, tmp_path):
     # S1/S2 contract: a declared schema gives typed columns straight off the
     # TSV scan — no inference pass, no %.12g float-format workaround.
