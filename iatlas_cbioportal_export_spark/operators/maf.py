@@ -110,16 +110,26 @@ def fake_annotator(batch: pd.DataFrame) -> pd.DataFrame:
             index=batch.index,
             dtype="string",
         )
-    ok = key.notna()
+    # NA in `key` propagates through both the string concat and the Int64
+    # arithmetic, so no per-column masking is needed; assembling all 41
+    # columns in ONE concat avoids 41 block insertions per batch (measured
+    # ~2x on the mapInPandas stage at sf0.1).
+    cols: dict[str, pd.Series] = {}
+    # object dtype: element-wise str concat is ~3x the StringDtype path and
+    # propagates missing values to NaN (→ Arrow null) without masking
+    key_obj = key.astype(object)
     for name in _STR_ANNOTATION_COLS:
         prefix = "p." if name == "HGVSp_Short" else f"{name}="
-        out[name] = (prefix + key).where(ok, None)
+        cols[name] = prefix + key_obj
     key_len = key.str.len().astype("Int64")
     for i, name in enumerate(_DBL_ANNOTATION_COLS):
-        vals = (((key_len * 31 + i * 7) % 9973) / 9973).round(6)
-        out[name] = vals.where(ok, None).astype("Float64")
-    out["Annotation_Status"] = ok.map({True: "SUCCESS", False: "FAILED"})
-    return out
+        cols[name] = ((((key_len * 31 + i * 7) % 9973) / 9973).round(6)).astype(
+            "Float64"
+        )
+    cols["Annotation_Status"] = key.notna().map({True: "SUCCESS", False: "FAILED"})
+    return pd.concat(
+        [out, pd.DataFrame(cols, index=batch.index)], axis=1, copy=False
+    )
 
 
 def http_annotator(

@@ -70,3 +70,48 @@ def test_cli_clinical_validate_load_roundtrip(spark, tmp_path):
 
 def test_cli_validate_fails_on_missing_file(tmp_path):
     assert main(["validate", "--bundle", str(tmp_path / "nope")]) == 1
+
+
+def test_cli_clinical_with_mapping_splits_patient_attrs(spark, tmp_path):
+    # --mapping drives header renames + the PATIENT/SAMPLE attribute split
+    # (reference clinical.py:334-340, 381-395): os_status is renamed to
+    # OS_STATUS and lands in the PATIENT file, not the sample file.
+    clinical = tmp_path / "clinical.tsv"
+    clinical.write_text(
+        "sample_name\tpatient_name\tTCGA_Study\tAMADEUS_Study\tDataset\tos_status\n"
+        "s1\tp1\tSKCM\tmel\tDemo\t0\n"
+        "s2\tp1\tSKCM\tmel\tDemo\t1\n"
+    )
+    oncotree = tmp_path / "oncotree.tsv"
+    oncotree.write_text(
+        "TCGA_Study\tAMADEUS_Study\tDataset\tONCOTREE_CODE\nSKCM\tmel\tDemo\tSKCM\n"
+    )
+    codes = tmp_path / "codes.tsv"
+    codes.write_text(
+        "ONCOTREE_CODE\tCANCER_TYPE\tCANCER_TYPE_DETAILED\n"
+        "SKCM\tMelanoma\tCutaneous Melanoma\n"
+    )
+    mapping = tmp_path / "mapping.tsv"
+    mapping.write_text(
+        "iATLAS_attribute\tNORMALIZED_HEADER\tATTRIBUTE_TYPE\tCase\n"
+        "os_status\tOS_STATUS\tPATIENT\t\n"
+        "TCGA_Study\tTCGA_STUDY\tSAMPLE\tCAPS\n"
+    )
+    bundle = str(tmp_path / "bundle")
+    rc = main(
+        [
+            "clinical",
+            "--clinical", str(clinical),
+            "--oncotree", str(oncotree),
+            "--codes", str(codes),
+            "--mapping", str(mapping),
+            "--dataset", "Demo",
+            "--out", bundle,
+        ]
+    )
+    assert rc == 0
+    patient = open(os.path.join(bundle, "data_clinical_patient.txt")).read()
+    sample = open(os.path.join(bundle, "data_clinical_sample.txt")).read()
+    assert "OS_STATUS" in patient
+    assert "OS_STATUS" not in sample
+    assert "TCGA_STUDY" in sample

@@ -73,3 +73,13 @@ def test_write_partitioned_datasets(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.filter("Dataset = 'A'").count() == 2
     assert back.filter("Dataset = 'B'").count() == 1
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest
+
+    fact = spark.createDataFrame([(1, "x")], "k long, payload string")
+    dim = spark.createDataFrame([(1, "d")], "k long, v string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(fact, dim, on="k", how=how)

@@ -129,3 +129,32 @@ def test_ivf_trained_recall_at_least_seeded(spark, vectors):
                                          n_probe=3, iterations=2).collect()}
     recall = len(exact & trained) / len(exact)
     assert recall >= 0.4, f"trained IVF recall {recall} below floor"
+
+
+def test_partition_topk_invariant_to_partitioning(spark, vectors):
+    # the per-partition partial top-k must not change results under any
+    # input partitioning (total order: cosine desc, id asc)
+    queries = vectors.filter("vec_id < 4")
+    one = brute_force_topk(vectors.coalesce(1), queries, k=3).collect()
+    many = brute_force_topk(vectors.repartition(8), queries, k=3).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted([(r["query_id"], r["rank"], r["vec_id"]) for r in one]) == sorted(
+        [(r["query_id"], r["rank"], r["vec_id"]) for r in many]
+    )
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # cap=1: every bucket holding the near-dup pair (size >= 2) is dropped
+    out = embedding_near_duplicates(
+        df, dim=3, threshold=0.99, num_planes=4, max_bucket_size=1
+    )
+    assert out.count() == 0
+    # default cap: pair survives
+    out = embedding_near_duplicates(df, dim=3, threshold=0.99, num_planes=4)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 2)}

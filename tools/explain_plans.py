@@ -111,10 +111,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "dedup_minhash_lsh": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "dedup_exact": (["HashAggregate"], ["Exchange rangepartitioning"]),
     "sim_topk_bruteforce": (
-        ["BroadcastNestedLoopJoin"],  # deliberate: tiny query side broadcast
+        # deliberate broadcast cross join for scoring; the MapInPandas stage
+        # is the per-partition partial top-k that keeps the |Q|x|C| scored
+        # triples OUT of the final per-query window exchange
+        ["BroadcastNestedLoopJoin", "MapInPandas"],
         ["CartesianProduct"],
     ),
     "sim_ann_lsh": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # near-dup candidates join on (id, signature) only; vectors come back via
+    # semi-join, so the bucket exchange never carries embedding arrays
+    "embedding_near_dup": (
+        ["LeftSemi"], ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "maf_annotate_pipeline": (["MapInPandas", "ArrowEvalPython|MapInPandas"], []),
     "text_token_stats": (["Scan parquet"], ["Exchange"]),  # narrow: no shuffle, lambda exprs eval JVM-side (no codegen, by design)
     "events_sessionize": (["Window"], ["CartesianProduct"]),
