@@ -578,6 +578,55 @@ def q_maf_annotation_wide(spark, sf_dir):
     )
 
 
+def q_maf_field_conformance(spark, sf_dir):
+    """Per-field MAF value checks — the native subset of cBioPortal
+    ``validateData.py --strict_maf_checks`` the reference shells out to
+    (``validate.py:211-216``). The MAF shape extends _maf_shaped with
+    allele/position columns carrying PLANTED violations (every 101st key an
+    out-of-vocabulary chromosome, every 97th a non-ACGTN allele, every 83rd
+    ref==alt, every 89th end<start, every 79th a negative count), so each of
+    the 5 rules must fire with an exactly-computable violation count."""
+    k = F.col("o_orderkey")
+    bases = F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T"))
+    ref = F.element_at(bases, (k % 4 + 1).cast("int"))
+    maf = _t(spark, sf_dir, "orders").select(
+        k.alias("variant_id"),
+        F.when(k % 101 == 0, F.lit("chr23"))
+        .when(k % 25 == 0, F.lit("chrM"))
+        .when(k % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("chr"), ((k % 22) + 1).cast("string")))
+        .alias("Chromosome"),
+        ((k % 100000) + 1).cast("long").alias("Start_Position"),
+        F.when(k % 89 == 0, (k % 100000) + 1 - 10)
+        .otherwise((k % 100000) + 1 + (k % 50))
+        .cast("long")
+        .alias("End_Position"),
+        ref.alias("Reference_Allele"),
+        F.when(k % 83 == 0, ref)
+        .when(k % 97 == 0, F.lit("Z"))
+        .otherwise(F.element_at(bases, ((k + 1) % 4 + 1).cast("int")))
+        .alias("Tumor_Seq_Allele2"),
+        F.when(k % 79 == 0, F.lit(-5)).otherwise((k % 300) + 10)
+        .cast("long")
+        .alias("t_ref_count"),
+        (k % 200).cast("long").alias("t_alt_count"),
+    )
+    return val_ops.maf_value_conformance(maf)
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling PLAN (multimodal §7): every-30th-frame index
+    expansion as pure JVM sequence/explode — the actual frame decode plugs in
+    as an extract_features stage. n_frames derives from doc_id so the
+    expansion is value-hash checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    video = docs.select(
+        F.col("doc_id").alias("media_id"),
+        ((F.col("doc_id") % 300) + 1).cast("int").alias("n_frames"),
+    )
+    return mm_ops.sample_frames(video, every_n=30)
+
+
 def q_v_validation_suite(spark, sf_dir):
     """The reference's FULL validation workload (SURVEY §2.10) as one lazy
     findings DataFrame — exactly 14 rows, one per check V1..V14, mapped onto
@@ -1219,15 +1268,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
         "maf_annotate_pipeline": q_maf_annotate_pipeline,
         "maf_annotation_wide": q_maf_annotation_wide,
+        "maf_field_conformance": q_maf_field_conformance,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "v_validation_suite": q_v_validation_suite,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_exact_groups": q_dedup_exact_groups,
         "a8_keep_latest": q_a8_keep_latest,
+        # --- tier 3 (past the 50-entry window): r1-proven parity rows ---
         "f1_strip_suffix_first": q_f1_strip_suffix_first,
         "j6_keyset_equality": q_j6_keyset_equality,
-        # --- tier 3 (past the 50-entry window): r1-proven parity rows ---
         "a1_case_lists": q_a1_case_lists,
         "p1_regex_filter_scoped": q_p1_regex_filter_scoped,
         "p5_prune_all_null": q_p5_prune_all_null,
@@ -1647,6 +1698,63 @@ def oracle_sql() -> dict[str, str]:
             WHERE Chromosome <> 'chrM' OR Chromosome IS NULL
         """,
         "maf_annotation_wide": _maf_wide_oracle(),
+        "maf_field_conformance": """
+            WITH maf AS (
+                SELECT o_orderkey AS k,
+                       CASE WHEN o_orderkey % 101 = 0 THEN 'chr23'
+                            WHEN o_orderkey % 25 = 0 THEN 'chrM'
+                            WHEN o_orderkey % 17 = 0 THEN NULL
+                            ELSE 'chr' || CAST(o_orderkey % 22 + 1 AS VARCHAR)
+                       END AS chrom,
+                       o_orderkey % 100000 + 1 AS startp,
+                       CASE WHEN o_orderkey % 89 = 0
+                            THEN o_orderkey % 100000 + 1 - 10
+                            ELSE o_orderkey % 100000 + 1 + o_orderkey % 50
+                       END AS endp,
+                       ['A','C','G','T'][CAST(o_orderkey % 4 + 1 AS INT)] AS ref,
+                       CASE WHEN o_orderkey % 83 = 0
+                            THEN ['A','C','G','T'][CAST(o_orderkey % 4 + 1 AS INT)]
+                            WHEN o_orderkey % 97 = 0 THEN 'Z'
+                            ELSE ['A','C','G','T'][CAST((o_orderkey + 1) % 4 + 1 AS INT)]
+                       END AS alt,
+                       CASE WHEN o_orderkey % 79 = 0 THEN -5
+                            ELSE o_orderkey % 300 + 10 END AS tr,
+                       o_orderkey % 200 AS ta
+                FROM orders
+            ),
+            counts AS (
+                SELECT
+                  sum(CASE WHEN chrom IS NOT NULL AND NOT regexp_matches(
+                        chrom, '^(chr)?([1-9]|1[0-9]|2[0-2]|X|Y|M|MT)$')
+                      THEN 1 ELSE 0 END) AS v_chrom,
+                  sum(CASE WHEN (ref IS NOT NULL AND NOT regexp_matches(ref, '^[ACGTN-]+$'))
+                        OR (alt IS NOT NULL AND NOT regexp_matches(alt, '^[ACGTN-]+$'))
+                      THEN 1 ELSE 0 END) AS v_allele,
+                  sum(CASE WHEN ref IS NOT NULL AND alt IS NOT NULL AND ref = alt
+                      THEN 1 ELSE 0 END) AS v_refalt,
+                  sum(CASE WHEN startp > endp THEN 1 ELSE 0 END) AS v_pos,
+                  sum(CASE WHEN tr < 0 OR ta < 0 THEN 1 ELSE 0 END) AS v_neg
+                FROM maf
+            ),
+            rules AS (
+                SELECT 'maf_chromosome_vocabulary' AS check, v_chrom AS n FROM counts
+                UNION ALL SELECT 'maf_allele_alphabet', v_allele FROM counts
+                UNION ALL SELECT 'maf_ref_equals_alt', v_refalt FROM counts
+                UNION ALL SELECT 'maf_position_order', v_pos FROM counts
+                UNION ALL SELECT 'maf_negative_allele_counts', v_neg FROM counts
+            )
+            SELECT "check",
+                   CASE WHEN n = 0 THEN 'OK' ELSE 'ERROR' END AS status,
+                   CAST(n AS BIGINT) AS observed,
+                   CAST(0 AS BIGINT) AS expected,
+                   'violating rows' AS detail
+            FROM rules
+        """,
+        "multimodal_frame_sample": """
+            SELECT doc_id AS media_id, CAST(f AS INT) AS frame_index
+            FROM documents,
+                 unnest(range(0, CAST(doc_id % 300 AS INT) + 1, 30)) AS t(f)
+        """,
         "v_validation_suite": """
             WITH checks AS (
                 -- V1: artifact count = 2 clinical + 2 meta_clinical +

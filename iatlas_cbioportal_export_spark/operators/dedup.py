@@ -330,23 +330,67 @@ def simhash_buckets(
     n: int = 3,
     prefix_bits: int = 16,
     max_hamming: int = 8,
+    rotations: int = 1,
 ) -> DataFrame:
     """SimHash near-dup candidates: bucket on the top ``prefix_bits`` of the
     sketch, verify bucket-mates by Hamming distance ≤ ``max_hamming``.
 
-    (Single-rotation scheme; add rotations for recall.) Output:
-    (id_a, id_b, hamming).
+    ``rotations`` > 1 is the standard recall fix for prefix bucketing (a pair
+    at Hamming ≤ h can still differ inside the prefix window): each rotation
+    r left-rotates the sketch by ``r·(64/rotations)`` bits and buckets on
+    THAT prefix, so a close pair collides unless its differing bits straddle
+    every rotated window. Candidates are (rotation, bucket)-scoped — still
+    only (id, sketch) tuples shuffle, ``rotations``× — and pairs found by
+    several rotations dedup once. Output: (id_a, id_b, hamming).
     """
     sk = simhash_sketches(df, text_col, id_col, n)
-    bucketed = sk.withColumn(
-        "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    if rotations <= 1:
+        bucketed = sk.withColumn(
+            "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+        )
+        a = bucketed.withColumnsRenamed({"id": "id_a", "simhash": "sim_a"})
+        b = bucketed.withColumnsRenamed({"id": "id_b", "simhash": "sim_b"})
+        return (
+            a.join(b, on="bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+    step = 64 // rotations
+    sim = F.col("simhash")
+
+    def _rotated(r: int):
+        s = (r * step) % 64
+        if s == 0:
+            return sim
+        # left-rotate by s (Java shifts are mod 64, so s=0 is special-cased)
+        return F.shiftleft(sim, s).bitwiseOR(F.shiftrightunsigned(sim, 64 - s))
+
+    rot_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("rot"),
+                F.shiftrightunsigned(_rotated(r), 64 - prefix_bits).alias("bucket"),
+            )
+            for r in range(rotations)
+        ]
     )
+    bucketed = sk.select(
+        "id", "simhash", F.explode(rot_buckets).alias("rb")
+    ).select("id", "simhash", "rb.rot", "rb.bucket")
     a = bucketed.withColumnsRenamed({"id": "id_a", "simhash": "sim_a"})
     b = bucketed.withColumnsRenamed({"id": "id_b", "simhash": "sim_b"})
     return (
-        a.join(b, on="bucket")
+        a.join(b, on=["rot", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )

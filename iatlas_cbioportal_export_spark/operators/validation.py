@@ -187,6 +187,72 @@ def required_columns_present(
     )
 
 
+_CHROMOSOME_RE = r"^(chr)?([1-9]|1[0-9]|2[0-2]|X|Y|M|MT)$"
+_ALLELE_RE = r"^[ACGTN-]+$"
+
+
+def maf_value_conformance(
+    maf: DataFrame,
+    chrom_col: str = "Chromosome",
+    ref_col: str = "Reference_Allele",
+    alt_col: str = "Tumor_Seq_Allele2",
+    start_col: str = "Start_Position",
+    end_col: str = "End_Position",
+    t_ref_col: str = "t_ref_count",
+    t_alt_col: str = "t_alt_count",
+) -> DataFrame:
+    """Per-field MAF value checks — the native subset of cBioPortal
+    ``validateData.py --strict_maf_checks`` the reference shells out to
+    (``validate.py:211-216``): chromosome vocabulary, allele alphabet,
+    ref==alt "silent non-variant", position ordering, and allele-count
+    sanity. ONE aggregate pass (map-side combined sums of violation
+    predicates), one finding row per rule; NULL field values are skipped by
+    each rule (presence is V5/V6/V11's job, not a value check).
+    """
+    chrom = F.col(chrom_col)
+    ref, alt = F.col(ref_col), F.col(alt_col)
+    start, end = F.col(start_col), F.col(end_col)
+    t_ref = F.col(t_ref_col).cast("double")
+    t_alt = F.col(t_alt_col).cast("double")
+
+    def _violations(cond: Column) -> Column:
+        return F.sum(F.when(F.coalesce(cond, F.lit(False)), 1).otherwise(0))
+
+    rules = {
+        "maf_chromosome_vocabulary": chrom.isNotNull()
+        & ~chrom.rlike(_CHROMOSOME_RE),
+        "maf_allele_alphabet": (ref.isNotNull() & ~ref.rlike(_ALLELE_RE))
+        | (alt.isNotNull() & ~alt.rlike(_ALLELE_RE)),
+        "maf_ref_equals_alt": ref.isNotNull() & alt.isNotNull() & (ref == alt),
+        "maf_position_order": start.isNotNull()
+        & end.isNotNull()
+        & (start > end),
+        "maf_negative_allele_counts": (t_ref < 0) | (t_alt < 0),
+    }
+    agg = maf.agg(
+        *[_violations(cond).alias(f"__v_{name}") for name, cond in rules.items()]
+    )
+    per_rule = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__v_{name}").alias("n_bad"),
+            )
+            for name in rules
+        ]
+    )
+    exploded = agg.select(F.explode(per_rule).alias("f"))
+    return exploded.select(
+        F.col("f.rule").alias("check"),
+        F.when(F.col("f.n_bad") == 0, F.lit("OK"))
+        .otherwise(F.lit("ERROR"))
+        .alias("status"),
+        F.col("f.n_bad").cast("long").alias("observed"),
+        F.lit(0).cast("long").alias("expected"),
+        F.lit("violating rows").alias("detail"),
+    )
+
+
 def findings_union(findings: Sequence[DataFrame]) -> DataFrame:
     """Combine check DataFrames into ONE lazy findings DataFrame (single
     action evaluates the whole suite)."""

@@ -78,3 +78,32 @@ def test_simhash_buckets_find_exact_dups(docs):
     out = {(r["id_a"], r["id_b"]): r["hamming"] for r in
            simhash_buckets(docs, prefix_bits=8, max_hamming=16).collect()}
     assert out.get((1, 2)) == 0  # identical text -> identical sketch
+
+
+def test_simhash_rotations_superset_of_single(docs):
+    # multi-rotation buckets can only ADD candidate windows: the pair set at
+    # rotations=4 must contain the rotations=1 set, with identical hamming
+    one = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           simhash_buckets(docs, prefix_bits=8, max_hamming=32).collect()}
+    four = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+            simhash_buckets(docs, prefix_bits=8, max_hamming=32, rotations=4).collect()}
+    assert set(one) <= set(four)
+    for pair in one:
+        assert one[pair] == four[pair]
+    assert four.get((1, 2)) == 0
+
+
+def test_simhash_rotation_recovers_prefix_miss(spark):
+    # near-dup pair whose sketches differ somewhere; with a FULL-width
+    # "prefix" (64 bits) the exact-dup pair is still found under every
+    # rotation, and rotations>1 never produce duplicate pair rows
+    rows = [(i, "common shared text body for all docs variant " + str(i % 2))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_buckets(df, prefix_bits=12, max_hamming=0, rotations=4).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in out]
+    assert len(pairs) == len(set(pairs))  # deduped across rotations
+    # identical-text pairs (same parity ids) must all surface at hamming 0
+    expected = {(a, b) for a in range(6) for b in range(6)
+                if a < b and a % 2 == b % 2}
+    assert set(pairs) == expected

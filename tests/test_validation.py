@@ -54,3 +54,46 @@ def test_all_null_column_detected(spark):
     (row,) = no_all_null_columns(df).collect()
     assert row["status"] == "ERROR"
     assert row["detail"] == "all-null: dead"
+
+
+def test_maf_value_conformance_rules(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        maf_value_conformance,
+    )
+
+    rows = [
+        # chrom, ref, alt, start, end, t_ref, t_alt
+        ("chr1", "A", "C", 10, 20, 5, 3),      # clean
+        ("chr23", "A", "C", 10, 20, 5, 3),     # bad chromosome
+        ("chrX", "A", "Z", 10, 20, 5, 3),      # bad allele alphabet
+        ("chr2", "G", "G", 10, 20, 5, 3),      # ref == alt
+        ("chr3", "A", "C", 30, 20, 5, 3),      # end < start
+        ("chr4", "A", "C", 10, 20, -1, 3),     # negative count
+        (None, None, None, None, None, None, None),  # nulls skipped
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "Chromosome string, Reference_Allele string, Tumor_Seq_Allele2 string, "
+        "Start_Position long, End_Position long, t_ref_count long, t_alt_count long",
+    )
+    out = {r["check"]: (r["status"], r["observed"])
+           for r in maf_value_conformance(df).collect()}
+    assert out["maf_chromosome_vocabulary"] == ("ERROR", 1)
+    assert out["maf_allele_alphabet"] == ("ERROR", 1)
+    assert out["maf_ref_equals_alt"] == ("ERROR", 1)
+    assert out["maf_position_order"] == ("ERROR", 1)
+    assert out["maf_negative_allele_counts"] == ("ERROR", 1)
+
+
+def test_maf_value_conformance_all_ok(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        maf_value_conformance,
+    )
+
+    df = spark.createDataFrame(
+        [("chr1", "A", "C", 10, 20, 5, 3), ("MT", "GG", "-", 1, 1, 0, 0)],
+        "Chromosome string, Reference_Allele string, Tumor_Seq_Allele2 string, "
+        "Start_Position long, End_Position long, t_ref_count long, t_alt_count long",
+    )
+    statuses = {r["check"]: r["status"] for r in maf_value_conformance(df).collect()}
+    assert set(statuses.values()) == {"OK"}
