@@ -627,6 +627,73 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return mm_ops.sample_frames(video, every_n=30)
 
 
+def q_s3_header_roundtrip(spark, sf_dir):
+    """S5→S6→S3 through the REAL file surface: a customer-derived clinical
+    view is written as a cBioPortal clinical file (typed TSV sink + the 4
+    '#'-prefixed metadata header lines that replace the reference's
+    insert_clinical_metadata.py subprocess, clinical.py:598-604), then
+    re-scanned with the header-skipping reader (S3, clinical.py:798-808,
+    declared schema). The oracle checks the round-tripped rows against the
+    source table directly — any loss/corruption in sink, header insertion,
+    or skip-scan breaks the hash."""
+    import tempfile
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from iatlas_cbioportal_export_spark.sources.readers import (
+        read_tsv_skip_cbioportal_header,
+    )
+    from iatlas_cbioportal_export_spark.sources.sinks import (
+        write_cbioportal_clinical,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    view = customer.filter(F.col("c_custkey") <= 500).select(
+        F.col("c_name").alias("SAMPLE_ID"),
+        F.col("c_custkey").cast("string").alias("PATIENT_ID"),
+        F.col("c_mktsegment").alias("SEGMENT"),
+    )
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="s3_roundtrip_"), "data_clinical_sample.txt"
+    )
+    write_cbioportal_clinical(view, path, {})
+    schema = StructType(
+        [StructField(c, StringType(), True) for c in ("SAMPLE_ID", "PATIENT_ID", "SEGMENT")]
+    )
+    return read_tsv_skip_cbioportal_header(spark, path, schema=schema)
+
+
+def q_f8_case_list_render(spark, sf_dir):
+    """F7+F8 end-to-end: the A1 case-list aggregation feeds the driver-side
+    template render (reference clinical.py:56-62,683-718 — kilobyte documents,
+    driver render is the right plan at any scale). The full rendered text is
+    returned as a scalar column; the oracle reconstructs it with string_agg
+    over the same sorted ids."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        case_list_groups,
+    )
+    from iatlas_cbioportal_export_spark.sources.sinks import (
+        render_case_list_text,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    groups = case_list_groups(
+        customer.select(
+            F.col("c_name").alias("SAMPLE_ID"),
+            F.col("c_mktsegment").alias("CANCER_TYPE"),
+        ),
+        group_col="CANCER_TYPE",
+        id_col="SAMPLE_ID",
+    ).collect()
+    rows = []
+    for r in groups:
+        slug, text = render_case_list_text("iatlas_demo", r["CANCER_TYPE"], r["sample_ids"])
+        rows.append((r["CANCER_TYPE"], slug, len(r["sample_ids"]), text))
+    return spark.createDataFrame(
+        rows, "cancer_type string, slug string, n_ids int, rendered string"
+    )
+
+
 def q_v_validation_suite(spark, sf_dir):
     """The reference's FULL validation workload (SURVEY §2.10) as one lazy
     findings DataFrame — exactly 14 rows, one per check V1..V14, mapped onto
@@ -1274,9 +1341,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "s3_header_roundtrip": q_s3_header_roundtrip,
+        "f8_case_list_render": q_f8_case_list_render,
+        # --- tier 3 (past the 50-entry window): r1-proven parity rows ---
         "dedup_exact_groups": q_dedup_exact_groups,
         "a8_keep_latest": q_a8_keep_latest,
-        # --- tier 3 (past the 50-entry window): r1-proven parity rows ---
         "f1_strip_suffix_first": q_f1_strip_suffix_first,
         "j6_keyset_equality": q_j6_keyset_equality,
         "a1_case_lists": q_a1_case_lists,
@@ -1754,6 +1823,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, CAST(f AS INT) AS frame_index
             FROM documents,
                  unnest(range(0, CAST(doc_id % 300 AS INT) + 1, 30)) AS t(f)
+        """,
+        "s3_header_roundtrip": """
+            SELECT c_name AS SAMPLE_ID,
+                   CAST(c_custkey AS VARCHAR) AS PATIENT_ID,
+                   c_mktsegment AS SEGMENT
+            FROM customer WHERE c_custkey <= 500
+        """,
+        "f8_case_list_render": """
+            WITH g AS (
+                SELECT c_mktsegment AS cancer_type,
+                       count(*) AS n,
+                       string_agg(c_name, chr(9) ORDER BY c_name) AS ids
+                FROM customer GROUP BY 1
+            )
+            SELECT cancer_type,
+                   cancer_type AS slug,
+                   CAST(n AS INT) AS n_ids,
+                   'cancer_study_identifier: iatlas_demo' || chr(10) ||
+                   'stable_id: iatlas_demo_' || cancer_type || chr(10) ||
+                   'case_list_name: ' || cancer_type || ' samples' || chr(10) ||
+                   'case_list_description: All ' || cancer_type || ' samples ('
+                       || CAST(n AS VARCHAR) || ')' || chr(10) ||
+                   'case_list_ids: ' || ids || chr(10) AS rendered
+            FROM g
         """,
         "v_validation_suite": """
             WITH checks AS (
