@@ -938,6 +938,47 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Pairs → transitive components → canonical keeper (the step after any
+    near-dup detector). Two scaled copies are planted per base vector
+    (ids +1e6 at 1.5x, +2e6 at 2.25x, bases 0..9): scaling preserves every
+    hyperplane sign and cosine, so near-dup detection must produce the trio's
+    edges and min-label propagation must collapse each trio to its base id —
+    deterministic, oracle-expressible; every other corpus id is a singleton
+    keeper."""
+    from iatlas_cbioportal_export_spark.operators.graph import dedup_components
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+
+    def scaled(offset, mult):
+        return emb.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(mult)).alias("embedding"),
+            "label",
+        )
+
+    corpus = emb.unionByName(scaled(1_000_000, 1.5)).unionByName(
+        scaled(2_000_000, 2.25)
+    )
+    # Materialize the pair list once through the driver: it is provably tiny
+    # here (30 planted pairs) and the component loop must not re-execute the
+    # LSH DAG per round. (At scale the operator-side lineage truncation in
+    # connected_components — localCheckpoint — does this distributed.)
+    lsh_pairs = sim_ops.embedding_near_duplicates(
+        corpus, dim=64, threshold=0.99, num_planes=12
+    )
+    pairs = spark.createDataFrame(lsh_pairs.collect(), lsh_pairs.schema)
+    return dedup_components(pairs, corpus.select("vec_id"), id_col="vec_id")
+
+
+def q_text_top_ngrams(spark, sf_dir):
+    """Corpus-level top-20 word bigrams (stop-gram / boilerplate detection).
+    TakeOrderedAndProject plan — per-partition heaps, never a full sort of
+    the n-gram dictionary."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.top_ngrams(docs, n=2, k=20)
+
+
 def q_text_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return text_ops.token_stats(docs)
@@ -1339,11 +1380,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "v_validation_suite": q_v_validation_suite,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_components": q_dedup_components,
+        "text_top_ngrams": q_text_top_ngrams,
         "s3_header_roundtrip": q_s3_header_roundtrip,
         "f8_case_list_render": q_f8_case_list_render,
         # --- tier 3 (past the 50-entry window): r1-proven parity rows ---
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_exact_groups": q_dedup_exact_groups,
         "a8_keep_latest": q_a8_keep_latest,
         "f1_strip_suffix_first": q_f1_strip_suffix_first,
@@ -1829,6 +1872,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c_custkey AS VARCHAR) AS PATIENT_ID,
                    c_mktsegment AS SEGMENT
             FROM customer WHERE c_custkey <= 500
+        """,
+        "dedup_components": """
+            WITH ids AS (
+                SELECT vec_id AS id FROM embeddings WHERE vec_id < 100
+                UNION ALL
+                SELECT vec_id + 1000000 FROM embeddings WHERE vec_id < 10
+                UNION ALL
+                SELECT vec_id + 2000000 FROM embeddings WHERE vec_id < 10
+            )
+            SELECT id,
+                   CASE WHEN id >= 2000000 THEN id - 2000000
+                        WHEN id >= 1000000 THEN id - 1000000
+                        ELSE id END AS component_id,
+                   id = (CASE WHEN id >= 2000000 THEN id - 2000000
+                              WHEN id >= 1000000 THEN id - 1000000
+                              ELSE id END) AS is_keeper
+            FROM ids
+        """,
+        "text_top_ngrams": f"""
+            WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+            grams AS (
+                SELECT g FROM (
+                    SELECT list_transform(
+                               range(1, greatest(len(t) - 1, 1) + 1),
+                               i -> array_to_string(t[i:i+1], ' ')) AS gs
+                    FROM toks
+                ), unnest(gs) AS u(g)
+            )
+            SELECT g AS ngram, count(*) AS n_occurrences
+            FROM grams GROUP BY g
+            ORDER BY n_occurrences DESC, ngram ASC
+            LIMIT 20
         """,
         "f8_case_list_render": """
             WITH g AS (

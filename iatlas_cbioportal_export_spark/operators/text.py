@@ -108,6 +108,30 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-level top-k most frequent word n-grams (stop-gram / boilerplate
+    detection in a training-data pipeline).
+
+    Plan: tokenize once per doc (materialized projection — NOT inside a HOF
+    lambda), explode n-grams, ONE map-side-combined count aggregation, then
+    ``orderBy(...).limit(k)`` which Spark plans as TakeOrderedAndProject —
+    per-partition top-k heaps + a k-row merge on the driver, NEVER a full
+    sort shuffle of the n-gram dictionary. Ties break on the n-gram string,
+    so the result is deterministic. Output: (ngram, n_occurrences).
+    """
+    grams = df.select(T.tokens(text_col).alias("__toks")).select(
+        F.explode(T.word_ngrams_of_tokens(F.col("__toks"), n)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
 def corpus_language_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level report: predicted language × document count + mean hits.
     One shuffle on the (tiny-cardinality) language key."""

@@ -54,3 +54,21 @@ def test_fingerprint_matches_python_reference(spark):
 def test_stopword_sets_disjoint_enough():
     # language-ID votes rely on the seed sets not being identical
     assert STOPWORDS["en"] != STOPWORDS["de"]
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    from iatlas_cbioportal_export_spark.operators.text import top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),
+            (2, "a b x y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = [(r["ngram"], r["n_occurrences"]) for r in top_ngrams(docs, n=2, k=3).collect()]
+    # bigrams doc1: "a b","b a","a b","b c"; doc2: "a b","b x","x y"
+    assert out[0] == ("a b", 3)
+    # ties at count 1 break on ngram string ascending
+    assert out[1] == ("b a", 1)
+    assert out[2] == ("b c", 1)
