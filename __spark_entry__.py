@@ -979,6 +979,40 @@ def q_text_top_ngrams(spark, sf_dir):
     return text_ops.top_ngrams(docs, n=2, k=20)
 
 
+def q_text_tfidf(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (smoothed idf, deterministic
+    tf_idf-desc/term-asc tiebreak). The oracle repeats the identical double
+    arithmetic, so the rounded scores hash-match."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.tf_idf(docs, top_k=5)
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The LLM training-data curation pipeline END-TO-END: quality scoring →
+    language ID → exact dedup (keep-min) → kept documents. Exact copies of
+    docs 0..9 are planted (+1e6) and must be removed by the dedup stage;
+    thresholds (quality ≥ 0.9, lang = 'en') keep the filter selective. Every
+    stage reuses an independently-oracle-checked operator; this checks their
+    COMPOSITION."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = docs.unionByName(planted)
+    quality = text_ops.quality_score(corpus).select("doc_id", "quality_score")
+    lang = text_ops.language_id(corpus).select("doc_id", "predicted_lang")
+    keepers = dedup_ops.exact_dedup_keep_min(corpus).select("doc_id")
+    return (
+        corpus.join(keepers, "doc_id", "left_semi")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("quality_score") >= 0.9) & (F.col("predicted_lang") == "en")
+        )
+        .select("doc_id", "predicted_lang", "quality_score")
+    )
+
+
 def q_text_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return text_ops.token_stats(docs)
@@ -1372,8 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_counts": q_stream_hourly_counts,
         "events_sessionize": q_events_sessionize,
         # --- tier 2: composites + changed-code regression re-checks ---
-        "flagship_case_lists": flagship_case_lists,
-        "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
+        "curation_pipeline": q_curation_pipeline,
+        "text_tfidf": q_text_tfidf,
         "maf_annotate_pipeline": q_maf_annotate_pipeline,
         "maf_annotation_wide": q_maf_annotation_wide,
         "maf_field_conformance": q_maf_field_conformance,
@@ -1384,7 +1418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": q_text_top_ngrams,
         "s3_header_roundtrip": q_s3_header_roundtrip,
         "f8_case_list_render": q_f8_case_list_render,
-        # --- tier 3 (past the 50-entry window): r1-proven parity rows ---
+        # --- tier 3 (past the 50-entry window): r1-proven parity rows
+        # (flagship_case_lists additionally runs via the entry() smoke) ---
+        "flagship_case_lists": flagship_case_lists,
+        "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -1510,7 +1547,7 @@ def _mm_lane_sql(j: int) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "flagship_case_lists": _FLAGSHIP_ORACLE,
         "p1_regex_filter_scoped": """
             SELECT p_partkey, p_name, p_brand FROM part
@@ -2762,3 +2799,53 @@ def oracle_sql() -> dict[str, str]:
             FROM hits
         """,
     }
+    d["text_tfidf"] = f"""
+        WITH toks AS (
+            SELECT doc_id, lower(t) AS term
+            FROM (SELECT doc_id, {_TOKS} AS ts FROM documents), unnest(ts) AS u(t)
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        doclen AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   round((CAST(tf.tf AS DOUBLE) / doclen.doc_len)
+                         * (ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                                / (CAST(dfreq.df AS DOUBLE) + 1.0)) + 1.0),
+                         6) AS tf_idf
+            FROM tf JOIN doclen USING(doc_id) JOIN dfreq USING(term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, tf_idf, CAST(rank AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY tf_idf DESC, term ASC) AS rank
+              FROM scored)
+        WHERE rank <= 5
+    """
+    # The curation composite nests the quality/language oracles verbatim,
+    # re-pointed at the planted-copy corpus — the composition is checked, the
+    # stage formulas stay single-sourced.
+    quality_on_corpus = d["text_quality_score"].replace("FROM documents", "FROM corpus")
+    lang_on_corpus = d["text_language_id"].replace("FROM documents", "FROM corpus")
+    d["curation_pipeline"] = f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10
+        ),
+        q AS ({quality_on_corpus}),
+        l AS ({lang_on_corpus}),
+        keep AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS k
+                FROM corpus
+            ) WHERE doc_id = k
+        )
+        SELECT c.doc_id, l.predicted_lang, q.quality_score
+        FROM corpus c
+        JOIN keep USING (doc_id)
+        JOIN q USING (doc_id)
+        JOIN l USING (doc_id)
+        WHERE q.quality_score >= 0.9 AND l.predicted_lang = 'en'
+    """
+    return d

@@ -132,6 +132,64 @@ def top_ngrams(
     )
 
 
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF over lowercased whitespace tokens.
+
+    ``tf_idf = (tf / doc_len) · (ln((N+1)/(df+1)) + 1)`` (smoothed idf).
+    Plan: one explode, ONE (id, term) count aggregation (map-side combined),
+    a term-frequency aggregation over the same rows, doc lengths from the
+    same aggregation's rollup, the one-row corpus count broadcast into the
+    join — so the only shuffles are on (id, term) and term, both
+    combiner-reduced counts, never raw text. Hot terms (stopwords) are
+    already pre-aggregated before they shuffle, so term skew is bounded by
+    the combiner. With ``top_k`` the per-doc ranking window runs over the
+    (already tiny) per-doc term lists. Output:
+    (id_col, term, tf, tf_idf[, rank]).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("__tok")
+    ).select(F.col(id_col), F.lower("__tok").alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__doc_len"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    out = (
+        tf.join(doc_len, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tf_idf",
+            F.round(
+                (F.col("tf").cast("double") / F.col("__doc_len"))
+                * (
+                    F.log(
+                        (F.col("__n_docs").cast("double") + 1.0)
+                        / (F.col("__df").cast("double") + 1.0)
+                    )
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+        .select(id_col, "term", "tf", "tf_idf")
+    )
+    if top_k is None:
+        return out
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf_idf").desc(), F.col("term").asc()
+    )
+    return out.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+
+
 def corpus_language_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level report: predicted language × document count + mean hits.
     One shuffle on the (tiny-cardinality) language key."""

@@ -72,3 +72,24 @@ def test_top_ngrams_counts_and_tiebreak(spark):
     # ties at count 1 break on ngram string ascending
     assert out[1] == ("b a", 1)
     assert out[2] == ("b c", 1)
+
+
+def test_tf_idf_scores_and_topk(spark):
+    import math
+
+    from iatlas_cbioportal_export_spark.operators.text import tf_idf
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["term"]): (r["tf"], r["tf_idf"])
+           for r in tf_idf(docs).collect()}
+    # apple: tf=2/3 in doc1, df=1, N=2 -> (2/3)*(ln(3/2)+1)
+    expected = round((2 / 3) * (math.log(3 / 2) + 1), 6)
+    assert out[(1, "apple")] == (2, expected)
+    # banana appears in both docs -> idf = ln(3/3)+1 = 1
+    assert out[(2, "banana")] == (1, round((1 / 2) * 1.0, 6))
+    top1 = tf_idf(docs, top_k=1).collect()
+    best = {r["doc_id"]: r["term"] for r in top1}
+    assert best[1] == "apple" and best[2] == "cherry"
