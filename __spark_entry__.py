@@ -73,17 +73,38 @@ from iatlas_cbioportal_export_spark.streaming.events import (
 SF0001 = "/root/testdata/sf0.001"
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Engine-required, runtime-settable SQL confs, applied on every table
+    access so the queries behave identically under ANY SparkSession — the
+    driver's correctness harness builds its own plain session, where none of
+    ``session.py::get_spark``'s configuration applies.
+
+    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which a
+      vanilla session rejects with PARQUET_TYPE_ILLEGAL.
+    - ``excludedRules``: InferFiltersFromGenerate re-inlines expensive
+      shingle/token expressions into a pushed-down pre-explode filter —
+      measured 3-5x on the dedup sketches (see session.py).
+    - ``shuffle.partitions``: sized to cores; the 200-partition default
+      multiplies tiny-task overhead on this box (AQE coalescing recovers
+      some, but the iterative queries pay per-round scheduling regardless).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); a plain SparkSession (the
-        # driver harness builds its own) rejects it with PARQUET_TYPE_ILLEGAL.
-        # nanosAsLong is a runtime-settable SQL conf — set it here so the read
-        # works under ANY session, then truncate ns → µs (same truncation
-        # DuckDB applies).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # truncate ns → µs (same truncation DuckDB applies)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return df
 
 
 # ---------------------------------------------------------------------------
