@@ -88,14 +88,19 @@ def _ensure_session_confs(spark: SparkSession) -> None:
       multiplies tiny-task overhead on this box (AQE coalescing recovers
       some, but the iterative queries pay per-round scheduling regardless).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    )
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
-    )
+    wanted = {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.optimizer.excludedRules": (
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+        ),
+        "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    for key, value in wanted.items():
+        # check-before-set: conf.set itself — even with an unchanged value —
+        # invalidates session plan/codegen state and measurably ~2x'd every
+        # query when applied per table access
+        if spark.conf.get(key, None) != value:
+            spark.conf.set(key, value)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

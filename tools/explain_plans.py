@@ -124,6 +124,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["LeftSemi"], ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     "maf_annotate_pipeline": (["MapInPandas", "ArrowEvalPython|MapInPandas"], []),
+    # top-k over the n-gram dictionary must be heap-based, never a full sort
+    "text_top_ngrams": (["TakeOrderedAndProject"], ["CartesianProduct"]),
+    # dedup stage joins keepers back by semi-join; no fact-side blowup
+    "curation_pipeline": (["LeftSemi"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "text_tfidf": (["HashAggregate", "Window"], ["CartesianProduct"]),
     "text_token_stats": (["Scan parquet"], ["Exchange"]),  # narrow: no shuffle, lambda exprs eval JVM-side (no codegen, by design)
     "events_sessionize": (["Window"], ["CartesianProduct"]),
 }
