@@ -1039,6 +1039,21 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+def q_text_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 docs per term-set query (two fixed 3-term queries
+    over corpus vocabulary). The oracle mirrors the exact double arithmetic
+    including the Python-side constant folds (k1+1 written as 1.2+1.0)."""
+    docs = _t(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [
+            (1, "scan"), (1, "column"), (1, "filter"),
+            (2, "window"), (2, "merge"), (2, "join"),
+        ],
+        "query_id int, term string",
+    )
+    return text_ops.bm25(docs, qt, top_k=10)
+
+
 def q_text_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return text_ops.token_stats(docs)
@@ -1445,7 +1460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_header_roundtrip": q_s3_header_roundtrip,
         "f8_case_list_render": q_f8_case_list_render,
         # --- tier 3 (past the 50-entry window): r1-proven parity rows
-        # (flagship_case_lists additionally runs via the entry() smoke) ---
+        # (flagship_case_lists additionally runs via the entry() smoke;
+        # text_bm25 is new this round — local check_parity proves it, rotate
+        # it into the window next round) ---
+        "text_bm25": q_text_bm25,
         "flagship_case_lists": flagship_case_lists,
         "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
         "dedup_exact": q_dedup_exact,
@@ -2825,6 +2843,43 @@ def oracle_sql() -> dict[str, str]:
             FROM hits
         """,
     }
+    d["text_bm25"] = f"""
+        WITH toks AS (
+            SELECT doc_id, lower(t) AS term
+            FROM (SELECT doc_id, {_TOKS} AS ts FROM documents), unnest(ts) AS u(t)
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT avg(dl) FROM dl) AS avgdl),
+        q(query_id, term) AS (
+            VALUES (1, 'scan'), (1, 'column'), (1, 'filter'),
+                   (2, 'window'), (2, 'merge'), (2, 'join')
+        ),
+        scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5)
+                            / (CAST(df AS DOUBLE) + 0.5))
+                   * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+            FROM tf
+            JOIN q USING (term)
+            JOIN dl USING (doc_id)
+            JOIN dfreq USING (term)
+            CROSS JOIN consts
+        ),
+        agg AS (
+            SELECT query_id, doc_id, round(sum(s), 6) AS bm25
+            FROM scored GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, bm25, CAST(rank AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
+              FROM agg)
+        WHERE rank <= 10
+    """
     d["text_tfidf"] = f"""
         WITH toks AS (
             SELECT doc_id, lower(t) AS term

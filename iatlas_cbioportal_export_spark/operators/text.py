@@ -190,6 +190,73 @@ def tf_idf(
     )
 
 
+def bm25(
+    df: DataFrame,
+    query_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 ranking of documents against term-set queries.
+
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``;
+    ``score(q,d) = Σ_t idf·tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
+
+    Plan shape: the (id, term) tf table and per-term df are the same
+    combiner-reduced aggregations as :func:`tf_idf`; corpus constants
+    (N, avgdl) are a one-row broadcast; the query-term table (small by
+    construction — queries are human-sized) broadcasts into the term join,
+    so the per-(query, doc) score is ONE map-side-combined sum. Raw text
+    never shuffles. Output: (query_id, id_col, bm25[, rank]).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("__tok")
+    ).select(F.col(id_col), F.lower("__tok").alias(term_col))
+    tf = toks.groupBy(id_col, term_col).agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    dfreq = tf.groupBy(term_col).agg(F.count(F.lit(1)).alias("__df"))
+    consts = df.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
+        toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__l")).agg(
+            F.avg("__l").alias("__avgdl")
+        )
+    )
+    q = query_terms.select(
+        F.col(query_id_col), F.lower(F.col(term_col)).alias(term_col)
+    ).distinct()
+    scored = (
+        tf.join(F.broadcast(q), term_col)
+        .join(doc_len, id_col)
+        .join(dfreq, term_col)
+        .crossJoin(F.broadcast(consts))
+    )
+    idf = F.log(
+        1.0
+        + (F.col("__n").cast("double") - F.col("__df") + 0.5)
+        / (F.col("__df").cast("double") + 0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+    per_term = idf * tf_d * (k1 + 1.0) / norm
+    out = (
+        scored.groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(per_term), 6).alias("bm25"))
+    )
+    if top_k is None:
+        return out
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return out.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+
+
 def corpus_language_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level report: predicted language × document count + mean hits.
     One shuffle on the (tiny-cardinality) language key."""

@@ -93,3 +93,30 @@ def test_tf_idf_scores_and_topk(spark):
     top1 = tf_idf(docs, top_k=1).collect()
     best = {r["doc_id"]: r["term"] for r in top1}
     assert best[1] == "apple" and best[2] == "cherry"
+
+
+def test_bm25_ranks_matching_docs(spark):
+    import math
+
+    from iatlas_cbioportal_export_spark.operators.text import bm25
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine"),
+            (3, "pandas only here"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(7, "spark")], "query_id int, term string")
+    out = bm25(docs, q, top_k=10).collect()
+    got = {r["doc_id"]: r["bm25"] for r in out}
+    # doc 3 has no query term -> absent
+    assert set(got) == {1, 2}
+    # doc 1 (tf=3) must outrank doc 2 (tf=1)
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    assert ranks[1] == 1 and ranks[2] == 2
+    # exact value for doc 2: N=3, df=2, tf=1, dl=2, avgdl=3
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    expect = round(idf * 1 * (1.2 + 1.0) / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / 3)), 6)
+    assert got[2] == expect
