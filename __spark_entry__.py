@@ -1054,6 +1054,17 @@ def q_text_bm25(spark, sf_dir):
     return text_ops.bm25(docs, qt, top_k=10)
 
 
+def q_stream_dedup_keys(spark, sf_dir):
+    """Batch twin of the streaming exact dedup (dropDuplicatesWithinWatermark
+    on streams — state bounded by the watermark; plain dropDuplicates here).
+    The deterministic surface is the distinct key set; stream==batch key-set
+    equality is pytest-asserted."""
+    from iatlas_cbioportal_export_spark.streaming.events import dedup_events
+
+    events = _t(spark, sf_dir, "events")
+    return dedup_events(events).select("user_id", "event_type")
+
+
 def q_text_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return text_ops.token_stats(docs)
@@ -1464,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text_bm25 is new this round — local check_parity proves it, rotate
         # it into the window next round) ---
         "text_bm25": q_text_bm25,
+        "stream_dedup_keys": q_stream_dedup_keys,
         "flagship_case_lists": flagship_case_lists,
         "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
         "dedup_exact": q_dedup_exact,
@@ -2843,6 +2855,9 @@ def oracle_sql() -> dict[str, str]:
             FROM hits
         """,
     }
+    d["stream_dedup_keys"] = """
+        SELECT DISTINCT user_id, event_type FROM events
+    """
     d["text_bm25"] = f"""
         WITH toks AS (
             SELECT doc_id, lower(t) AS term

@@ -91,6 +91,29 @@ def annotate_maf_stream(
     return drop_chrm(annotate(stream, annotator=annotator or fake_annotator))
 
 
+def dedup_events(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the continuous-ingestion form of the exact
+    dedup tier: on a stream, ``dropDuplicatesWithinWatermark`` keeps ONE row
+    per key with state bounded by the watermark (keys older than the
+    watermark are evicted, so state never grows unboundedly — the difference
+    from plain streaming ``dropDuplicates``, whose state is forever); on a
+    batch frame the same call site is a plain ``dropDuplicates``.
+    Stream/batch agnostic like :func:`hourly_event_counts`; the stream==batch
+    key-set equality is tested.
+    """
+    keys = list(key_cols)
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -262,3 +262,31 @@ def test_attribution_stream_equals_batch(spark, tmp_path):
         for r in spark.sql("select * from attr_test").collect()
     }
     assert got == batch
+
+
+def test_stream_dedup_keyset_equals_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first arrival per key (batch
+    dropDuplicates keeps an arbitrary one), so stream==batch is asserted on
+    the KEY SET — which is what dedup guarantees."""
+    from iatlas_cbioportal_export_spark.streaming.events import dedup_events
+
+    batch_df, path = _events(spark, tmp_path)
+    batch_keys = {
+        (r["user_id"], r["event_type"]) for r in dedup_events(batch_df).collect()
+    }
+    stream = stream_events_from_parquet(spark, path)
+    q = (
+        dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in spark.sql("select * from dedup_test").collect()
+    }
+    assert got == batch_keys
+    assert len(got) == 3  # (7,click),(7,view),(8,click)
