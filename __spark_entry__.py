@@ -1054,6 +1054,14 @@ def q_text_bm25(spark, sf_dir):
     return text_ops.bm25(docs, qt, top_k=10)
 
 
+def q_text_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (window 60, overlap 12): the
+    context-window preprocessing step of a training corpus. Pure narrow map
+    — the oracle rebuilds every chunk with the same slice arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(docs, chunk_tokens=60, overlap=12)
+
+
 def q_stream_dedup_keys(spark, sf_dir):
     """Batch twin of the streaming exact dedup (dropDuplicatesWithinWatermark
     on streams — state bounded by the watermark; plain dropDuplicates here).
@@ -1476,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # it into the window next round) ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
+        "text_chunking": q_text_chunking,
         "flagship_case_lists": flagship_case_lists,
         "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
         "dedup_exact": q_dedup_exact,
@@ -2857,6 +2866,27 @@ def oracle_sql() -> dict[str, str]:
     }
     d["stream_dedup_keys"] = """
         SELECT DISTINCT user_id, event_type FROM events
+    """
+    # window w=60, stride s=48 (overlap 12): chunk i = tokens [i*48, i*48+60)
+    d["text_chunking"] = f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKS} AS t, len({_TOKS}) AS n FROM documents
+        ),
+        chunked AS (
+            SELECT doc_id, t, CAST(i AS INT) AS chunk_id
+            FROM (
+                SELECT doc_id, t, n,
+                       CASE WHEN n <= 60 THEN 1
+                            ELSE (n - 60 + 47) // 48 + 1 END AS n_chunks
+                FROM base WHERE n > 0
+            ), unnest(range(0, n_chunks)) AS u(i)
+        )
+        SELECT doc_id, chunk_id,
+               CAST(len(t[chunk_id * 48 + 1 : chunk_id * 48 + 60]) AS INT)
+                   AS n_chunk_tokens,
+               array_to_string(t[chunk_id * 48 + 1 : chunk_id * 48 + 60], ' ')
+                   AS chunk_text
+        FROM chunked
     """
     d["text_bm25"] = f"""
         WITH toks AS (

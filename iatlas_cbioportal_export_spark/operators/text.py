@@ -257,6 +257,54 @@ def bm25(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 100,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the standard
+    context-window preprocessing for LLM training/embedding corpora).
+
+    Window ``w = chunk_tokens``, stride ``s = w - overlap``; chunk i covers
+    tokens ``[i·s, i·s + w)``; the last window starts at the smallest
+    multiple of ``s`` reaching the end, so every token lands in ≥ 1 chunk:
+    ``n_chunks = 1 if n ≤ w else ⌈(n-w)/s⌉ + 1`` (0 for empty docs).
+
+    Entirely narrow, JVM-side: tokens materialized ONCE per doc (not inside
+    the explode lambda — the measured O(tokens²) trap), chunk indices from
+    ``sequence``/``explode``, each chunk a ``slice`` + ``concat_ws``. No
+    shuffle at all — at 100 TB this is a pure map stage that composes with
+    any downstream partitioning. Output:
+    (id_col, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens ({chunk_tokens})"
+        )
+    w, s = chunk_tokens, chunk_tokens - overlap
+    base = df.select(F.col(id_col), T.tokens(text_col).alias("__toks")).select(
+        F.col(id_col), "__toks", F.size("__toks").alias("__n")
+    )
+    n = F.col("__n")
+    n_chunks = F.when(n <= w, F.lit(1)).otherwise(
+        F.floor((n - w + s - 1) / s).cast("int") + 1
+    )
+    chunked = base.filter(n > 0).select(
+        F.col(id_col),
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_id") * s + 1, w)
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
 def corpus_language_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level report: predicted language × document count + mean hits.
     One shuffle on the (tiny-cardinality) language key."""

@@ -120,3 +120,24 @@ def test_bm25_ranks_matching_docs(spark):
     idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
     expect = round(idf * 1 * (1.2 + 1.0) / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / 3)), 6)
     assert got[2] == expect
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    import pytest
+
+    from iatlas_cbioportal_export_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(7))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+           for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()}
+    # doc 1: 7 tokens, w=4, s=3 -> chunks [0:4), [3:7) -> 2 chunks
+    assert out[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert out[(1, 1)] == (4, "t3 t4 t5 t6")
+    # doc 2 fits in one window; doc 3 empty -> no chunks
+    assert out[(2, 0)] == (2, "a b")
+    assert {k[0] for k in out} == {1, 2}
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
