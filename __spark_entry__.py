@@ -1073,6 +1073,22 @@ def q_stream_dedup_keys(spark, sf_dir):
     return dedup_events(events).select("user_id", "event_type")
 
 
+def q_sim_quantize_codes(spark, sf_dir):
+    """Int8 scalar quantization of the embedding corpus (memory side of the
+    ANN scale path — codes are 4-8x smaller than the float vectors). Corpus
+    per-dimension ranges are KB-scale driver literals; encoding is a narrow
+    map. Codes emitted as a CSV string (scalar) for the first 50 vectors;
+    the oracle recomputes ranges and codes with identical double arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim_ops.scalar_quantize(emb, dim=64)
+    return q.filter(F.col("vec_id") < 50).select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.expr("transform(codes, c -> cast(c as string))")
+        ).alias("codes_csv"),
+    )
+
+
 def q_text_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return text_ops.token_stats(docs)
@@ -1485,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
         "text_chunking": q_text_chunking,
+        "sim_quantize_codes": q_sim_quantize_codes,
         "flagship_case_lists": flagship_case_lists,
         "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
         "dedup_exact": q_dedup_exact,
@@ -2887,6 +2904,29 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(t[chunk_id * 48 + 1 : chunk_id * 48 + 60], ' ')
                    AS chunk_text
         FROM chunked
+    """
+    d["sim_quantize_codes"] = """
+        WITH dims AS (SELECT unnest(range(1, 65)) AS pos),
+        vals AS (
+            SELECT pos,
+                   min(CAST(e.embedding[pos] AS DOUBLE)) AS mn,
+                   max(CAST(e.embedding[pos] AS DOUBLE)) AS mx
+            FROM embeddings e CROSS JOIN dims GROUP BY pos
+        ),
+        ranges AS (
+            SELECT list(mn ORDER BY pos) AS mins,
+                   list(CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END
+                        ORDER BY pos) AS spans
+            FROM vals
+        )
+        SELECT vec_id,
+               array_to_string(list_transform(range(1, 65),
+                   i -> CAST(CAST(round(
+                        (CAST(embedding[i] AS DOUBLE) - mins[i])
+                        / spans[i] * 255, 0) AS INT) AS VARCHAR)), ',')
+                   AS codes_csv
+        FROM embeddings, ranges
+        WHERE vec_id < 50
     """
     d["text_bm25"] = f"""
         WITH toks AS (

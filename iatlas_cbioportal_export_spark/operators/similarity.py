@@ -432,3 +432,91 @@ def embedding_near_duplicates(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def corpus_dim_ranges(
+    df: DataFrame, dim: int, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus — ONE aggregate whose
+    shuffle carries dim×2 doubles of combined state (posexplode + groupBy
+    position, map-side combined); only the 2×dim range vectors reach the
+    driver (kilobytes, like the IVF centroids)."""
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("__pos", "__val"))
+        .groupBy("__pos")
+        .agg(
+            F.min(F.col("__val").cast("double")).alias("__mn"),
+            F.max(F.col("__val").cast("double")).alias("__mx"),
+        )
+        .collect()
+    )
+    mins = [0.0] * dim
+    maxs = [0.0] * dim
+    for r in rows:
+        mins[r["__pos"]] = r["__mn"]
+        maxs[r["__pos"]] = r["__mx"]
+    return mins, maxs
+
+
+def scalar_quantize(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    ranges: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """Per-dimension scalar quantization of an embedding column — the
+    memory side of the ANN scale path (int8 codes are 4-8x smaller than
+    float32/64 vectors, which at 100 TB decides whether the candidate set
+    fits executor memory).
+
+    ``code_i = round((x_i - min_i) / (max_i - min_i) · (2^bits - 1))``
+    (0 where the dimension is constant). The (min, max) range vectors are
+    driver-collected kilobytes baked into the plan as literals, so encoding
+    is a NARROW map — no shuffle, no model table join. Output:
+    (id_col, codes array<int>).
+    """
+    levels = (1 << bits) - 1
+    mins, maxs = ranges if ranges is not None else corpus_dim_ranges(df, dim, vec_col)
+    mins_arr = F.array(*[F.lit(float(m)) for m in mins])
+    spans_arr = F.array(
+        *[F.lit(float(mx - mn) if mx > mn else 1.0) for mn, mx in zip(mins, maxs)]
+    )
+    codes = F.expr(
+        f"zip_with({vec_col}, zip_with(__mins, __spans, (mn, sp) -> struct(mn, sp)), "
+        f"(x, r) -> cast(round((cast(x as double) - r.mn) / r.sp * {levels}, 0) as int))"
+    )
+    return (
+        df.withColumn("__mins", mins_arr)
+        .withColumn("__spans", spans_arr)
+        .select(F.col(id_col), codes.alias("codes"))
+    )
+
+
+def dequantize(
+    quantized: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 8,
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`scalar_quantize`:
+    ``x̂_i = min_i + code_i · span_i / (2^bits - 1)`` — narrow map; feeds the
+    exact scorers (brute_force_topk etc.) for quantized-recall evaluation."""
+    levels = (1 << bits) - 1
+    mins_arr = F.array(*[F.lit(float(m)) for m in mins])
+    spans_arr = F.array(
+        *[F.lit(float(mx - mn) if mx > mn else 1.0) for mn, mx in zip(mins, maxs)]
+    )
+    vec = F.expr(
+        f"zip_with({codes_col}, zip_with(__mins, __spans, (mn, sp) -> struct(mn, sp)), "
+        f"(c, r) -> r.mn + cast(c as double) * r.sp / {levels})"
+    )
+    return (
+        quantized.withColumn("__mins", mins_arr)
+        .withColumn("__spans", spans_arr)
+        .withColumn(vec_col, vec)
+        .drop("__mins", "__spans", codes_col)
+    )

@@ -158,3 +158,34 @@ def test_embedding_near_dup_hot_bucket_cap(spark):
     # default cap: pair survives
     out = embedding_near_duplicates(df, dim=3, threshold=0.99, num_planes=4)
     assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 2)}
+
+
+def test_scalar_quantize_roundtrip_and_recall(spark, vectors):
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        corpus_dim_ranges,
+        dequantize,
+        scalar_quantize,
+    )
+
+    mins, maxs = corpus_dim_ranges(vectors, dim=8)
+    q = scalar_quantize(vectors, dim=8, ranges=(mins, maxs))
+    codes = {r["vec_id"]: r["codes"] for r in q.collect()}
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+    # reconstruction error bounded by half a quantization step per dim
+    deq = {r["vec_id"]: r["embedding"]
+           for r in dequantize(q, mins, maxs).collect()}
+    orig = {r["vec_id"]: r["embedding"] for r in vectors.collect()}
+    for vid, v in orig.items():
+        for i, (a, b) in enumerate(zip(v, deq[vid])):
+            span = (maxs[i] - mins[i]) or 1.0
+            assert abs(a - b) <= span / 255 / 2 + 1e-12
+    # int8-quantized brute-force top-3 keeps high recall vs exact
+    queries = vectors.filter("vec_id < 5")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(vectors, queries, k=3).collect()}
+    deq_df = dequantize(q, mins, maxs)
+    approx = {(r["query_id"], r["vec_id"])
+              for r in brute_force_topk(
+                  deq_df, deq_df.filter("vec_id < 5"), k=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"quantized recall {recall}"
