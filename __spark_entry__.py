@@ -1089,6 +1089,26 @@ def q_sim_quantize_codes(spark, sf_dir):
     )
 
 
+def q_data_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment + 20% subsampling by id-hash
+    bucket (reproducible across runs/partitionings/engines — unlike
+    rand(seed)-based sample()). The oracle reproduces the arithmetic hash
+    exactly, which is the point of the design."""
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    splits = hash_split(ids, "doc_id")
+    sampled = deterministic_sample(ids, "doc_id", 0.2).withColumn(
+        "in_sample", F.lit(True)
+    )
+    return splits.join(sampled, "doc_id", "left").select(
+        "doc_id", "split", F.coalesce("in_sample", F.lit(False)).alias("in_sample")
+    )
+
+
 def q_text_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return text_ops.token_stats(docs)
@@ -1502,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_keys": q_stream_dedup_keys,
         "text_chunking": q_text_chunking,
         "sim_quantize_codes": q_sim_quantize_codes,
+        "data_splits": q_data_splits,
         "flagship_case_lists": flagship_case_lists,
         "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
         "dedup_exact": q_dedup_exact,
@@ -2927,6 +2948,16 @@ def oracle_sql() -> dict[str, str]:
                    AS codes_csv
         FROM embeddings, ranges
         WHERE vec_id < 50
+    """
+    d["data_splits"] = """
+        SELECT doc_id,
+               CASE WHEN (doc_id * 2654435761 % 1000003) % 10000 < 9000
+                    THEN 'train'
+                    WHEN (doc_id * 2654435761 % 1000003) % 10000 < 9500
+                    THEN 'val'
+                    ELSE 'test' END AS split,
+               (doc_id * 2654435761 % 1000003) % 10000 < 2000 AS in_sample
+        FROM documents
     """
     d["text_bm25"] = f"""
         WITH toks AS (

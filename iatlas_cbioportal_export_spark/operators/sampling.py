@@ -1,0 +1,74 @@
+"""Deterministic sampling / splitting for training-data pipelines
+(north star §7 ext).
+
+``df.sample()`` / ``sampleBy()`` draw from ``rand(seed)``, whose stream is
+PARTITIONING-dependent — re-running after a repartition (or on a different
+cluster) selects different rows, which is unacceptable for reproducible
+training sets. These operators derive membership from a pure arithmetic
+hash of a stable id instead: the same row lands in the same
+sample/split on every run, any engine, any partitioning — and the hash is
+plain integer arithmetic, so an external system (or the DuckDB oracle) can
+reproduce the exact subset.
+
+Hash: ``h(id) = ((id + salt) · 2654435761) mod 1000003`` (Knuth
+multiplicative step into a prime modulus; the salt shifts the id BEFORE the
+multiply so even salt±1 decorrelates the selection; products stay < 2^63
+for any id < 2^31, so 64-bit arithmetic is exact in every engine).
+Bucket = ``h mod 10000`` gives 0.01% granularity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KNUTH = 2654435761
+_MOD = 1000003
+_BUCKETS = 10_000
+
+
+def _bucket(id_col: str, salt: int) -> Column:
+    return (
+        ((F.col(id_col).cast("long") + F.lit(salt)) * F.lit(_KNUTH)) % F.lit(_MOD)
+    ) % F.lit(_BUCKETS)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: int = 0
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, selected by id hash — reproducible across
+    runs, partitionings and engines (unlike ``df.sample``). Narrow filter;
+    pushes down to the scan like any predicate."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_bucket(id_col, salt) < int(round(fraction * _BUCKETS)))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float] | None = None,
+    salt: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic train/val/test (or custom) split
+    label by id-hash bucket ranges. Weights must sum to 1 (±1e-9); split
+    boundaries are cumulative bucket thresholds, so the assignment is stable
+    under any future re-run or re-partitioning. Narrow."""
+    weights = dict(weights or {"train": 0.9, "val": 0.05, "test": 0.05})
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = _bucket(id_col, salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < int(round(cum * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
