@@ -1109,6 +1109,23 @@ def q_data_splits(spark, sf_dir):
     )
 
 
+def q_source_mixture(spark, sf_dir):
+    """Source-mixture weighting: keep 80% of src0, 40% of src1, 10% of
+    everything else — per-stratum deterministic id-hash sampling (the
+    mixture-reweighting step of a training corpus), oracle-reproduced
+    exactly."""
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(
+        docs, "doc_id", "source",
+        fractions={"src0": 0.8, "src1": 0.4},
+        default_fraction=0.1,
+    )
+
+
 def q_text_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return text_ops.token_stats(docs)
@@ -1523,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunking": q_text_chunking,
         "sim_quantize_codes": q_sim_quantize_codes,
         "data_splits": q_data_splits,
+        "source_mixture": q_source_mixture,
         "flagship_case_lists": flagship_case_lists,
         "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
         "dedup_exact": q_dedup_exact,
@@ -2948,6 +2966,13 @@ def oracle_sql() -> dict[str, str]:
                    AS codes_csv
         FROM embeddings, ranges
         WHERE vec_id < 50
+    """
+    d["source_mixture"] = """
+        SELECT doc_id, source FROM documents
+        WHERE (doc_id * 2654435761 % 1000003) % 10000 <
+              CASE source WHEN 'src0' THEN 8000
+                          WHEN 'src1' THEN 4000
+                          ELSE 1000 END
     """
     d["data_splits"] = """
         SELECT doc_id,

@@ -46,6 +46,36 @@ def deterministic_sample(
     return df.filter(_bucket(id_col, salt) < int(round(fraction * _BUCKETS)))
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the source-mixture weighting
+    step of a training-data pipeline (keep 80% of source A, 5% of source B,
+    drop the rest). Same id-hash membership as
+    :func:`deterministic_sample`, with the keep-threshold chosen per stratum
+    value; strata not listed get ``default_fraction``. Narrow filter —
+    reproducible and oracle-expressible like the unstratified form."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1], got {frac}")
+    bucket = _bucket(id_col, salt)
+    threshold = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        lit = F.lit(int(round(frac * _BUCKETS)))
+        threshold = (
+            F.when(cond, lit) if threshold is None else threshold.when(cond, lit)
+        )
+    default_lit = F.lit(int(round(default_fraction * _BUCKETS)))
+    threshold = default_lit if threshold is None else threshold.otherwise(default_lit)
+    return df.filter(bucket < threshold)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
