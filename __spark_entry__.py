@@ -1089,6 +1089,23 @@ def q_sim_quantize_codes(spark, sf_dir):
     )
 
 
+def q_sim_pq_codes(spark, sf_dir):
+    """Product quantization (m=8 subvectors, k=16 seeded codebooks = 32
+    bits/vector): codes for the first 50 vectors, CSV-scalarized. Codebooks
+    are the deterministic low-id seeds, so the oracle rebuilds them and the
+    argmin per subvector in SQL — identical fold order and (d2, c) tiebreak
+    on both sides."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = sim_ops.pq_seed_codebooks(emb, dim=64, m=8, k=16)
+    enc = sim_ops.pq_encode(emb.filter(F.col("vec_id") < 50), books)
+    return enc.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.expr("transform(codes, c -> cast(c as string))")
+        ).alias("codes_csv"),
+    )
+
+
 def q_data_splits(spark, sf_dir):
     """Deterministic train/val/test assignment + 20% subsampling by id-hash
     bucket (reproducible across runs/partitionings/engines — unlike
@@ -1541,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_quantize_codes": q_sim_quantize_codes,
         "data_splits": q_data_splits,
         "source_mixture": q_source_mixture,
+        "sim_pq_codes": q_sim_pq_codes,
         "flagship_case_lists": flagship_case_lists,
         "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
         "dedup_exact": q_dedup_exact,
@@ -2966,6 +2984,38 @@ def oracle_sql() -> dict[str, str]:
                    AS codes_csv
         FROM embeddings, ranges
         WHERE vec_id < 50
+    """
+    d["sim_pq_codes"] = """
+        WITH cb AS (
+            SELECT vec_id AS c,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings WHERE vec_id < 16
+        ),
+        v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+            FROM embeddings WHERE vec_id < 50
+        ),
+        sub AS (SELECT unnest(range(0, 8)) AS j),
+        dists AS (
+            SELECT v.vec_id, sub.j, cb.c,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 9),
+                           i -> (ev[j * 8 + i] - cv[j * 8 + i])
+                                * (ev[j * 8 + i] - cv[j * 8 + i]))),
+                       (a, b) -> a + b) AS d2
+            FROM v CROSS JOIN sub CROSS JOIN cb
+        ),
+        best AS (
+            SELECT vec_id, j, c FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        )
+        SELECT vec_id,
+               string_agg(CAST(c AS VARCHAR), ',' ORDER BY j) AS codes_csv
+        FROM best GROUP BY vec_id
     """
     d["source_mixture"] = """
         SELECT doc_id, source FROM documents

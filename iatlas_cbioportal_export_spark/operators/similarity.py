@@ -520,3 +520,92 @@ def dequantize(
         .withColumn(vec_col, vec)
         .drop("__mins", "__spans", codes_col)
     )
+
+
+def pq_seed_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Seeded product-quantization codebooks: subvector j's codebook is the
+    j-th subvector of the k lowest-id corpus vectors (deterministic — the
+    same seeding rule as :func:`ivf_topk`; a production build Lloyd-refines
+    each codebook with :func:`kmeans_centroids` over the subvector slices,
+    identical plan shape). Driver-collected kilobytes: m·k·(dim/m) doubles.
+    Returns codebooks[j][c] = centroid vector (length dim/m)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    rows = df.select(vec_col, id_col).orderBy(id_col).limit(k).collect()
+    return [
+        [[float(x) for x in row[vec_col][j * d : (j + 1) * d]] for row in rows]
+        for j in range(m)
+    ]
+
+
+def _pq_codes_expr(
+    vec_col: str, codebooks: list[list[list[float]]]
+) -> Column:
+    """codes[j] = argmin_c ||subvec_j - codebook[j][c]||² as ONE parsed
+    expression (the hyperplane-matrix trick: literal nested arrays inside a
+    single F.expr, not thousands of py4j Column objects). Ties break on the
+    lower centroid index — array_min over (dist, c) structs."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    subs = []
+    for j, book in enumerate(codebooks):
+        cents = ",".join(
+            "named_struct('d2', aggregate(zip_with("
+            f"slice({vec_col}, {j * d + 1}, {d}), "
+            "array(" + ",".join(f"{x!r}D" for x in cv) + "), "
+            "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+            f"0.0D, (a, b) -> a + b), 'c', {c})"
+            for c, cv in enumerate(book)
+        )
+        subs.append(f"array_min(array({cents})).c")
+    return F.expr("array(" + ",".join(f"cast({s} as int)" for s in subs) + ")")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantize vectors to m centroid indices — with k=16 codebooks
+    that is m·4 bits per vector (16-64x smaller than float32), the standard
+    billion-scale ANN memory layout. Codebooks are plan literals, so
+    encoding is a NARROW map: no shuffle, no model join. Output:
+    (id_col, codes array<int>)."""
+    return df.select(
+        F.col(id_col), _pq_codes_expr(vec_col, codebooks).alias("codes")
+    )
+
+
+def pq_reconstruct(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Decode PQ codes back to the concatenated centroid vectors (the
+    implicit vectors an ADC scan scores against) — narrow map over literal
+    codebooks; feeds the exact scorers for recall evaluation."""
+    m = len(codebooks)
+    books_sql = ",".join(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in cv) + ")" for cv in book
+        )
+        + ")"
+        for book in codebooks
+    )
+    expr = (
+        f"flatten(transform(sequence(0, {m - 1}), "
+        f"j -> element_at(array({books_sql}), j + 1)"
+        f"[{codes_col}[j]]))"
+    )
+    return encoded.withColumn(vec_col, F.expr(expr)).drop(codes_col)

@@ -189,3 +189,33 @@ def test_scalar_quantize_roundtrip_and_recall(spark, vectors):
                   deq_df, deq_df.filter("vec_id < 5"), k=3).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"quantized recall {recall}"
+
+
+def test_pq_encode_reconstruct_recall(spark, vectors):
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        pq_encode,
+        pq_reconstruct,
+        pq_seed_codebooks,
+    )
+
+    books = pq_seed_codebooks(vectors, dim=8, m=4, k=8)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 2
+    enc = pq_encode(vectors, books)
+    codes = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert all(len(cs) == 4 and all(0 <= c < 8 for c in cs) for cs in codes.values())
+    # seed vectors encode to themselves in the DISTINCTIVE subvector: the
+    # fixture's dims 2..7 are all zero, so those subvectors tie across every
+    # centroid and resolve to index 0 (deterministic low-index tiebreak);
+    # subvector 0 ([cos, sin], unique per vector) must hit its own centroid
+    for vid in range(8):
+        assert codes[vid][0] == vid
+        assert codes[vid][1:] == [0, 0, 0]
+    # reconstructed vectors keep reasonable top-3 recall vs exact
+    rec = pq_reconstruct(enc, books)
+    queries = vectors.filter("vec_id < 5")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(vectors, queries, k=3).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in brute_force_topk(rec, rec.filter("vec_id < 5"), k=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"PQ recall {recall}"
