@@ -129,6 +129,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # dedup stage joins keepers back by semi-join; no fact-side blowup
     "curation_pipeline": (["LeftSemi"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "text_tfidf": (["HashAggregate", "Window"], ["CartesianProduct"]),
+    # quantization encodes and hash-sampling are NARROW maps/filters — a
+    # shuffle anywhere in these plans is a design regression
+    "sim_quantize_codes": (["Scan parquet"], ["Exchange"]),
+    "sim_pq_codes": (["Scan parquet"], ["Exchange"]),
+    "data_splits": (["Scan parquet"], ["CartesianProduct"]),
+    "source_mixture": (["Scan parquet", "PushedFilters"], ["Exchange"]),
+    "text_chunking": (["Generate", "Scan parquet"], ["Exchange"]),
     "text_token_stats": (["Scan parquet"], ["Exchange"]),  # narrow: no shuffle, lambda exprs eval JVM-side (no codegen, by design)
     "events_sessionize": (["Window"], ["CartesianProduct"]),
 }
