@@ -81,9 +81,25 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if "/" not in a]
-    spark = get_spark("parity-check")
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
+    if plain:
+        # Mimic the driver's harness: a bare session with none of the
+        # engine confs from session.get_spark — queries must self-apply
+        # whatever they need at runtime.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("parity-check-plain")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.driver.memory", "8g")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("parity-check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
