@@ -79,8 +79,10 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     driver's correctness harness builds its own plain session, where none of
     ``session.py::get_spark``'s configuration applies.
 
-    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which a
-      vanilla session rejects with PARQUET_TYPE_ILLEGAL.
+    - ``nanosAsLong``: guards against events.parquet stored with
+      TIMESTAMP(NANOS), which a vanilla session rejects with
+      PARQUET_TYPE_ILLEGAL (the round-1 testdata did this; the conf is a
+      no-op for MICROS/MILLIS data, so it is safe to keep setting).
     - ``excludedRules``: InferFiltersFromGenerate re-inlines expensive
       shingle/token expressions into a pushed-down pre-explode filter —
       measured 3-5x on the dedup sketches (see session.py).
@@ -90,6 +92,10 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """
     wanted = {
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Deterministic wall-clock semantics for the events queries under
+        # any session (ntz→ltz casts and date functions otherwise depend on
+        # the harness JVM's default zone).
+        "spark.sql.session.timeZone": "UTC",
         "spark.sql.optimizer.excludedRules": (
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
         ),
@@ -107,8 +113,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # truncate ns → µs (same truncation DuckDB applies)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # The driver's testdata has stored ``ts`` two ways across rounds:
+        # TIMESTAMP(NANOS) (round 1 — surfaces as bigint under nanosAsLong)
+        # and TIMESTAMP(MICROS) (round 2 — surfaces natively as a timestamp
+        # type). Normalize both to timestamp_ntz, truncating ns → µs in the
+        # long case (the same truncation DuckDB applies), so every events
+        # query sees one stable schema under any session.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes)["ts"] != "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

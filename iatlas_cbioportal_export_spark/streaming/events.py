@@ -208,12 +208,15 @@ def sessionize(
     """
     w_user = Window.partitionBy(user_col).orderBy(ts_col)
     gap_sec = gap_minutes * 60
+    # timestamp_ntz cannot cast directly to long (Spark 4 forbids it); going
+    # through "timestamp" first works for both ntz and ltz inputs (the ntz →
+    # ltz cast interprets wall time in the session zone — pinned to UTC by
+    # the callers' _ensure_session_confs, so this equals DuckDB's epoch()).
+    epoch_sec = F.col(ts_col).cast("timestamp").cast("long")
     with_breaks = events.withColumn(
         "__new_session",
         F.when(
-            F.col(ts_col).cast("long")
-            - F.lag(F.col(ts_col).cast("long")).over(w_user)
-            > gap_sec,
+            epoch_sec - F.lag(epoch_sec).over(w_user) > gap_sec,
             1,
         )
         .otherwise(0),
