@@ -998,8 +998,17 @@ def q_dedup_components(spark, sf_dir):
             "label",
         )
 
-    corpus = emb.unionByName(scaled(1_000_000, 1.5)).unionByName(
-        scaled(2_000_000, 2.25)
+    # The corpus is constant-size by construction (120 rows at every SF), but
+    # the LSH operator's DAG references it from four subtrees (signature,
+    # bucket-size semi-join, self-join, vector fetch-back) and each re-derives
+    # the 3-way union + transform lineage across dozens of AQE micro-stages —
+    # measured 17s of pure stage overhead at sf0.01. One partition + lineage
+    # truncation collapses that to <5s without touching the operator.
+    corpus = (
+        emb.unionByName(scaled(1_000_000, 1.5))
+        .unionByName(scaled(2_000_000, 2.25))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     # Materialize the pair list once through the driver: it is provably tiny
     # here (30 planted pairs) and the component loop must not re-execute the
