@@ -15,15 +15,16 @@ This is min-label propagation over the candidate-pair graph, DataFrame-native:
 
 Rounds needed = graph diameter. Near-dup components are overwhelmingly tiny
 cliques/chains (diameter ≤ 3), so the loop is 2-4 rounds in practice; the
-``max_iterations`` guard bounds pathological chains. The classic
-alternating large-star/small-star optimization (MapReduce connected
-components) halves round count on long chains but adds two joins per round
-— for dup-cluster shapes the plain min-propagation plan wins.
+``max_iterations`` guard bounds pathological chains. For long-chain graphs
+(diameter ≫ log n) use :func:`connected_components_star` — the alternating
+large-star/small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC 2014) converges in O(log² n) rounds regardless
+of diameter, at the cost of one extra shuffle per round.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -91,7 +92,115 @@ def connected_components(
         labels = updated.drop("__changed")
         if n_changed == 0:
             break
+    else:
+        # Unconverged labels are silently WRONG (nodes farther than
+        # max_iterations hops from their component's min keep a stale
+        # label) — fail loudly rather than return them.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (graph distance-to-min exceeds the budget); raise "
+            "max_iterations or use connected_components_star, which "
+            "converges in O(log^2 n) rounds regardless of diameter"
+        )
     return labels.select("id", F.col("label").alias("component_id"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Components via alternating large-star / small-star (Kiveris et al.,
+    SoCC 2014) — same contract as :func:`connected_components` (returns
+    (id, component_id), component_id = min id), but converges in O(log² n)
+    rounds independent of graph diameter, where min-label propagation needs
+    diameter rounds. Prefer this when components can be long chains (e.g.
+    transitive near-dup runs in sorted/sharded corpora); for tiny-clique
+    dup graphs the plain min-label loop does fewer shuffles total.
+
+    Per round, each star op is ONE shuffle: the neighborhood minimum is a
+    ``min().over(Window.partitionBy(node))`` — no groupBy-plus-join-back —
+    and only (node, node) long pairs ever move. Convergence is checked with
+    a single aggregate scalar (count + order-insensitive hash-sum of the
+    edge set) instead of a full set-difference job.
+
+    - large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u});
+    - small-star: every smaller-or-equal neighbor (and u itself) links to
+      m(u).
+
+    At the fixpoint the edge set is a union of stars rooted at each
+    component's minimum id.
+    """
+    # Canonical directed form (big → small); lineage truncated as in
+    # connected_components so rounds never re-derive the pair-producing DAG.
+    edges = (
+        pairs.select(
+            F.greatest(F.col(left_col), F.col(right_col)).alias("u"),
+            F.least(F.col(left_col), F.col(right_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_ids = edges.select(F.col("u").alias("id")).union(
+        edges.select("v")
+    ).distinct().localCheckpoint(eager=True)
+
+    def _signature(e: DataFrame) -> tuple[int, int]:
+        # decimal(38,0) accumulator: a long sum of 64-bit hashes overflows
+        # (and under ANSI mode throws) after a handful of edges
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = _signature(edges)
+    for _ in range(max_iterations):
+        # large-star over the undirected neighbor list
+        nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        w = Window.partitionBy("u")
+        m = F.least(F.col("u"), F.min("v").over(w))
+        large = (
+            nbrs.withColumn("m", m)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over the directed (big → small) list; emits (v, m) for
+        # every small neighbor plus (u, m) — skipping self-loops on m itself
+        small_nbrs = large  # large-star output is already big → small
+        sm = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
+        with_min = small_nbrs.withColumn("m", sm)
+        # both emits ((v, m) and (u, m)) in ONE pass over the window output —
+        # a union of two selects would recompute the large-star subtree twice
+        small = (
+            with_min.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        edges = small.localCheckpoint(eager=True)
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return (
+        all_ids.join(edges.withColumnsRenamed({"u": "id", "v": "component_id"}),
+                     on="id", how="left")
+        .select(
+            "id",
+            F.coalesce(F.col("component_id"), F.col("id")).alias("component_id"),
+        )
+    )
 
 
 def dedup_components(
@@ -101,13 +210,24 @@ def dedup_components(
     left_col: str = "id_a",
     right_col: str = "id_b",
     max_iterations: int = 10,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Label EVERY corpus id with its dedup component (singletons keep their
     own id) and mark the kept representative. Output:
-    (id, component_id, is_keeper)."""
-    comps = connected_components(
-        pairs, left_col=left_col, right_col=right_col, max_iterations=max_iterations
-    )
+    (id, component_id, is_keeper). ``algorithm``: "minlabel" (diameter
+    rounds — right for tiny dup cliques) or "star" (O(log² n) rounds — right
+    when components can be long chains)."""
+    if algorithm == "star":
+        comps = connected_components_star(
+            pairs, left_col=left_col, right_col=right_col
+        )
+    else:
+        comps = connected_components(
+            pairs,
+            left_col=left_col,
+            right_col=right_col,
+            max_iterations=max_iterations,
+        )
     return (
         corpus_ids.select(F.col(id_col).alias("id"))
         .join(comps, on="id", how="left")

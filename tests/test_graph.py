@@ -1,7 +1,10 @@
 """Connected components / dedup clustering over near-dup pair lists."""
 
+import random
+
 from iatlas_cbioportal_export_spark.operators.graph import (
     connected_components,
+    connected_components_star,
     dedup_components,
 )
 
@@ -29,6 +32,95 @@ def test_dedup_components_singletons_and_keepers(spark):
         for r in dedup_components(pairs, corpus, id_col="doc_id").collect()
     }
     assert out == {1: (1, True), 2: (1, False), 3: (3, True)}
+
+
+def _ref_components(edges):
+    """Driver-side union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_star_matches_minlabel_on_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40 + 10 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        expected = _ref_components(edges)
+        star = {
+            r["id"]: r["component_id"]
+            for r in connected_components_star(pairs).collect()
+        }
+        minlabel = {
+            r["id"]: r["component_id"]
+            for r in connected_components(pairs, max_iterations=60).collect()
+        }
+        assert star == expected
+        assert minlabel == expected
+
+
+def test_star_long_chain_beats_minlabel_round_budget(spark):
+    # diameter-40 chain: min-label needs 40 rounds; star converges well
+    # inside its default O(log^2 n) budget of 25
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: r["component_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert set(out.values()) == {0}
+    assert len(out) == 41
+
+
+def test_star_clique_and_islands(spark):
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)] + [(100, 101)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {
+        r["id"]: r["component_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert out == {**{i: 0 for i in range(5)}, 100: 100, 101: 100}
+
+
+def test_star_direction_agnostic(spark):
+    pairs = spark.createDataFrame([(5, 2), (2, 9)], "id_a long, id_b long")
+    out = {
+        r["id"]: r["component_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert out == {2: 2, 5: 2, 9: 2}
+
+
+def test_minlabel_raises_instead_of_silently_wrong(spark):
+    # distance-to-min 15 > budget 3: must raise, never return stale labels
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=3)
+
+
+def test_star_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(pairs).count() == 0
 
 
 def test_long_chain_converges(spark):
