@@ -29,6 +29,7 @@ from iatlas_cbioportal_export_spark.functions.scalar import (
 )
 from iatlas_cbioportal_export_spark.operators import (
     aggregates as agg_ops,
+    curation as cur_ops,
     dedup as dedup_ops,
     filters as filter_ops,
     joins as join_ops,
@@ -1052,6 +1053,79 @@ def q_text_top_ngrams(spark, sf_dir):
     return text_ops.top_ngrams(docs, n=2, k=20)
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII redaction over the corpus. The synthetic text contains no PII, so
+    each doc gets a deterministic planted suffix (email + IPv4 + phone
+    derived from doc_id); redaction must replace all three with typed tokens
+    and count them — value-hash checked including the full redacted text."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    return cur_ops.redact_pii(planted)
+
+
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 50 == 0 form the
+    benchmark; docs with doc_id % 7 == 3 get benchmark doc 0's first 8 words
+    appended, so exactly those (plus benchmark members, which share all
+    their own 8-grams) must flag contaminated — n_hits value-hash checked."""
+    from iatlas_cbioportal_export_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    snip = bench.filter(F.col("doc_id") == 0).select(
+        F.concat_ws(" ", F.slice(T.tokens("text"), 1, 8)).alias("__snip")
+    )
+    planted = docs.crossJoin(F.broadcast(snip)).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat_ws(" ", F.col("text"), F.col("__snip"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return cur_ops.decontaminate(planted, bench, n=8)
+
+
+def q_repetition_removal(spark, sf_dir):
+    """Intra-document repetition removal: docs with doc_id % 3 == 0 are
+    rebuilt as [text, text, tail, text] paragraphs (2 repeats), the rest as
+    [text, tail] (0 repeats); first occurrences must survive in order —
+    full cleaned text value-hash checked."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws(
+                "\n", F.col("text"), F.col("text"), F.lit("tail marker"), F.col("text")
+            ),
+        )
+        .otherwise(F.concat_ws("\n", F.col("text"), F.lit("tail marker")))
+        .alias("text"),
+    )
+    return cur_ops.remove_repeated_paragraphs(planted)
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style quality gates straight over the corpus (no planting
+    needed — word counts straddle the min-words threshold, so the pass/fail
+    mix is data-dependent and every metric is value-hash checked)."""
+    docs = _t(spark, sf_dir, "documents")
+    return cur_ops.gopher_quality(docs)
+
+
 def q_text_tfidf(spark, sf_dir):
     """Top-5 TF-IDF terms per document (smoothed idf, deterministic
     tf_idf-desc/term-asc tiebreak). The oracle repeats the identical double
@@ -1607,6 +1681,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": q_source_mixture,
         "sim_pq_codes": q_sim_pq_codes,
         "dedup_components_star": q_dedup_components_star,
+        "pii_redaction": q_pii_redaction,
+        "decontamination": q_decontamination,
+        "repetition_removal": q_repetition_removal,
+        "gopher_quality": q_gopher_quality,
         "flagship_case_lists": flagship_case_lists,
         "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
         "dedup_exact": q_dedup_exact,
@@ -3171,4 +3249,121 @@ def oracle_sql() -> dict[str, str]:
     # identical planted-trio contract, different component algorithm —
     # one oracle pins both
     d["dedup_components_star"] = d["dedup_components"]
+    # --- corpus curation ---------------------------------------------------
+    _PII_PLANT = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7 call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' end'"
+    )
+    _RX_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _RX_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    _RX_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+    d["pii_redaction"] = f"""
+        WITH planted AS (SELECT doc_id, {_PII_PLANT} AS text FROM documents)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_RX_EMAIL}', '<EMAIL>', 'g'),
+                   '{_RX_IP}', '<IP>', 'g'),
+                   '{_RX_PHONE}', '<PHONE>', 'g') AS text_redacted,
+               len(regexp_extract_all(text, '{_RX_EMAIL}')) AS n_email,
+               len(regexp_extract_all(text, '{_RX_IP}')) AS n_ipv4,
+               len(regexp_extract_all(text, '{_RX_PHONE}')) AS n_phone
+        FROM planted
+    """
+    # 8-gram machinery mirrors the Spark helper: docs shorter than n tokens
+    # contribute their whole token sequence as one gram
+    _GRAMS8 = (
+        "list_transform(range(1, greatest(len(t) - 7, 1) + 1),"
+        " i -> array_to_string(t[i:i+7], ' '))"
+    )
+    d["decontamination"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        snip AS (SELECT array_to_string(t[1:8], ' ') AS s FROM toks WHERE doc_id = 0),
+        planted AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 7 = 3 THEN d.text || ' ' || snip.s
+                        ELSE d.text END AS text
+            FROM documents d, snip
+        ),
+        ptoks AS (SELECT doc_id, {_TOKS} AS t FROM planted),
+        dgrams AS (
+            SELECT DISTINCT doc_id, g
+            FROM (SELECT doc_id, {_GRAMS8} AS gs FROM ptoks), unnest(gs) AS u(g)
+        ),
+        bgrams AS (
+            SELECT DISTINCT g
+            FROM (SELECT {_GRAMS8} AS gs FROM toks WHERE doc_id % 50 = 0),
+                 unnest(gs) AS u(g)
+        ),
+        hits AS (
+            SELECT doc_id, count(*) AS n_hits
+            FROM dgrams JOIN bgrams USING (g) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(h.n_hits, 0) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+    d["repetition_removal"] = """
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN text || chr(10) || text || chr(10)
+                             || 'tail marker' || chr(10) || text
+                        ELSE text || chr(10) || 'tail marker' END AS text
+            FROM documents
+        ),
+        parts AS (SELECT doc_id, string_split(text, chr(10)) AS p FROM planted),
+        ex AS (
+            SELECT doc_id, i, p[i] AS part
+            FROM parts, unnest(range(1, len(p) + 1)) AS r(i)
+        ),
+        firsts AS (
+            SELECT doc_id, part, min(i) AS fi FROM ex GROUP BY doc_id, part
+        )
+        SELECT f.doc_id,
+               string_agg(f.part, chr(10) ORDER BY f.fi) AS text_clean,
+               any_value(len(p.p)) AS n_paragraphs,
+               CAST(any_value(len(p.p)) - count(*) AS INT) AS n_removed
+        FROM firsts f JOIN parts p USING (doc_id)
+        GROUP BY f.doc_id
+    """
+    _STOPLIST = "['the','and','of','to','a','in','is','it','that','for']"
+    d["gopher_quality"] = f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(t) AS n_words,
+                   round(CASE WHEN len(t) > 0
+                         THEN CAST(list_aggregate(list_transform(t,
+                              x -> length(x)), 'sum') AS DOUBLE) / len(t)
+                         ELSE 0.0 END, 4) AS mean_word_len,
+                   round(CASE WHEN len(t) > 0
+                         THEN CAST(len(regexp_extract_all(text, '(#|\\.\\.\\.)'))
+                              AS DOUBLE) / len(t)
+                         ELSE 0.0 END, 4) AS symbol_ratio,
+                   round(CASE WHEN len(t) > 0
+                         THEN CAST(len(list_filter(t,
+                              x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                              / len(t)
+                         ELSE 0.0 END, 4) AS alpha_word_ratio,
+                   len(list_filter(t,
+                       x -> list_contains({_STOPLIST}, lower(x))))
+                       AS n_stopword_hits
+            FROM t
+        )
+        SELECT *,
+               n_words BETWEEN 50 AND 100000 AS ok_word_count,
+               mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+               symbol_ratio <= 0.1 AS ok_symbol_ratio,
+               alpha_word_ratio >= 0.8 AS ok_alpha_words,
+               n_stopword_hits >= 2 AS ok_stopwords,
+               (n_words BETWEEN 50 AND 100000)
+                   AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                   AND symbol_ratio <= 0.1
+                   AND alpha_word_ratio >= 0.8
+                   AND n_stopword_hits >= 2 AS passes
+        FROM m
+    """
     return d

@@ -1,0 +1,188 @@
+"""Corpus-curation operators for LLM training-data pipelines (north star
+§7 ext): PII redaction, benchmark decontamination, intra-document
+repetition removal, and Gopher-style quality gates.
+
+All four are the standard pre-training curation passes that sit between raw
+ingestion and dedup/mixing. Everything here is built from JVM-side
+expressions (regexp, array ops, broadcast semi-joins) — no Python UDFs:
+
+- :func:`redact_pii` and :func:`remove_repeated_paragraphs` are NARROW
+  (pure per-row maps, zero shuffle — they scale linearly with input splits);
+- :func:`gopher_quality` is narrow likewise;
+- :func:`decontaminate` shuffles only (doc_id, one count) after a broadcast
+  semi-join against the benchmark n-gram set — document text never moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iatlas_cbioportal_export_spark.functions import text as T
+
+# RE2-compatible (no lookaround), identical semantics in Java regex and the
+# DuckDB oracle. Order of application: emails first (an email's host could
+# otherwise be chewed up by a later pattern), then IPv4, then phones.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Replace emails / IPv4 addresses / phone numbers with typed
+    placeholder tokens and count each category. Narrow (no shuffle); each
+    pattern is one codegen'd ``regexp_replace`` + ``regexp_count`` pass.
+    Output: (id, text_redacted, n_email, n_ipv4, n_phone)."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(rx)).alias(f"n_{name}")
+        for name, rx, _ in PII_PATTERNS
+    ]
+    redacted: Column = F.col(text_col)
+    for _, rx, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, rx, token)
+    return df.select(id_col, redacted.alias("text_redacted"), *counts)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with a benchmark
+    (eval-set) corpus — the standard decontamination pass before training.
+
+    Scale shape: the benchmark n-gram set is small by definition (eval sets
+    are KB-GB, the corpus is TB) — it is distinct'd and BROADCAST; training
+    docs explode their distinct n-grams map-side, inner-join the broadcast
+    set, and only (doc_id, 1) survivor pairs reach the single count
+    aggregation. Document text never shuffles; docs with zero hits are
+    restored by a left join against the (tiny) hit table.
+    Output: (doc_id, n_hits, contaminated).
+    """
+    bench_grams = (
+        benchmark.select(T.tokens(bench_text_col).alias("__toks"))
+        .select(F.explode(T.word_ngrams_of_tokens(F.col("__toks"), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = (
+        docs.select(F.col(id_col).alias("doc_id"), T.tokens(text_col).alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(T.word_ngrams_of_tokens(F.col("__toks"), n))
+            ).alias("gram"),
+        )
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), on="gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def remove_repeated_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Drop repeated paragraphs within each document, keeping the FIRST
+    occurrence in order (boilerplate/navigation repetition removal).
+
+    Narrow: ``split`` → ``array_distinct`` (documented to preserve
+    first-occurrence order) → ``array_join``. No shuffle, no UDF.
+    Output: (id, text_clean, n_paragraphs, n_removed)."""
+    parts = F.split(F.col(text_col), F.lit(sep), -1)
+    kept = F.array_distinct(parts)
+    return df.select(
+        id_col,
+        F.array_join(kept, sep).alias("text_clean"),
+        F.size(parts).alias("n_paragraphs"),
+        (F.size(parts) - F.size(kept)).alias("n_removed"),
+    )
+
+
+# Gopher rule thresholds (Rae et al. 2021, Table A1 subset) — the widely
+# reused cheap quality gates. Tuned constants are parameters, not magic.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+) -> DataFrame:
+    """Gopher-style per-document quality gates. One narrow projection; the
+    token array is bound once (see ``word_ngrams_of_tokens`` for why) and
+    every rule is a JVM expression over it. Output: per-rule metrics +
+    booleans + overall ``passes``."""
+    base = df.select(id_col, F.col(text_col).alias("__text"), T.tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    n_words = F.size(toks)
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
+            "double"
+        )
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    # symbol ratio: '#' and ellipsis occurrences per word
+    n_symbols = F.regexp_count(F.col("__text"), F.lit(r"(#|\.\.\.)"))
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words > 0, n_alpha_words / n_words).otherwise(F.lit(0.0))
+    n_stop = T.stopword_hits_of_tokens(toks, "en")
+    metrics = base.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        n_stop.alias("n_stopword_hits"),
+    )
+    rules = metrics.select(
+        "*",
+        F.col("n_words").between(min_words, max_words).alias("ok_word_count"),
+        F.col("mean_word_len")
+        .between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        .alias("ok_mean_word_len"),
+        (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO).alias("ok_symbol_ratio"),
+        (F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_WORD_RATIO).alias(
+            "ok_alpha_words"
+        ),
+        (F.col("n_stopword_hits") >= GOPHER_MIN_STOPWORD_HITS).alias("ok_stopwords"),
+    )
+    return rules.select(
+        "*",
+        (
+            F.col("ok_word_count")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_symbol_ratio")
+            & F.col("ok_alpha_words")
+            & F.col("ok_stopwords")
+        ).alias("passes"),
+    )

@@ -1,0 +1,97 @@
+"""Corpus-curation operators: PII redaction, decontamination, repetition
+removal, Gopher quality gates."""
+
+from iatlas_cbioportal_export_spark.operators.curation import (
+    decontaminate,
+    gopher_quality,
+    redact_pii,
+    remove_repeated_paragraphs,
+)
+
+
+def test_redact_pii_all_categories(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to bob@example.com or 10.0.0.1 or 555-123-4567 now"),
+            (2, "no pii here"),
+            (3, "two mails a@b.io c@d.org and 192.168.1.255"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["text_redacted"] == "write to <EMAIL> or <IP> or <PHONE> now"
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[2]["text_redacted"] == "no pii here"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[3]["text_redacted"] == "two mails <EMAIL> <EMAIL> and <IP>"
+    assert out[3]["n_email"] == 2 and out[3]["n_ipv4"] == 1
+
+
+def test_redact_pii_email_host_not_rechewed(spark):
+    # the email replacement runs before IP/phone so its host digits can't
+    # be re-matched
+    df = spark.createDataFrame(
+        [(1, "x 1.2.3.4@mail.com y")], "doc_id long, text string"
+    )
+    row = redact_pii(df).collect()[0]
+    assert row["text_redacted"] == "x <EMAIL> y"
+    assert row["n_ipv4"] == 1  # counts are per-pattern on the ORIGINAL text
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta suffix"),  # contains 4-gram
+            (2, "alpha beta nothing gamma delta"),  # no shared 4-gram
+            (3, "unrelated text entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=4).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert not out[3]["contaminated"]
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    bench = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+    # the shared 4-gram appears twice in the doc — distinct grams count once
+    docs = spark.createDataFrame(
+        [(1, "a b c d x a b c d")], "doc_id long, text string"
+    )
+    row = decontaminate(docs, bench, n=4).collect()[0]
+    assert row["n_hits"] == 1
+
+
+def test_remove_repeated_paragraphs_keeps_first_in_order(spark):
+    df = spark.createDataFrame(
+        [(1, "one\ntwo\none\nthree\ntwo"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_paragraphs(df).collect()}
+    assert out[1]["text_clean"] == "one\ntwo\nthree"
+    assert out[1]["n_paragraphs"] == 5 and out[1]["n_removed"] == 2
+    assert out[2]["text_clean"] == "solo" and out[2]["n_removed"] == 0
+
+
+def test_gopher_quality_rules(spark):
+    good = "the and " + " ".join(f"word{i}" for i in range(60))
+    short = "tiny text"
+    symbols = "the " + " ".join("#" for _ in range(60))
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(df, min_words=50).collect()}
+    assert out[1]["passes"]
+    assert not out[2]["ok_word_count"] and not out[2]["passes"]
+    assert not out[3]["ok_symbol_ratio"] and not out[3]["ok_alpha_words"]
+    assert not out[3]["passes"]
+
+
+def test_gopher_quality_empty_text(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    row = gopher_quality(df).collect()[0]
+    assert row["n_words"] == 0 and not row["passes"]
