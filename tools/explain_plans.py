@@ -138,6 +138,16 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "text_chunking": (["Generate", "Scan parquet"], ["Exchange"]),
     "text_token_stats": (["Scan parquet"], ["Exchange"]),  # narrow: no shuffle, lambda exprs eval JVM-side (no codegen, by design)
     "events_sessionize": (["Window"], ["CartesianProduct"]),
+    # narrow curation passes: pure per-row maps — no shuffle anywhere
+    "pii_redaction": (["codegen id"], ["Exchange"]),
+    "repetition_removal": (["codegen id"], ["Exchange"]),
+    "gopher_quality": (["codegen id"], ["Exchange"]),
+    # benchmark n-gram set broadcasts (the gram join must NOT sort-merge);
+    # the zero-hit restore join is left to AQE — its size is runtime data
+    "decontamination": (
+        [r"re:BroadcastHashJoin[^\n]*\nLeft keys \[1\]: \[gram"],
+        ["CartesianProduct", r"re:SortMergeJoin[^\n]*\nLeft keys \[1\]: \[gram"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
@@ -152,6 +162,8 @@ def explain_str(df, mode: str = "formatted") -> str:
 
 
 def check(plan: str, pattern: str) -> bool:
+    if pattern.startswith("re:"):
+        return re.search(pattern[3:], plan) is not None
     if "|" in pattern:
         return any(p in plan for p in pattern.split("|"))
     return pattern in plan
@@ -190,6 +202,55 @@ def main() -> int:
             + (f"Scan pushdown evidence:\n\n```\n{scan_evidence}\n```\n" if scan_evidence else "")
         )
         print(("OK   " if not any(f.startswith(name) for f in failures) else "FAIL ") + name)
+
+    # --- bucketed co-located join (not a registry query: needs a write) ----
+    from iatlas_cbioportal_export_spark.sources.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed(orders, "plans_b_orders", ["o_custkey"], 8, ["o_custkey"])
+    write_bucketed(customer, "plans_b_customer", ["c_custkey"], 8, ["c_custkey"])
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("plans_b_orders").join(
+            spark.table("plans_b_customer"),
+            spark.table("plans_b_orders")["o_custkey"]
+            == spark.table("plans_b_customer")["c_custkey"],
+        )
+        plan = explain_str(joined)
+        tree = plan.split("\n\n")[0]
+        notes = []
+        for pat in ["SortMergeJoin", "Bucketed: true"]:
+            ok = check(plan, pat)
+            notes.append(f"- [{'x' if ok else ' '}] requires `{pat}`")
+            if not ok:
+                failures.append(f"bucketed_colocated_join: missing {pat!r}")
+        for pat in ["Exchange"]:
+            bad = check(plan, pat)
+            notes.append(f"- [{'x' if not bad else ' '}] forbids `{pat}`")
+            if bad:
+                failures.append(f"bucketed_colocated_join: contains forbidden {pat!r}")
+        sections.append(
+            "## bucketed_colocated_join\n\n"
+            "Both sides written with `bucketBy(8, custkey)` + `sortBy`\n"
+            "(`sources/bucketing.py`): the fact-fact join plans as a\n"
+            "zero-Exchange SortMergeJoin — the write-once/join-many shape for\n"
+            "repeated joins at 100 TB (broadcast disabled to simulate two\n"
+            "large sides).\n\n" + "\n".join(notes) + "\n\n"
+            f"Physical operator tree:\n\n```\n{tree}\n```\n"
+        )
+        print(
+            ("OK   " if not any(f.startswith("bucketed_") for f in failures) else "FAIL ")
+            + "bucketed_colocated_join"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS plans_b_orders")
+        spark.sql("DROP TABLE IF EXISTS plans_b_customer")
 
     header = (
         "# PLANS — physical-plan evidence for the headline queries\n\n"
