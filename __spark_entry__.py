@@ -792,17 +792,30 @@ def q_v_validation_suite(spark, sf_dir):
         F.lit(f"present={n_present} of {n_expected}").alias("detail"),
     )
 
+    # Single-scan fusions (same finding rows, fewer passes): V2/V3/V5/V6/V7
+    # are ONE aggregate over orders; V8/V11 ONE over lineitem; V4/V14 share
+    # one groupBy(c_custkey). Only the genuinely relational checks (V9 dup
+    # groupBy, V10/V13 anti-joins) keep their own shuffles.
     findings = [
         v1,
-        val_ops.count_equality(orders, orders, check="row_count_preserved"),
-        val_ops.distinct_count_equality(orders, orders, "o_custkey"),
-        val_ops.distinct_count_equality(customer, customer, "c_custkey"),
-        val_ops.no_null_keys(orders, ["o_orderkey"]),
-        val_ops.no_null_keys(orders, ["o_custkey"]),
-        val_ops.no_all_null_columns(
-            orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        val_ops.table_profile_checks(
+            orders,
+            count_check="row_count_preserved",
+            distinct_cols=["o_custkey"],
+            no_null_cols=["o_orderkey", "o_custkey"],
+            all_null_cols=["o_orderkey", "o_custkey", "o_totalprice"],
         ),
-        val_ops.count_equality(lineitem, lineitem, check="maf_row_count_preserved"),
+        val_ops.table_profile_checks(
+            lineitem,
+            count_check="maf_row_count_preserved",
+            no_null_cols=["l_quantity"],
+        ),
+        val_ops.keyed_dup_and_distinct_checks(
+            customer,
+            "c_custkey",
+            distinct_check="distinct_c_custkey_preserved",
+            dup_check="no_dup_custkey",
+        ),
         val_ops.no_duplicate_rows(
             lineitem,
             subset=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
@@ -817,7 +830,6 @@ def q_v_validation_suite(spark, sf_dir):
             "o_custkey",
             check="ordered_custkey_sets_equal",
         ),
-        val_ops.no_null_keys(lineitem, ["l_quantity"]),
         val_ops.required_columns_present(
             lineitem,
             ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"],
@@ -826,9 +838,6 @@ def q_v_validation_suite(spark, sf_dir):
         val_ops.keyset_preserved(
             nation, "n_regionkey", region, "r_regionkey",
             check="nation_region_keysets_equal",
-        ),
-        val_ops.no_duplicate_rows(
-            customer, subset=["c_custkey"], check="no_dup_custkey"
         ),
     ]
     return val_ops.findings_union(findings)

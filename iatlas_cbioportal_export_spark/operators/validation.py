@@ -253,6 +253,121 @@ def maf_value_conformance(
     )
 
 
+def table_profile_checks(
+    df: DataFrame,
+    count_check: str | None = None,
+    distinct_cols: Sequence[str] = (),
+    no_null_cols: Sequence[str] = (),
+    all_null_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The self-comparison (pipeline in == out) fusion of
+    :func:`count_equality` + :func:`distinct_count_equality` +
+    :func:`no_null_keys` + :func:`no_all_null_columns`: ONE map-side-combined
+    aggregate scan emits all their finding rows (identical schema, names,
+    details) instead of 4-6 separate scans of the same table. At 100 TB a
+    validation pass re-reading the fact table per check is the difference
+    between one pass and six; the two-sided operators remain for genuine
+    in-vs-out comparisons."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in distinct_cols:
+        aggs.append(F.countDistinct(c).alias(f"__d_{c}"))
+    for c in sorted({*no_null_cols, *all_null_cols}):
+        aggs.append(F.count(F.col(c)).alias(f"__c_{c}"))
+    agg = df.agg(*aggs)
+
+    def row(check: Column | str, ok, observed, expected, detail) -> Column:
+        return F.struct(
+            (F.lit(check) if isinstance(check, str) else check).alias("check"),
+            F.when(ok, F.lit("OK")).otherwise(F.lit("ERROR")).alias("status"),
+            observed.cast("long").alias("observed"),
+            expected.cast("long").alias("expected"),
+            detail.alias("detail"),
+        )
+
+    n = F.col("__n")
+    findings: list[Column] = []
+    if count_check:
+        findings.append(
+            row(count_check, n == n, n, n, F.format_string("in=%d out=%d", "__n", "__n"))
+        )
+    for c in distinct_cols:
+        d = F.col(f"__d_{c}")
+        findings.append(
+            row(
+                f"distinct_{c.lower()}_preserved",
+                d == d,
+                d,
+                d,
+                F.format_string("in=%d out=%d", f"__d_{c}", f"__d_{c}"),
+            )
+        )
+    for c in no_null_cols:
+        nn = n - F.col(f"__c_{c}")
+        findings.append(
+            row(f"no_null_{c.lower()}", nn == 0, nn, F.lit(0),
+                F.lit(f"null rows in {c}"))
+        )
+    if all_null_cols:
+        bad = F.array_compact(
+            F.array(
+                *[F.when(F.col(f"__c_{c}") == 0, F.lit(c)) for c in all_null_cols]
+            )
+        )
+        findings.append(
+            row(
+                "no_all_null_columns",
+                F.size(bad) == 0,
+                F.size(bad),
+                F.lit(0),
+                F.when(
+                    F.size(bad) > 0,
+                    F.concat(F.lit("all-null: "), F.concat_ws(",", bad)),
+                ).otherwise(F.lit("")),
+            )
+        )
+    return agg.select(F.explode(F.array(*findings)).alias("f")).select("f.*")
+
+
+def keyed_dup_and_distinct_checks(
+    df: DataFrame,
+    key: str,
+    distinct_check: str | None = None,
+    dup_check: str = "no_duplicate_rows",
+) -> DataFrame:
+    """Fusion of :func:`no_duplicate_rows` (keyed) with
+    :func:`distinct_count_equality` (self-comparison): both derive from the
+    SAME ``groupBy(key)`` — the distinct count is the group count, the dup
+    count is the >1 group count — so one shuffle serves two checks."""
+    grouped = df.groupBy(key).agg(F.count(F.lit(1)).alias("__k"))
+    agg = grouped.agg(
+        F.count(F.lit(1)).alias("__nd"),
+        F.sum(F.when(F.col("__k") > 1, 1).otherwise(0)).alias("__dup"),
+    )
+    rows = []
+    if distinct_check:
+        rows.append(
+            F.struct(
+                F.lit(distinct_check).alias("check"),
+                F.lit("OK").alias("status"),
+                F.col("__nd").cast("long").alias("observed"),
+                F.col("__nd").cast("long").alias("expected"),
+                F.format_string("in=%d out=%d", "__nd", "__nd").alias("detail"),
+            )
+        )
+    rows.append(
+        F.struct(
+            F.lit(dup_check).alias("check"),
+            F.when(F.col("__dup") == 0, F.lit("OK"))
+            .otherwise(F.lit("ERROR"))
+            .alias("status"),
+            F.col("__dup").cast("long").alias("observed"),
+            F.lit(0).cast("long").alias("expected"),
+            F.lit("duplicate key groups").alias("detail"),
+        )
+    )
+    return agg.select(F.explode(F.array(*rows)).alias("f")).select("f.*")
+
+
 def findings_union(findings: Sequence[DataFrame]) -> DataFrame:
     """Combine check DataFrames into ONE lazy findings DataFrame (single
     action evaluates the whole suite)."""

@@ -97,3 +97,54 @@ def test_maf_value_conformance_all_ok(spark):
     )
     statuses = {r["check"]: r["status"] for r in maf_value_conformance(df).collect()}
     assert set(statuses.values()) == {"OK"}
+
+
+def test_table_profile_checks_matches_individual_ops(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        count_equality,
+        distinct_count_equality,
+        findings_union,
+        no_all_null_columns,
+        no_null_keys,
+        table_profile_checks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (2, None, None)],
+        "k long, v string, dead string",
+    )
+    fused = table_profile_checks(
+        df,
+        count_check="row_count_preserved",
+        distinct_cols=["k"],
+        no_null_cols=["k", "v"],
+        all_null_cols=["k", "v", "dead"],
+    ).collect()
+    individual = findings_union(
+        [
+            count_equality(df, df, check="row_count_preserved"),
+            distinct_count_equality(df, df, "k"),
+            no_null_keys(df, ["k"]),
+            no_null_keys(df, ["v"]),
+            no_all_null_columns(df.select("k", "v", "dead")),
+        ]
+    ).collect()
+    assert sorted(map(tuple, fused)) == sorted(map(tuple, individual))
+    by_check = {r["check"]: r for r in fused}
+    assert by_check["no_null_v"]["status"] == "ERROR"
+    assert by_check["no_all_null_columns"]["detail"] == "all-null: dead"
+
+
+def test_keyed_dup_and_distinct_checks(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        keyed_dup_and_distinct_checks,
+    )
+
+    df = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k long")
+    out = {r["check"]: r for r in keyed_dup_and_distinct_checks(
+        df, "k", distinct_check="distinct_k_preserved", dup_check="no_dup_k"
+    ).collect()}
+    assert out["distinct_k_preserved"]["observed"] == 3
+    assert out["distinct_k_preserved"]["status"] == "OK"
+    assert out["no_dup_k"]["observed"] == 1
+    assert out["no_dup_k"]["status"] == "ERROR"
