@@ -1617,6 +1617,19 @@ def q_events_sessionize(spark, sf_dir):
     return sessionize(events, gap_minutes=30)
 
 
+def q_events_session_window(spark, sf_dir):
+    """Gap sessionization via the built-in session_window (the
+    streaming-native twin of events_sessionize — one groupBy, no window
+    functions); same sessions as the lag/cumsum plan minus the per-user
+    sequence number, which the shared oracle drops accordingly."""
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        sessionize_session_window,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return sessionize_session_window(events, gap_minutes=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
     checks the FIRST 50 entries only. Tier 1 (entries 1-38) holds the
@@ -1690,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": q_source_mixture,
         "sim_pq_codes": q_sim_pq_codes,
         "dedup_components_star": q_dedup_components_star,
+        "events_session_window": q_events_session_window,
         "pii_redaction": q_pii_redaction,
         "decontamination": q_decontamination,
         "repetition_removal": q_repetition_removal,
@@ -3258,6 +3272,29 @@ def oracle_sql() -> dict[str, str]:
     # identical planted-trio contract, different component algorithm —
     # one oracle pins both
     d["dedup_components_star"] = d["dedup_components"]
+    # same sessions as events_sessionize minus the per-user sequence number
+    d["events_session_window"] = """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        FROM sessions GROUP BY user_id, session_id
+    """
     # --- corpus curation ---------------------------------------------------
     _PII_PLANT = (
         "text || ' contact user' || CAST(doc_id AS VARCHAR)"

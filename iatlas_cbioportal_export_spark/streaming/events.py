@@ -236,6 +236,39 @@ def sessionize(
     )
 
 
+def sessionize_session_window(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap sessionization via the BUILT-IN ``session_window`` — the
+    streaming-native form of :func:`sessionize`: on a streaming input (with
+    a watermark) Spark maintains per-key session state and merges windows
+    incrementally, which the lag/cumsum plan cannot do.
+
+    Boundary semantics (pinned by test): an event at exactly
+    ``last_event + gap`` JOINS the session — the dynamic-gap window is
+    end-exclusive at ``last + gap`` but merge uses overlap-or-touch — which
+    matches the batch plan's strict ``>`` break rule, so the two variants
+    share one oracle modulo session numbering (this form emits window
+    bounds, not a per-user sequence number).
+    Output: (user_id, n_events, session_start, session_end).
+    """
+    win = F.session_window(F.col(ts_col), f"{gap_minutes} minutes")
+    return (
+        events.groupBy(F.col(user_col), win.alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .select(user_col, "n_events", "session_start", "session_end")
+    )
+
+
 def attribute_purchases(
     events: DataFrame,
     attribution_minutes: int = 30,

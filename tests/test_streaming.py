@@ -290,3 +290,66 @@ def test_stream_dedup_keyset_equals_batch(spark, tmp_path):
     }
     assert got == batch_keys
     assert len(got) == 3  # (7,click),(7,view),(8,click)
+
+
+def test_session_window_matches_lag_cumsum_sessionize(spark, tmp_path):
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        sessionize_session_window,
+    )
+
+    df, _ = _events(spark, tmp_path)
+    builtin = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_session_window(df, gap_minutes=30).collect()
+    }
+    lag_based = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert builtin == lag_based
+
+
+def test_session_window_boundary_event_joins_session(spark):
+    # event at exactly last+gap joins the session — the semantics both
+    # sessionizers (and the shared oracle) encode
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        sessionize_session_window,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "c", 0.0),
+            (2, "2024-01-01 00:30:00", 1, "c", 0.0),
+            (3, "2024-01-01 01:00:01", 1, "c", 0.0),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sessionize_session_window(df, gap_minutes=30).collect()
+    assert {(r["n_events"]) for r in out} == {2, 1}
+
+
+def test_session_window_streaming_mode(spark, tmp_path):
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        sessionize_session_window,
+    )
+
+    batch_df, path = _events(spark, tmp_path)
+    stream = stream_events_from_parquet(spark, path).withWatermark("ts", "1 hour")
+    q = (
+        sessionize_session_window(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sw_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("select * from sw_test").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessionize_session_window(batch_df, gap_minutes=30).collect()
+    }
+    assert got == batch
