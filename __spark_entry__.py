@@ -1062,6 +1062,60 @@ def q_text_top_ngrams(spark, sf_dir):
     return text_ops.top_ngrams(docs, n=2, k=20)
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """Documents written as JSON-lines (the LLM-corpus interchange format)
+    and re-scanned with a DECLARED schema (json inference is a full extra
+    pass — never at 100 TB). The oracle reads the parquet source directly,
+    so any loss in the JSON write/scan (escaping, nulls, type coercion)
+    breaks the value hash."""
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from iatlas_cbioportal_export_spark.sources.readers import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    path = os.path.join(tempfile.mkdtemp(prefix="jsonl_rt_"), "docs")
+    write_jsonl(docs, path)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    return read_jsonl(spark, path, schema)
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """A typed lineitem slice written as ORC and re-scanned: longs, doubles
+    and a date-formatted timestamp must survive the columnar roundtrip
+    byte-exactly (oracle reads the parquet source)."""
+    import tempfile
+
+    from iatlas_cbioportal_export_spark.sources.readers import read_orc, write_orc
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+            "l_returnflag",
+        )
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "li")
+    write_orc(li, path)
+    return read_orc(spark, path)
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII redaction over the corpus. The synthetic text contains no PII, so
     each doc gets a deterministic planted suffix (email + IPv4 + phone
@@ -1704,6 +1758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_codes": q_sim_pq_codes,
         "dedup_components_star": q_dedup_components_star,
         "events_session_window": q_events_session_window,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
         "pii_redaction": q_pii_redaction,
         "decontamination": q_decontamination,
         "repetition_removal": q_repetition_removal,
@@ -3272,6 +3328,16 @@ def oracle_sql() -> dict[str, str]:
     # identical planted-trio contract, different component algorithm —
     # one oracle pins both
     d["dedup_components_star"] = d["dedup_components"]
+    # roundtrip oracles read the parquet source the roundtrip started from
+    d["jsonl_roundtrip"] = "SELECT doc_id, text, lang, source FROM documents"
+    d["orc_roundtrip"] = """
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DOUBLE) AS quantity,
+               CAST(l_extendedprice AS DOUBLE) AS price,
+               strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+               l_returnflag
+        FROM lineitem WHERE l_orderkey <= 1000
+    """
     # same sessions as events_sessionize minus the per-user sequence number
     d["events_session_window"] = """
         WITH flagged AS (

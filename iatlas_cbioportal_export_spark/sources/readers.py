@@ -100,6 +100,41 @@ def read_tsv_skip_cbioportal_header(
     return read_tsv(spark, path, schema=schema, comment="#")
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """JSON-lines scan with a REQUIRED explicit schema.
+
+    Schema is not optional here by design: json inference is a full extra
+    pass over the data (and samples by default), which is never acceptable
+    on a 100 TB corpus — declare the shape, let the scan project only the
+    requested fields (Spark's json reader prunes unparsed fields when the
+    schema names only what you need)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, the LLM-corpus interchange
+    format). Distributed write — one file per partition."""
+    df.write.mode(mode).json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC scan. Columnar like parquet (column pruning + predicate pushdown
+    reach the scan); schema optional because ORC carries its own."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the interchange format for Hive-ecosystem consumers."""
+    df.write.mode(mode).orc(path)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:
