@@ -1062,6 +1062,42 @@ def q_text_top_ngrams(spark, sf_dir):
     return text_ops.top_ngrams(docs, n=2, k=20)
 
 
+def q_sequence_packing(spark, sf_dir):
+    """Token-budget sequence packing over the corpus: documents laid out in
+    doc_id order within each source stratum, binned by start offset in the
+    concatenated token stream (budget 512). Fully deterministic — the oracle
+    reproduces the cumulative layout with a window cumsum."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.pack_sequences(docs, budget_tokens=512)
+
+
+def q_dedup_cross_corpus(spark, sf_dir):
+    """Incremental (batch-vs-corpus) minhash dedup with planted exact
+    copies: the batch is docs 0..19 re-keyed to +1e6 (signatures identical →
+    every band collides → candidate guaranteed → jaccard 1.0) plus 10
+    reversed-token docs that match nothing. Output restricted to the planted
+    (batch_id == corpus_id + 1e6) pairs — batch-vs-natural-near-dup pairs
+    exist too but surface probabilistically through banding (engine-hash
+    dependent), so they are pytest territory, not oracle territory."""
+    docs = _t(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    from iatlas_cbioportal_export_spark.functions import text as T
+
+    fresh = docs.filter((F.col("doc_id") >= 450) & (F.col("doc_id") < 460)).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(T.tokens("text"))).alias("text"),
+    )
+    batch = copies.unionByName(fresh)
+    out = dedup_ops.minhash_cross_corpus_duplicates(
+        batch, docs.select("doc_id", "text"), threshold=0.5
+    )
+    return out.filter(F.col("batch_id") == F.col("corpus_id") + 1_000_000).select(
+        "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_jsonl_roundtrip(spark, sf_dir):
     """Documents written as JSON-lines (the LLM-corpus interchange format)
     and re-scanned with a DECLARED schema (json inference is a full extra
@@ -1760,6 +1796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": q_events_session_window,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
+        "sequence_packing": q_sequence_packing,
+        "dedup_cross_corpus": q_dedup_cross_corpus,
         "pii_redaction": q_pii_redaction,
         "decontamination": q_decontamination,
         "repetition_removal": q_repetition_removal,
@@ -3328,6 +3366,30 @@ def oracle_sql() -> dict[str, str]:
     # identical planted-trio contract, different component algorithm —
     # one oracle pins both
     d["dedup_components_star"] = d["dedup_components"]
+    d["sequence_packing"] = f"""
+        WITH t AS (
+            SELECT doc_id, source AS stratum, len({_TOKS}) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, stratum, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY stratum ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+            FROM t
+        )
+        SELECT doc_id, stratum, n_tokens,
+               CAST(start_offset AS BIGINT) AS start_offset,
+               CAST(floor(start_offset / 512.0) AS BIGINT) AS bin_id
+        FROM c
+    """
+    # planted exact copies: identical signatures collide in every band, so
+    # the candidate is guaranteed and the verified jaccard is exactly 1.0
+    d["dedup_cross_corpus"] = """
+        SELECT doc_id + 1000000 AS batch_id, doc_id AS corpus_id,
+               1.0 AS jaccard
+        FROM documents WHERE doc_id < 20
+    """
     # roundtrip oracles read the parquet source the roundtrip started from
     d["jsonl_roundtrip"] = "SELECT doc_id, text, lang, source FROM documents"
     d["orc_roundtrip"] = """

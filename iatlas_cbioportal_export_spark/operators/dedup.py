@@ -287,6 +287,83 @@ def minhash_near_duplicates(
     return pairs.select("id_a", "id_b", "jaccard")
 
 
+def minhash_cross_corpus_duplicates(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: flag documents in a NEW batch that near-duplicate
+    an EXISTING corpus (the continuous-ingestion form of
+    :func:`minhash_near_duplicates` — dedup BETWEEN datasets, not within).
+
+    Same scale shape as the self-join variant, but the band join is
+    batch × corpus instead of a self-join: only (id, band_id, band_hash)
+    tuples shuffle; shingle sets come back by semi-join for candidate ids
+    only. In steady state the corpus side's signatures would be a persisted
+    index updated per batch, not recomputed — the plan is identical either
+    way. Output: (batch_id, corpus_id, jaccard).
+    """
+    sig_b = minhash_signatures(batch, text_col, id_col, n, num_hashes)
+    sig_c = minhash_signatures(corpus, text_col, id_col, n, num_hashes)
+    rows_per_band = num_hashes // bands
+
+    def banded(sig: DataFrame) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.xxhash64(
+                    *[
+                        F.col(f"mh{band * rows_per_band + j}")
+                        for j in range(rows_per_band)
+                    ]
+                ).alias("band_hash"),
+            )
+            for band in range(bands)
+        ]
+        return sig.select("id", F.explode(F.array(*structs)).alias("band")).select(
+            "id", "band.band_id", "band.band_hash"
+        )
+
+    cands = (
+        banded(sig_b)
+        .withColumnsRenamed({"id": "batch_id"})
+        .join(
+            banded(sig_c).withColumnsRenamed({"id": "corpus_id"}),
+            on=["band_id", "band_hash"],
+        )
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    sh_b = _shingle_sets(batch, text_col, id_col, n).join(
+        cands.select(F.col("batch_id").alias("id")).distinct(), "id", "left_semi"
+    )
+    sh_c = _shingle_sets(corpus, text_col, id_col, n).join(
+        cands.select(F.col("corpus_id").alias("id")).distinct(), "id", "left_semi"
+    )
+    return (
+        cands.join(
+            sh_b.withColumnsRenamed({"id": "batch_id", "shingles": "sh_b"}),
+            "batch_id",
+        )
+        .join(
+            sh_c.withColumnsRenamed({"id": "corpus_id", "shingles": "sh_c"}),
+            "corpus_id",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_b", "sh_c")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.size("sh_b") + F.size("sh_c") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", F.col("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -7,7 +7,7 @@ derivations) except where noted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from iatlas_cbioportal_export_spark.functions import text as T
@@ -302,6 +302,47 @@ def chunk_documents(
         F.col("chunk_id").cast("int").alias("chunk_id"),
         F.size(piece).alias("n_chunk_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins by token offset
+    (sequence packing for LLM batch assembly).
+
+    Documents are laid out in deterministic ``id_col`` order WITHIN each
+    stratum (e.g. source) and binned by their start offset in the
+    concatenated token stream: ``bin_id = floor(start_offset / budget)``.
+    This is offset binning — a document whose tokens straddle a budget
+    boundary keeps the bin of its start (downstream chunking handles the
+    split), which is what keeps the operator a closed-form window plan:
+    greedy reset-on-overflow packing is a sequential fold that cannot be a
+    window function (it would need ``applyInPandas`` per stratum).
+
+    ONE shuffle (hash by stratum, sort by id within partitions); at 100 TB
+    strata parallelize across executors and AQE splits skewed ones. Output:
+    (id, stratum, n_tokens, start_offset, bin_id).
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        T.token_count(text_col).alias("n_tokens"),
+    )
+    w = Window.partitionBy("stratum").orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col,
+        "stratum",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_offset"),
+        F.floor((cum - F.col("n_tokens")) / budget_tokens)
+        .cast("long")
+        .alias("bin_id"),
     )
 
 

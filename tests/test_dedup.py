@@ -107,3 +107,45 @@ def test_simhash_rotation_recovers_prefix_miss(spark):
     expected = {(a, b) for a in range(6) for b in range(6)
                 if a < b and a % 2 == b % 2}
     assert set(pairs) == expected
+
+
+def test_minhash_cross_corpus_finds_planted_copies(spark):
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        minhash_cross_corpus_duplicates,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "totally different content lives in this row here"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, "alpha beta gamma delta epsilon zeta eta theta"),  # copy of 1
+            (102, "fresh unseen words that match nothing at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = minhash_cross_corpus_duplicates(batch, corpus, threshold=0.5).collect()
+    pairs = {(r["batch_id"], r["corpus_id"]): r["jaccard"] for r in out}
+    assert pairs == {(101, 1): 1.0}
+
+
+def test_minhash_cross_corpus_no_self_pairs_across_sets(spark):
+    # identical ids in batch and corpus are DIFFERENT documents — the
+    # operator must not suppress them the way a self-join's id_a < id_b does
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        minhash_cross_corpus_duplicates,
+    )
+
+    corpus = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    out = minhash_cross_corpus_duplicates(batch, corpus).collect()
+    assert [(r["batch_id"], r["corpus_id"]) for r in out] == [(7, 7)]

@@ -141,3 +141,37 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert {k[0] for k in out} == {1, 2}
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_pack_sequences_offsets_and_bins(spark):
+    from iatlas_cbioportal_export_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),        # 4 tokens, offset 0, bin 0
+            (2, "e f g h i j", "s1"),    # 6 tokens, offset 4, bin 0
+            (3, "k l m", "s1"),          # offset 10, bin 1 (budget 8)
+            (10, "x y", "s2"),           # offset 0 in its own stratum
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget_tokens=8).collect()}
+    assert (out[1]["start_offset"], out[1]["bin_id"]) == (0, 0)
+    assert (out[2]["start_offset"], out[2]["bin_id"]) == (4, 0)
+    assert (out[3]["start_offset"], out[3]["bin_id"]) == (10, 1)
+    assert (out[10]["start_offset"], out[10]["bin_id"]) == (0, 0)
+    assert out[10]["stratum"] == "s2"
+
+
+def test_pack_sequences_deterministic_under_partitioning(spark):
+    from iatlas_cbioportal_export_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 5 + 1)), f"s{i % 3}") for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    a = sorted(map(tuple, pack_sequences(df, budget_tokens=7).collect()))
+    b = sorted(
+        map(tuple, pack_sequences(df.repartition(13), budget_tokens=7).collect())
+    )
+    assert a == b
