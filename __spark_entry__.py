@@ -1062,6 +1062,63 @@ def q_text_top_ngrams(spark, sf_dir):
     return text_ops.top_ngrams(docs, n=2, k=20)
 
 
+def q_emb_l2_normalize(spark, sf_dir):
+    """L2 normalization scalarized for the canonicalizer: per-vector norm
+    and the sequential-fold component sum of the unit vector (both 6 dp;
+    the oracle repeats the same left folds over the stored vectors)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    normed = sim_ops.l2_normalize(emb, out_col="unit")
+    checksum = F.aggregate(
+        F.col("unit"), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_col = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return normed.select(
+        "vec_id",
+        F.round(norm_col, 6).alias("l2_norm"),
+        F.round(checksum, 6).alias("unit_sum"),
+    )
+
+
+def q_emb_mean_pool(spark, sf_dir):
+    """Chunk→document mean pooling: vectors grouped by vec_id % 50, pooled
+    per position, one output row per (group, position). The hash-checked
+    value is the decimal-rounded per-position SUM (exact in both engines);
+    rounding the double mean is 1-ulp engine-dependent near .5 boundaries —
+    measured 5/3200 mismatches — so the mean lane is pytest territory."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 50).alias("grp"), "embedding"
+    )
+    pooled = sim_ops.mean_pool(emb, "grp", sums_col="pooled_sums")
+    return pooled.select(
+        "grp", "n_vectors", F.posexplode("pooled_sums").alias("pos", "sum_val")
+    ).select("grp", "n_vectors", "pos", "sum_val")
+
+
+def q_text_normalize(spark, sf_dir):
+    """Normalization pass over deterministically messied text (leading/
+    trailing whitespace, tabs/newlines, an uppercased duplicate prefix):
+    control strip + whitespace collapse + trim + lowercase, full normalized
+    text value-hash checked."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(" \t"),
+            F.upper(F.col("text")),
+            F.lit(" \n"),
+            F.col("text"),
+            F.lit("  "),
+        ).alias("text"),
+    )
+    return cur_ops.normalize_text(planted)
+
+
 def q_sequence_packing(spark, sf_dir):
     """Token-budget sequence packing over the corpus: documents laid out in
     doc_id order within each source stratum, binned by start offset in the
@@ -1798,6 +1855,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "sequence_packing": q_sequence_packing,
         "dedup_cross_corpus": q_dedup_cross_corpus,
+        "text_normalize": q_text_normalize,
+        "emb_l2_normalize": q_emb_l2_normalize,
+        "emb_mean_pool": q_emb_mean_pool,
         "pii_redaction": q_pii_redaction,
         "decontamination": q_decontamination,
         "repetition_removal": q_repetition_removal,
@@ -3366,6 +3426,63 @@ def oracle_sql() -> dict[str, str]:
     # identical planted-trio contract, different component algorithm —
     # one oracle pins both
     d["dedup_components_star"] = d["dedup_components"]
+    d["emb_l2_normalize"] = """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, e,
+                   sqrt(list_reduce(list_prepend(0.0,
+                       list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+            FROM v
+        )
+        SELECT vec_id,
+               round(nrm, 6) AS l2_norm,
+               round(CASE WHEN nrm > 0
+                     THEN list_reduce(list_prepend(0.0,
+                          list_transform(e, x -> x / nrm)), (a, b) -> a + b)
+                     ELSE 0.0 END, 6) AS unit_sum
+        FROM n
+    """
+    d["emb_mean_pool"] = """
+        WITH e AS (
+            -- widen float→double BEFORE the decimal cast: DuckDB's direct
+            -- float→decimal cast scales in float32 precision (~5e-10/elem)
+            SELECT vec_id % 50 AS grp, i - 1 AS pos,
+                   CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12)) AS v
+            FROM embeddings,
+                 unnest(range(1, len(embedding) + 1)) AS r(i)
+        ),
+        per_pos AS (
+            SELECT grp, pos,
+                   CAST(round(sum(v), 6) AS DOUBLE) AS sum_val,
+                   count(*) AS n
+            FROM e GROUP BY grp, pos
+        )
+        SELECT grp, n AS n_vectors, pos, sum_val
+        FROM per_pos
+    """
+    d["text_normalize"] = """
+        WITH planted AS (
+            SELECT doc_id,
+                   ' ' || chr(9) || upper(text) || ' ' || chr(10) || text || '  '
+                       AS text
+            FROM documents
+        ),
+        norm AS (
+            SELECT doc_id, text,
+                   trim(regexp_replace(
+                       regexp_replace(text, '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS collapsed
+            FROM planted
+        )
+        SELECT doc_id,
+               lower(collapsed) AS text_norm,
+               length(text) - length(collapsed) AS n_chars_removed
+        FROM norm
+    """
     d["sequence_packing"] = f"""
         WITH t AS (
             SELECT doc_id, source AS stratum, len({_TOKS}) AS n_tokens

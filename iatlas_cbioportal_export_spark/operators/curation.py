@@ -118,6 +118,26 @@ def remove_repeated_paragraphs(
     )
 
 
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical text normalization before hashing/dedup: strip control
+    characters, collapse all whitespace runs to single spaces, trim, and
+    lowercase. Narrow, pure regexp/codegen — the standard preprocessing that
+    makes exact-hash dedup robust to formatting noise. (Unicode NFC/NFKC
+    folding needs ICU and is deliberately out of scope for the JVM-side
+    path; plug a Pandas UDF stage upstream when corpus demands it.)
+    Output: (id, text_norm, n_chars_removed)."""
+    raw = F.col(text_col)
+    stripped = F.regexp_replace(raw, r"[\x00-\x1F\x7F]", " ")
+    collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return df.select(
+        id_col,
+        F.lower(collapsed).alias("text_norm"),
+        (F.length(raw) - F.length(collapsed)).alias("n_chars_removed"),
+    )
+
+
 # Gopher rule thresholds (Rae et al. 2021, Table A1 subset) — the widely
 # reused cheap quality gates. Tuned constants are parameters, not magic.
 GOPHER_MIN_WORDS = 50

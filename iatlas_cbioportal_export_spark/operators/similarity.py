@@ -609,3 +609,69 @@ def pq_reconstruct(
         f"[{codes_col}[j]]))"
     )
     return encoded.withColumn(vec_col, F.expr(expr)).drop(codes_col)
+
+
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """Unit-normalize an embedding column (the standard step before cosine
+    ANN indexing — dot product on unit vectors IS cosine, so the index math
+    gets cheaper). Narrow, pure JVM expressions; zero vectors map to zero
+    vectors (not NaN). The fold order is the same deterministic sequential
+    left fold as :func:`cosine`, so results are oracle-comparable."""
+    out = out_col or vec_col
+    vec = F.col(vec_col)
+    nrm = _norm(vec)
+    normalized = F.when(
+        nrm > 0, F.transform(vec, lambda x: x.cast("double") / nrm)
+    ).otherwise(F.transform(vec, lambda x: F.lit(0.0)))
+    return df.withColumn(out, normalized)
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "pooled",
+    sums_col: str | None = None,
+) -> DataFrame:
+    """Mean-pool vectors per group (chunk embeddings → document embedding).
+
+    Plan: posexplode → groupBy(group, position) (ONE shuffle of
+    (group, pos, value) triples, map-side combined) → re-assemble ordered
+    arrays. Never collects vectors, never relies on Python; group
+    cardinality bounds the output size.
+
+    Accumulation is DECIMAL, not double: double partial sums merge in
+    shuffle-fetch order, which is nondeterministic — decimal addition is
+    exact, so results are bit-stable under any partitioning. The mean array
+    divides that exact sum once at the end; ``sums_col`` additionally emits
+    the per-position sums decimal-rounded to 6 dp (rounding in the DECIMAL
+    domain is exact and engine-portable — rounding a double is not, the two
+    differ by 1 ulp near .5 boundaries).
+    Output: (group_col, n_vectors, out_col[, sums_col])."""
+    exploded = df.select(
+        F.col(group_col), F.posexplode(vec_col).alias("__pos", "__v")
+    ).select(
+        group_col,
+        "__pos",
+        # widen float→double BEFORE the decimal cast: Spark's float→decimal
+        # goes through the FLOAT's shortest string repr (~9 digits, ~5e-10
+        # error per element); double→decimal keeps 17
+        F.col("__v").cast("double").cast("decimal(28,12)").alias("__v"),
+    )
+    per_pos = exploded.groupBy(group_col, "__pos").agg(
+        (F.sum("__v").cast("double") / F.count(F.lit(1))).alias("__mean"),
+        F.round(F.sum("__v"), 6).cast("double").alias("__sum6"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("__pos"), F.col("__mean"), F.col("__sum6")))
+    )
+    aggs = [
+        F.max("__n").alias("n_vectors"),
+        F.transform(ordered, lambda s: s["__mean"]).alias(out_col),
+    ]
+    if sums_col:
+        aggs.append(F.transform(ordered, lambda s: s["__sum6"]).alias(sums_col))
+    return per_pos.groupBy(group_col).agg(*aggs)

@@ -95,3 +95,20 @@ def test_gopher_quality_empty_text(spark):
     df = spark.createDataFrame([(1, "")], "doc_id long, text string")
     row = gopher_quality(df).collect()[0]
     assert row["n_words"] == 0 and not row["passes"]
+
+
+def test_normalize_text(spark):
+    from iatlas_cbioportal_export_spark.operators.curation import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello\tWorld\x00 FOO\n\nbar  "),
+            (2, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert out[1]["text_norm"] == "hello world foo bar"
+    assert out[1]["n_chars_removed"] > 0
+    assert out[2]["text_norm"] == "already clean"
+    assert out[2]["n_chars_removed"] == 0

@@ -219,3 +219,48 @@ def test_pq_encode_reconstruct_recall(spark, vectors):
               for r in brute_force_topk(rec, rec.filter("vec_id < 5"), k=3).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"PQ recall {recall}"
+
+
+def test_l2_normalize_unit_norm_and_zero_vector(spark):
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        cosine,
+        l2_normalize,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r["embedding"] for r in l2_normalize(df).collect()}
+    assert out[1] == [0.6, 0.8]
+    assert out[2] == [0.0, 0.0]
+
+
+def test_mean_pool_groups(spark):
+    from iatlas_cbioportal_export_spark.operators.similarity import mean_pool
+
+    df = spark.createDataFrame(
+        [
+            ("d1", [1.0, 2.0]),
+            ("d1", [3.0, 4.0]),
+            ("d2", [10.0, 20.0]),
+        ],
+        "doc string, embedding array<double>",
+    )
+    out = {r["doc"]: (r["n_vectors"], r["pooled"]) for r in mean_pool(df, "doc").collect()}
+    assert out["d1"] == (2, [2.0, 3.0])
+    assert out["d2"] == (1, [10.0, 20.0])
+
+
+def test_mean_pool_partitioning_invariant(spark):
+    from iatlas_cbioportal_export_spark.operators.similarity import mean_pool
+
+    df = spark.createDataFrame(
+        [(f"d{i % 4}", [float(i), float(i * 2), float(i % 7)]) for i in range(40)],
+        "doc string, embedding array<double>",
+    )
+    a = sorted((r["doc"], r["n_vectors"]) for r in mean_pool(df, "doc").collect())
+    b = sorted(
+        (r["doc"], r["n_vectors"]) for r in mean_pool(df.repartition(11), "doc").collect()
+    )
+    assert a == b
