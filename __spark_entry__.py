@@ -620,6 +620,20 @@ def q_maf_annotation_wide(spark, sf_dir):
     )
 
 
+def q_maf_annotate_by_variant(spark, sf_dir):
+    """The variant-level (distinct-key) annotation plan: identical output
+    contract to maf_annotation_wide — annotations are a function of the
+    variant key, so only distinct keys cross the Python/Arrow boundary and
+    a null-safe join fans them back. Shares maf_annotation_wide's oracle."""
+    ann = maf_ops.annotate_by_variant(_maf_shaped(spark, sf_dir))
+    return ann.select(
+        "variant_id",
+        "Chromosome",
+        "Start_Position",
+        *[name for name, _typ in maf_ops.ANNOTATION_COLS],
+    )
+
+
 def q_maf_field_conformance(spark, sf_dir):
     """Per-field MAF value checks — the native subset of cBioPortal
     ``validateData.py --strict_maf_checks`` the reference shells out to
@@ -1858,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "emb_l2_normalize": q_emb_l2_normalize,
         "emb_mean_pool": q_emb_mean_pool,
+        "maf_annotate_by_variant": q_maf_annotate_by_variant,
         "pii_redaction": q_pii_redaction,
         "decontamination": q_decontamination,
         "repetition_removal": q_repetition_removal,
@@ -3426,6 +3441,7 @@ def oracle_sql() -> dict[str, str]:
     # identical planted-trio contract, different component algorithm —
     # one oracle pins both
     d["dedup_components_star"] = d["dedup_components"]
+    d["maf_annotate_by_variant"] = d["maf_annotation_wide"]
     d["emb_l2_normalize"] = """
         WITH v AS (
             SELECT vec_id,

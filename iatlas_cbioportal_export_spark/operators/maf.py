@@ -228,6 +228,37 @@ def annotate(
     return out
 
 
+def annotate_by_variant(
+    maf: DataFrame,
+    annotator: Annotator = fake_annotator,
+    key_cols: tuple[str, ...] = ("Chromosome", "Start_Position"),
+    max_rows_per_batch: int = 40_000,
+) -> DataFrame:
+    """Variant-level annotation: the scale path of :func:`annotate`.
+
+    Genome Nexus annotates VARIANTS, not sample rows — every row sharing a
+    variant key gets identical annotation columns (the fake's contract makes
+    this explicit). So only the DISTINCT key tuples cross the Python/Arrow
+    boundary; one join fans annotations back to rows. At a typical cohort's
+    variant-duplication factor this cuts the Python-path bytes by orders of
+    magnitude, and the annotation call count by the same — the difference
+    between re-posting a 100 TB MAF to the service and posting its variant
+    dictionary. Null keys (the FAILED side-band) join back via null-safe
+    equality. Output schema == :func:`annotate`'s (modulo column order).
+    """
+    from functools import reduce
+
+    keys = maf.select(*key_cols).distinct()
+    ann_keys = annotate(
+        keys, annotator=annotator, max_rows_per_batch=max_rows_per_batch
+    )
+    cond = reduce(
+        lambda a, b: a & b, [maf[k].eqNullSafe(ann_keys[k]) for k in key_cols]
+    )
+    joined = maf.join(ann_keys, cond, "left")
+    return joined.drop(*[ann_keys[k] for k in key_cols])
+
+
 def split_annotation_errors(annotated: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Route failed annotations to the error side-band (reference
     ``maf.py:160-177`` writes a separate failure report)."""

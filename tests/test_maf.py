@@ -155,3 +155,29 @@ def test_http_annotator_failure_routes_to_error_band(spark):
     ok, failed = split_annotation_errors(ann)
     assert ok.count() == 0 and failed.count() == 1
     assert failed.collect()[0]["Annotation_Status"].startswith("FAILED")
+
+
+def test_annotate_by_variant_matches_rowwise_annotate(spark):
+    from iatlas_cbioportal_export_spark.operators.maf import (
+        annotate,
+        annotate_by_variant,
+    )
+
+    maf = spark.createDataFrame(
+        [
+            ("chr1", 100, "s1"),
+            ("chr1", 100, "s2"),   # duplicate variant, different sample
+            ("chr2", 200, "s1"),
+            (None, None, "s3"),    # FAILED side-band
+            (None, None, "s4"),
+        ],
+        "Chromosome string, Start_Position long, Tumor_Sample_Barcode string",
+    )
+    from collections import Counter
+
+    a = Counter(map(tuple, annotate(maf).collect()))
+    b_df = annotate_by_variant(maf)
+    b = Counter(map(tuple, b_df.select(*[c for c in annotate(maf).columns]).collect()))
+    assert a == b
+    # the Python stage only saw 3 distinct keys, but all 5 rows come back
+    assert b_df.count() == 5
