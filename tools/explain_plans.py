@@ -148,6 +148,25 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         [r"re:BroadcastHashJoin[^\n]*\nLeft keys \[1\]: \[gram"],
         ["CartesianProduct", r"re:SortMergeJoin[^\n]*\nLeft keys \[1\]: \[gram"],
     ),
+    "text_normalize": (["codegen id"], ["Exchange"]),
+    # one shuffle (hash by stratum) feeding the window — and nothing else
+    "sequence_packing": (
+        ["Window", "re:Arguments: hashpartitioning\\(stratum"],
+        ["CartesianProduct"],
+    ),
+    "emb_l2_normalize": (["codegen id"], ["Exchange"]),
+    "emb_mean_pool": (["HashAggregate"], ["CartesianProduct"]),
+    # batch×corpus band join: equi-join on (band_id, band_hash), no
+    # all-pairs anywhere
+    "dedup_cross_corpus": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # distinct keys through the Python stage, join fan-out back
+    "maf_annotate_by_variant": (
+        ["MapInPandas", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
