@@ -152,3 +152,39 @@ def chunk_assignment(
     return df.withColumn(
         "chunk_id", ((F.row_number().over(w) - 1) / F.lit(max_rows)).cast("long")
     )
+
+
+def approx_profile(
+    df: DataFrame,
+    distinct_cols: Sequence[str] = (),
+    percentile_cols: Sequence[str] = (),
+    percentiles: Sequence[float] = (0.5, 0.95, 0.99),
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Sketch-based profiling for 100 TB interactive exploration: HLL++
+    approximate distinct counts (``rsd`` relative error, constant memory per
+    column) and quantile-sketch percentiles — ONE aggregate pass, map-side
+    combined, constant-size state per column regardless of input size. The
+    exact equivalents (countDistinct, exact percentile-by-sort) shuffle the
+    full key/value sets; at scale those are batch jobs, not profile queries.
+
+    Sketches are engine-defined (deterministic for a given input and rsd,
+    but not portable across engines), so this operator is bounds-tested
+    against exact results rather than oracle-hashed. Output: one row, one
+    column per requested stat.
+    """
+    aggs = []
+    for c in distinct_cols:
+        aggs.append(
+            F.approx_count_distinct(c, rsd=rsd).alias(f"approx_distinct_{c}")
+        )
+    for c in percentile_cols:
+        for p in percentiles:
+            aggs.append(
+                F.percentile_approx(F.col(c), p, 10_000).alias(
+                    f"p{int(p * 100)}_{c}"
+                )
+            )
+    if not aggs:
+        raise ValueError("request at least one distinct or percentile column")
+    return df.agg(*aggs)

@@ -92,3 +92,29 @@ def test_chunk_assignment_boundaries(spark):
     assert n_chunks(0, 5) == 0
     assert n_chunks(5, 5) == 1
     assert n_chunks(6, 5) == 2
+
+
+def test_approx_profile_within_error_bounds(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import approx_profile
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 7919).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    row = approx_profile(
+        df, distinct_cols=["k"], percentile_cols=["v"], rsd=0.05
+    ).collect()[0]
+    # HLL++ at rsd=0.05: assert within 3x the configured relative error
+    assert abs(row["approx_distinct_k"] - 7919) / 7919 < 0.15
+    # percentile sketch with 10k accuracy on 20k rows: near-exact
+    assert abs(row["p50_v"] - 10_000) < 200
+    assert abs(row["p95_v"] - 19_000) < 200
+    assert abs(row["p99_v"] - 19_800) < 200
+
+
+def test_approx_profile_requires_columns(spark):
+    import pytest
+    from iatlas_cbioportal_export_spark.operators.aggregates import approx_profile
+
+    with pytest.raises(ValueError):
+        approx_profile(spark.range(1))
