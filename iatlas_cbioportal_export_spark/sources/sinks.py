@@ -158,20 +158,23 @@ def write_bucketed(
 ) -> None:
     """Write a table bucketed (and optionally sorted) by the join/agg key.
 
-    The 100 TB co-location path: two tables bucketed the same way on the same
-    key join with NO Exchange (and with ``sortBy``, no Sort) — the shuffle is
-    paid once at write time and amortized over every subsequent join/agg on
-    that key. Metastore-backed (``saveAsTable``), since bucketing metadata
-    lives in the catalog.
+    Single-key convenience wrapper over
+    :func:`iatlas_cbioportal_export_spark.sources.bucketing.write_bucketed`
+    (the canonical multi-column form — see that module for the co-location
+    rationale and bucket sizing guidance).
     """
-    writer = (
-        df.write.mode(mode)
-        .format("parquet")
-        .bucketBy(num_buckets, bucket_col)
+    from iatlas_cbioportal_export_spark.sources.bucketing import (
+        write_bucketed as _write_bucketed,
     )
-    if sort_cols:
-        writer = writer.sortBy(*list(sort_cols))
-    writer.saveAsTable(table)
+
+    _write_bucketed(
+        df,
+        table,
+        [bucket_col],
+        num_buckets,
+        list(sort_cols) if sort_cols else None,
+        mode=mode,
+    )
 
 
 def render_case_list_text(
