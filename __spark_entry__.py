@@ -1778,6 +1778,20 @@ def q_events_sessionize(spark, sf_dir):
     return sessionize(events, gap_minutes=30)
 
 
+def q_stream_enriched_counts(spark, sf_dir):
+    """Stream-static enrichment → windowed aggregation (batch twin of the
+    third join shape: stream joined to broadcast reference data). Hourly
+    event counts per customer market segment; stream==batch equality is
+    pinned in test_streaming.py."""
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        segment_hourly_counts,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    return segment_hourly_counts(events, customer)
+
+
 def q_events_session_window(spark, sf_dir):
     """Gap sessionization via the built-in session_window (the
     streaming-native twin of events_sessionize — one groupBy, no window
@@ -1865,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_codes": q_sim_pq_codes,
         "dedup_components_star": q_dedup_components_star,
         "events_session_window": q_events_session_window,
+        "stream_enriched_counts": q_stream_enriched_counts,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
         "sequence_packing": q_sequence_packing,
@@ -3532,6 +3547,14 @@ def oracle_sql() -> dict[str, str]:
                strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
                l_returnflag
         FROM lineitem WHERE l_orderkey <= 1000
+    """
+    d["stream_enriched_counts"] = """
+        SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               c.c_mktsegment AS segment,
+               count(*) AS n_events
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
     """
     # same sessions as events_sessionize minus the per-user sequence number
     d["events_session_window"] = """

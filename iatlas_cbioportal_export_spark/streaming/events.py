@@ -236,6 +236,52 @@ def sessionize(
     )
 
 
+def enrich_events(
+    events: DataFrame,
+    dim: DataFrame,
+    events_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_mktsegment",),
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to an
+    event stream. Works identically on streaming and batch input — with a
+    streaming left side Spark re-broadcasts the static dimension per
+    micro-batch (no state, no watermark needed; this is the third join
+    shape next to batch-batch and stream-stream). The dimension is
+    explicitly broadcast: enrichment dims are small by definition and the
+    fact/stream side must never shuffle for them."""
+    sel = dim.select(F.col(dim_key).alias("__k"), *dim_cols)
+    return events.join(
+        F.broadcast(sel), events[events_key] == F.col("__k"), "left"
+    ).drop("__k")
+
+
+def segment_hourly_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Hourly event counts per customer segment: stream-static enrichment →
+    watermarked windowed aggregation. The composition pattern for
+    "stream joined to reference data, then aggregated"."""
+    enriched = enrich_events(events, dim)
+    if enriched.isStreaming and watermark:
+        enriched = enriched.withWatermark("ts", watermark)
+    return (
+        enriched.groupBy(
+            F.window("ts", "1 hour").alias("__w"), F.col("c_mktsegment").alias("segment")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("__w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "segment",
+            "n_events",
+        )
+    )
+
+
 def sessionize_session_window(
     events: DataFrame,
     gap_minutes: int = 30,

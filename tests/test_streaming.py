@@ -353,3 +353,47 @@ def test_session_window_streaming_mode(spark, tmp_path):
         for r in sessionize_session_window(batch_df, gap_minutes=30).collect()
     }
     assert got == batch
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        segment_hourly_counts,
+    )
+
+    batch_df, path = _events(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [(7, "BUILDING"), (8, "MACHINERY")], "c_custkey long, c_mktsegment string"
+    )
+    batch = {
+        (r["window_start"], r["segment"]): r["n_events"]
+        for r in segment_hourly_counts(batch_df, dim).collect()
+    }
+    stream = stream_events_from_parquet(spark, path)
+    q = (
+        segment_hourly_counts(stream, dim, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("seg_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["segment"]): r["n_events"]
+        for r in spark.sql("select * from seg_test").collect()
+    }
+    assert got == batch
+    assert batch[("2024-01-01 00:00:00", "BUILDING")] == 2
+
+
+def test_enrich_events_unmatched_keys_kept(spark, tmp_path):
+    from iatlas_cbioportal_export_spark.streaming.events import enrich_events
+
+    df, _ = _events(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [(7, "BUILDING")], "c_custkey long, c_mktsegment string"
+    )
+    out = enrich_events(df, dim).collect()
+    assert len(out) == 4  # left join: user 8 kept with null segment
+    segs = {r["user_id"]: r["c_mktsegment"] for r in out}
+    assert segs[7] == "BUILDING" and segs[8] is None
