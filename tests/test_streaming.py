@@ -397,3 +397,41 @@ def test_enrich_events_unmatched_keys_kept(spark, tmp_path):
     assert len(out) == 4  # left join: user 8 kept with null segment
     segs = {r["user_id"]: r["c_mktsegment"] for r in out}
     assert segs[7] == "BUILDING" and segs[8] is None
+
+
+def test_idempotent_sink_exactly_once_across_restarts(spark, tmp_path):
+    """Two availableNow runs over a growing source: the checkpoint resumes
+    after the committed offsets, and re-running with no new data writes
+    nothing new — total output rows == distinct input rows, no duplicates."""
+    from iatlas_cbioportal_export_spark.streaming.sinks import (
+        read_stream_output,
+        write_stream_idempotent,
+    )
+
+    batch_df, src = _events(spark, tmp_path)
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+
+    stream = stream_events_from_parquet(spark, src)
+    q = write_stream_idempotent(stream, out, ckpt)
+    q.awaitTermination(120)
+    first = read_stream_output(spark, out).drop("batch_id").collect()
+    assert len(first) == 4
+
+    # restart with MORE source data: only the delta lands
+    more = spark.createDataFrame(
+        [(5, "2024-01-01 04:00:00", 9, "click", 1.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    more.write.mode("append").parquet(src)
+
+    q2 = write_stream_idempotent(stream_events_from_parquet(spark, src), out, ckpt)
+    q2.awaitTermination(120)
+    rows = read_stream_output(spark, out).drop("batch_id").collect()
+    assert len(rows) == 5
+    assert {r["event_id"] for r in rows} == {1, 2, 3, 4, 5}
+
+    # restart with NO new data: nothing appended, nothing duplicated
+    q3 = write_stream_idempotent(stream_events_from_parquet(spark, src), out, ckpt)
+    q3.awaitTermination(120)
+    assert read_stream_output(spark, out).count() == 5
