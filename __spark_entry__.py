@@ -1778,6 +1778,39 @@ def q_events_sessionize(spark, sf_dir):
     return sessionize(events, gap_minutes=30)
 
 
+def q_events_incremental_rollup(spark, sf_dir):
+    """Incremental materialized-rollup maintenance: the hourly rollup built
+    from 90% of events merged with the remaining 10%'s partial rollup must
+    equal the full recompute (which IS the oracle) — additive aggregates
+    composed via union + re-aggregate, rollup-sized shuffles only."""
+    events = _t(spark, sf_dir, "events")
+
+    def rollup(df):
+        return df.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        )
+
+    existing = rollup(events.filter(F.col("event_id") % 10 != 0))
+    delta = rollup(events.filter(F.col("event_id") % 10 == 0))
+    merged = agg_ops.merge_rollup(
+        existing, delta, ["window_start", "event_type"], ["n_events", "value_sum"]
+    )
+    return merged.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("value_sum", 2).alias("value_sum"),
+    )
+
+
 def q_stream_enriched_counts(spark, sf_dir):
     """Stream-static enrichment → windowed aggregation (batch twin of the
     third join shape: stream joined to broadcast reference data). Hourly
@@ -1880,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_star": q_dedup_components_star,
         "events_session_window": q_events_session_window,
         "stream_enriched_counts": q_stream_enriched_counts,
+        "events_incremental_rollup": q_events_incremental_rollup,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
         "sequence_packing": q_sequence_packing,
@@ -3547,6 +3581,16 @@ def oracle_sql() -> dict[str, str]:
                strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
                l_returnflag
         FROM lineitem WHERE l_orderkey <= 1000
+    """
+    # the oracle IS the full recompute the incremental merge must equal
+    d["events_incremental_rollup"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS value_sum
+        FROM events GROUP BY 1, 2
     """
     d["stream_enriched_counts"] = """
         SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S')

@@ -188,3 +188,29 @@ def approx_profile(
     if not aggs:
         raise ValueError("request at least one distinct or percentile column")
     return df.agg(*aggs)
+
+
+def merge_rollup(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Incremental materialized-rollup maintenance: combine an EXISTING
+    rollup with a new batch's partial rollup of the same shape by
+    re-aggregating their union — valid for additive aggregates (counts,
+    sums), which compose under addition.
+
+    The 100 TB point: a day's delta touches a handful of grouping keys, so
+    the union re-aggregation shuffles |existing rollup| + |delta| rows
+    (both rollup-sized, i.e. tiny), never the fact table; pair with
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` so only the
+    touched storage partitions rewrite (see test_aggregates.py for the
+    write-side demonstration). Keys present in only one side pass through
+    unchanged (union + groupBy is the full-outer-join-free form).
+    """
+    return (
+        existing.unionByName(delta)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )

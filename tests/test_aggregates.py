@@ -118,3 +118,61 @@ def test_approx_profile_requires_columns(spark):
 
     with pytest.raises(ValueError):
         approx_profile(spark.range(1))
+
+
+def test_merge_rollup_equals_full_recompute(spark):
+    import pyspark.sql.functions as F
+    from iatlas_cbioportal_export_spark.operators.aggregates import merge_rollup
+
+    events = spark.createDataFrame(
+        [(d, t, v) for d in ("d1", "d2") for t, v in
+         [("click", 1.0), ("view", 2.0), ("click", 3.0)]],
+        "day string, event_type string, value double",
+    )
+    old = events.filter(F.col("value") < 3.0)
+    new = events.filter(F.col("value") >= 3.0)
+
+    def rollup(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("value_sum"),
+        )
+
+    merged = merge_rollup(
+        rollup(old), rollup(new), ["day", "event_type"], ["n", "value_sum"]
+    )
+    full = rollup(events)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_merge_rollup_dynamic_partition_overwrite(spark, tmp_path):
+    """Write-side: with dynamic partitionOverwriteMode, merging a delta that
+    touches ONE day rewrites only that day's partition directory."""
+    import os
+    import pyspark.sql.functions as F
+    from iatlas_cbioportal_export_spark.operators.aggregates import merge_rollup
+
+    path = str(tmp_path / "rollup")
+    base = spark.createDataFrame(
+        [("d1", 5, 10.0), ("d2", 3, 6.0)], "day string, n long, value_sum double"
+    )
+    base.write.partitionBy("day").parquet(path)
+    d2_files_before = set(os.listdir(f"{path}/day=d2"))
+
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        delta = spark.createDataFrame([("d1", 2, 4.0)], "day string, n long, value_sum double")
+        existing_d1 = spark.read.parquet(path).filter(F.col("day") == "d1")
+        merged = merge_rollup(existing_d1, delta, ["day"], ["n", "value_sum"])
+        merged.select("n", "value_sum", "day").write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+    out = {r["day"]: (r["n"], r["value_sum"])
+           for r in spark.read.parquet(path).collect()}
+    assert out == {"d1": (7, 14.0), "d2": (3, 6.0)}
+    # d2's partition directory was not rewritten
+    assert set(os.listdir(f"{path}/day=d2")) == d2_files_before
