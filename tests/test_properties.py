@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the pure expression paths: each
+example ships a whole generated corpus through ONE Spark job and checks
+invariants against a driver-side Python reference."""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from iatlas_cbioportal_export_spark.operators.curation import (
+    normalize_text,
+    redact_pii,
+    remove_repeated_paragraphs,
+)
+from iatlas_cbioportal_export_spark.operators.text import chunk_documents
+
+_SETTINGS = dict(max_examples=12, deadline=None)
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab c\tXY.9-@\n")),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+
+
+@settings(**_SETTINGS)
+@given(docs=texts)
+def test_tokens_match_python_reference(spark, docs):
+    from iatlas_cbioportal_export_spark.operators.text import token_stats
+
+    out = {r["doc_id"]: r for r in token_stats(_df(spark, docs)).collect()}
+    for i, doc in enumerate(docs):
+        ref = [t for t in re.split(r"\s+", doc) if t]
+        assert out[i]["n_tokens"] == len(ref)
+        assert out[i]["n_chars_computed"] == len(doc)
+
+
+@settings(**_SETTINGS)
+@given(docs=texts, w=st.integers(2, 6), ov=st.integers(0, 1))
+def test_chunking_covers_every_token(spark, docs, w, ov):
+    out = chunk_documents(_df(spark, docs), chunk_tokens=w, overlap=ov)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, doc in enumerate(docs):
+        toks = [t for t in re.split(r"\s+", doc) if t]
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if not toks:
+            assert not chunks
+            continue
+        # every chunk is ≤ w tokens; union of chunk tokens covers the doc's
+        # token multiset in order (stride guarantees no token is skipped)
+        covered = set()
+        s = w - ov
+        for r in chunks:
+            assert 1 <= r["n_chunk_tokens"] <= w
+            start = r["chunk_id"] * s
+            covered.update(range(start, min(start + w, len(toks))))
+        assert covered == set(range(len(toks)))
+
+
+@settings(**_SETTINGS)
+@given(docs=texts)
+def test_normalize_text_invariants(spark, docs):
+    out = {r["doc_id"]: r for r in normalize_text(_df(spark, docs)).collect()}
+    for i, doc in enumerate(docs):
+        norm = out[i]["text_norm"]
+        # no runs of whitespace, no leading/trailing space, no uppercase,
+        # no control characters
+        assert "  " not in norm and norm == norm.strip() and norm == norm.lower()
+        assert not any(ord(c) < 32 for c in norm)
+        # idempotence: normalizing the normalized text changes nothing
+    df2 = spark.createDataFrame(
+        [(i, out[i]["text_norm"]) for i in range(len(docs))],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r["text_norm"] for r in normalize_text(df2).collect()}
+    assert out2 == {i: out[i]["text_norm"] for i in range(len(docs))}
+
+
+@settings(**_SETTINGS)
+@given(docs=texts)
+def test_repetition_removal_invariants(spark, docs):
+    out = {
+        r["doc_id"]: r for r in remove_repeated_paragraphs(_df(spark, docs)).collect()
+    }
+    for i, doc in enumerate(docs):
+        parts = doc.split("\n")
+        kept = out[i]["text_clean"].split("\n")
+        # first occurrences, in order, no duplicates
+        seen = []
+        for p in parts:
+            if p not in seen:
+                seen.append(p)
+        assert kept == seen
+        assert out[i]["n_removed"] == len(parts) - len(seen)
+
+
+@settings(**_SETTINGS)
+@given(docs=texts)
+def test_redact_pii_leaves_clean_text_alone(spark, docs):
+    # the generated alphabet can form emails (X@Y.ab) but counts must agree
+    # with Python's re on the same patterns
+    from iatlas_cbioportal_export_spark.operators.curation import PII_PATTERNS
+
+    out = {r["doc_id"]: r for r in redact_pii(_df(spark, docs)).collect()}
+    for i, doc in enumerate(docs):
+        for name, rx, _tok in PII_PATTERNS:
+            assert out[i][f"n_{name}"] == len(re.findall(rx, doc)), (name, doc)
