@@ -1,0 +1,34 @@
+"""Every registry query's physical plan passes the anti-pattern linter.
+
+This is the fleet-wide dogfood of plans/linter.py: builds each queries()
+entry at sf0.001 (plan analysis only — no execution beyond what query
+construction itself does) and asserts no error-severity finding, with
+declared exceptions for deliberate patterns.
+"""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from iatlas_cbioportal_export_spark.plans.linter import assert_scale_safe
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# deliberate nested-loop users: broadcast cross joins against tiny sides
+ALLOW_NESTED_LOOP = {
+    "sim_topk_bruteforce",     # scoring vs broadcast query set
+    "decontamination",         # 1-row snippet crossJoin (planted contract)
+    "tpch_q11_important_parts",  # HAVING-over-scalar: one-row broadcast join
+    "tpch_q22_sales_opportunity",  # scalar avg subquery, one-row broadcast
+    "dedup_cross_corpus",      # tiny planted batch vs corpus
+    "text_tfidf",              # corpus-size scalar: one-row broadcast join
+    "text_bm25",               # avg-doc-length scalar: one-row broadcast join
+    "v_validation_suite",      # 1-row aggregate crossJoins (finding rows)
+}
+
+_QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_registry_query_plan_is_scale_safe(spark, name):
+    df = _QUERIES[name](spark, SF_DIR)
+    assert_scale_safe(df, allow_nested_loop=name in ALLOW_NESTED_LOOP)
