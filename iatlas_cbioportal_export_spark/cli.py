@@ -151,6 +151,48 @@ def cmd_load(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """LLM-corpus curation end-to-end over JSONL: normalize → quality gates
+    → language filter → PII redaction → exact dedup → JSONL out. Each stage
+    is the library operator; the CLI only wires them."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from iatlas_cbioportal_export_spark.operators import curation as cur
+    from iatlas_cbioportal_export_spark.operators.dedup import exact_dedup_keep_min
+    from iatlas_cbioportal_export_spark.operators.text import language_id
+    from iatlas_cbioportal_export_spark.sources.readers import read_jsonl, write_jsonl
+
+    spark = _spark()
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    docs = read_jsonl(spark, args.input, schema)
+    n_in = docs.count()
+    normed = cur.normalize_text(docs).withColumnRenamed("text_norm", "text")
+    gates = cur.gopher_quality(normed, min_words=args.min_words)
+    kept = normed.join(
+        gates.filter(F.col("passes")).select("doc_id"), "doc_id", "left_semi"
+    )
+    if args.lang:
+        langs = language_id(kept)
+        kept = kept.join(
+            langs.filter(F.col("predicted_lang") == args.lang).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    redacted = cur.redact_pii(kept).withColumnRenamed("text_redacted", "text")
+    keepers = exact_dedup_keep_min(redacted).select("doc_id")
+    out = redacted.select("doc_id", "text").join(keepers, "doc_id", "left_semi")
+    write_jsonl(out, args.output)
+    n_out = out.count()
+    print(f"curated {n_in} -> {n_out} docs ({args.input} -> {args.output})")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="iatlas-export-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -185,6 +227,17 @@ def build_parser() -> argparse.ArgumentParser:
     load.add_argument("--bundle", required=True)
     load.add_argument("--dest", required=True)
     load.set_defaults(fn=cmd_load)
+
+    cu = sub.add_parser(
+        "curate",
+        help="LLM-corpus curation over JSONL: normalize, quality-gate, "
+        "language-filter, PII-redact, dedup",
+    )
+    cu.add_argument("--input", required=True, help="input JSONL path/dir")
+    cu.add_argument("--output", required=True, help="output JSONL dir")
+    cu.add_argument("--min-words", type=int, default=50)
+    cu.add_argument("--lang", help="keep only this predicted language (e.g. en)")
+    cu.set_defaults(fn=cmd_curate)
     return p
 
 

@@ -115,3 +115,33 @@ def test_cli_clinical_with_mapping_splits_patient_attrs(spark, tmp_path):
     assert "OS_STATUS" in patient
     assert "OS_STATUS" not in sample
     assert "TCGA_STUDY" in sample
+
+
+def test_cli_curate_jsonl_roundtrip(tmp_path, spark):
+    import json
+
+    from iatlas_cbioportal_export_spark.cli import main
+
+    good = "the and " + " ".join(f"tok{i}" for i in range(60))
+    docs = [
+        {"doc_id": 1, "text": good + " reach me at a@b.io"},
+        {"doc_id": 2, "text": good + " reach me at a@b.io"},   # exact dup of 1 post-redaction
+        {"doc_id": 3, "text": "too short"},                     # fails word gate
+        {"doc_id": 4, "text": good + " unique tail"},
+    ]
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join(json.dumps(d) for d in docs))
+    out_dir = str(tmp_path / "out")
+    rc = main(
+        ["curate", "--input", str(src), "--output", out_dir, "--min-words", "50",
+         "--lang", "en"]
+    )
+    assert rc == 0
+    kept = [
+        json.loads(line)
+        for p in __import__("pathlib").Path(out_dir).glob("part-*")
+        for line in p.read_text().splitlines()
+    ]
+    by_id = {d["doc_id"]: d["text"] for d in kept}
+    assert set(by_id) == {1, 4}  # 2 deduped (keep-min), 3 gated out
+    assert "<EMAIL>" in by_id[1] and "a@b.io" not in by_id[1]
