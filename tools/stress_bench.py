@@ -1,0 +1,132 @@
+"""Scale-cliff probe: run the heavy operators at sf0.1 and again on a
+row-amplified (~10×) copy, and report the time ratio. A linear operator
+shows ~10× on 10× rows; super-linear ratios flag where the next
+order-of-magnitude breaks first.
+
+Amplified rows get DISTINCT ids (offset by replica) and, for text, a
+replica-suffixed tail so dedup/similarity don't collapse the copies into
+one giant duplicate class (which would measure the pathological case, not
+scaling).
+
+Usage: python tools/stress_bench.py [factor]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from iatlas_cbioportal_export_spark import get_spark  # noqa: E402
+from iatlas_cbioportal_export_spark.operators import (  # noqa: E402
+    curation as cur_ops,
+    dedup as dedup_ops,
+    similarity as sim_ops,
+    text as text_ops,
+)
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def amplify_docs(spark, factor: int):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    reps = spark.range(factor).select(F.col("id").alias("__rep"))
+    # replace every 3rd word with a replica-specific token: every word
+    # 3-gram then contains a replica token, so cross-replica Jaccard is ~0
+    # and the amplified corpus measures SCALING, not the pathological
+    # everything-is-a-near-dup case (a suffix tweak leaves Jaccard ~0.97
+    # between replicas — measured: 50x then verifies 6M candidate pairs).
+    # Replacement (not insertion) keeps per-doc token count — and so
+    # per-doc work — identical to the base corpus.
+    rep_tok = F.concat(F.lit("r"), F.col("__rep").cast("string"))
+    toks = F.split(F.col("text"), r"\s+")
+    mutated = F.array_join(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda t, i: F.when(i % 3 == 2, rep_tok).otherwise(t),
+        ),
+        " ",
+    )
+    return (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("__rep") * n * 10).alias("doc_id"),
+            mutated.alias("text"),
+            "lang",
+            "source",
+        )
+    )
+
+
+def amplify_embeddings(spark, factor: int):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    reps = spark.range(factor).select(F.col("id").alias("__rep"))
+    # rotate one component by replica so copies aren't exact near-dups
+    return emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("__rep") * n * 10).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + (F.col("__rep") % 7).cast("float") * 0.01 * (i % 3),
+        ).alias("embedding"),
+        "label",
+    )
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # local mode: driver == executors — size the one JVM for the amplified
+    # working set (the container has 128 GiB; the 1 GiB default is a laptop
+    # setting). Must be set before JVM start, hence here not at runtime.
+    spark = get_spark(
+        "stress-bench", extra_conf={"spark.driver.memory": "48g"}
+    )
+    spark.range(1).count()
+
+    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docsN = amplify_docs(spark, factor).localCheckpoint(eager=True)
+    emb1 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    embN = amplify_embeddings(spark, factor).localCheckpoint(eager=True)
+    print(f"docs: {docs1.count()} -> {docsN.count()}; "
+          f"embeddings: {emb1.count()} -> {embN.count()}")
+
+    cases = {
+        "dedup_exact": lambda d: dedup_ops.exact_dedup_keep_min(d).count(),
+        "dedup_minhash_lsh": lambda d: dedup_ops.minhash_near_duplicates(
+            d, n=3, num_hashes=16, bands=8, threshold=0.2
+        ).count(),
+        "text_quality+lang": lambda d: cur_ops.gopher_quality(d).count(),
+        "sequence_packing": lambda d: text_ops.pack_sequences(d).count(),
+        "chunking": lambda d: text_ops.chunk_documents(d).count(),
+    }
+    emb_cases = {
+        "ann_lsh_topk": lambda e: sim_ops.ann_topk_lsh(
+            e, e.filter(F.col("vec_id") < 5), dim=64, k=5, num_planes=10
+        ).count(),
+        "embedding_near_dup": lambda e: sim_ops.embedding_near_duplicates(
+            e, dim=64, threshold=0.99, num_planes=14
+        ).count(),
+    }
+    for name, fn in cases.items():
+        t1 = _timed(lambda: fn(docs1))
+        tN = _timed(lambda: fn(docsN))
+        print(f"{name:22s} 1x={t1:6.2f}s  {factor}x={tN:7.2f}s  ratio={tN / t1:5.1f}")
+    for name, fn in emb_cases.items():
+        t1 = _timed(lambda: fn(emb1))
+        tN = _timed(lambda: fn(embN))
+        print(f"{name:22s} 1x={t1:6.2f}s  {factor}x={tN:7.2f}s  ratio={tN / t1:5.1f}")
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+if __name__ == "__main__":
+    main()
