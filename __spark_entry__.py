@@ -1778,6 +1778,18 @@ def q_events_sessionize(spark, sf_dir):
     return sessionize(events, gap_minutes=30)
 
 
+def q_events_sliding_counts(spark, sf_dir):
+    """Sliding-window counts (60 min window, 15 min slide): every event
+    lands in exactly 4 windows; the oracle reconstructs the window set with
+    k in 0..3 slide offsets from each event's floor-to-slide boundary."""
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        sliding_event_counts,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return sliding_event_counts(events, window_minutes=60, slide_minutes=15)
+
+
 def q_events_incremental_rollup(spark, sf_dir):
     """Incremental materialized-rollup maintenance: the hourly rollup built
     from 90% of events merged with the remaining 10%'s partial rollup must
@@ -1914,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": q_events_session_window,
         "stream_enriched_counts": q_stream_enriched_counts,
         "events_incremental_rollup": q_events_incremental_rollup,
+        "events_sliding_counts": q_events_sliding_counts,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
         "sequence_packing": q_sequence_packing,
@@ -3581,6 +3594,15 @@ def oracle_sql() -> dict[str, str]:
                strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
                l_returnflag
         FROM lineitem WHERE l_orderkey <= 1000
+    """
+    d["events_sliding_counts"] = """
+        SELECT strftime(make_timestamp(CAST(
+                   epoch_us(ts) // 900000000 * 900000000 - k * 900000000
+                   AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events
+        FROM events, unnest(range(0, 4)) AS r(k)
+        GROUP BY 1, 2
     """
     # the oracle IS the full recompute the incremental merge must equal
     d["events_incremental_rollup"] = """

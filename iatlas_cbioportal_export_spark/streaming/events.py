@@ -236,6 +236,39 @@ def sessionize(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    window_minutes: int = 60,
+    slide_minutes: int = 15,
+    watermark: str | None = None,
+) -> DataFrame:
+    """SLIDING-window event counts (window > slide ⇒ each event lands in
+    window/slide overlapping windows — the trend-smoothing shape fixed
+    windows can't express). Works on streaming input with a watermark;
+    Spark expands each row into its window set map-side, so the shuffle
+    carries (window, key) pairs, not per-window copies of the payload.
+    Output: (window_start, event_type, n_events)."""
+    df = events
+    if df.isStreaming and watermark:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(
+            F.window("ts", f"{window_minutes} minutes", f"{slide_minutes} minutes").alias(
+                "__w"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("__w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def enrich_events(
     events: DataFrame,
     dim: DataFrame,
