@@ -675,3 +675,74 @@ def mean_pool(
     if sums_col:
         aggs.append(F.transform(ordered, lambda s: s["__sum6"]).alias(sums_col))
     return per_pos.groupBy(group_col).agg(*aggs)
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    table: str,
+    dim: int,
+    num_planes: int = 12,
+    num_buckets: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an ANN index: corpus vectors + their hyperplane signatures as
+    a catalog table BUCKETED on the signature — the build-once/query-many
+    form of :func:`ann_topk_lsh`.
+
+    Query-time then skips signature recomputation over the corpus AND the
+    signature shuffle: the bucket-join key is the table's bucketing key, so
+    probing is a co-located join against broadcast query probes. Signatures
+    are deterministic hash-derived hyperplanes (no stored model), so index
+    and ad-hoc signatures always agree — an index rebuilt by any engine
+    version matches (the planes are fixed by ``_HP_SEED``).
+    """
+    from iatlas_cbioportal_export_spark.sources.bucketing import write_bucketed
+
+    indexed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_signature(F.col(vec_col), dim, num_planes).alias("sig"),
+    )
+    write_bucketed(indexed, table, ["sig"], num_buckets, ["sig"])
+
+
+def query_lsh_index(
+    queries: DataFrame,
+    table: str,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k against a persisted :func:`build_lsh_index` table. Identical
+    output contract to :func:`ann_topk_lsh` over the same corpus/params —
+    pinned by test — with the corpus-side signature scan replaced by the
+    index read."""
+    spark = queries.sparkSession
+    c_sig = spark.table(table).withColumnsRenamed({"sig": "__sig"})
+    q_sig = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        hyperplane_signature(F.col(vec_col), dim, num_planes).alias("__qsig"),
+    )
+    probes = F.array(
+        F.col("__qsig"),
+        *[F.col("__qsig").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+    )
+    q_probed = q_sig.select(query_id_col, "__qvec", F.explode(probes).alias("__sig"))
+    cands = c_sig.join(F.broadcast(q_probed), on="__sig").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cands.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+    ).dropDuplicates([query_id_col, id_col])
+    scored = _partition_topk(scored, k, query_id_col, "cosine_sim", id_col)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -264,3 +264,31 @@ def test_mean_pool_partitioning_invariant(spark):
         (r["doc"], r["n_vectors"]) for r in mean_pool(df.repartition(11), "doc").collect()
     )
     assert a == b
+
+
+def test_lsh_index_query_matches_adhoc_ann(spark):
+    import pyspark.sql.functions as F
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        ann_topk_lsh,
+        build_lsh_index,
+        query_lsh_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    try:
+        build_lsh_index(emb, "t_lsh_index", dim=64, num_planes=10)
+        from_index = query_lsh_index(
+            queries, "t_lsh_index", dim=64, k=5, num_planes=10
+        )
+        adhoc = ann_topk_lsh(emb, queries, dim=64, k=5, num_planes=10)
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        assert sorted(
+            [(r["query_id"], r["rank"], r["vec_id"], r["cosine_sim"])
+             for r in from_index.collect()]
+        ) == sorted(
+            [(r["query_id"], r["rank"], r["vec_id"], r["cosine_sim"])
+             for r in adhoc.collect()]
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_lsh_index")
