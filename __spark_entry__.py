@@ -1114,6 +1114,17 @@ def q_emb_mean_pool(spark, sf_dir):
     ).select("grp", "n_vectors", "pos", "sum_val")
 
 
+def q_text_hashed_embedding(spark, sf_dir):
+    """Feature-hashing text embedding (dim 32, PORTABLE rolling-hash
+    buckets — not xxhash64, so the oracle reproduces them exactly), emitted
+    one row per (doc, position) with the L2-normalized value at 6 dp."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = text_ops.hashed_embedding(docs, dim=32)
+    return emb.select(
+        "doc_id", "n_tokens", F.posexplode("embedding").alias("pos", "val")
+    ).select("doc_id", "n_tokens", "pos", F.round("val", 6).alias("val"))
+
+
 def q_text_normalize(spark, sf_dir):
     """Normalization pass over deterministically messied text (leading/
     trailing whitespace, tabs/newlines, an uppercased duplicate prefix):
@@ -1932,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "dedup_cross_corpus": q_dedup_cross_corpus,
         "text_normalize": q_text_normalize,
+        "text_hashed_embedding": q_text_hashed_embedding,
         "emb_l2_normalize": q_emb_l2_normalize,
         "emb_mean_pool": q_emb_mean_pool,
         "maf_annotate_by_variant": q_maf_annotate_by_variant,
@@ -3541,6 +3553,31 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT grp, n AS n_vectors, pos, sum_val
         FROM per_pos
+    """
+    d["text_hashed_embedding"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        b AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   list_transform(toks, tok ->
+                       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, length(tok) + 1),
+                               i -> CAST(ascii(tok[i]) AS BIGINT))),
+                           (acc, c) -> (acc * 31 + c) % 1000000007) % 32
+                       AS INT)) AS bks
+            FROM t
+        ),
+        cnt AS (
+            SELECT doc_id, n_tokens, j.pos,
+                   CAST(len(list_filter(bks, x -> x = j.pos)) AS DOUBLE) AS c
+            FROM b, (SELECT unnest(range(0, 32)) AS pos) AS j
+        ),
+        nrm AS (
+            SELECT doc_id, sqrt(sum(c * c)) AS nn FROM cnt GROUP BY doc_id
+        )
+        SELECT cnt.doc_id, cnt.n_tokens, cnt.pos,
+               round(CASE WHEN nrm.nn > 0 THEN cnt.c / nrm.nn ELSE cnt.c END, 6)
+                   AS val
+        FROM cnt JOIN nrm USING (doc_id)
     """
     d["text_normalize"] = """
         WITH planted AS (

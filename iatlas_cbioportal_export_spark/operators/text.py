@@ -346,6 +346,64 @@ def pack_sequences(
     )
 
 
+def hashed_embedding(
+    df: DataFrame,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") text embedding: each token is
+    bucketed by the PORTABLE rolling hash (``functions/text.py``, exact in
+    any engine — deliberately not xxhash64, so the oracle can reproduce it),
+    the vector is the per-bucket token count, optionally L2-normalized.
+
+    The honest no-model text→vector bridge: downstream similarity/ANN/
+    near-dup operators consume its output like any learned embedding, which
+    makes text→embed→ANN pipelines testable end-to-end without shipping a
+    model. Narrow (one codegen'd pass, no shuffle): counts are built by a
+    fold over the token array into a dim-length accumulator.
+    Output: (id, embedding array<double>, n_tokens).
+    """
+    from iatlas_cbioportal_export_spark.functions.text import _FP_BASE, _FP_MOD
+
+    toks = F.col("__toks")
+    bucket = lambda t: (  # noqa: E731 — rolling hash % dim
+        F.aggregate(
+            F.split(t, ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * F.lit(_FP_BASE) + F.ascii(ch)) % F.lit(_FP_MOD),
+        )
+        % F.lit(dim)
+    ).cast("int")
+    # bucket ids materialized ONCE per token in their own projection — the
+    # accumulator transform below runs dim× per token, and inlining the hash
+    # there would recompute it dim× too (the measured O(tokens²)-class trap)
+    counts = F.aggregate(
+        F.col("__bks"),
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, b: F.transform(
+            acc, lambda v, i: F.when(i == b, v + 1.0).otherwise(v)
+        ),
+    )
+    base = (
+        df.select(F.col(id_col), T.tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.transform(toks, bucket).alias("__bks"),
+            F.size(toks).alias("n_tokens"),
+        )
+        .select(F.col(id_col), counts.alias("__counts"), "n_tokens")
+    )
+    vec = F.col("__counts")
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        vec = F.when(nrm > 0, F.transform(vec, lambda x: x / nrm)).otherwise(vec)
+    return base.select(id_col, vec.alias("embedding"), "n_tokens")
+
+
 def corpus_language_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level report: predicted language × document count + mean hits.
     One shuffle on the (tiny-cardinality) language key."""

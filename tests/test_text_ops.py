@@ -175,3 +175,52 @@ def test_pack_sequences_deterministic_under_partitioning(spark):
         map(tuple, pack_sequences(df.repartition(13), budget_tokens=7).collect())
     )
     assert a == b
+
+
+def test_hashed_embedding_counts_and_norm(spark):
+    from iatlas_cbioportal_export_spark.operators.text import hashed_embedding
+    from iatlas_cbioportal_export_spark.functions.text import _FP_BASE, _FP_MOD
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in hashed_embedding(df, dim=8, normalize=False).collect()}
+
+    def bucket(tok):
+        acc = 0
+        for ch in tok:
+            acc = (acc * _FP_BASE + ord(ch)) % _FP_MOD
+        return acc % 8
+
+    assert bucket("a") != bucket("b")  # fixture sanity: no collision
+    vec = out[1]["embedding"]
+    assert vec[bucket("a")] == 2.0 and vec[bucket("b")] == 1.0
+    assert sum(vec) == 3.0 and out[1]["n_tokens"] == 3
+    assert out[2]["embedding"] == [0.0] * 8 and out[2]["n_tokens"] == 0
+
+
+def test_hashed_embedding_normalized_unit_length(spark):
+    import math
+    from iatlas_cbioportal_export_spark.operators.text import hashed_embedding
+
+    df = spark.createDataFrame([(1, "x y z x")], "doc_id long, text string")
+    vec = hashed_embedding(df, dim=16).collect()[0]["embedding"]
+    assert math.isclose(sum(v * v for v in vec), 1.0, rel_tol=1e-9)
+
+
+def test_hashed_embedding_feeds_similarity_ops(spark):
+    # the text→embed→near-dup bridge: identical docs get identical vectors
+    import pyspark.sql.functions as F
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+    from iatlas_cbioportal_export_spark.operators.text import hashed_embedding
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    emb = hashed_embedding(docs, dim=16).withColumnRenamed("doc_id", "vec_id")
+    pairs = embedding_near_duplicates(emb, dim=16, threshold=0.999, num_planes=8)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
