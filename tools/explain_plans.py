@@ -167,6 +167,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["MapInPandas", "HashAggregate"],
         ["CartesianProduct"],
     ),
+    # narrow: the whole tokenize→bucket→normalize fold is one projection
+    "text_hashed_embedding": (["Generate"], ["Exchange"]),
+    # sliding windows expand map-side (Expand/Generate), one aggregation
+    "events_sliding_counts": (["Expand|Generate", "HashAggregate"], ["CartesianProduct"]),
+    # stream-static enrichment: dimension broadcasts, fact never shuffles
+    # for the join (the agg shuffle is the only exchange)
+    "stream_enriched_counts": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "events_incremental_rollup": (["Union", "HashAggregate"], ["CartesianProduct"]),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
