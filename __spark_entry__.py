@@ -1114,6 +1114,17 @@ def q_emb_mean_pool(spark, sf_dir):
     ).select("grp", "n_vectors", "pos", "sum_val")
 
 
+def q_text_unigram_logprob(spark, sf_dir):
+    """Corpus-self unigram LM quality score (the CCNet/KenLM filter shape at
+    order 1). The checked lane is the decimal-exact per-doc sum of token
+    log10-probabilities (the mean is the API lane; cross-partition double
+    averaging is engine-nondeterministic — see mean_pool)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.unigram_logprob_score(docs).select(
+        "doc_id", "n_tokens", "sum_logprob"
+    )
+
+
 def q_text_hashed_embedding(spark, sf_dir):
     """Feature-hashing text embedding (dim 32, PORTABLE rolling-hash
     buckets — not xxhash64, so the oracle reproduces them exactly), emitted
@@ -1971,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_corpus": q_dedup_cross_corpus,
         "text_normalize": q_text_normalize,
         "text_hashed_embedding": q_text_hashed_embedding,
+        "text_unigram_logprob": q_text_unigram_logprob,
         "text_to_ann_pipeline": q_text_to_ann_pipeline,
         "emb_l2_normalize": q_emb_l2_normalize,
         "emb_mean_pool": q_emb_mean_pool,
@@ -3606,6 +3618,29 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN nrm.nn > 0 THEN cnt.c / nrm.nn ELSE cnt.c END, 6)
                    AS val
         FROM cnt JOIN nrm USING (doc_id)
+    """
+    d["text_unigram_logprob"] = f"""
+        WITH toks AS (
+            SELECT doc_id, u.tok
+            FROM (SELECT doc_id, {_TOKS} AS t FROM documents), unnest(t) AS u(tok)
+        ),
+        vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+        total AS (SELECT sum(n) AS t FROM vocab),
+        lp AS (
+            SELECT toks.doc_id,
+                   CAST(log10(greatest(vocab.n / total.t, 1e-9))
+                        AS DECIMAL(28,12)) AS lpd
+            FROM toks JOIN vocab USING (tok) CROSS JOIN total
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(round(sum(lpd), 6) AS DOUBLE) AS s
+            FROM lp GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(agg.n_tokens, 0) AS n_tokens,
+               coalesce(agg.s, 0.0) AS sum_logprob
+        FROM documents d LEFT JOIN agg USING (doc_id)
     """
     # planted exact copies: identical token multisets -> identical hashed
     # vectors -> cosine exactly 1.0 through the whole pipeline

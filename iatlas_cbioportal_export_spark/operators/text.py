@@ -346,6 +346,67 @@ def pack_sequences(
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_floor: float = 1e-9,
+) -> DataFrame:
+    """Statistical quality score: mean unigram log10-probability per
+    document under the CORPUS's own unigram distribution (the KenLM/CCNet
+    quality-filter shape with the n-gram LM order reduced to 1 — rare-token
+    soup scores low, typical prose scores near the corpus mode).
+
+    Two passes, both corpus-sized-safe: (1) token explode → groupBy(token)
+    counts (the vocabulary table — millions of rows at 100 TB, NOT
+    broadcast); (2) re-explode and JOIN tokens against the vocabulary, then
+    mean per doc. The join is vocab-keyed (AQE picks broadcast only if the
+    vocab is actually small). Empty docs score the OOV floor's log.
+    Output: (id, n_tokens, mean_logprob)."""
+    import math
+
+    toks = (
+        df.select(F.col(id_col), T.tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), F.explode_outer("__toks").alias("tok"))
+    )
+    vocab = (
+        toks.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    total = vocab.agg(F.sum("__n").alias("__total"))
+    lp = F.log10(
+        F.greatest(F.col("__n") / F.col("__total"), F.lit(oov_floor))
+    )
+    scored = (
+        toks.join(vocab, on="tok", how="left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("tok"),
+            F.when(F.col("tok").isNull(), F.lit(None).cast("double"))
+            .otherwise(lp)
+            .alias("__lp"),
+            # decimal lane: the vocab join scatters one doc's tokens across
+            # partitions, so a double sum/avg merges in nondeterministic
+            # order — the decimal sum is exact and engine-portable (see
+            # similarity.mean_pool for the measured 1-ulp failure mode)
+            F.when(F.col("tok").isNull(), F.lit(None).cast("decimal(28,12)"))
+            .otherwise(lp.cast("decimal(28,12)"))
+            .alias("__lpd"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.col("tok")).alias("n_tokens"),
+        F.round(
+            F.coalesce(F.avg("__lp"), F.lit(math.log10(oov_floor))), 6
+        ).alias("mean_logprob"),
+        F.coalesce(
+            F.round(F.sum("__lpd"), 6).cast("double"), F.lit(0.0)
+        ).alias("sum_logprob"),
+    )
+
+
 def hashed_embedding(
     df: DataFrame,
     dim: int = 32,

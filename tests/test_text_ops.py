@@ -224,3 +224,43 @@ def test_hashed_embedding_feeds_similarity_ops(spark):
     emb = hashed_embedding(docs, dim=16).withColumnRenamed("doc_id", "vec_id")
     pairs = embedding_near_duplicates(emb, dim=16, threshold=0.999, num_planes=8)
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+
+
+def test_unigram_logprob_ranks_rare_below_common(spark):
+    import math
+    from iatlas_cbioportal_export_spark.operators.text import unigram_logprob_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the"),        # all mode tokens
+            (2, "the the rareword"),       # mixes in a singleton
+            (3, ""),                        # empty: OOV floor
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob_score(df).collect()}
+    assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
+    assert out[3]["n_tokens"] == 0
+    assert math.isclose(out[3]["mean_logprob"], math.log10(1e-9), rel_tol=1e-6)
+    # hand-check doc 1: p(the) = 6/7
+    assert math.isclose(
+        out[1]["mean_logprob"], math.log10(6 / 7), abs_tol=1e-6
+    )
+
+
+def test_unigram_logprob_partitioning_invariant(spark):
+    from iatlas_cbioportal_export_spark.operators.text import unigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 11}" for j in range(i % 17 + 3))) for i in range(80)],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        (r["doc_id"], r["n_tokens"], r["sum_logprob"])
+        for r in unigram_logprob_score(df).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_tokens"], r["sum_logprob"])
+        for r in unigram_logprob_score(df.repartition(13)).collect()
+    )
+    assert a == b
