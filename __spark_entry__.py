@@ -1114,6 +1114,14 @@ def q_emb_mean_pool(spark, sf_dir):
     ).select("grp", "n_vectors", "pos", "sum_val")
 
 
+def q_text_length_histogram(spark, sf_dir):
+    """Document-length histogram (20 equal-width token bins over [0, 200]):
+    the pre-chunking profiling query; width_bucket semantics mirrored in
+    the oracle (bin = floor(x/width)+1, clamped to 0 / num_bins+1)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.length_histogram(docs, max_tokens=200, num_bins=20)
+
+
 def q_text_unigram_logprob(spark, sf_dir):
     """Corpus-self unigram LM quality score (the CCNet/KenLM filter shape at
     order 1). The checked lane is the decimal-exact per-doc sum of token
@@ -1983,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "text_hashed_embedding": q_text_hashed_embedding,
         "text_unigram_logprob": q_text_unigram_logprob,
+        "text_length_histogram": q_text_length_histogram,
         "text_to_ann_pipeline": q_text_to_ann_pipeline,
         "emb_l2_normalize": q_emb_l2_normalize,
         "emb_mean_pool": q_emb_mean_pool,
@@ -3618,6 +3627,23 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN nrm.nn > 0 THEN cnt.c / nrm.nn ELSE cnt.c END, 6)
                    AS val
         FROM cnt JOIN nrm USING (doc_id)
+    """
+    d["text_length_histogram"] = f"""
+        WITH n AS (SELECT len({_TOKS}) AS nt FROM documents),
+        b AS (
+            SELECT CASE WHEN nt < 0 THEN 0
+                        WHEN nt >= 200 THEN 21
+                        ELSE CAST(floor(nt / 10.0) AS BIGINT) + 1 END AS bin
+            FROM n
+        ),
+        c AS (SELECT bin, count(*) AS n_docs FROM b GROUP BY bin),
+        t AS (SELECT sum(n_docs) AS tt FROM c)
+        SELECT bin,
+               CAST((bin - 1) * 10.0 AS DOUBLE) AS bin_lo,
+               CAST(bin * 10.0 AS DOUBLE) AS bin_hi,
+               n_docs,
+               round(n_docs / t.tt, 6) AS share
+        FROM c CROSS JOIN t
     """
     d["text_unigram_logprob"] = f"""
         WITH toks AS (

@@ -465,6 +465,38 @@ def hashed_embedding(
     return base.select(id_col, vec.alias("embedding"), "n_tokens")
 
 
+def length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    max_tokens: int = 200,
+    num_bins: int = 20,
+) -> DataFrame:
+    """Corpus document-length histogram: equal-width token-count bins via
+    ``width_bucket`` (bin 0 = below range, bin num_bins+1 = above), count
+    and corpus share per bin. One narrow pass + one tiny aggregation — the
+    profiling query you run before choosing chunk/packing budgets.
+    Output: (bin, bin_lo, bin_hi, n_docs, share)."""
+    width = max_tokens / num_bins
+    n_tok = T.token_count(text_col)
+    binned = df.select(
+        F.width_bucket(n_tok, F.lit(0), F.lit(max_tokens), F.lit(num_bins)).alias(
+            "bin"
+        )
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            ((F.col("bin") - 1) * width).cast("double").alias("bin_lo"),
+            (F.col("bin") * width).cast("double").alias("bin_hi"),
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("__t"), 6).alias("share"),
+        )
+    )
+
+
 def corpus_language_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level report: predicted language × document count + mean hits.
     One shuffle on the (tiny-cardinality) language key."""

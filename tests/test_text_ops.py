@@ -264,3 +264,17 @@ def test_unigram_logprob_partitioning_invariant(spark):
         for r in unigram_logprob_score(df.repartition(13)).collect()
     )
     assert a == b
+
+
+def test_length_histogram_bins(spark):
+    from iatlas_cbioportal_export_spark.operators.text import length_histogram
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, " ".join(["w"] * 250)), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["bin"]: r for r in length_histogram(df, max_tokens=100, num_bins=10).collect()}
+    # 3 tokens -> bin 1 ([0,10)); 250 tokens -> overflow bin 11; 0 -> bin 1
+    assert out[1]["n_docs"] == 3
+    assert out[11]["n_docs"] == 1
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-6
