@@ -23,6 +23,8 @@ ALLOW_NESTED_LOOP = {
     "text_tfidf",              # corpus-size scalar: one-row broadcast join
     "text_bm25",               # avg-doc-length scalar: one-row broadcast join
     "v_validation_suite",      # 1-row aggregate crossJoins (finding rows)
+    "text_unigram_logprob",    # corpus-total scalar: one-row broadcast join
+    "text_length_histogram",   # corpus-total scalar: one-row broadcast join
 }
 
 _QUERIES = entrymod.queries()

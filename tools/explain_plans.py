@@ -178,6 +178,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin"],
     ),
     "events_incremental_rollup": (["Union", "HashAggregate"], ["CartesianProduct"]),
+    # vocab join stays an equi-join; the one-row total broadcasts
+    "text_unigram_logprob": (
+        ["HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    "text_length_histogram": (["HashAggregate"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
