@@ -1847,6 +1847,24 @@ def q_events_sliding_counts(spark, sf_dir):
     return sliding_event_counts(events, window_minutes=60, slide_minutes=15)
 
 
+def q_events_scd2(spark, sf_dir):
+    """SCD-type-2 history of each user's event_type over time: consecutive
+    equal values collapse into versions with [valid_from, valid_to)
+    intervals (lag change-flag -> cumsum version -> lead). Ties at equal ts
+    are ordered by value in BOTH engines, so the history is deterministic."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import scd2_history
+
+    events = _t(spark, sf_dir, "events")
+    hist = scd2_history(events, "user_id", "ts", "event_type")
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "version",
+    )
+
+
 def q_events_incremental_rollup(spark, sf_dir):
     """Incremental materialized-rollup maintenance: the hourly rollup built
     from 90% of events merged with the remaining 10%'s partial rollup must
@@ -1984,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enriched_counts": q_stream_enriched_counts,
         "events_incremental_rollup": q_events_incremental_rollup,
         "events_sliding_counts": q_events_sliding_counts,
+        "events_scd2": q_events_scd2,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
         "sequence_packing": q_sequence_packing,
@@ -3726,6 +3745,34 @@ def oracle_sql() -> dict[str, str]:
                strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
                l_returnflag
         FROM lineitem WHERE l_orderkey <= 1000
+    """
+    d["events_scd2"] = """
+        WITH o AS (
+            SELECT user_id, ts, event_type,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+        ),
+        runs AS (
+            SELECT user_id, ts, event_type,
+                   sum(chg) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_type
+                                  ROWS UNBOUNDED PRECEDING) AS ver
+            FROM o
+        ),
+        versions AS (
+            SELECT user_id, ver, event_type, min(ts) AS valid_from
+            FROM runs GROUP BY user_id, ver, event_type
+        )
+        SELECT user_id, event_type,
+               strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(lead(valid_from) OVER (PARTITION BY user_id
+                        ORDER BY valid_from, ver), '%Y-%m-%d %H:%M:%S')
+                   AS valid_to,
+               CAST(ver AS BIGINT) AS version
+        FROM versions
     """
     d["events_sliding_counts"] = """
         SELECT strftime(make_timestamp(CAST(

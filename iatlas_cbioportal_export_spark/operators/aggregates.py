@@ -214,3 +214,47 @@ def merge_rollup(
         .groupBy(*keys)
         .agg(*[F.sum(c).alias(c) for c in sum_cols])
     )
+
+
+def scd2_history(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Build an SCD-type-2 history from an event log: one row per
+    (key, consecutive-value run) with its validity interval — the
+    dimension-table form of "what was this key's value at time T?".
+
+    Plan: ONE shuffle on the key; per key (ordered by ts, ties broken by
+    value for determinism): a change flag (lag), a running version id
+    (cumulative sum), then min/max per version and ``lead`` for the
+    exclusive valid_to (NULL = current version). Repeated equal values
+    collapse into one version — event-log dedup for free.
+    Output: (key, value, valid_from, valid_to, version).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, value_col)
+    changed = F.when(
+        F.lag(value_col).over(w).isNull()
+        | (F.lag(value_col).over(w) != F.col(value_col)),
+        1,
+    ).otherwise(0)
+    runs = events.select(
+        F.col(key_col), F.col(ts_col), F.col(value_col), changed.alias("__chg")
+    ).withColumn(
+        "__ver",
+        F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    versions = runs.groupBy(key_col, "__ver", value_col).agg(
+        F.min(ts_col).alias("valid_from")
+    )
+    # version is the strict per-key order; two versions can share a
+    # valid_from when distinct values arrive at the same timestamp
+    w2 = Window.partitionBy(key_col).orderBy("valid_from", "__ver")
+    return versions.select(
+        F.col(key_col),
+        F.col(value_col),
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.col("__ver").cast("long").alias("version"),
+    )

@@ -176,3 +176,44 @@ def test_merge_rollup_dynamic_partition_overwrite(spark, tmp_path):
     assert out == {"d1": (7, 14.0), "d2": (3, 6.0)}
     # d2's partition directory was not rewritten
     assert set(os.listdir(f"{path}/day=d2")) == d2_files_before
+
+
+def test_scd2_history_versions_and_intervals(spark):
+    import pyspark.sql.functions as F
+    from iatlas_cbioportal_export_spark.operators.aggregates import scd2_history
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "bronze"),
+            (1, "2024-01-02 00:00:00", "bronze"),   # same value: collapses
+            (1, "2024-01-03 00:00:00", "silver"),
+            (1, "2024-01-05 00:00:00", "gold"),
+            (2, "2024-01-01 00:00:00", "bronze"),
+        ],
+        "user_id long, ts string, tier string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["user_id"], r["version"]): r
+           for r in scd2_history(events, "user_id", "ts", "tier").collect()}
+    assert len(out) == 4  # 3 versions for user 1, 1 for user 2
+    v1 = out[(1, 1)]
+    assert v1["tier"] == "bronze" and str(v1["valid_to"]) == "2024-01-03 00:00:00"
+    v3 = out[(1, 3)]
+    assert v3["tier"] == "gold" and v3["valid_to"] is None
+    assert out[(2, 1)]["valid_to"] is None
+
+
+def test_scd2_point_in_time_lookup(spark):
+    import pyspark.sql.functions as F
+    from iatlas_cbioportal_export_spark.operators.aggregates import scd2_history
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a"), (1, "2024-01-10 00:00:00", "b")],
+        "k long, ts string, v string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    hist = scd2_history(events, "k", "ts", "v")
+    at = F.to_timestamp(F.lit("2024-01-05 00:00:00"))
+    row = hist.filter(
+        (F.col("valid_from") <= at)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
+    ).collect()
+    assert len(row) == 1 and row[0]["v"] == "a"
