@@ -1865,6 +1865,30 @@ def q_events_scd2(spark, sf_dir):
     )
 
 
+def q_events_point_in_time(spark, sf_dir):
+    """Point-in-time join of each event against the user's OWN SCD2
+    event_type history: per-event matched version value and version number.
+    Equi-join on user_id with the interval check as a residual condition —
+    the standard SCD2 consumer. Aggregated per (event_type, matched value)
+    so the result is compact and fully value-checked."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import scd2_history
+    from iatlas_cbioportal_export_spark.operators.joins import point_in_time_join
+
+    events = _t(spark, sf_dir, "events")
+    hist = scd2_history(events, "user_id", "ts", "event_type")
+    joined = point_in_time_join(
+        events.select("event_id", "user_id", "ts", "event_type"), hist,
+        "user_id", "ts",
+    )
+    return (
+        joined.groupBy(
+            F.col("__f.event_type").alias("fact_type"),
+            F.col("__h.event_type").alias("dim_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_events_incremental_rollup(spark, sf_dir):
     """Incremental materialized-rollup maintenance: the hourly rollup built
     from 90% of events merged with the remaining 10%'s partial rollup must
@@ -2003,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_incremental_rollup": q_events_incremental_rollup,
         "events_sliding_counts": q_events_sliding_counts,
         "events_scd2": q_events_scd2,
+        "events_point_in_time": q_events_point_in_time,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
         "sequence_packing": q_sequence_packing,
@@ -3773,6 +3798,42 @@ def oracle_sql() -> dict[str, str]:
                    AS valid_to,
                CAST(ver AS BIGINT) AS version
         FROM versions
+    """
+    d["events_point_in_time"] = """
+        WITH o AS (
+            SELECT user_id, ts, event_type,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+        ),
+        runs AS (
+            SELECT user_id, ts, event_type,
+                   sum(chg) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_type
+                                  ROWS UNBOUNDED PRECEDING) AS ver
+            FROM o
+        ),
+        versions AS (
+            SELECT user_id, ver, event_type, min(ts) AS valid_from
+            FROM runs GROUP BY user_id, ver, event_type
+        ),
+        hist AS (
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                        ORDER BY valid_from, ver) AS valid_to
+            FROM versions
+        )
+        SELECT e.event_type AS fact_type,
+               h.event_type AS dim_type,
+               count(*) AS n
+        FROM events e
+        LEFT JOIN hist h
+          ON e.user_id = h.user_id
+         AND h.valid_from <= e.ts
+         AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+        GROUP BY 1, 2
     """
     d["events_sliding_counts"] = """
         SELECT strftime(make_timestamp(CAST(

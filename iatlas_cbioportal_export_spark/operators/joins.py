@@ -235,3 +235,35 @@ def keyset_equality(
     lk = left.select(F.col(left_key).alias("key")).distinct()
     rk = right.select(F.col(right_key).alias("key")).distinct()
     return lk.join(rk, on="key", how="left_anti"), rk.join(lk, on="key", how="left_anti")
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Join facts to the SCD2 dimension version valid AT the fact's
+    timestamp: ``valid_from <= ts < coalesce(valid_to, +inf)`` (exclusive
+    upper bound — an empty interval, from a same-timestamp value flip,
+    matches nothing, by design).
+
+    Scale shape: the key equality is the join key, so this plans as a
+    hash/sort-merge EQUI-join with the interval check as a residual join
+    condition — never a nested loop. Versions per key are few, so the
+    residual filter touches a handful of candidate rows per fact.
+    Output: facts columns + the matched version's columns (left join —
+    facts before the first version keep NULL dimension values).
+    """
+    f, h = facts.alias("__f"), history.alias("__h")
+    cond = (
+        (F.col(f"__f.{key_col}") == F.col(f"__h.{key_col}"))
+        & (F.col(f"__h.{valid_from_col}") <= F.col(f"__f.{ts_col}"))
+        & (
+            F.col(f"__h.{valid_to_col}").isNull()
+            | (F.col(f"__f.{ts_col}") < F.col(f"__h.{valid_to_col}"))
+        )
+    )
+    return f.join(h, cond, "left").drop(F.col(f"__h.{key_col}"))

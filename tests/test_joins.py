@@ -114,3 +114,32 @@ def test_range_join_bucketized_equals_theta(spark):
     }
     assert got == expected and len(got) > 0
     assert (0, 4) in got  # boundary-inclusive at hi == v == 0
+
+
+def test_point_in_time_join_matches_containing_version(spark):
+    import pyspark.sql.functions as F
+
+    from iatlas_cbioportal_export_spark.operators.aggregates import scd2_history
+    from iatlas_cbioportal_export_spark.operators.joins import point_in_time_join
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a"), (1, "2024-01-10 00:00:00", "b")],
+        "k long, ts string, v string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    hist = scd2_history(events, "k", "ts", "v")
+    facts = spark.createDataFrame(
+        [
+            (1, "2024-01-05 00:00:00"),   # inside version 1
+            (1, "2024-01-10 00:00:00"),   # exactly at flip: version 2
+            (1, "2023-12-01 00:00:00"),   # before history: NULL
+            (2, "2024-01-05 00:00:00"),   # unknown key: NULL
+        ],
+        "k long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = point_in_time_join(facts, hist, "k", "ts").collect()
+    got = {(r["k"], str(r["ts"])): r["v"] for r in out}
+    assert got[(1, "2024-01-05 00:00:00")] == "a"
+    assert got[(1, "2024-01-10 00:00:00")] == "b"
+    assert got[(1, "2023-12-01 00:00:00")] is None
+    assert got[(2, "2024-01-05 00:00:00")] is None
+    assert len(out) == 4  # left join: exactly one row per fact
