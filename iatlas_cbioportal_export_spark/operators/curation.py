@@ -206,3 +206,100 @@ def gopher_quality(
             & F.col("ok_stopwords")
         ).alias("passes"),
     )
+
+
+def _hashed_features(df: DataFrame, dim: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, array<int> feature buckets): word unigrams + bigrams hashed into
+    ``dim`` buckets with the PORTABLE rolling hash (``functions/text.py`` —
+    deliberately not xxhash64, so any engine reproduces the bucketing).
+    Narrow — one codegen'd pass, bucket ids materialized once per feature
+    (inlining the hash into downstream folds recomputes it per fold step,
+    the measured O(n²)-class trap documented in ``text.hashed_embedding``)."""
+    from iatlas_cbioportal_export_spark.functions.text import _FP_BASE, _FP_MOD
+
+    toks = T.tokens(text_col)
+    bigrams = F.when(
+        F.size(F.col("__toks")) >= 2,
+        F.transform(
+            F.slice(F.col("__toks"), 1, F.size(F.col("__toks")) - 1),
+            lambda t, i: F.concat(
+                t, F.lit(" "), F.element_at(F.col("__toks"), i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucket = lambda t: (  # noqa: E731
+        F.aggregate(
+            F.split(t, ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * F.lit(_FP_BASE) + F.ascii(ch)) % F.lit(_FP_MOD),
+        )
+        % F.lit(dim)
+    ).cast("int")
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            F.col(id_col), F.concat(F.col("__toks"), bigrams).alias("__feats")
+        )
+        .select(F.col(id_col), F.transform("__feats", bucket).alias("__bks"))
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every raw document by how target-like its hashed n-gram profile is —
+    ``w(doc) = Σ_features log p̂_target(bucket) − log p̂_raw(bucket)`` with
+    Laplace-smoothed bag-of-buckets models over word unigrams + bigrams.
+    High weight ⇒ the doc looks like the target domain; downstream selection
+    resamples ∝ exp(w) (the resampling draw itself is randomized by design
+    and left to the caller — this operator is the deterministic scoring
+    pass, which is the expensive distributed part).
+
+    Scale shape (the IVF-centroid pattern): the two bucket histograms are
+    built by explode → groupBy(bucket) — the shuffle carries ≤ ``dim`` rows
+    of map-side-combined counts per side — and only 2×dim longs reach the
+    driver, where the per-bucket log-ratio is folded into a literal array.
+    Scoring is then a NARROW map: a sequential fold of the doc's bucket ids
+    over the broadcast literal weights (deterministic summation order, which
+    is what makes the result hash-comparable against an oracle).
+    Output: (id, n_features, dsir_weight)."""
+    import math
+
+    def hist(frame: DataFrame) -> tuple[list[int], int]:
+        rows = (
+            _hashed_features(frame, dim, text_col, id_col)
+            .select(F.explode("__bks").alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        counts = [0] * dim
+        for r in rows:
+            counts[r["__b"]] = r["__n"]
+        return counts, sum(counts)
+
+    t_counts, t_total = hist(target)
+    r_counts, r_total = hist(df)
+    weights = [
+        math.log((t_counts[b] + 1) / (t_total + dim))
+        - math.log((r_counts[b] + 1) / (r_total + dim))
+        for b in range(dim)
+    ]
+    w_lit = F.array(*[F.lit(float(w)) for w in weights])
+    feats = _hashed_features(df, dim, text_col, id_col)
+    score = F.aggregate(
+        F.col("__bks"),
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(w_lit, b + 1),
+    )
+    return feats.select(
+        F.col(id_col),
+        F.size("__bks").alias("n_features"),
+        F.round(score, 6).alias("dsir_weight"),
+    )

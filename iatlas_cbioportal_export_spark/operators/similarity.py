@@ -677,6 +677,76 @@ def mean_pool(
     return per_pos.groupBy(group_col).agg(*aggs)
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means cells as the candidate
+    generator (Abbas et al. 2023, "SemDeDup" — cluster the embedding space,
+    compare only within clusters) instead of LSH sign buckets.
+
+    Complements :func:`embedding_near_duplicates`: LSH buckets are cheap and
+    stateless but probabilistic per-pair; k-means cells adapt to the corpus
+    density, so semantically-clustered near-dups (paraphrases, boilerplate
+    families) land in one cell by construction. Cosine is scale-invariant, so
+    a vector and any positive scaling of it share a cell deterministically.
+
+    Scale shape (same rules as the LSH path):
+    - centroid training shuffles only K×dim aggregated state per round
+      (:func:`kmeans_centroids`);
+    - cell assignment is a NARROW map (argmax over broadcast centroid
+      literals — no shuffle, no window);
+    - ONLY (id, cell) pairs shuffle for the within-cell self-join; raw
+      vectors are fetched back by semi-join on candidate ids;
+    - cells larger than ``max_cell_size`` are dropped with the standard
+      guard-rail justification: a quadratic blow-up inside one cell means
+      ``n_cells`` is too low for the corpus — raise K rather than letting
+      one hot cell dominate the stage.
+
+    Output: (id_a, id_b, cosine_sim) with id_a < id_b, cosine_sim >= threshold.
+    """
+    centroids = kmeans_centroids(
+        df, n_cells=n_cells, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.array_max(_centroid_sims(F.col(vec_col), centroids))["cell_id"].alias(
+            "__cell"
+        ),
+    )
+    cell_sizes = assigned.groupBy("__cell").agg(F.count(F.lit(1)).alias("__cn"))
+    assigned = assigned.join(
+        F.broadcast(cell_sizes.filter(F.col("__cn") <= max_cell_size)),
+        on="__cell",
+        how="left_semi",
+    )
+    a = assigned.withColumnsRenamed({"id": "id_a"})
+    b = assigned.withColumnsRenamed({"id": "id_b"})
+    cand = (
+        a.join(b, on="__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand_ids = cand.select(F.col("id_a").alias("id")).union(
+        cand.select("id_b")
+    ).distinct()
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec")).join(
+        cand_ids, "id", "left_semi"
+    )
+    return (
+        cand.join(vecs.withColumnsRenamed({"id": "id_a", "__vec": "vec_a"}), "id_a")
+        .join(vecs.withColumnsRenamed({"id": "id_b", "__vec": "vec_b"}), "id_b")
+        .withColumn("cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def build_lsh_index(
     corpus: DataFrame,
     table: str,

@@ -112,3 +112,42 @@ def test_normalize_text(spark):
     assert out[1]["n_chars_removed"] > 0
     assert out[2]["text_norm"] == "already clean"
     assert out[2]["n_chars_removed"] == 0
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from iatlas_cbioportal_export_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps again"),   # target-like
+            (2, "zzz qqq xxx vvv kkk www"),           # off-domain
+            (3, ""),                                  # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dsir_importance_weights(raw, target, dim=32).collect()}
+    assert out[1]["dsir_weight"] > out[2]["dsir_weight"]
+    assert out[3]["dsir_weight"] == 0.0 and out[3]["n_features"] == 0
+    # unigrams + bigrams: 6 tokens -> 6 + 5 features
+    assert out[1]["n_features"] == 11
+
+
+def test_dsir_weights_deterministic_across_partitionings(spark):
+    from iatlas_cbioportal_export_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    rows = [(i, f"token{i % 7} filler common words here {i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = df.filter("doc_id % 5 = 0")
+    a = dsir_importance_weights(df.repartition(1), tgt, dim=16).collect()
+    b = dsir_importance_weights(df.repartition(13), tgt, dim=16).collect()
+    assert {(r["doc_id"], r["dsir_weight"]) for r in a} == {
+        (r["doc_id"], r["dsir_weight"]) for r in b
+    }

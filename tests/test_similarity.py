@@ -94,6 +94,59 @@ def test_embedding_near_duplicates(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_semantic_dedup_pairs_planted(spark):
+    import pyspark.sql.functions as F
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    # two tight clusters; near-dups exist only within the first cluster
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.001, 0.0]), (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_pairs(df, threshold=0.99, n_cells=2, iterations=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_semantic_dedup_scaled_twin_shares_cell(spark):
+    import pyspark.sql.functions as F
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    base = spark.createDataFrame(
+        [(i, _unit(i * 0.7)) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    twins = base.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    out = semantic_dedup_pairs(
+        base.unionByName(twins), threshold=0.99, n_cells=3, iterations=2
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in out.collect()}
+    # power-of-two scaling gives bit-identical centroid sims -> same cell,
+    # so every planted pair MUST surface at cosine 1.0
+    for i in range(4):
+        assert pairs.get((i, i + 1000)) == 1.0
+
+
+def test_semantic_dedup_hot_cell_cap(spark):
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    rows = [(i, [1.0, i * 1e-4, 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # every vector lands in one cell; cap below its size drops the cell
+    out = semantic_dedup_pairs(
+        df, threshold=0.9, n_cells=1, iterations=1, max_cell_size=5
+    )
+    assert out.count() == 0
+
+
 def test_kmeans_centroids_converge_toward_clusters(spark):
     import pyspark.sql.functions as F
     from iatlas_cbioportal_export_spark.operators.similarity import (
