@@ -1949,6 +1949,56 @@ def q_events_session_window(spark, sf_dir):
     return sessionize_session_window(events, gap_minutes=30)
 
 
+def q_cdc_apply_changelog(spark, sf_dir):
+    """CDC MERGE: events replayed as a Debezium-style change log over the
+    customer snapshot — purchase ⇒ delete the key, anything else ⇒ upsert
+    the event's value as the new balance; latest event per key wins
+    ((ts, event_id) — a deterministic total order). Untouched customers pass
+    through. The oracle reproduces the window + anti-join + union fold."""
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.round(F.col("c_acctbal").cast("decimal(18,2)"), 2)
+        .cast("double")
+        .alias("acctbal"),
+    )
+    events = _t(spark, sf_dir, "events")
+    log = events.select(
+        F.col("user_id").alias("cust_id"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.round(F.col("value").cast("decimal(18,2)"), 2)
+        .cast("double")
+        .alias("acctbal"),
+    )
+    return agg_ops.apply_changelog(
+        customer, log, ["cust_id"], ["ts", "event_id"]
+    )
+
+
+def q_pivot_status_counts(spark, sf_dir):
+    """Long→wide pivot: order counts per priority × status. Values are named
+    explicitly (at scale the inferred-values form adds a distinct-collect
+    planning job and an unbounded schema); absent cells surface as 0 to
+    match the conditional-aggregation oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    return agg_ops.pivot_wide(
+        orders, "o_orderpriority", "o_orderstatus", ["F", "O", "P"]
+    )
+
+
+def q_unpivot_part_metrics(spark, sf_dir):
+    """Wide→long melt of part's numeric metrics via DataFrame.unpivot — a
+    narrow per-split expansion (no shuffle, no per-column re-scan). Measures
+    cast to double up front (unpivot needs one common type)."""
+    part = _t(spark, sf_dir, "part")
+    return agg_ops.unpivot_long(
+        part, ["p_partkey"], ["p_size", "p_retailprice"]
+    )
+
+
 def q_text_dsir_weights(spark, sf_dir):
     """DSIR-style importance weights (hashed unigram+bigram bag models,
     target vs raw log-ratio): the deterministic scoring pass of
@@ -2116,6 +2166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier": q_tpch_q5,
         "sim_semantic_dedup": q_sim_semantic_dedup,
         "text_dsir_weights": q_text_dsir_weights,
+        "cdc_apply_changelog": q_cdc_apply_changelog,
+        "pivot_status_counts": q_pivot_status_counts,
+        "unpivot_part_metrics": q_unpivot_part_metrics,
     }
 
 
@@ -4035,6 +4088,47 @@ def oracle_sql() -> dict[str, str]:
                    AND alpha_word_ratio >= 0.8
                    AND n_stopword_hits >= 2 AS passes
         FROM m
+    """
+    d["cdc_apply_changelog"] = """
+        WITH log AS (
+            SELECT user_id AS cust_id, ts, event_id,
+                   CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+                   CAST(round(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE)
+                       AS acctbal
+            FROM events
+        ),
+        latest AS (
+            SELECT cust_id, op, acctbal FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY cust_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM log) t
+            WHERE rn = 1
+        ),
+        snap AS (
+            SELECT c_custkey AS cust_id,
+                   CAST(round(CAST(c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE)
+                       AS acctbal
+            FROM customer
+        )
+        SELECT s.cust_id, s.acctbal FROM snap s
+        WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.cust_id = s.cust_id)
+        UNION ALL
+        SELECT cust_id, acctbal FROM latest WHERE op <> 'D'
+    """
+    d["pivot_status_counts"] = """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        FROM orders GROUP BY o_orderpriority
+    """
+    d["unpivot_part_metrics"] = """
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS metric,
+               CAST(p_retailprice AS DOUBLE) AS value
+        FROM part
     """
     d["text_dsir_weights"] = f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

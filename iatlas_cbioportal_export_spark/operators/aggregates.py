@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -258,3 +258,89 @@ def scd2_history(
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.col("__ver").cast("long").alias("version"),
     )
+
+
+def pivot_wide(
+    df: DataFrame,
+    group_col: str,
+    pivot_col: str,
+    values: Sequence[str],
+    agg: Column | None = None,
+) -> DataFrame:
+    """Long→wide reshape: one output column per ``values`` entry, filled by
+    ``agg`` (default row count). ``values`` is REQUIRED, not inferred: at
+    100 TB the no-values form runs an extra distinct-collect job over the
+    pivot column before planning, and an unbounded value set would explode
+    the schema — the caller names the columns, the plan stays one shuffle
+    (map-side combined, same as any groupBy). Unknown pivot values simply
+    fill no column (standard pivot semantics); nulls in ``pivot_col`` drop.
+    """
+    out = (
+        df.groupBy(group_col)
+        .pivot(pivot_col, list(values))
+        .agg(agg if agg is not None else F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (group, value) pair never occurred; for
+    # count-shaped aggs the honest value is 0 (matches the oracle's
+    # conditional-aggregation form)
+    if agg is None:
+        out = out.select(
+            group_col,
+            *[F.coalesce(F.col(v), F.lit(0)).alias(v) for v in values],
+        )
+    return out
+
+
+def unpivot_long(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide→long reshape (melt): one output row per (row, value column).
+    Built on ``DataFrame.unpivot`` — a NARROW map (each input split expands
+    locally; no shuffle), unlike a union-of-projections which re-scans the
+    source once per column. Measure columns are cast to double up front:
+    unpivot requires one common value type, and mixing decimal/long widths
+    otherwise promotes to a decimal that loses long precision silently."""
+    keyed = df.select(
+        *id_cols, *[F.col(c).cast("double").alias(c) for c in value_cols]
+    )
+    return keyed.unpivot(list(id_cols), list(value_cols), var_name, value_name)
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC MERGE: fold a change log of upserts and deletes into a snapshot —
+    the batch form of applying a Debezium/binlog-style feed to a base table.
+
+    Semantics: per key, the LATEST changelog row (max under ``order_cols``,
+    later cols break ties) wins; a ``delete_op`` row removes the key, any
+    other op replaces the snapshot row with the changelog row's payload.
+    Keys untouched by the log pass through unchanged.
+
+    Plan shape: ONE shuffle of the changelog (per-key window — the log is
+    the small, recent side), then the snapshot is filtered by an anti-join
+    against touched keys and unioned with surviving upserts. The snapshot
+    never shuffles beyond the join: with a typical log ≪ snapshot, AQE
+    plans the anti-join broadcast, so applying a day's changes to a 100 TB
+    table moves only the log. Payload columns = the snapshot's columns;
+    the changelog must carry them (plus op/order cols, dropped on output).
+    """
+    keys = list(key_cols)
+    latest = keep_latest_by(changelog, keys, list(order_cols))
+    payload = snapshot.columns
+    survivors = (
+        latest.filter(F.col(op_col) != delete_op).select(*payload)
+    )
+    untouched = snapshot.join(
+        latest.select(*keys), on=keys, how="left_anti"
+    )
+    return untouched.unionByName(survivors)

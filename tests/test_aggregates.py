@@ -217,3 +217,57 @@ def test_scd2_point_in_time_lookup(spark):
         & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
     ).collect()
     assert len(row) == 1 and row[0]["v"] == "a"
+
+
+def test_pivot_wide_explicit_values_and_zero_fill(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import pivot_wide
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y")],
+        "grp string, st string",
+    )
+    out = {r["grp"]: r for r in pivot_wide(df, "grp", "st", ["x", "y", "z"]).collect()}
+    assert out["a"]["x"] == 2 and out["a"]["y"] == 1 and out["a"]["z"] == 0
+    assert out["b"]["x"] == 0 and out["b"]["y"] == 1
+    # unknown pivot values are not invented as rows/columns
+    assert set(out["a"].asDict()) == {"grp", "x", "y", "z"}
+
+
+def test_unpivot_long_roundtrips_columns(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import unpivot_long
+
+    df = spark.createDataFrame([(1, 10, 2.5), (2, 20, 7.5)], "id long, a long, b double")
+    out = unpivot_long(df, ["id"], ["a", "b"]).collect()
+    got = {(r["id"], r["metric"]): r["value"] for r in out}
+    assert got[(1, "a")] == 10.0 and got[(2, "b")] == 7.5
+    assert len(out) == 4
+
+
+def test_apply_changelog_upsert_delete_passthrough(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import apply_changelog
+
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    log = spark.createDataFrame(
+        [
+            (1, 1, "U", 11.0),   # update key 1
+            (1, 2, "U", 12.0),   # later update wins
+            (2, 1, "D", None),   # delete key 2
+            (9, 1, "U", 90.0),   # insert new key 9
+        ],
+        "k long, seq long, op string, v double",
+    )
+    out = {r["k"]: r["v"] for r in apply_changelog(snap, log, ["k"], ["seq"]).collect()}
+    assert out == {1: 12.0, 3: 30.0, 9: 90.0}
+
+
+def test_apply_changelog_delete_then_reinsert_latest_wins(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import apply_changelog
+
+    snap = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    log = spark.createDataFrame(
+        [(1, 1, "D", None), (1, 2, "U", 5.0)], "k long, seq long, op string, v double"
+    )
+    out = apply_changelog(snap, log, ["k"], ["seq"]).collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, 5.0)]
