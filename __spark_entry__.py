@@ -1949,6 +1949,16 @@ def q_events_session_window(spark, sf_dir):
     return sessionize_session_window(events, gap_minutes=30)
 
 
+def q_text_bigram_logprob(spark, sf_dir):
+    """Order-2 interpolated LM quality score (CCNet filter, one order up
+    from text_unigram_logprob): mean log10 p(cur|prev) under the corpus's
+    own bigram model with unigram interpolation. Decimal-exact sums; the
+    interpolation arithmetic is written with identical association on both
+    engines (incl. the IEEE 1.0-0.7 constant)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.bigram_logprob_score(docs, lambda_interp=0.7)
+
+
 def q_cdc_apply_changelog(spark, sf_dir):
     """CDC MERGE: events replayed as a Debezium-style change log over the
     customer snapshot — purchase ⇒ delete the key, anything else ⇒ upsert
@@ -2167,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_semantic_dedup": q_sim_semantic_dedup,
         "text_dsir_weights": q_text_dsir_weights,
         "cdc_apply_changelog": q_cdc_apply_changelog,
+        "text_bigram_logprob": q_text_bigram_logprob,
         "pivot_status_counts": q_pivot_status_counts,
         "unpivot_part_metrics": q_unpivot_part_metrics,
     }
@@ -4088,6 +4099,38 @@ def oracle_sql() -> dict[str, str]:
                    AND alpha_word_ratio >= 0.8
                    AND n_stopword_hits >= 2 AS passes
         FROM m
+    """
+    d["text_bigram_logprob"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        bg AS (
+            SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+            FROM t, unnest(range(1, len(toks))) AS r(i)
+            WHERE len(toks) >= 2
+        ),
+        uw AS (SELECT doc_id, u.w FROM t, unnest(toks) AS u(w)),
+        uni AS (SELECT w, count(*) AS cw FROM uw GROUP BY w),
+        bi AS (SELECT prev, cur, count(*) AS cbg FROM bg GROUP BY prev, cur),
+        tot AS (SELECT sum(cw) AS t FROM uni),
+        lp AS (
+            SELECT bg.doc_id,
+                   CAST(log10(greatest(
+                       0.7 * bi.cbg / up.cw + (1.0 - 0.7) * uc.cw / tot.t,
+                       1e-9)) AS DECIMAL(28,12)) AS lpd
+            FROM bg
+            JOIN bi USING (prev, cur)
+            JOIN uni up ON up.w = bg.prev
+            JOIN uni uc ON uc.w = bg.cur
+            CROSS JOIN tot
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(sum(lpd) AS DOUBLE) AS s
+            FROM lp GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(agg.n_bigrams, 0) AS n_bigrams,
+               coalesce(round(agg.s / agg.n_bigrams, 6), -9.0) AS mean_logprob
+        FROM documents d LEFT JOIN agg USING (doc_id)
     """
     d["cdc_apply_changelog"] = """
         WITH log AS (

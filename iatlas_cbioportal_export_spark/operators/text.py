@@ -508,3 +508,125 @@ def corpus_language_report(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.avg("n_hits"), 4).alias("avg_hits"),
         )
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lambda_interp: float = 0.7,
+    oov_floor: float = 1e-9,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Order-2 statistical quality score: mean log10 probability of each
+    document's bigrams under an interpolated corpus bigram LM —
+    ``p(cur|prev) = λ·C(prev,cur)/C(prev) + (1−λ)·C(cur)/T`` — the KenLM/
+    CCNet filter shape one order up from :func:`unigram_logprob_score`
+    (backoff smoothing via linear interpolation with the unigram model, so
+    unseen bigrams degrade to corpus-frequency mass instead of zero).
+
+    Scale shape: corpus model tables are built by explode → groupBy (the
+    bigram table is vocabulary², but counts combine map-side and only
+    OBSERVED bigrams materialize — Heaps-law sized, not |V|²); each doc's
+    bigram events join the two model tables on their keys — vocab-keyed
+    shuffles, deliberately NOT broadcast (at 100 TB the vocab tables are
+    large; AQE still picks broadcast when they measure small). The decimal
+    lane makes the per-doc sum exact under any shuffle-merge order.
+    Docs with < 2 tokens carry zero bigram events and score the floor.
+
+    ``model`` selects the TRAINING corpus (default: ``df`` itself). The
+    CCNet deployment trains on a clean/target corpus and scores the raw
+    one — under self-training, a singleton bigram of a singleton word is
+    "perfectly predicted" by its own count (p ≈ λ), so gibberish soup can
+    outscore prose; with an external model its OOV events fall to the
+    unigram mass or the floor, which is the behavior the filter wants.
+    Output: (id, n_bigrams, mean_logprob).
+    """
+    import math
+
+    def _bg(frame):
+        t = frame.select(F.col(id_col), T.tokens(text_col).alias("__toks"))
+        return t.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size("__toks") >= 2,
+                    F.transform(
+                        F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                        lambda tk, i: F.struct(
+                            tk.alias("prev"),
+                            F.element_at(F.col("__toks"), i + 2).alias("cur"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<prev:string,cur:string>>")
+                )
+            ).alias("__bg"),
+        ).select(
+            F.col(id_col),
+            F.col("__bg.prev").alias("prev"),
+            F.col("__bg.cur").alias("cur"),
+        )
+
+    train = model if model is not None else df
+    bigrams = _bg(df)
+    uni = (
+        train.select(T.tokens(text_col).alias("__toks"))
+        .select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__cw"))
+    )
+    bi = (
+        _bg(train)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("__cbg"))
+    )
+    total = uni.agg(F.sum("__cw").alias("__t"))
+
+    # OOV guards: unseen bigram / unseen prev -> no conditional mass;
+    # unseen cur -> no unigram mass; both zero -> the floor takes over
+    cond = F.when(
+        F.col("__cprev").isNotNull() & F.col("__cbg").isNotNull(),
+        F.lit(lambda_interp) * F.col("__cbg") / F.col("__cprev"),
+    ).otherwise(F.lit(0.0))
+    unig = F.when(
+        F.col("__ccur").isNotNull(),
+        F.lit(1.0 - lambda_interp) * F.col("__ccur") / F.col("__t"),
+    ).otherwise(F.lit(0.0))
+    lp = F.log10(F.greatest(cond + unig, F.lit(oov_floor)))
+    scored = (
+        bigrams.join(bi, on=["prev", "cur"], how="left")
+        .join(
+            uni.select(F.col("w").alias("prev"), F.col("__cw").alias("__cprev")),
+            on="prev",
+            how="left",
+        )
+        .join(
+            uni.select(F.col("w").alias("cur"), F.col("__cw").alias("__ccur")),
+            on="cur",
+            how="left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), lp.cast("decimal(28,12)").alias("__lpd"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        # cast the exact decimal sum to double BEFORE dividing: decimal
+        # division scale/rounding rules differ between engines, double
+        # division of identical inputs does not
+        F.round(F.sum("__lpd").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_logprob"
+        ),
+    )
+    # every doc gets a row: < 2 tokens -> 0 bigrams, floor score
+    all_docs = df.select(F.col(id_col))
+    return (
+        all_docs.join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(
+                F.col("mean_logprob"), F.lit(round(math.log10(oov_floor), 6))
+            ).alias("mean_logprob"),
+        )
+    )

@@ -278,3 +278,44 @@ def test_length_histogram_bins(spark):
     assert out[1]["n_docs"] == 3
     assert out[11]["n_docs"] == 1
     assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-6
+
+
+def test_bigram_logprob_interpolated_model(spark):
+    import math
+    from iatlas_cbioportal_export_spark.operators.text import bigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob_score(df, lambda_interp=0.7).collect()}
+    # corpus: unigrams a:3 b:3 x:1 (T=7); bigrams (a,b):3 (b,a):1
+    lam, one_m = 0.7, 1.0 - 0.7
+    p_ab = lam * 3 / 3 + one_m * 3 / 7
+    p_ba = lam * 1 / 3 + one_m * 3 / 7
+    exp1 = round((2 * math.log10(p_ab) + math.log10(p_ba)) / 3, 6)
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["mean_logprob"] - exp1) < 2e-6
+    assert out[2]["n_bigrams"] == 1
+    # single-token doc: zero bigrams, floor score
+    assert out[3]["n_bigrams"] == 0 and out[3]["mean_logprob"] == -9.0
+
+
+def test_bigram_logprob_external_model_downranks_soup(spark):
+    from iatlas_cbioportal_export_spark.operators.text import bigram_logprob_score
+
+    # train on clean prose, score clean vs gibberish — the CCNet deployment
+    # shape (self-training would "perfectly predict" singleton soup)
+    model = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string",
+    )
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zq wv xk jm qy zz")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in bigram_logprob_score(df, model=model).collect()
+    }
+    assert out[2] < out[1]
+    assert out[2] == -9.0  # fully OOV -> every event at the floor
