@@ -1949,6 +1949,25 @@ def q_events_session_window(spark, sf_dir):
     return sessionize_session_window(events, gap_minutes=30)
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Morton (Z-order) clustering values over part — the multi-dim layout
+    key behind Delta/Iceberg ZORDER BY: bit-interleave of two bounded ranks
+    as one pure codegen'd expression (sources/layout.py also provides the
+    range-partitioned writer; the value computation is the oracle-checkable
+    core). x = p_size rank at even bits, y = p_partkey rank at odd bits."""
+    from iatlas_cbioportal_export_spark.sources.layout import z_order_value
+
+    part = _t(spark, sf_dir, "part")
+    x = (F.col("p_size") % 256).cast("long")
+    y = (F.col("p_partkey") % 256).cast("long")
+    return part.select(
+        "p_partkey",
+        x.alias("x"),
+        y.alias("y"),
+        z_order_value([x, y], bits=8).alias("zval"),
+    )
+
+
 def q_text_bigram_logprob(spark, sf_dir):
     """Order-2 interpolated LM quality score (CCNet filter, one order up
     from text_unigram_logprob): mean log10 p(cur|prev) under the corpus's
@@ -2178,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dsir_weights": q_text_dsir_weights,
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "text_bigram_logprob": q_text_bigram_logprob,
+        "zorder_layout": q_zorder_layout,
         "pivot_status_counts": q_pivot_status_counts,
         "unpivot_part_metrics": q_unpivot_part_metrics,
     }
@@ -4099,6 +4119,16 @@ def oracle_sql() -> dict[str, str]:
                    AND alpha_word_ratio >= 0.8
                    AND n_stopword_hits >= 2 AS passes
         FROM m
+    """
+    d["zorder_layout"] = """
+        SELECT p_partkey,
+               CAST(p_size % 256 AS BIGINT) AS x,
+               CAST(p_partkey % 256 AS BIGINT) AS y,
+               CAST(list_sum(list_transform(range(0, 8), i ->
+                   ((((p_size % 256) >> i) & 1) << (2 * i))
+                 + ((((p_partkey % 256) >> i) & 1) << (2 * i + 1))))
+                   AS BIGINT) AS zval
+        FROM part
     """
     d["text_bigram_logprob"] = f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -1,0 +1,51 @@
+"""Z-order layout: exact Morton interleave + the pruning property the
+layout exists for (bounded per-file spans on EVERY clustered dimension)."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+from iatlas_cbioportal_export_spark.sources.layout import (
+    write_zordered,
+    z_order_value,
+)
+
+
+def test_z_order_value_exact_interleave(spark):
+    df = spark.createDataFrame([(5, 3)], "x long, y long")
+    # x=0b101 -> output bits 0,4; y=0b011 -> output bits 1,3  => 0b11011 = 27
+    out = df.select(z_order_value(["x", "y"], bits=3).alias("z")).collect()
+    assert out[0]["z"] == 27
+
+
+def test_z_order_value_masks_out_of_range(spark):
+    df = spark.createDataFrame([(0b1101, 0)], "x long, y long")
+    # bits=2 keeps only x's low 2 bits (0b01 -> bit 0)
+    out = df.select(z_order_value(["x", "y"], bits=2).alias("z")).collect()
+    assert out[0]["z"] == 1
+
+
+def test_zordered_write_bounds_spans_on_both_dims(spark, tmp_path):
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(grid, zpath, ["x", "y"], bits=6, num_files=16)
+    lpath = str(tmp_path / "linear")
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lpath)
+
+    def spans(path, col):
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            t = pq.read_table(f, columns=[col])[col].to_pylist()
+            if t:
+                out.append(max(t) - min(t))
+        return out
+
+    # z-order bounds BOTH dims per file well below the global span...
+    assert max(spans(zpath, "x")) <= n // 2
+    assert max(spans(zpath, "y")) <= n // 2
+    # ...while the linear layout prunes only its sort key: files span ~all of y
+    assert max(spans(lpath, "y")) == n - 1
