@@ -1949,6 +1949,21 @@ def q_events_session_window(spark, sf_dir):
     return sessionize_session_window(events, gap_minutes=30)
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): per-user greedy state
+    machine folded over the event-time-sorted step events — single shuffle,
+    no UDF/MATCH_RECOGNIZE. The deterministic order key is truncated-second
+    epoch ·1e9 + event_id (both engines floor the seconds: Spark's
+    timestamp→long cast, DuckDB's epoch_us // 1000000)."""
+    from iatlas_cbioportal_export_spark.streaming.events import funnel_stages
+
+    # thin the stream (deterministically) so stage counts differentiate —
+    # at full density every user completes the funnel and the check
+    # degenerates to one row
+    events = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    return funnel_stages(events)
+
+
 def q_zorder_layout(spark, sf_dir):
     """Morton (Z-order) clustering values over part — the multi-dim layout
     key behind Delta/Iceberg ZORDER BY: bit-interleave of two bounded ranks
@@ -2198,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "text_bigram_logprob": q_text_bigram_logprob,
         "zorder_layout": q_zorder_layout,
+        "events_funnel": q_events_funnel,
         "pivot_status_counts": q_pivot_status_counts,
         "unpivot_part_metrics": q_unpivot_part_metrics,
     }
@@ -4119,6 +4135,25 @@ def oracle_sql() -> dict[str, str]:
                    AND alpha_word_ratio >= 0.8
                    AND n_stopword_hits >= 2 AS passes
         FROM m
+    """
+    d["events_funnel"] = """
+        WITH p AS (
+            SELECT user_id AS u,
+                   (epoch_us(ts) // 1000000) * 1000000000 + event_id AS k,
+                   CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                        WHEN 'purchase' THEN 3 END AS s
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+              AND event_id % 11 = 0
+        ),
+        g AS (SELECT u, list_sort(list(ROW(k, s))) AS evs FROM p GROUP BY u),
+        st AS (
+            SELECT u, list_reduce(
+                list_prepend(0, list_transform(evs, e -> e[2])),
+                (acc, x) -> CASE WHEN x = acc + 1 THEN x ELSE acc END) AS stage
+            FROM g
+        )
+        SELECT stage, count(*) AS n_users FROM st GROUP BY stage
     """
     d["zorder_layout"] = """
         SELECT p_partkey,

@@ -397,3 +397,56 @@ def attribute_purchases(
         .cast("double")
         .alias("purchase_value"),
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ordered funnel analysis: how far does each user progress through the
+    ``steps`` sequence in event-time order? Stage s means steps[0..s-1] were
+    matched in order (greedy earliest-transition matching, which is optimal
+    for funnel existence). Output: (stage, n_users).
+
+    The sequential pattern match is a single-shuffle composition — no UDF,
+    no MATCH_RECOGNIZE: events are reduced map-side to (user, (k, step))
+    pairs with non-step events FILTERED BEFORE the shuffle, one groupBy
+    collects each user's compact pair list, and a codegen'd fold over the
+    sorted list runs the state machine ``acc → acc+1 iff step == acc+1``.
+    ``k = epoch_seconds·10⁹ + event_id`` is a deterministic total order
+    (ties in ts break by event id) that both the engine and any SQL oracle
+    can reproduce exactly. Hot users carry (8+4)-byte pairs, not payloads;
+    AQE skew-split handles the rest.
+    """
+    step_idx = F.lit(None).cast("int")
+    for i in reversed(range(len(steps))):
+        step_idx = F.when(F.col("event_type") == steps[i], F.lit(i + 1)).otherwise(
+            step_idx
+        )
+    k = (
+        F.col(ts_col).cast("timestamp").cast("long") * F.lit(1_000_000_000)
+        + F.col(id_col)
+    )
+    pairs = (
+        events.select(
+            F.col(user_col).alias("u"),
+            k.alias("k"),
+            step_idx.alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+    )
+    folded = (
+        pairs.groupBy("u")
+        .agg(F.array_sort(F.collect_list(F.struct("k", "s"))).alias("__evs"))
+        .select(
+            F.aggregate(
+                F.col("__evs"),
+                F.lit(0),
+                lambda acc, e: F.when(e["s"] == acc + 1, e["s"]).otherwise(acc),
+            ).alias("stage")
+        )
+    )
+    return folded.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))

@@ -25,6 +25,7 @@ ALLOW_NESTED_LOOP = {
     "v_validation_suite",      # 1-row aggregate crossJoins (finding rows)
     "text_unigram_logprob",    # corpus-total scalar: one-row broadcast join
     "text_length_histogram",   # corpus-total scalar: one-row broadcast join
+    "text_bigram_logprob",     # corpus-total scalar: one-row broadcast join
 }
 
 _QUERIES = entrymod.queries()

@@ -435,3 +435,43 @@ def test_idempotent_sink_exactly_once_across_restarts(spark, tmp_path):
     q3 = write_stream_idempotent(stream_events_from_parquet(spark, src), out, ckpt)
     q3.awaitTermination(120)
     assert read_stream_output(spark, out).count() == 5
+
+
+def test_funnel_stages_ordered_matching(spark):
+    from datetime import datetime
+    from iatlas_cbioportal_export_spark.streaming.events import funnel_stages
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, t(1), "view"), (1, 2, t(2), "click"), (1, 3, t(3), "purchase"),
+        # user 2: purchase arrives mid-funnel (ignored at stage 1), the
+        # trailing click still advances -> stage 2, no purchase AFTER it
+        (2, 4, t(1), "view"), (2, 5, t(2), "purchase"), (2, 6, t(3), "click"),
+        # user 3: click first, then view -> the later click is gone, stage 1
+        (3, 7, t(1), "click"), (3, 8, t(2), "view"),
+        # user 4: only purchases -> stage 0
+        (4, 9, t(1), "purchase"),
+        # user 5: non-step events only -> not counted at all
+        (5, 10, t(1), "login"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {r["stage"]: r["n_users"] for r in funnel_stages(df).collect()}
+    assert out == {3: 1, 2: 1, 1: 1, 0: 1}
+
+
+def test_funnel_stages_same_second_ties_break_by_event_id(spark):
+    from datetime import datetime
+    from iatlas_cbioportal_export_spark.streaming.events import funnel_stages
+
+    ts = datetime(2024, 1, 1)
+    rows = [(1, 1, ts, "view"), (1, 2, ts, "click"), (1, 3, ts, "purchase")]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {r["stage"]: r["n_users"] for r in funnel_stages(df).collect()}
+    assert out == {3: 1}
