@@ -1949,6 +1949,66 @@ def q_events_session_window(spark, sf_dir):
     return sessionize_session_window(events, gap_minutes=30)
 
 
+def q_events_time_decay(spark, sf_dir):
+    """Recency-weighted per-user engagement: value · 0.5^(age_days/30) at a
+    fixed reference instant (2026-01-01 UTC), decimal-quantized per term so
+    the sum is shuffle-order independent. The oracle mirrors the arithmetic
+    association exactly (truncated-second ages, same pow shape)."""
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        time_decayed_value,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    # 2026-01-01T00:00:00Z
+    return time_decayed_value(events, ref_epoch_sec=1767225600, half_life_days=30.0)
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Recrawl dedup: synthetic url_key = doc_id % 250 groups repeated
+    captures; keep the highest-quality one (ties → smallest id) via the
+    single-aggregate argmax — no window. Quality is the engine's heuristic
+    score, reproduced by the oracle's formula."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_ops.quality_score(docs).select(
+        (F.col("doc_id") % 250).alias("url_key"), "doc_id", "quality_score"
+    )
+    return dedup_ops.keyed_keep_best(scored, ["url_key"], "quality_score")
+
+
+def q_grouping_sets_revenue(spark, sf_dir):
+    """The general grouping-set form next to rollup/cube: exactly the
+    declared sets ((returnflag, linestatus), (shipmode), ()) — a shape
+    neither rollup nor cube expresses (mixed dimensions, no cross products).
+    Spark plans all sets through ONE Expand + single aggregate shuffle."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("long")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["ship_year"], []],
+            "l_returnflag",
+            "l_linestatus",
+            "ship_year",
+        )
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            F.coalesce(F.col("ship_year").cast("string"), F.lit("ALL")).alias(
+                "ship_year"
+            ),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered funnel (view → click → purchase): per-user greedy state
     machine folded over the event-time-sorted step events — single shuffle,
@@ -2214,6 +2274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": q_text_bigram_logprob,
         "zorder_layout": q_zorder_layout,
         "events_funnel": q_events_funnel,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "dedup_keep_best": q_dedup_keep_best,
+        "events_time_decay": q_events_time_decay,
         "pivot_status_counts": q_pivot_status_counts,
         "unpivot_part_metrics": q_unpivot_part_metrics,
     }
@@ -3716,6 +3779,17 @@ def oracle_sql() -> dict[str, str]:
     # The curation composite nests the quality/language oracles verbatim,
     # re-pointed at the planted-copy corpus — the composition is checked, the
     # stage formulas stay single-sourced.
+    d["dedup_keep_best"] = f"""
+        WITH q AS ({d["text_quality_score"]}),
+        k AS (SELECT doc_id % 250 AS url_key, doc_id, quality_score FROM q),
+        sel AS (
+            SELECT url_key, doc_id, quality_score,
+                   row_number() OVER (PARTITION BY url_key
+                       ORDER BY quality_score DESC, doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY url_key) AS n_copies
+            FROM k)
+        SELECT url_key, doc_id, quality_score, n_copies FROM sel WHERE rn = 1
+    """
     quality_on_corpus = d["text_quality_score"].replace("FROM documents", "FROM corpus")
     lang_on_corpus = d["text_language_id"].replace("FROM documents", "FROM corpus")
     d["curation_pipeline"] = f"""
@@ -4135,6 +4209,34 @@ def oracle_sql() -> dict[str, str]:
                    AND alpha_word_ratio >= 0.8
                    AND n_stopword_hits >= 2 AS passes
         FROM m
+    """
+    d["events_time_decay"] = """
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(
+                   CAST(value AS DOUBLE)
+                   * pow(0.5, ((1767225600 - (epoch_us(ts) // 1000000))
+                               / 86400.0) / 30.0)
+                   AS DECIMAL(28,12))), 6) AS DOUBLE) AS decayed_value
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY user_id
+    """
+    d["grouping_sets_revenue"] = """
+        WITH li AS (
+            SELECT *, CAST(year(l_shipdate) AS BIGINT) AS ship_year
+            FROM lineitem
+        )
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               coalesce(CAST(ship_year AS VARCHAR), 'ALL') AS ship_year,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2))
+                      - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                   AS revenue,
+               count(*) AS n_rows
+        FROM li
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
     """
     d["events_funnel"] = """
         WITH p AS (

@@ -22,6 +22,8 @@ the codegen'd expression tree (~60× slower, measured at sf0.1).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -470,4 +472,37 @@ def simhash_buckets(
         )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def keyed_keep_best(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the BEST-scoring row per key — the recrawl-dedup semantic (the
+    same URL fetched repeatedly; keep the highest-quality capture), and the
+    general "canonical representative by score" tier next to
+    :func:`exact_dedup_keep_min`'s min-id rule.
+
+    argmax is ONE map-side-combined aggregate: ``max(struct(score, -id))``
+    orders by score then by SMALLEST id on ties — no window, no second pass,
+    so the shuffle carries one (key, score, id) triple per input row and
+    combines down to one per key per partition. Output: (*key_cols, id,
+    score, n_copies)."""
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")
+        )
+    )
+    return (
+        df.groupBy(*key_cols)
+        .agg(best.alias("__b"), F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            *key_cols,
+            (-F.col("__b.nid")).alias(id_col),
+            F.col("__b.s").alias(score_col),
+            "n_copies",
+        )
     )

@@ -450,3 +450,39 @@ def funnel_stages(
         )
     )
     return folded.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def time_decayed_value(
+    events: DataFrame,
+    ref_epoch_sec: int,
+    half_life_days: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Recency-weighted engagement feature: per user, the sum of event
+    values decayed by age — ``Σ value · 0.5^(Δdays / half_life)`` at a fixed
+    reference instant. The standard feature-store aggregate for "recent
+    activity matters more" signals feeding ranking/propensity models.
+
+    ONE map-side-combined groupBy; the decay factor is a narrow per-row
+    expression. Each term is quantized to decimal(28,12) BEFORE the sum so
+    the aggregate is exact and independent of shuffle-merge order (the
+    double-sum nondeterminism documented at ``similarity.mean_pool``).
+    Ages use truncated-second epochs (the engine-portable convention of
+    ``funnel_stages``). Output: (user, n_events, decayed_value)."""
+    age_days = (
+        F.lit(ref_epoch_sec) - F.col(ts_col).cast("timestamp").cast("long")
+    ) / F.lit(86400.0)
+    term = (
+        F.col(value_col).cast("double")
+        * F.pow(F.lit(0.5), age_days / F.lit(half_life_days))
+    ).cast("decimal(28,12)")
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(term), 6).cast("double").alias("decayed_value"),
+        )
+    )

@@ -149,3 +149,29 @@ def test_minhash_cross_corpus_no_self_pairs_across_sets(spark):
     )
     out = minhash_cross_corpus_duplicates(batch, corpus).collect()
     assert [(r["batch_id"], r["corpus_id"]) for r in out] == [(7, 7)]
+
+
+def test_keyed_keep_best_argmax_and_ties(spark):
+    from iatlas_cbioportal_export_spark.operators.dedup import keyed_keep_best
+
+    df = spark.createDataFrame(
+        [
+            ("u1", 1, 0.5), ("u1", 2, 0.9), ("u1", 3, 0.9),  # tie -> id 2
+            ("u2", 4, 0.1),
+        ],
+        "url_key string, doc_id long, quality_score double",
+    )
+    out = {r["url_key"]: r for r in keyed_keep_best(df, ["url_key"], "quality_score").collect()}
+    assert out["u1"]["doc_id"] == 2 and out["u1"]["quality_score"] == 0.9
+    assert out["u1"]["n_copies"] == 3
+    assert out["u2"]["doc_id"] == 4 and out["u2"]["n_copies"] == 1
+
+
+def test_keyed_keep_best_partitioning_invariant(spark):
+    from iatlas_cbioportal_export_spark.operators.dedup import keyed_keep_best
+
+    rows = [(f"k{i % 7}", i, float((i * 37) % 11)) for i in range(100)]
+    df = spark.createDataFrame(rows, "url_key string, doc_id long, quality_score double")
+    a = keyed_keep_best(df.repartition(1), ["url_key"], "quality_score").collect()
+    b = keyed_keep_best(df.repartition(17), ["url_key"], "quality_score").collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}

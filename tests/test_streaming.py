@@ -475,3 +475,27 @@ def test_funnel_stages_same_second_ties_break_by_event_id(spark):
     )
     out = {r["stage"]: r["n_users"] for r in funnel_stages(df).collect()}
     assert out == {3: 1}
+
+
+def test_time_decayed_value_halves_per_half_life(spark):
+    from datetime import datetime
+    from iatlas_cbioportal_export_spark.streaming.events import time_decayed_value
+
+    ref = int(datetime(2024, 1, 31).timestamp()) - int(datetime(1970, 1, 1).timestamp())
+    # place events exactly 0 and 10 half-lives-in-days before ref
+    rows = [
+        (1, 1, datetime.utcfromtimestamp(ref), 8.0),          # age 0 -> 8
+        (1, 2, datetime.utcfromtimestamp(ref - 86400 * 10), 8.0),  # one half-life (10d) -> 4
+        (2, 3, None, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {
+        r["user_id"]: r
+        for r in time_decayed_value(
+            df.filter("ts IS NOT NULL"), ref_epoch_sec=ref, half_life_days=10.0
+        ).collect()
+    }
+    assert out[1]["n_events"] == 2
+    assert abs(out[1]["decayed_value"] - 12.0) < 1e-9
