@@ -1949,6 +1949,38 @@ def q_events_session_window(spark, sf_dir):
     return sessionize_session_window(events, gap_minutes=30)
 
 
+def q_events_anomaly_zscore(spark, sf_dir):
+    """Trailing-24h z-score anomaly detection over the hourly event rollup.
+    Mean/std derive from exact integer window sums so both engines compute
+    the identical double expression; cold-start and zero-variance rows are
+    suppressed."""
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        hourly_anomaly_zscore,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return hourly_anomaly_zscore(events)
+
+
+_CMS_PROBES = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+
+
+def q_sketch_count_min(spark, sf_dir):
+    """Count-min sketch frequency estimates for 10 probe tokens next to
+    their exact counts: d×w counters built in one bounded-shuffle pass
+    (portable rolling hash + fixed affine row hashes — the oracle rebuilds
+    the identical matrix), estimate = min over rows, with the one-sided
+    overcount emitted as a checkable column."""
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    counters = count_min_build(docs, depth=4, width=256)
+    return count_min_estimate(docs, _CMS_PROBES, counters)
+
+
 def q_events_time_decay(spark, sf_dir):
     """Recency-weighted per-user engagement: value · 0.5^(age_days/30) at a
     fixed reference instant (2026-01-01 UTC), decimal-quantized per term so
@@ -2277,6 +2309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "dedup_keep_best": q_dedup_keep_best,
         "events_time_decay": q_events_time_decay,
+        "sketch_count_min": q_sketch_count_min,
+        "events_anomaly_zscore": q_events_anomaly_zscore,
         "pivot_status_counts": q_pivot_status_counts,
         "unpivot_part_metrics": q_unpivot_part_metrics,
     }
@@ -4209,6 +4243,75 @@ def oracle_sql() -> dict[str, str]:
                    AND alpha_word_ratio >= 0.8
                    AND n_stopword_hits >= 2 AS passes
         FROM m
+    """
+    d["events_anomaly_zscore"] = """
+        WITH hourly AS (
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   event_type,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT window_start, event_type, n_events,
+                   sum(n_events) OVER w AS s,
+                   sum(n_events * n_events) OVER w AS ss,
+                   count(n_events) OVER w AS c
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT window_start, event_type, n_events,
+               round((n_events - s / c)
+                     / sqrt((ss - s * s / c) / (c - 1)), 6) AS zscore,
+               abs((n_events - s / c)
+                   / sqrt((ss - s * s / c) / (c - 1))) > 3.0 AS is_anomaly
+        FROM stats
+        WHERE c >= 12 AND (ss - s * s / c) / (c - 1) > 0
+    """
+    _cms_probe_list = ", ".join(f"'{p}'" for p in _CMS_PROBES)
+    _cms_hash = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, length(tok) + 1), "
+        "i -> CAST(ascii(tok[i]) AS BIGINT))), "
+        "(a, c) -> (a * 31 + c) % 1000000007)"
+    )
+    _cms_ab = (
+        "CASE j WHEN 0 THEN 31 WHEN 1 THEN 37 WHEN 2 THEN 41 ELSE 43 END",
+        "CASE j WHEN 0 THEN 7 WHEN 1 THEN 11 WHEN 2 THEN 13 ELSE 17 END",
+    )
+    d["sketch_count_min"] = f"""
+        WITH toks AS (
+            SELECT u.tok
+            FROM (SELECT {_TOKS} AS t FROM documents), unnest(t) AS u(tok)
+        ),
+        h AS (SELECT tok, {_cms_hash} AS hv FROM toks),
+        js AS (SELECT unnest(range(0, 4)) AS j),
+        pairs AS (
+            SELECT js.j AS r,
+                   ((hv * {_cms_ab[0]} + {_cms_ab[1]}) % 1000000007) % 256 AS b
+            FROM h, js
+        ),
+        cnt AS (SELECT r, b, count(*) AS n FROM pairs GROUP BY r, b),
+        probes AS (SELECT unnest([{_cms_probe_list}]) AS tok),
+        ph AS (SELECT tok, {_cms_hash} AS hv FROM probes),
+        pp AS (
+            SELECT tok AS token, js.j AS r,
+                   ((hv * {_cms_ab[0]} + {_cms_ab[1]}) % 1000000007) % 256 AS b
+            FROM ph, js
+        ),
+        pe AS (
+            SELECT token, min(coalesce(cnt.n, 0)) AS est_count
+            FROM pp LEFT JOIN cnt USING (r, b) GROUP BY token
+        ),
+        tc AS (
+            SELECT tok AS token, count(*) AS true_count FROM toks
+            WHERE tok IN ({_cms_probe_list}) GROUP BY tok
+        )
+        SELECT token, est_count,
+               coalesce(true_count, 0) AS true_count,
+               est_count - coalesce(true_count, 0) AS overcount
+        FROM pe LEFT JOIN tc USING (token)
     """
     d["events_time_decay"] = """
         SELECT user_id,

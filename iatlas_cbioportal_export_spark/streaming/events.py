@@ -486,3 +486,59 @@ def time_decayed_value(
             F.round(F.sum(term), 6).cast("double").alias("decayed_value"),
         )
     )
+
+
+def hourly_anomaly_zscore(
+    events: DataFrame,
+    trailing_hours: int = 24,
+    z_threshold: float = 3.0,
+    min_history: int = 12,
+) -> DataFrame:
+    """Volume-anomaly detection: each (hour, event_type) count scored
+    against its own trailing window — z = (n − mean)/std over the previous
+    ``trailing_hours`` rows. The standard ops-monitoring shape (traffic
+    spike / outage detection) on top of the hourly rollup.
+
+    Determinism: mean/std are derived from EXACT integer window sums
+    (Σn, Σn² as longs — no floating accumulation across the window), so the
+    double arithmetic is one fixed expression over exact inputs and any
+    engine reproduces it. Plan: the rollup's single shuffle, then one
+    window partitioned by event_type (tiny — one row per hour per type).
+    Rows with under ``min_history`` trailing hours or zero variance are
+    suppressed (cold start / constant series give no signal).
+    Output: (window_start, event_type, n_events, zscore, is_anomaly)."""
+    hourly = hourly_event_counts_batch(events).select(
+        "window_start", "event_type", "n_events"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-trailing_hours, -1)
+    )
+    n = F.col("n_events")
+    s = F.sum(n).over(w)
+    ss = F.sum(n * n).over(w)
+    cnt = F.count(n).over(w)
+    stats = hourly.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        s.alias("__s"),
+        ss.alias("__ss"),
+        cnt.alias("__c"),
+    )
+    mean = F.col("__s") / F.col("__c")
+    var = (F.col("__ss") - F.col("__s") * F.col("__s") / F.col("__c")) / (
+        F.col("__c") - 1
+    )
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        stats.filter((F.col("__c") >= min_history) & (var > 0))
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > F.lit(z_threshold)).alias("is_anomaly"),
+        )
+    )

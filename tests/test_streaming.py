@@ -499,3 +499,47 @@ def test_time_decayed_value_halves_per_half_life(spark):
     }
     assert out[1]["n_events"] == 2
     assert abs(out[1]["decayed_value"] - 12.0) < 1e-9
+
+
+def test_hourly_anomaly_zscore_flags_planted_spike(spark):
+    from datetime import datetime, timedelta
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        hourly_anomaly_zscore,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(40):
+        # steady 5/hour, except a 50-event spike at hour 30
+        n = 50 if h == 30 else 5 + (h % 2)  # small wobble -> nonzero variance
+        for k in range(n):
+            eid += 1
+            rows.append((eid, 1, base + timedelta(hours=h, minutes=k % 60), "click", 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = hourly_anomaly_zscore(df, trailing_hours=24, min_history=12)
+    flagged = [r for r in out.collect() if r["is_anomaly"]]
+    assert any(r["window_start"].startswith("2024-01-02 06") for r in flagged)
+    # steady hours are not flagged
+    assert all(r["n_events"] == 50 for r in flagged)
+
+
+def test_hourly_anomaly_zscore_suppresses_cold_start_and_constant(spark):
+    from datetime import datetime, timedelta
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        hourly_anomaly_zscore,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(20):
+        for k in range(3):  # perfectly constant series -> zero variance
+            eid += 1
+            rows.append((eid, 1, base + timedelta(hours=h), "view", 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    assert hourly_anomaly_zscore(df, trailing_hours=24, min_history=12).count() == 0
