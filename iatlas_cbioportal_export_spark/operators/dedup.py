@@ -506,3 +506,103 @@ def keyed_keep_best(
             "n_copies",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (duplicated k-token windows across documents)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-level duplication signal: for every document, count
+    the k-token sliding windows whose content also occurs in at least one
+    OTHER document (the window-level analogue of suffix-array training-data
+    dedup — Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"). Document-level dedup misses boilerplate: two distinct
+    pages sharing a license header are unique docs but carry duplicated
+    spans; this operator measures exactly that.
+
+    Output: ``(id, n_windows, n_dup_windows, dup_window_fraction)`` — one
+    row per input document (short docs with < k tokens get 0/0/0.0).
+
+    Plan shape / scale: tokenization and per-token hashing are narrow; every
+    k-token window is reduced to ONE bigint via a two-level portable fold
+    (chars → token hash, token hashes → window hash, both Horner mod 1e9+7 —
+    the fingerprint fold, so the DuckDB oracle replays it bit-for-bit).
+    The only wide stages move (id, window_hash) PAIRS of longs:
+
+      explode → groupBy(window_hash) countDistinct(id)   [shuffle 1]
+      wins ⋈ dup_hashes on window_hash → groupBy(id)     [shuffle 2+3]
+
+    Raw text never shuffles; the join keys are already hash-distributed so
+    AQE coalesces the post-groupBy exchange. countDistinct gets map-side
+    partial de-dup, so the shuffle carries at most one (hash, id) pair per
+    partition per window content. Window-hash collisions (≈ n²/2e9 of the
+    distinct-window count) can over-count one window pair; at collision-
+    sensitive scale swap _FP_MOD for a 61-bit Mersenne modulus — the fold
+    shape is unchanged.
+    """
+    from iatlas_cbioportal_export_spark.operators.sketch import _token_hash
+
+    b2 = F.lit(1_000_003)
+    mod = F.lit(1_000_000_007)
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    ).select(
+        "id",
+        F.size("__toks").alias("__n"),
+        F.transform("__toks", _token_hash).alias("__th"),
+    )
+    per_doc = toks.select(
+        "id",
+        F.greatest(F.col("__n") - F.lit(k) + 1, F.lit(0)).alias("n_windows"),
+        F.when(
+            F.col("__n") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n") - F.lit(k)),
+                lambda i: F.aggregate(
+                    F.slice("__th", i + 1, F.lit(k)),
+                    F.lit(0).cast("long"),
+                    lambda acc, h: (acc * b2 + h) % mod,
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("__wh"),
+    )
+    wins = per_doc.select("id", F.explode("__wh").alias("wh"))
+    dup_hashes = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("wh")
+    )
+    per_doc_dup = (
+        wins.join(dup_hashes, on="wh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        per_doc.select("id", "n_windows")
+        .join(per_doc_dup, on="id", how="left")
+        .select(
+            "id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(
+                    F.coalesce("n_dup_windows", F.lit(0))
+                    / F.col("n_windows"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_window_fraction"),
+        )
+    )

@@ -3,6 +3,7 @@
 import pytest
 
 from iatlas_cbioportal_export_spark.operators.dedup import (
+    duplicated_spans,
     exact_dedup_keep_min,
     exact_duplicate_groups,
     minhash_near_duplicates,
@@ -175,3 +176,31 @@ def test_keyed_keep_best_partitioning_invariant(spark):
     a = keyed_keep_best(df.repartition(1), ["url_key"], "quality_score").collect()
     b = keyed_keep_best(df.repartition(17), ["url_key"], "quality_score").collect()
     assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+def test_duplicated_spans_counts(spark):
+    # k=3; doc 1 & 2 share one exact 3-token span ("spark shuffles data"),
+    # doc 3 has no 3-token window in common with anyone, doc 4 is too short.
+    rows = [
+        (1, "alpha beta spark shuffles data gamma"),
+        (2, "spark shuffles data delta epsilon"),
+        (3, "totally unrelated words here only once"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: (r["n_windows"], r["n_dup_windows"], r["dup_window_fraction"])
+        for r in duplicated_spans(df, k=3).collect()
+    }
+    assert out[1] == (4, 1, 0.25)
+    assert out[2] == (3, 1, round(1 / 3, 6))
+    assert out[3] == (4, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)
+
+
+def test_duplicated_spans_exact_dup_docs_fully_covered(docs):
+    # docs 1 and 2 are exact duplicates: every window of each is duplicated
+    out = {r["id"]: r for r in duplicated_spans(docs, k=4).collect()}
+    assert out[1]["dup_window_fraction"] == 1.0
+    assert out[2]["dup_window_fraction"] == 1.0
+    assert out[4]["n_dup_windows"] == 0
