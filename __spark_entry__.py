@@ -2167,6 +2167,45 @@ def q_sim_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_fuzzy_join_names(spark, sf_dir):
+    """Fuzzy entity-resolution join (ED-Join): customer names vs a
+    deterministically perturbed twin list (substitute / delete / identity by
+    custkey mod 3), all pairs with levenshtein <= 1 — NO cartesian product:
+    rarest-first q-gram prefix blocking provably contains every true match
+    (count+prefix filters), then codegen'd threshold levenshtein verifies.
+    The oracle brute-forces the same pair predicate; pair-set equality IS
+    the blocking-completeness check."""
+    from iatlas_cbioportal_export_spark.operators.entity import (
+        fuzzy_join_edit_distance,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.select("c_custkey", "c_name")
+    pert = cust.select(
+        (F.col("c_custkey") + 1_000_000).alias("r_key"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.substring("c_name", 1, 9),
+                F.lit("X"),
+                F.expr("substring(c_name, 11)"),
+            ),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(
+                F.substring("c_name", 1, 9), F.expr("substring(c_name, 11)")
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("r_name"),
+    )
+    return fuzzy_join_edit_distance(
+        left, pert, "c_custkey", "c_name", "r_key", "r_name",
+        max_distance=1, q=2,
+    )
+
+
 def q_dedup_span_windows(spark, sf_dir):
     """Exact substring-span dedup (Lee et al. 2022 window analogue): per
     document, the count/fraction of 6-token sliding windows whose content
@@ -2325,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status_counts": q_pivot_status_counts,
         "unpivot_part_metrics": q_unpivot_part_metrics,
         "dedup_span_windows": q_dedup_span_windows,
+        "fuzzy_join_names": q_fuzzy_join_names,
     }
 
 
@@ -4548,5 +4588,18 @@ def oracle_sql() -> dict[str, str]:
                     THEN round(coalesce(c.ndw, 0) / (h.n - 5), 6)
                     ELSE 0.0 END AS dup_window_fraction
         FROM h LEFT JOIN c USING (doc_id)
+    """
+    d["fuzzy_join_names"] = """
+        WITH l AS (SELECT c_custkey AS l_id, c_name AS ln FROM customer),
+        r AS (SELECT c_custkey + 1000000 AS r_id,
+                     CASE WHEN c_custkey % 3 = 0
+                          THEN substr(c_name, 1, 9) || 'X' || substr(c_name, 11)
+                          WHEN c_custkey % 3 = 1
+                          THEN substr(c_name, 1, 9) || substr(c_name, 11)
+                          ELSE c_name END AS rn
+              FROM customer)
+        SELECT l_id, r_id, levenshtein(ln, rn) AS edit_distance
+        FROM l, r
+        WHERE abs(length(ln) - length(rn)) <= 1 AND levenshtein(ln, rn) <= 1
     """
     return d
