@@ -2167,6 +2167,58 @@ def q_sim_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-iteration (K=4) PageRank over the symmetrized part↔supplier
+    graph from lineitem — the iterative-algorithm tier next to connected
+    components. Exact integer micro-unit arithmetic (bigint `div`) makes the
+    ranks reduction-order independent, so the oracle replays the identical
+    four rounds as generated chained CTEs and value-hash matches."""
+    from iatlas_cbioportal_export_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    ).distinct()
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iterations=4)
+
+
+def _pagerank_oracle(iterations: int = 4, scale: int = 10**12) -> str:
+    """Generated chained-CTE twin of q_graph_pagerank: one CTE per
+    iteration, same integer arithmetic ((r*85) // (100*od), teleport
+    = scale*15//100). DuckDB's sum(BIGINT) widens to HUGEINT — the per-round
+    CAST back to BIGINT keeps the state type identical to Spark's."""
+    teleport = scale * 15 // 100
+    parts = [
+        f"""
+        WITH e0 AS (SELECT DISTINCT l_partkey AS src,
+                           l_suppkey + 1000000 AS dst FROM lineitem),
+        e AS (SELECT src, dst FROM e0
+              UNION SELECT dst AS src, src AS dst FROM e0),
+        deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        n AS (SELECT DISTINCT src AS node FROM e),
+        r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_int FROM n)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        r{i} AS (
+            SELECT n.node,
+                   CAST({teleport} + coalesce(s.m, 0) AS BIGINT) AS rank_int
+            FROM n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((r.rank_int * 85) // (100 * deg.od)) AS m
+                FROM e JOIN r{i - 1} r ON e.src = r.node
+                       JOIN deg ON deg.src = e.src
+                GROUP BY e.dst) s ON n.node = s.node)"""
+        )
+    parts.append(f"\n        SELECT node, rank_int FROM r{iterations}")
+    return "".join(parts)
+
+
 def q_fuzzy_join_names(spark, sf_dir):
     """Fuzzy entity-resolution join (ED-Join): customer names vs a
     deterministically perturbed twin list (substitute / delete / identity by
@@ -2365,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_part_metrics": q_unpivot_part_metrics,
         "dedup_span_windows": q_dedup_span_windows,
         "fuzzy_join_names": q_fuzzy_join_names,
+        "graph_pagerank": q_graph_pagerank,
     }
 
 
@@ -4602,4 +4655,5 @@ def oracle_sql() -> dict[str, str]:
         FROM l, r
         WHERE abs(length(ln) - length(rn)) <= 1 AND levenshtein(ln, rn) <= 1
     """
+    d["graph_pagerank"] = _pagerank_oracle(iterations=4)
     return d

@@ -237,3 +237,85 @@ def dedup_components(
         )
         .withColumn("is_keeper", F.col("id") == F.col("component_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-iteration, exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list, computed in EXACT
+    integer micro-units so the result is bit-identical under any partitioning
+    / shuffle-fetch order / engine (a double-summed PageRank drifts with
+    reduction order and can never be value-hash checked).
+
+    Per node: ``rank₀ = scale``;
+    ``rankᵢ₊₁ = teleport + Σ_incoming (rankᵢ·d_num) div (d_den·out_degree)``
+    with ``teleport = scale·(d_den−d_num) div d_den``. All quantities are
+    BIGINTs; `div` is integral division, so each iteration is a sum of
+    exactly-representable longs (truncation loss stays < out_degree
+    micro-units per node per round — ~1e-12 relative). Dangling nodes
+    (out-degree 0) simply leak their damped mass — the standard
+    "no dangling redistribution" PageRank variant; feed a symmetrized edge
+    list if every node must keep mass.
+
+    Scale shape: out-degrees join the edge list ONCE (one shuffle, reused
+    every round); each iteration is then one (src=node) join moving only
+    (node, rank) pairs + one map-side-combined groupBy(dst). State is a
+    single (node, rank) table — the iterative-algorithm pattern shared with
+    ``connected_components``. Lineage is truncated per round the same way
+    (rounds are few and fixed; without truncation each round re-analyzes a
+    nested O(iterations)-deep join DAG).
+
+    Output: ``(node, rank_int)`` — rank in micro-units of ``scale``.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    # (src, dst, od): built once, reused by every iteration
+    edeg = e.join(deg, on="src").localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    teleport = scale * (damping_den - damping_num) // damping_den
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_int"))
+    for _ in range(iterations):
+        contribs = (
+            edeg.join(ranks, edeg["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(rank_int * {damping_num}) div ({damping_den} * od)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = (
+            nodes.join(contribs, on="node", how="left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.coalesce("m", F.lit(0)))
+                .cast("long")
+                .alias("rank_int"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -130,3 +130,49 @@ def test_long_chain_converges(spark):
     )
     out = {r["id"]: r["component_id"] for r in connected_components(pairs).collect()}
     assert set(out.values()) == {0}
+
+
+def _ref_pagerank(edges, iterations, scale=10**12):
+    # exact integer reference: same div-truncation arithmetic as the operator
+    from collections import defaultdict
+
+    edges = sorted(set(edges))
+    nodes = sorted({n for e in edges for n in e})
+    od = defaultdict(int)
+    for s, _ in edges:
+        od[s] += 1
+    teleport = scale * 15 // 100
+    rank = {n: scale for n in nodes}
+    for _ in range(iterations):
+        m = defaultdict(int)
+        for s, t in edges:
+            m[t] += (rank[s] * 85) // (100 * od[s])
+        rank = {n: teleport + m[n] for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_integer_reference(spark):
+    from iatlas_cbioportal_export_spark.operators.graph import pagerank
+
+    raw = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1), (1, 4), (3, 4)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    for k in (1, 3):
+        got = {
+            r["node"]: r["rank_int"]
+            for r in pagerank(df, iterations=k).collect()
+        }
+        assert got == _ref_pagerank(raw, k)
+
+
+def test_pagerank_dangling_node_keeps_teleport_only(spark):
+    from iatlas_cbioportal_export_spark.operators.graph import pagerank
+
+    # A -> B; B dangles (no out-edges): A gets only teleport mass, B gets
+    # teleport + A's damped contribution
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {
+        r["node"]: r["rank_int"] for r in pagerank(df, iterations=2).collect()
+    }
+    scale, tp = 10**12, 10**12 * 15 // 100
+    assert got[1] == tp
+    assert got[2] == tp + (tp * 85) // 100
