@@ -713,12 +713,18 @@ def semantic_dedup_pairs(
     centroids = kmeans_centroids(
         df, n_cells=n_cells, iterations=iterations, id_col=id_col, vec_col=vec_col
     )
+    # TRUNCATE lineage here: ``assigned`` is (id, cell) longs, but its plan
+    # nests the full argmax-over-centroid-literals expression over the
+    # corpus, and it feeds FOUR downstream branches (sizes, both self-join
+    # sides, candidate-id union) — without truncation each branch re-scans
+    # the corpus and re-runs the centroid expression (measured 20.4s → the
+    # whole query re-deriving assignment per branch at sf0.01).
     assigned = df.select(
         F.col(id_col).alias("id"),
         F.array_max(_centroid_sims(F.col(vec_col), centroids))["cell_id"].alias(
             "__cell"
         ),
-    )
+    ).localCheckpoint(eager=False)
     cell_sizes = assigned.groupBy("__cell").agg(F.count(F.lit(1)).alias("__cn"))
     assigned = assigned.join(
         F.broadcast(cell_sizes.filter(F.col("__cn") <= max_cell_size)),
@@ -731,6 +737,7 @@ def semantic_dedup_pairs(
         a.join(b, on="__cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .localCheckpoint(eager=False)  # reused 3×: verify join + id union ×2
     )
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select("id_b")
