@@ -2167,6 +2167,101 @@ def q_sim_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_text_bpe_train(spark, sf_dir):
+    """BPE vocabulary training (4 merge rounds) over the documents corpus —
+    the tokenizer-learning step of an LLM pipeline as a distributed
+    iterative algorithm: pair-count aggregate → one-row argmax to the driver
+    → greedy left-to-right merge fold, per round. Output is the final
+    (symbol, freq) table, which every merge decision reshapes — the oracle
+    replays all four rounds as generated MATERIALIZED CTEs (inlined CTEs
+    re-expand the round tree exponentially) with run-parity windows
+    reproducing the fold's overlapping-match semantics."""
+    from iatlas_cbioportal_export_spark.operators.text import (
+        bpe_symbol_table,
+        bpe_train_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    _, state = bpe_train_merges(docs, n_merges=4)
+    return bpe_symbol_table(state)
+
+
+def _bpe_oracle(k: int) -> str:
+    """Generated DuckDB twin of q_text_bpe_train: one CTE block per merge
+    round. Greedy-overlap semantics: positions matching the round's best
+    pair are grouped into consecutive runs (p − row_number), and only
+    even-offset members merge — identical to the engine's left fold. Every
+    CTE is MATERIALIZED: DuckDB inlines CTEs by default and each round
+    references the previous state several times, so the un-materialized
+    plan tree grows exponentially in k (hung at k=4; 0.1s materialized)."""
+    sql = [
+        f"""
+        WITH w AS MATERIALIZED (
+            SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest({_TOKS}) AS t FROM documents) GROUP BY t
+        ),
+        s0 AS MATERIALIZED (
+            SELECT word, freq,
+                   list_transform(range(1, length(word) + 1),
+                                  i -> substr(word, i, 1)) AS syms
+            FROM w
+        )"""
+    ]
+    for r in range(k):
+        sql.append(
+            f""",
+        p{r} AS MATERIALIZED (
+            SELECT s.syms[u.i] AS a, s.syms[u.i + 1] AS b,
+                   sum(s.freq) AS cnt
+            FROM s{r} s, LATERAL (SELECT unnest(range(1, len(s.syms))) AS i) u
+            GROUP BY 1, 2
+        ),
+        b{r} AS MATERIALIZED (
+            SELECT a, b FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+        ),
+        m{r} AS MATERIALIZED (
+            SELECT s.word, s.freq, u.i AS p, s.syms[u.i] AS sym,
+                   CASE WHEN u.i < len(s.syms)
+                             AND s.syms[u.i] = (SELECT a FROM b{r})
+                             AND s.syms[u.i + 1] = (SELECT b FROM b{r})
+                        THEN 1 ELSE 0 END AS mt
+            FROM s{r} s,
+                 LATERAL (SELECT unnest(range(1, len(s.syms) + 1)) AS i) u
+        ),
+        g{r} AS MATERIALIZED (
+            SELECT word, p,
+                   p - row_number() OVER (PARTITION BY word ORDER BY p) AS grp
+            FROM m{r} WHERE mt = 1
+        ),
+        keep{r} AS MATERIALIZED (
+            SELECT word, p FROM (
+                SELECT word, p,
+                       row_number() OVER (PARTITION BY word, grp ORDER BY p)
+                           AS rn
+                FROM g{r})
+            WHERE (rn - 1) % 2 = 0
+        ),
+        s{r + 1} AS MATERIALIZED (
+            SELECT m.word, max(m.freq) AS freq,
+                   list(CASE WHEN kk.p IS NOT NULL
+                             THEN (SELECT a FROM b{r}) || (SELECT b FROM b{r})
+                             ELSE m.sym END ORDER BY m.p) AS syms
+            FROM m{r} m
+            LEFT JOIN keep{r} kk ON kk.word = m.word AND kk.p = m.p
+            LEFT JOIN keep{r} kc ON kc.word = m.word AND kc.p = m.p - 1
+            WHERE kc.p IS NULL
+            GROUP BY m.word
+        )"""
+        )
+    sql.append(
+        f"""
+        SELECT sym AS symbol, CAST(sum(freq) AS BIGINT) AS freq
+        FROM (SELECT word, freq, unnest(syms) AS sym FROM s{k})
+        GROUP BY 1"""
+    )
+    return "".join(sql)
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Fixed-iteration (K=4) PageRank over the symmetrized part↔supplier
     graph from lineitem — the iterative-algorithm tier next to connected
@@ -2418,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_windows": q_dedup_span_windows,
         "fuzzy_join_names": q_fuzzy_join_names,
         "graph_pagerank": q_graph_pagerank,
+        "text_bpe_train": q_text_bpe_train,
     }
 
 
@@ -4656,4 +4752,5 @@ def oracle_sql() -> dict[str, str]:
         WHERE abs(length(ln) - length(rn)) <= 1 AND levenshtein(ln, rn) <= 1
     """
     d["graph_pagerank"] = _pagerank_oracle(iterations=4)
+    d["text_bpe_train"] = _bpe_oracle(4)
     return d

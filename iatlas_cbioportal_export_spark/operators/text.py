@@ -630,3 +630,106 @@ def bigram_logprob_score(
             ).alias("mean_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training (iterative pair-merge, Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Train byte-pair-encoding merges over a corpus, DataFrame-native —
+    the vocabulary-learning step of an LLM data pipeline (Sennrich et al.
+    2016, "Neural Machine Translation of Rare Words with Subword Units").
+
+    Classic BPE trains on the WORD-TYPE frequency table, not token
+    occurrences: state is one row per distinct word ``(word, freq,
+    syms: array<string>)`` with ``syms`` initialized to characters. Each
+    round:
+
+    1. adjacent-pair counts — explode (symᵢ, symᵢ₊₁) weighted by word freq,
+       ONE map-side-combined groupBy (the shuffle carries (a, b, partial
+       count) rows — bounded by the pair vocabulary, not the corpus);
+    2. argmax pair — ``ORDER BY count DESC, a, b`` LIMIT 1 to the driver
+       (one row per round, the same driver-decision shape as k-means);
+    3. greedy left-to-right merge of that pair in every word via an array
+       fold: append symbol, or replace the just-appended ``a`` with ``ab``
+       when the incoming symbol is ``b`` — a run of overlapping matches
+       (aaa ⊃ aa) merges at even offsets only, exactly the sequential
+       semantics (the per-word fold is O(len²) array copies; words are
+       short, and the state table is word TYPES so 100 TB of text costs
+       one word-count aggregate before any BPE round).
+
+    State is ``localCheckpoint``-truncated per round (the fold expression
+    otherwise nests n_merges deep). Returns (merge table [(a, b, count)]
+    in round order, final state frame).
+    """
+    words = (
+        df.select(F.explode(T.tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    state = words.select(
+        F.col("w").alias("word"),
+        "freq",
+        F.split("w", "").alias("syms"),
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        n = F.size("syms")
+        pair_arr = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("a"),
+                    F.element_at("syms", i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        best = (
+            state.select("freq", F.explode(pair_arr).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+        state = state.select(
+            "word",
+            "freq",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la)
+                    & (s == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(lab)
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+        ).localCheckpoint(eager=False)
+    return merges, state
+
+
+def bpe_symbol_table(state: DataFrame) -> DataFrame:
+    """Corpus symbol-frequency table of a BPE state: explode the merged
+    symbol sequences, weight by word-type frequency — the checkable summary
+    of the whole training run (every merge decision reshapes it)."""
+    return (
+        state.select("freq", F.explode("syms").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("freq").alias("freq"))
+    )

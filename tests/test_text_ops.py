@@ -319,3 +319,71 @@ def test_bigram_logprob_external_model_downranks_soup(spark):
     }
     assert out[2] < out[1]
     assert out[2] == -9.0  # fully OOV -> every event at the floor
+
+
+def _ref_bpe(texts, k):
+    # pure-Python reference: word-type BPE with greedy left-to-right merge
+    from collections import Counter, defaultdict
+
+    wf = Counter(w for t in texts for w in t.split())
+    state = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(k):
+        pc = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            break
+        (a, b), cnt = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append((a, b, cnt))
+        for w, syms in state.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            state[w] = out
+    sym = defaultdict(int)
+    for w, syms in state.items():
+        for s in syms:
+            sym[s] += wf[w]
+    return merges, dict(sym)
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from iatlas_cbioportal_export_spark.operators.text import (
+        bpe_symbol_table,
+        bpe_train_merges,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new lower",
+        "widow window low",
+    ]
+    ref_merges, ref_syms = _ref_bpe(texts, 5)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, state = bpe_train_merges(df, n_merges=5)
+    assert merges == ref_merges
+    got = {
+        r["symbol"]: r["freq"] for r in bpe_symbol_table(state).collect()
+    }
+    assert got == ref_syms
+
+
+def test_bpe_overlapping_pair_merges_at_even_offsets(spark):
+    from iatlas_cbioportal_export_spark.operators.text import bpe_train_merges
+
+    # "aaaa" with best pair (a,a): greedy left-to-right gives [aa, aa]
+    df = spark.createDataFrame([(1, "aaaa aaa")], "doc_id long, text string")
+    merges, state = bpe_train_merges(df, n_merges=1)
+    assert merges[0][:2] == ("a", "a")
+    syms = {r["word"]: r["syms"] for r in state.collect()}
+    assert syms["aaaa"] == ["aa", "aa"]
+    assert syms["aaa"] == ["aa", "a"]
