@@ -2167,6 +2167,19 @@ def q_sim_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_events_retention(spark, sf_dir):
+    """Cohort retention triangle over the event log: users bucketed by
+    first-activity day, counted per return-day offset. Distinct-before-
+    shuffle keeps the wide stages on (user, day) pairs; the final rollup is
+    a plain count because user-days are already unique."""
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        retention_cohorts,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return retention_cohorts(events)
+
+
 def q_text_bpe_train(spark, sf_dir):
     """BPE vocabulary training (4 merge rounds) over the documents corpus —
     the tokenizer-learning step of an LLM pipeline as a distributed
@@ -2514,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_names": q_fuzzy_join_names,
         "graph_pagerank": q_graph_pagerank,
         "text_bpe_train": q_text_bpe_train,
+        "events_retention": q_events_retention,
     }
 
 
@@ -4753,4 +4767,15 @@ def oracle_sql() -> dict[str, str]:
     """
     d["graph_pagerank"] = _pagerank_oracle(iterations=4)
     d["text_bpe_train"] = _bpe_oracle(4)
+    d["events_retention"] = """
+        WITH a AS (
+            SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+        ),
+        f AS (SELECT u, min(d) AS cohort FROM a GROUP BY u)
+        SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+               CAST(a.d - f.cohort AS INTEGER) AS offset_days,
+               count(*) AS n_users
+        FROM a JOIN f USING (u)
+        GROUP BY 1, 2
+    """
     return d

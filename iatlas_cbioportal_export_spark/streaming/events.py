@@ -542,3 +542,36 @@ def hourly_anomaly_zscore(
             (F.abs(z) > F.lit(z_threshold)).alias("is_anomaly"),
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity day,
+    counted on each subsequent day they return — the standard product
+    analytics rollup (cohort × day-offset triangle).
+
+    Plan: activity is first reduced to DISTINCT (user, day) pairs (map-side
+    combine; the shuffle carries at most one pair per user-day, not raw
+    events), cohorts come from a groupBy(user) min — co-partitioned with
+    the activity join that follows (both sides hash on user, AQE reuses the
+    exchange) — and the final (cohort, offset) rollup needs plain count(*)
+    because (user, day) is already unique upstream: no expensive
+    count-distinct state in the last aggregate.
+
+    Output: (cohort_day: string yyyy-MM-dd, offset_days, n_users).
+    """
+    activity = events.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+    ).distinct()
+    first = activity.groupBy("u").agg(F.min("d").alias("cohort"))
+    return (
+        activity.join(first, on="u")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort").alias("offset_days"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

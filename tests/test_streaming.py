@@ -543,3 +543,33 @@ def test_hourly_anomaly_zscore_suppresses_cold_start_and_constant(spark):
         rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
     )
     assert hourly_anomaly_zscore(df, trailing_hours=24, min_history=12).count() == 0
+
+
+def test_retention_cohorts_triangle(spark):
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        retention_cohorts,
+    )
+
+    rows = [
+        # user 1: first day 01, returns 02 and 04 (two events on 02 -> one)
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 09:00:00"),
+        (1, "2024-01-02 11:00:00"), (1, "2024-01-04 08:00:00"),
+        # user 2: first day 01 only
+        (2, "2024-01-01 23:59:59"),
+        # user 3: first day 02, returns 03
+        (3, "2024-01-02 00:00:01"), (3, "2024-01-03 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts"
+    )
+    got = {
+        (r["cohort_day"], r["offset_days"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-02", 0): 1,
+        ("2024-01-02", 1): 1,
+    }
