@@ -2167,6 +2167,118 @@ def q_sim_semantic_dedup(spark, sf_dir):
     )
 
 
+_BPE_MERGES = [("e", "r"), ("o", "r"), ("i", "n"), ("o", "w")]
+
+
+def q_text_bpe_segment(spark, sf_dir):
+    """Tokenizer apply side: segment each document with a FIXED literal BPE
+    merge table (the 4 merges this corpus family learns) — per-doc subword
+    counts + an order-sensitive segmentation fingerprint. The plan is 100%
+    narrow: merges are baked into the fold expression per occurrence, so
+    nothing shuffles. Oracle replays the merges on the distinct-word
+    dictionary with the same run-parity CTE machinery as training, then
+    joins stats back through a positional unnest."""
+    from iatlas_cbioportal_export_spark.operators.text import (
+        bpe_segment_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_segment_stats(docs, _BPE_MERGES)
+
+
+def _bpe_apply_oracle(merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of q_text_bpe_segment: per-round CTEs identical to
+    _bpe_oracle's merge machinery but with the round's pair CONSTANT, run
+    over the distinct-word dictionary; per-doc stats come from a positional
+    token unnest joined to the segmented dictionary. MATERIALIZED for the
+    same exponential-inlining reason."""
+    k = len(merges)
+    sql = [
+        f"""
+        WITH t AS MATERIALIZED (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        w AS MATERIALIZED (
+            SELECT DISTINCT unnest(toks) AS word FROM t
+        ),
+        s0 AS MATERIALIZED (
+            SELECT word,
+                   list_transform(range(1, length(word) + 1),
+                                  i -> substr(word, i, 1)) AS syms
+            FROM w
+        )"""
+    ]
+    for r, (a, b) in enumerate(merges):
+        ae, be = a.replace("'", "''"), b.replace("'", "''")
+        sql.append(
+            f""",
+        m{r} AS MATERIALIZED (
+            SELECT s.word, u.i AS p, s.syms[u.i] AS sym,
+                   CASE WHEN u.i < len(s.syms)
+                             AND s.syms[u.i] = '{ae}'
+                             AND s.syms[u.i + 1] = '{be}'
+                        THEN 1 ELSE 0 END AS mt
+            FROM s{r} s,
+                 LATERAL (SELECT unnest(range(1, len(s.syms) + 1)) AS i) u
+        ),
+        g{r} AS MATERIALIZED (
+            SELECT word, p,
+                   p - row_number() OVER (PARTITION BY word ORDER BY p) AS grp
+            FROM m{r} WHERE mt = 1
+        ),
+        keep{r} AS MATERIALIZED (
+            SELECT word, p FROM (
+                SELECT word, p,
+                       row_number() OVER (PARTITION BY word, grp ORDER BY p)
+                           AS rn
+                FROM g{r})
+            WHERE (rn - 1) % 2 = 0
+        ),
+        s{r + 1} AS MATERIALIZED (
+            SELECT m.word,
+                   list(CASE WHEN kk.p IS NOT NULL THEN '{ae}{be}'
+                             ELSE m.sym END ORDER BY m.p) AS syms
+            FROM m{r} m
+            LEFT JOIN keep{r} kk ON kk.word = m.word AND kk.p = m.p
+            LEFT JOIN keep{r} kc ON kc.word = m.word AND kc.p = m.p - 1
+            WHERE kc.p IS NULL
+            GROUP BY m.word
+        )"""
+        )
+    sql.append(
+        f""",
+        seg AS MATERIALIZED (
+            SELECT word, len(syms) AS n_sub,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(syms, sym ->
+                           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                               list_transform(range(1, length(sym) + 1),
+                                   i -> CAST(ascii(sym[i]) AS BIGINT))),
+                               (acc, c) -> (acc * 31 + c) % 1000000007))),
+                       (acc, h) -> (acc * 1000003 + h) % 1000000007) AS wh
+            FROM s{k}
+        ),
+        e AS MATERIALIZED (
+            SELECT t.doc_id, u.i AS pos, t.toks[u.i] AS word
+            FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
+        ),
+        per AS MATERIALIZED (
+            SELECT e.doc_id,
+                   CAST(sum(seg.n_sub) AS BIGINT) AS n_subwords,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list(seg.wh ORDER BY e.pos)),
+                       (acc, h) -> (acc * 1000003 + h) % 1000000007) AS fp
+            FROM e JOIN seg USING (word)
+            GROUP BY e.doc_id
+        )
+        SELECT t.doc_id AS id, len(t.toks) AS n_tokens,
+               coalesce(per.n_subwords, 0) AS n_subwords,
+               coalesce(per.fp, 0) AS seg_fingerprint
+        FROM t LEFT JOIN per USING (doc_id)"""
+    )
+    return "".join(sql)
+
+
 def q_events_retention(spark, sf_dir):
     """Cohort retention triangle over the event log: users bucketed by
     first-activity day, counted per return-day offset. Distinct-before-
@@ -2528,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "text_bpe_train": q_text_bpe_train,
         "events_retention": q_events_retention,
+        "text_bpe_segment": q_text_bpe_segment,
     }
 
 
@@ -4778,4 +4891,5 @@ def oracle_sql() -> dict[str, str]:
         FROM a JOIN f USING (u)
         GROUP BY 1, 2
     """
+    d["text_bpe_segment"] = _bpe_apply_oracle(_BPE_MERGES)
     return d

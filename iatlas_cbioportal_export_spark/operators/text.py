@@ -733,3 +733,77 @@ def bpe_symbol_table(state: DataFrame) -> DataFrame:
         .groupBy("symbol")
         .agg(F.sum("freq").alias("freq"))
     )
+
+
+def _apply_merges(word_col, merges: list[tuple[str, str]]):
+    """Apply a fixed BPE merge list to one word: chars → K greedy left folds
+    (identical semantics to the training fold in :func:`bpe_train_merges`).
+    Pure expression — evaluated per occurrence, JVM-side."""
+    def merge_step(a: str, b: str):
+        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+
+        def step(acc, s):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (s == lb),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lab)),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return step
+
+    syms = F.split(word_col, "")
+    for a, b in merges:
+        syms = F.aggregate(
+            syms, F.array().cast("array<string>"), merge_step(a, b)
+        )
+    return syms
+
+
+def bpe_segment_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer APPLY side: segment every document with a trained BPE merge
+    table and emit per-doc stats — subword count (the token-budget number a
+    packing/pricing pipeline needs) and an order-sensitive segmentation
+    fingerprint (Horner fold over per-word subword-stream hashes, all in
+    the portable mod-1e9+7 arithmetic).
+
+    Plan: ENTIRELY NARROW — merges are literals baked into the expression,
+    applied per token occurrence; no dictionary join, no shuffle of the
+    token stream, no state. Recomputing the K folds per occurrence is pure
+    executor CPU, which beats shuffling (doc_id, pos, word) triples to meet
+    a segmented dictionary at 100 TB (the alternative plan); for an
+    extremely hot+huge dictionary, segment the distinct-word table once and
+    broadcast it instead — same output contract.
+
+    Output: (id, n_tokens, n_subwords, seg_fingerprint).
+    """
+    b2 = F.lit(1_000_003)
+    mod = F.lit(1_000_000_007)
+    from iatlas_cbioportal_export_spark.operators.sketch import _token_hash
+
+    seg = F.transform(T.tokens(text_col), lambda w: _apply_merges(w, merges))
+    word_hashes = F.transform(
+        seg,
+        lambda syms: F.aggregate(
+            syms,
+            F.lit(0).cast("long"),
+            lambda acc, sym: (acc * b2 + _token_hash(sym)) % mod,
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(T.tokens(text_col)).alias("n_tokens"),
+        F.aggregate(
+            seg, F.lit(0).cast("long"), lambda acc, s: acc + F.size(s)
+        ).alias("n_subwords"),
+        F.aggregate(
+            word_hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * b2 + h) % mod,
+        ).alias("seg_fingerprint"),
+    )

@@ -387,3 +387,25 @@ def test_bpe_overlapping_pair_merges_at_even_offsets(spark):
     syms = {r["word"]: r["syms"] for r in state.collect()}
     assert syms["aaaa"] == ["aa", "aa"]
     assert syms["aaa"] == ["aa", "a"]
+
+
+def test_bpe_segment_stats_narrow_apply(spark):
+    from iatlas_cbioportal_export_spark.operators.text import (
+        bpe_segment_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "lower low"), (2, ""), (3, "xyz")], "doc_id long, text string"
+    )
+    merges = [("o", "w"), ("l", "ow")]
+    out = {r["id"]: r for r in bpe_segment_stats(df, merges).collect()}
+    # "lower" -> l ow e r -> low e r (3 subwords); "low" -> low (1)
+    assert (out[1]["n_tokens"], out[1]["n_subwords"]) == (2, 4)
+    assert (out[2]["n_tokens"], out[2]["n_subwords"]) == (0, 0)
+    assert out[2]["seg_fingerprint"] == 0
+    # no merges applicable: subwords == chars
+    assert (out[3]["n_tokens"], out[3]["n_subwords"]) == (1, 3)
+    # fingerprint is order-sensitive: reversed token order differs
+    df2 = spark.createDataFrame([(9, "low lower")], "doc_id long, text string")
+    fp2 = bpe_segment_stats(df2, merges).collect()[0]["seg_fingerprint"]
+    assert fp2 != out[1]["seg_fingerprint"]
