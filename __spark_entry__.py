@@ -2167,6 +2167,29 @@ def q_sim_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_exact_quantiles(spark, sf_dir):
+    """EXACT p50/p90 order statistics of l_extendedprice (in floor-cents)
+    via iterative histogram refinement — 2-3 narrow scan+tiny-agg passes,
+    never a value collect, the 100 TB-safe exact-quantile algorithm next to
+    approx_profile's sketches. The integral domain (floor(x·100): identical
+    IEEE arithmetic in both engines) makes the result value-hash exact; the
+    oracle reads the k-th row off a window."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        exact_order_statistic,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).alias("c")
+    )
+    rows = []
+    for q in (0.5, 0.9):
+        n, k, v = exact_order_statistic(li, "c", q)
+        rows.append((q, n, k, v))
+    return spark.createDataFrame(
+        rows, "q double, n long, k long, value long"
+    )
+
+
 _BPE_MERGES = [("e", "r"), ("o", "r"), ("i", "n"), ("o", "w")]
 
 
@@ -2641,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": q_text_bpe_train,
         "events_retention": q_events_retention,
         "text_bpe_segment": q_text_bpe_segment,
+        "exact_quantiles": q_exact_quantiles,
     }
 
 
@@ -4892,4 +4916,19 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
     d["text_bpe_segment"] = _bpe_apply_oracle(_BPE_MERGES)
+    d["exact_quantiles"] = """
+        WITH v AS MATERIALIZED (
+            SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+            FROM lineitem
+        ),
+        r AS MATERIALIZED (
+            SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v
+        ),
+        n AS (SELECT count(*) AS n FROM v)
+        SELECT q.q, n.n,
+               CAST(ceil(q.q * n.n) AS BIGINT) AS k,
+               (SELECT c FROM r
+                WHERE rn = CAST(ceil(q.q * n.n) AS BIGINT)) AS value
+        FROM (SELECT unnest([0.5, 0.9]) AS q) q CROSS JOIN n
+    """
     return d

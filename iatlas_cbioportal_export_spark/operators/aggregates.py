@@ -344,3 +344,66 @@ def apply_changelog(
         latest.select(*keys), on=keys, how="left_anti"
     )
     return untouched.unionByName(survivors)
+
+
+def exact_order_statistic(
+    df: DataFrame,
+    col: str,
+    q: float,
+    n_buckets: int = 1024,
+) -> tuple[int, int, int]:
+    """EXACT q-quantile (k-th order statistic, k = ceil(q·n)) of an integral
+    column at any scale, via iterative histogram refinement — the
+    scale-safe answer to a question Spark's built-ins don't cover:
+    ``percentile_approx`` is approximate, and the exact ``percentile``
+    aggregate buffers every value of a group in executor memory (OOM at
+    100 TB).
+
+    Algorithm: histogram passes narrow the candidate RANGE, never collect
+    values. Each pass scans the column once, buckets the current range into
+    ``n_buckets`` equal-width cells (ONE map-side-combined groupBy whose
+    shuffle is ≤ n_buckets counter rows), finds the cell containing the
+    k-th value, and recurses into it. Range shrinks n_buckets× per pass, so
+    a 64-bit domain needs ⌈64/log₂(n_buckets)⌉ ≈ 7 passes worst-case —
+    and ≤ 2-3 on real data ranges. Driver state: one (lo, hi, k) triple.
+
+    Returns (n, k, value) as plain ints (driver decision values, like the
+    k-means centroids / BPE argmax).
+    """
+    import math
+
+    row = df.select(
+        F.count(col).alias("n"),
+        F.min(col).alias("lo"),
+        F.max(col).alias("hi"),
+    ).collect()[0]
+    n, lo, hi = int(row["n"]), int(row["lo"]), int(row["hi"])
+    if n == 0:
+        raise ValueError("exact_order_statistic over an empty column")
+    k = max(1, math.ceil(q * n))
+    rank = k  # rank within [lo, hi]
+    while lo < hi:
+        width = (hi - lo) // n_buckets + 1
+        c = F.col(col)
+        hist = {
+            int(r["b"]): int(r["cnt"])
+            for r in (
+                df.filter((c >= lo) & (c <= hi))
+                .groupBy(
+                    ((c - F.lit(lo)) / F.lit(width))
+                    .cast("long")
+                    .alias("b")
+                )
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+        }
+        acc = 0
+        for b in range(n_buckets + 1):
+            cnt = hist.get(b, 0)
+            if acc + cnt >= rank:
+                rank -= acc
+                lo, hi = lo + b * width, min(hi, lo + b * width + width - 1)
+                break
+            acc += cnt
+    return n, k, lo

@@ -271,3 +271,35 @@ def test_apply_changelog_delete_then_reinsert_latest_wins(spark):
     )
     out = apply_changelog(snap, log, ["k"], ["seq"]).collect()
     assert [(r["k"], r["v"]) for r in out] == [(1, 5.0)]
+
+
+def test_exact_order_statistic_small_domain(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        exact_order_statistic,
+    )
+
+    vals = [5, 1, 9, 3, 3, 7, 2, 8, 6, 4]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    s = sorted(vals)
+    for q in (0.1, 0.5, 0.9, 1.0):
+        import math
+
+        k = max(1, math.ceil(q * len(vals)))
+        n, kk, v = exact_order_statistic(df, "c", q, n_buckets=4)
+        assert (n, kk, v) == (len(vals), k, s[k - 1])
+
+
+def test_exact_order_statistic_duplicates_and_negatives(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        exact_order_statistic,
+    )
+
+    vals = [-50, -50, -50, 0, 0, 1_000_000_000_000, 7]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    s = sorted(vals)
+    import math
+
+    for q in (0.25, 0.5, 0.99):
+        k = max(1, math.ceil(q * len(vals)))
+        _, _, v = exact_order_statistic(df, "c", q, n_buckets=8)
+        assert v == s[k - 1], q
