@@ -2167,6 +2167,21 @@ def q_sim_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_events_attribution_outer(spark, sf_dir):
+    """Left-outer click→purchase attribution (batch twin of the
+    stream-stream outer join): every click appears; NULL purchase columns
+    where nothing followed within 30 minutes. The streaming form emits the
+    null-extended rows on watermark expiry — min across BOTH sides' event
+    times — pinned by the expiry pytest; this query oracle-checks the
+    join semantics themselves."""
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        attribute_purchases_outer,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return attribute_purchases_outer(events)
+
+
 def q_exact_quantiles(spark, sf_dir):
     """EXACT p50/p90 order statistics of l_extendedprice (in floor-cents)
     via iterative histogram refinement — 2-3 narrow scan+tiny-agg passes,
@@ -2665,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "text_bpe_segment": q_text_bpe_segment,
         "exact_quantiles": q_exact_quantiles,
+        "events_attribution_outer": q_events_attribution_outer,
     }
 
 
@@ -4930,5 +4946,16 @@ def oracle_sql() -> dict[str, str]:
                (SELECT c FROM r
                 WHERE rn = CAST(ceil(q.q * n.n) AS BIGINT)) AS value
         FROM (SELECT unnest([0.5, 0.9]) AS q) q CROSS JOIN n
+    """
+    d["events_attribution_outer"] = """
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               CAST(round(CAST(p.value AS DECIMAL(18,2)), 2) AS DOUBLE)
+                   AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
     """
     return d

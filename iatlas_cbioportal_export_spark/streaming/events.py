@@ -364,6 +364,37 @@ def attribute_purchases(
     batch input the same code plans as an equi-join on user_id with the
     interval predicate as a post-join filter (no nested loop).
     """
+    return _attribution_join(events, attribution_minutes, watermark, "inner")
+
+
+def attribute_purchases_outer(
+    events: DataFrame,
+    attribution_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT-OUTER click→purchase attribution: every click appears, with
+    NULL purchase columns when no purchase followed within the window —
+    the funnel-drop side the inner join cannot see.
+
+    Streaming semantics differ fundamentally from the inner variant: an
+    unmatched click can only be DECLARED unmatched once the watermark has
+    passed the end of its attribution window (click_ts + window + delay) —
+    Spark then evicts the click's state and emits the null-extended row.
+    Until that point the click is pending, so a left-outer stream-stream
+    join's output trails the watermark by design (late-emission, not loss;
+    covered by the expiry test). Batch input plans as a plain left join
+    with the interval residual."""
+    return _attribution_join(
+        events, attribution_minutes, watermark, "left_outer"
+    )
+
+
+def _attribution_join(
+    events: DataFrame,
+    attribution_minutes: int,
+    watermark: str,
+    how: str,
+) -> DataFrame:
     clicks = events.filter(F.col("event_type") == "click").select(
         F.col("user_id"),
         F.col("event_id").alias("click_id"),
@@ -386,6 +417,7 @@ def attribute_purchases(
             F.col("purchase_ts")
             <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_minutes} MINUTES")
         ),
+        how,
     )
     return joined.select(
         "user_id",

@@ -573,3 +573,91 @@ def test_retention_cohorts_triangle(spark):
         ("2024-01-02", 0): 1,
         ("2024-01-02", 1): 1,
     }
+
+
+def test_attribution_outer_stream_expiry_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched click is emitted with
+    null purchase columns once the watermark passes the end of its
+    attribution window; a click whose window is still open stays pending.
+
+    Watermarks only advance BETWEEN micro-batches, so the far-future event
+    must arrive in a LATER batch (maxFilesPerTrigger=1 over two ordered
+    files); the expiry emission then happens in the trailing no-data batch.
+    """
+    import time
+
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        attribute_purchases_outer,
+    )
+
+    schema = (
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 0.0),
+            (2, "2024-01-01 10:10:00", 7, "purchase", 5.0),  # matches click 1
+            (3, "2024-01-01 10:00:00", 8, "click", 0.0),     # never purchases
+        ],
+        schema,
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # far-future events on BOTH sides: the global watermark is the MIN of
+    # the click-side and purchase-side watermarks, so a lone future click
+    # leaves the purchase watermark (and thus the join's state eviction)
+    # pinned at the old time — both must advance past click 3's window end
+    # (10:30 + 10min delay) to force its expiry emission
+    batch2 = spark.createDataFrame(
+        [
+            (4, "2024-01-01 14:00:00", 9, "click", 0.0),
+            (5, "2024-01-01 14:00:00", 10, "purchase", 1.0),
+        ],
+        schema,
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    both = batch1.unionByName(batch2)
+    got_batch = {
+        (r["click_id"], r["purchase_id"])
+        for r in attribute_purchases_outer(both, watermark="10 minutes").collect()
+    }
+    assert got_batch == {(1, 2), (3, None), (4, None)}
+
+    path = str(tmp_path / "attr_outer_events")
+    batch1.coalesce(1).write.mode("append").parquet(path)
+    time.sleep(1.1)  # distinct mtimes => deterministic file order
+    batch2.coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    # availableNow terminates before the trailing no-data batch that
+    # flushes expired outer state — use a periodic trigger and poll: the
+    # no-data micro-batches it keeps running perform the eviction/emission
+    q = (
+        attribute_purchases_outer(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("attr_outer_test")
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = set()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = {
+                (r["click_id"], r["purchase_id"])
+                for r in spark.sql("select * from attr_outer_test").collect()
+            }
+            if len(got) >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # click 1 matched; click 3 expired-unmatched (watermark 13:50 > 10:40);
+    # click 4's window end (14:30) is past the final watermark, so it is
+    # STILL PENDING — the trailing-emission semantic under test
+    assert got == {(1, 2), (3, None)}
