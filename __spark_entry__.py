@@ -2167,6 +2167,39 @@ def q_sim_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_equi_depth_bins(spark, sf_dir):
+    """Equal-frequency binning of order values into quartile buckets:
+    boundaries are exact order statistics from the histogram-refinement
+    passes (no global sort / giant ntile window), assignment is a narrow
+    CASE over the literal boundaries. Output is the per-bucket profile
+    (count, min, max) — it validates both the boundaries and the
+    assignment; the oracle ranks with a window and CASE-assigns."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        equi_depth_buckets,
+    )
+
+    v = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).alias("c")
+    )
+    _, assigned = equi_depth_buckets(v, "c")
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("c").alias("min_c"),
+        F.max("c").alias("max_c"),
+    )
+
+
+def q_window_rank_suite(spark, sf_dir):
+    """All ranking/distribution window functions sharing ONE window
+    exchange+sort: rank, dense_rank, percent_rank, cume_dist, ntile(4),
+    lag/lead over (priority, price, orderkey). percent_rank/cume_dist are
+    exact rationals of integer ranks; round(,9) absorbs the final double
+    formatting."""
+    from iatlas_cbioportal_export_spark.plans.analytics import rank_suite
+
+    return rank_suite(_t(spark, sf_dir, "orders"))
+
+
 def q_events_attribution_outer(spark, sf_dir):
     """Left-outer click→purchase attribution (batch twin of the
     stream-stream outer join): every click appears; NULL purchase columns
@@ -2681,6 +2714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_segment": q_text_bpe_segment,
         "exact_quantiles": q_exact_quantiles,
         "events_attribution_outer": q_events_attribution_outer,
+        "window_rank_suite": q_window_rank_suite,
+        "equi_depth_bins": q_equi_depth_bins,
     }
 
 
@@ -4957,5 +4992,37 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """
+    d["window_rank_suite"] = """
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               round(percent_rank() OVER w, 9) AS prank,
+               round(cume_dist() OVER w, 9) AS cdist,
+               ntile(4) OVER w AS quartile,
+               lag(o_totalprice, 1) OVER w AS prev_price,
+               lead(o_totalprice, 1) OVER w AS next_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """
+    d["equi_depth_bins"] = """
+        WITH v AS MATERIALIZED (
+            SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders
+        ),
+        r AS MATERIALIZED (
+            SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v
+        ),
+        n AS (SELECT count(*) AS n FROM v),
+        b AS (
+            SELECT
+                (SELECT c FROM r, n WHERE rn = CAST(ceil(0.25 * n.n) AS BIGINT)) AS q1,
+                (SELECT c FROM r, n WHERE rn = CAST(ceil(0.5 * n.n) AS BIGINT)) AS q2,
+                (SELECT c FROM r, n WHERE rn = CAST(ceil(0.75 * n.n) AS BIGINT)) AS q3
+        )
+        SELECT CASE WHEN c <= q1 THEN 0 WHEN c <= q2 THEN 1
+                    WHEN c <= q3 THEN 2 ELSE 3 END AS bucket,
+               count(*) AS n_rows, min(c) AS min_c, max(c) AS max_c
+        FROM v CROSS JOIN b GROUP BY 1
     """
     return d

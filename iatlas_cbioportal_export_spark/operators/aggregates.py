@@ -407,3 +407,25 @@ def exact_order_statistic(
                 break
             acc += cnt
     return n, k, lo
+
+
+def equi_depth_buckets(
+    df: DataFrame,
+    col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+) -> tuple[list[int], DataFrame]:
+    """Equal-frequency (equi-depth) binning at scale: boundaries are EXACT
+    order statistics from :func:`exact_order_statistic` (a few narrow
+    histogram passes each — never a global sort, never ``ntile`` over one
+    giant window partition), then bucket assignment is a pure narrow CASE
+    expression over the literal boundaries.
+
+    Returns (boundaries, df + ``bucket`` column); bucket b means
+    ``boundary[b-1] < value <= boundary[b]`` with open ends.
+    """
+    bounds = [exact_order_statistic(df, col, q)[2] for q in qs]
+    c = F.col(col)
+    bucket = F.lit(0)
+    for i, b in enumerate(bounds):
+        bucket = F.when(c <= F.lit(b), bucket).otherwise(F.lit(i + 1))
+    return bounds, df.withColumn("bucket", bucket)

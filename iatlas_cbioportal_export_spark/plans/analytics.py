@@ -935,3 +935,30 @@ def cube_revenue(lineitem: DataFrame) -> DataFrame:
             "n_rows",
         )
     )
+
+
+def rank_suite(orders: DataFrame) -> DataFrame:
+    """The remaining ranking/distribution window functions in one plan:
+    rank, dense_rank, percent_rank, cume_dist, ntile(4), lag/lead — all
+    over a single (o_orderpriority) partitioning with a deterministic
+    (o_totalprice, o_orderkey) order, so Spark plans ONE window exchange
+    + sort shared by every function (inspect: a single Window node).
+
+    percent_rank/cume_dist are exact rational functions of integer ranks —
+    engine-portable; lag/lead defaults surface as NULLs at partition edges.
+    """
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("prank"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+    )

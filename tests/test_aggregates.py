@@ -303,3 +303,22 @@ def test_exact_order_statistic_duplicates_and_negatives(spark):
         k = max(1, math.ceil(q * len(vals)))
         _, _, v = exact_order_statistic(df, "c", q, n_buckets=8)
         assert v == s[k - 1], q
+
+
+def test_equi_depth_buckets_quartiles(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        equi_depth_buckets,
+    )
+
+    df = spark.createDataFrame([(v,) for v in range(1, 101)], "c long")
+    bounds, assigned = equi_depth_buckets(df, "c")
+    assert bounds == [25, 50, 75]
+    counts = {
+        r["bucket"]: r["n"]
+        for r in assigned.groupBy("bucket").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count(
+                "*"
+            ).alias("n")
+        ).collect()
+    }
+    assert counts == {0: 25, 1: 25, 2: 25, 3: 25}
