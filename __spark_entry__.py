@@ -2167,6 +2167,33 @@ def q_sim_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_lpm_join_categories(spark, sf_dir):
+    """Longest-prefix-match join: parts tagged with the deepest matching
+    token-prefix rule (all 1-token prefixes + the 2-token prefixes of every
+    5th part as the rule table). Bounded prefix explosion + broadcast rule
+    join + one argmax — the IP-route/category-tree lookup shape. Oracle
+    matches rules by starts_with and arg_max's the depth."""
+    from iatlas_cbioportal_export_spark.operators.joins import (
+        longest_prefix_join,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    rules = (
+        part.select(
+            F.element_at(F.split("p_name", " "), 1).alias("prefix")
+        )
+        .union(
+            part.filter(F.col("p_partkey") % 5 == 0).select(
+                F.col("p_name").alias("prefix")
+            )
+        )
+        .distinct()
+    )
+    return longest_prefix_join(
+        part, rules, "p_partkey", "p_name", max_depth=2
+    )
+
+
 def q_equi_depth_bins(spark, sf_dir):
     """Equal-frequency binning of order values into quartile buckets:
     boundaries are exact order statistics from the histogram-refinement
@@ -2716,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_outer": q_events_attribution_outer,
         "window_rank_suite": q_window_rank_suite,
         "equi_depth_bins": q_equi_depth_bins,
+        "lpm_join_categories": q_lpm_join_categories,
     }
 
 
@@ -5024,5 +5052,19 @@ def oracle_sql() -> dict[str, str]:
                     WHEN c <= q3 THEN 2 ELSE 3 END AS bucket,
                count(*) AS n_rows, min(c) AS min_c, max(c) AS max_c
         FROM v CROSS JOIN b GROUP BY 1
+    """
+    d["lpm_join_categories"] = """
+        WITH rules AS MATERIALIZED (
+            SELECT DISTINCT split_part(p_name, ' ', 1) AS pfx FROM part
+            UNION
+            SELECT DISTINCT p_name FROM part WHERE p_partkey % 5 = 0
+        )
+        SELECT p.p_partkey AS id,
+               arg_max(r.pfx, len(string_split(r.pfx, ' ')))
+                   AS matched_prefix,
+               CAST(max(len(string_split(r.pfx, ' '))) AS INTEGER) AS depth
+        FROM part p JOIN rules r
+          ON p.p_name = r.pfx OR starts_with(p.p_name, r.pfx || ' ')
+        GROUP BY 1
     """
     return d

@@ -267,3 +267,57 @@ def point_in_time_join(
         )
     )
     return f.join(h, cond, "left").drop(F.col(f"__h.{key_col}"))
+
+
+def longest_prefix_join(
+    facts: DataFrame,
+    rules: DataFrame,
+    id_col: str,
+    name_col: str,
+    prefix_col: str = "prefix",
+    max_depth: int = 4,
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Longest-prefix-match join: each fact matches the DEEPEST rule whose
+    token-prefix starts its name — the join shape behind IP-route lookup,
+    URL routing and category-tree tagging, which plain equi/range joins
+    can't express.
+
+    Plan: explode each fact into its 1..max_depth token prefixes (bounded
+    fan-out — max_depth rows per fact, NOT a cross join against the rule
+    table), equi-join candidates on the prefix string (rule tables are
+    dimension-sized → broadcast by default; set broadcast_rules=False for a
+    shuffle join on huge rule sets), then ONE map-side-combined argmax
+    ``max(struct(depth, prefix))`` per fact. A fact has exactly one k-token
+    prefix, so at most one rule matches per depth and the argmax is
+    deterministic without tie-break columns.
+
+    Output: (id, matched_prefix, depth) — facts with no matching rule are
+    absent (left-join the result back for LEFT semantics).
+    """
+    toks = F.split(F.col(name_col), " ")
+    cand = facts.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.size(toks), F.lit(max_depth))),
+                lambda k: F.struct(
+                    k.alias("depth"),
+                    F.array_join(F.slice(toks, 1, k), " ").alias("pfx"),
+                ),
+            )
+        ).alias("c"),
+    ).select("id", F.col("c.depth").alias("depth"), F.col("c.pfx").alias("pfx"))
+    r = rules.select(F.col(prefix_col).alias("pfx")).distinct()
+    if broadcast_rules:
+        r = F.broadcast(r)
+    matched = cand.join(r, on="pfx")
+    return (
+        matched.groupBy("id")
+        .agg(F.max(F.struct("depth", "pfx")).alias("__m"))
+        .select(
+            "id",
+            F.col("__m.pfx").alias("matched_prefix"),
+            F.col("__m.depth").alias("depth"),
+        )
+    )

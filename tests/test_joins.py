@@ -143,3 +143,30 @@ def test_point_in_time_join_matches_containing_version(spark):
     assert got[(1, "2023-12-01 00:00:00")] is None
     assert got[(2, "2024-01-05 00:00:00")] is None
     assert len(out) == 4  # left join: exactly one row per fact
+
+
+def test_longest_prefix_join_picks_deepest(spark):
+    from iatlas_cbioportal_export_spark.operators.joins import (
+        longest_prefix_join,
+    )
+
+    facts = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b x"),
+            (3, "z only"),
+            (4, "nomatch here"),
+        ],
+        "id long, name string",
+    )
+    rules = spark.createDataFrame(
+        [("a",), ("a b",), ("a b c",), ("z",)], "prefix string"
+    )
+    out = {
+        r["id"]: (r["matched_prefix"], r["depth"])
+        for r in longest_prefix_join(
+            facts, rules, "id", "name", max_depth=3
+        ).collect()
+    }
+    assert out == {1: ("a b c", 3), 2: ("a b", 2), 3: ("z", 1)}
+    assert 4 not in out  # no rule matches -> absent (inner LPM)
