@@ -184,6 +184,57 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct"],
     ),
     "text_length_histogram": (["HashAggregate"], ["CartesianProduct", "SortMergeJoin"]),
+    # window dedup: only (id, hash) longs through the wide stages; the text
+    # column must never reach an Exchange (scan → project → explode)
+    "dedup_span_windows": (
+        ["HashAggregate", "codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # the whole point: edit-distance matching WITHOUT the |L|x|R| product
+    "fuzzy_join_names": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # the returned state is the round-4 localCheckpoint: the visible plan
+    # IS the truncation evidence (a bare LogicalRDD scan, no nested
+    # 4-round join DAG)
+    "graph_pagerank": (
+        ["Scan ExistingRDD"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Join"],
+    ),
+    "text_bpe_train": (
+        ["Scan ExistingRDD", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    # apply side is 100% narrow: no exchange at all before the final project
+    "text_bpe_segment": (["codegen id"], ["Exchange", "CartesianProduct"]),
+    "events_retention": (["HashAggregate"], ["CartesianProduct"]),
+    # equality on user_id keeps the interval residual out of the join
+    # strategy: hash join, never a nested loop
+    "events_attribution_outer": (
+        ["BroadcastHashJoin LeftOuter|SortMergeJoin LeftOuter"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # every ranking function shares ONE Window node / one exchange+sort:
+    # all six functions appear in the single node's argument list, and a
+    # second Window header must not exist
+    "window_rank_suite": (
+        [
+            "re:Arguments: \\[rank\\(.*dense_rank\\(.*percent_rank\\("
+            ".*cume_dist\\(.*ntile\\(",
+        ],
+        ["CartesianProduct", "re:\\(\\d+\\) Window(.|\\n)*\\(\\d+\\) Window"],
+    ),
+    # boundaries are literals by query time: assignment is a narrow CASE,
+    # the only exchange is the 4-bucket aggregate's
+    "equi_depth_bins": (
+        ["HashAggregate"],
+        ["CartesianProduct", "Sort ", "Window"],
+    ),
+    "lpm_join_categories": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
