@@ -81,5 +81,62 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
+def vector_main() -> None:
+    """Second workload: dense-vector dot products (the ANN hot loop) —
+    JVM higher-order fold (F.aggregate over zip_with) vs Arrow-batched
+    numpy pandas_udf. Numeric kernels are the one place the folklore
+    inverts: the HOF evaluates an interpreted expression per ELEMENT,
+    while numpy does the dot in C over a contiguous batch, so the
+    pandas_udf tier can win — measured, not assumed.
+
+    Usage: python tools/udf_bench.py vectors [sf_dir] [repeats] [amplify]
+    """
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    amplify = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    spark = get_spark("udf-bench-vectors")
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .crossJoin(spark.range(amplify).select(F.col("id").alias("__rep")))
+    )
+    print(f"rows: {emb.count()}")
+    q = [float(i % 7) / 7.0 for i in range(len(emb.first()["embedding"]))]
+
+    def hof_dot(col):
+        return F.aggregate(
+            F.zip_with(col, F.array(*[F.lit(x) for x in q]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    import numpy as np
+    from pyspark.sql.types import DoubleType as _D
+
+    qv = np.array(q)
+
+    @F.pandas_udf(_D())
+    def np_dot(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        return pd.Series(m @ qv)
+
+    tiers = {
+        "hof_zip_aggregate": lambda: emb.select(
+            F.sum(hof_dot(F.col("embedding")))
+        ).collect(),
+        "pandas_udf_numpy": lambda: emb.select(
+            F.sum(np_dot("embedding"))
+        ).collect(),
+    }
+    base = None
+    for name, fn in tiers.items():
+        best = min(_timed(fn) for _ in range(repeats))
+        base = base or best
+        print(f"{name:20s} {best:7.3f}s  ({best / base:4.1f}x first)")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "vectors":
+        vector_main()
+    else:
+        main()
