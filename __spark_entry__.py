@@ -2167,6 +2167,20 @@ def q_sim_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_text_cooccurrence_pmi(spark, sf_dir):
+    """Windowed co-occurrence counts + PMI (GloVe-style corpus statistic):
+    ordered token pairs within 3 positions, exact integer counts, PMI as
+    the only floating step (round 6dp; the oracle mirrors the exact
+    division parenthesization). Narrow pair expansion; the shuffles carry
+    only (token(s), count) rows; top-200 is TakeOrderedAndProject."""
+    from iatlas_cbioportal_export_spark.operators.text import (
+        cooccurrence_pmi,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return cooccurrence_pmi(docs, window=3, top_n=200)
+
+
 def q_lpm_join_categories(spark, sf_dir):
     """Longest-prefix-match join: parts tagged with the deepest matching
     token-prefix rule (all 1-token prefixes + the 2-token prefixes of every
@@ -2744,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_suite": q_window_rank_suite,
         "equi_depth_bins": q_equi_depth_bins,
         "lpm_join_categories": q_lpm_join_categories,
+        "text_cooccurrence_pmi": q_text_cooccurrence_pmi,
     }
 
 
@@ -5066,5 +5081,37 @@ def oracle_sql() -> dict[str, str]:
         FROM part p JOIN rules r
           ON p.p_name = r.pfx OR starts_with(p.p_name, r.pfx || ' ')
         GROUP BY 1
+    """
+    d["text_cooccurrence_pmi"] = f"""
+        WITH t AS MATERIALIZED (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        p AS MATERIALIZED (
+            SELECT toks[u.i] AS a, toks[v.j] AS b
+            FROM t,
+                 LATERAL (SELECT unnest(range(1, len(toks))) AS i) u,
+                 LATERAL (SELECT unnest(range(u.i + 1,
+                                  least(u.i + 3, len(toks)) + 1)) AS j) v
+            WHERE len(toks) >= 2
+        ),
+        pc AS MATERIALIZED (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS pair_count
+            FROM p GROUP BY a, b
+        ),
+        tc AS MATERIALIZED (
+            SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+        ),
+        tot AS (
+            SELECT CAST((SELECT sum(pair_count) FROM pc) AS DOUBLE) AS tp,
+                   CAST((SELECT sum(c) FROM tc) AS DOUBLE) AS nt
+        )
+        SELECT pc.a, pc.b, pc.pair_count,
+               round(ln((pc.pair_count / tot.tp)
+                        / ((ca.c / tot.nt) * (cb.c / tot.nt))), 6) AS pmi
+        FROM pc JOIN tc ca ON pc.a = ca.tok
+                JOIN tc cb ON pc.b = cb.tok
+                CROSS JOIN tot
+        ORDER BY pair_count DESC, a, b LIMIT 200
     """
     return d

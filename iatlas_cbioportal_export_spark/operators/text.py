@@ -807,3 +807,88 @@ def bpe_segment_stats(
             lambda acc, h: (acc * b2 + h) % mod,
         ).alias("seg_fingerprint"),
     )
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    top_n: int = 200,
+) -> DataFrame:
+    """Windowed token co-occurrence counts with pointwise mutual
+    information — the corpus statistic behind GloVe-style embedding
+    pretraining and collocation mining. An ORDERED pair (a, b) is counted
+    once per occurrence of b within `window` tokens AFTER a.
+
+    pmi(a,b) = ln( (c_ab/T) / ((c_a/N)·(c_b/N)) ) with c_* the pair/token
+    occurrence counts, T total pairs, N total tokens — counts stay exact
+    integers end-to-end; only the final ln is floating (round 6dp, and the
+    oracle mirrors the exact parenthesization).
+
+    Plan shape: pair expansion is NARROW (nested index transforms +
+    flatten, ≤ window rows per token); then one groupBy(a, b) for pair
+    counts and one groupBy(token) for unigrams — both map-side combined,
+    shuffling only (string, count) rows bounded by vocabulary², not corpus
+    size. The two scalar totals broadcast; the final top-N is a
+    TakeOrderedAndProject (never a global sort materialization). At
+    100 TB the pair-count state is the dominant shuffle — cap it upstream
+    with a vocabulary filter (min token frequency) if the corpus is
+    open-vocabulary.
+
+    Output: (a, b, pair_count, pmi) — top_n by (count desc, a, b).
+    """
+    t = T.tokens(text_col)
+    n = F.size(t)
+    pair_arr = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.least(i + window, n)),
+                    lambda j: F.struct(
+                        F.element_at(t, i).alias("a"),
+                        F.element_at(t, j).alias("b"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+    pairs = df.select(F.explode(pair_arr).alias("p")).select("p.a", "p.b")
+    pair_counts = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+    toks = df.select(F.explode(t).alias("tok"))
+    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = pair_counts.agg(F.sum("pair_count").alias("T")).crossJoin(
+        tok_counts.agg(F.sum("c").alias("N"))
+    )
+    return (
+        pair_counts.join(
+            tok_counts.select(F.col("tok").alias("a"), F.col("c").alias("ca")),
+            on="a",
+        )
+        .join(
+            tok_counts.select(F.col("tok").alias("b"), F.col("c").alias("cb")),
+            on="b",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.col("T"))
+                    / (
+                        (F.col("ca") / F.col("N"))
+                        * (F.col("cb") / F.col("N"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(top_n)
+    )

@@ -409,3 +409,29 @@ def test_bpe_segment_stats_narrow_apply(spark):
     df2 = spark.createDataFrame([(9, "low lower")], "doc_id long, text string")
     fp2 = bpe_segment_stats(df2, merges).collect()[0]["seg_fingerprint"]
     assert fp2 != out[1]["seg_fingerprint"]
+
+
+def test_cooccurrence_pmi_counts_and_window(spark):
+    import math
+
+    from iatlas_cbioportal_export_spark.operators.text import (
+        cooccurrence_pmi,
+    )
+
+    # "a b c a" window 2: pairs (a,b),(a,c),(b,c),(b,a),(c,a)
+    df = spark.createDataFrame([(1, "a b c a")], "doc_id long, text string")
+    out = {
+        (r["a"], r["b"]): (r["pair_count"], r["pmi"])
+        for r in cooccurrence_pmi(df, window=2, top_n=100).collect()
+    }
+    assert {k: v[0] for k, v in out.items()} == {
+        ("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1,
+        ("b", "a"): 1, ("c", "a"): 1,
+    }
+    # pmi(a,b) = ln((1/5) / ((2/4)*(1/4)))
+    assert out[("a", "b")][1] == round(
+        math.log((1 / 5) / ((2 / 4) * (1 / 4))), 6
+    )
+    # window=1: only adjacent pairs
+    adj = cooccurrence_pmi(df, window=1, top_n=100).count()
+    assert adj == 3
