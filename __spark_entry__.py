@@ -2167,6 +2167,29 @@ def q_sim_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_events_interval_overlap(spark, sf_dir):
+    """Interval-interval overlap join: per-user event windows
+    [ts, ts + (event_id mod 120) minutes] that overlap — grid-cell
+    bucketed candidates (bounded explode), exact epoch-second integer
+    arithmetic (both engines floor the fractional seconds), never a
+    per-key cartesian. Oracle brute-forces the per-user pair predicate."""
+    from iatlas_cbioportal_export_spark.operators.joins import (
+        interval_self_overlap,
+    )
+
+    events = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("s"),
+    )
+    iv = events.withColumn(
+        "e", F.col("s") + (F.col("event_id") % 120) * 60
+    )
+    return interval_self_overlap(
+        iv, "user_id", "event_id", "s", "e", cell_width=3600
+    )
+
+
 def q_text_cooccurrence_pmi(spark, sf_dir):
     """Windowed co-occurrence counts + PMI (GloVe-style corpus statistic):
     ordered token pairs within 3 positions, exact integer counts, PMI as
@@ -2759,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equi_depth_bins": q_equi_depth_bins,
         "lpm_join_categories": q_lpm_join_categories,
         "text_cooccurrence_pmi": q_text_cooccurrence_pmi,
+        "events_interval_overlap": q_events_interval_overlap,
     }
 
 
@@ -5113,5 +5137,18 @@ def oracle_sql() -> dict[str, str]:
                 JOIN tc cb ON pc.b = cb.tok
                 CROSS JOIN tot
         ORDER BY pair_count DESC, a, b LIMIT 200
+    """
+    d["events_interval_overlap"] = """
+        WITH l AS (
+            SELECT user_id, event_id AS id,
+                   epoch_us(ts) // 1000000 AS s,
+                   epoch_us(ts) // 1000000 + (event_id % 120) * 60 AS e
+            FROM events
+        )
+        SELECT a.user_id, a.id AS id_a, b.id AS id_b,
+               least(a.e, b.e) - greatest(a.s, b.s) AS overlap_seconds
+        FROM l a JOIN l b
+          ON a.user_id = b.user_id AND a.id < b.id
+         AND a.s <= b.e AND b.s <= a.e
     """
     return d

@@ -321,3 +321,73 @@ def longest_prefix_join(
             F.col("__m.depth").alias("depth"),
         )
     )
+
+
+def interval_self_overlap(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    cell_width: int = 3600,
+) -> DataFrame:
+    """All pairs of intervals (same key) that OVERLAP in time — the
+    interval-interval join behind double-booking detection, concurrent-
+    session analysis and shift-conflict checks; a shape neither equi- nor
+    point-in-range joins express.
+
+    Algorithm: each interval explodes to the grid cells it touches
+    (``floor(start/w) .. floor(end/w)`` — ⌈len/w⌉+1 rows per interval,
+    bounded fan-out, never a per-key cartesian), candidates equi-join on
+    (key, cell), the true overlap predicate ``sₐ ≤ e_b ∧ s_b ≤ eₐ``
+    filters, and ``distinct`` collapses pairs that share several cells.
+    Pick ``cell_width`` near the median interval length: too small
+    multiplies the explode, too large degrades toward per-key all-pairs
+    within a cell (per-key concurrency bounds the worst cell).
+
+    start/end are integral (epoch seconds). Output:
+    ``(key, id_a, id_b, overlap_seconds)`` with ``id_a < id_b``.
+    """
+    w = F.lit(int(cell_width))
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("id"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    )
+    cells = base.select(
+        "k",
+        "id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.floor(F.col("s") / w), F.floor(F.col("e") / w))
+        ).alias("cell"),
+    )
+    a = cells.select(
+        "k", "cell",
+        F.col("id").alias("id_a"), F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = cells.select(
+        "k", "cell",
+        F.col("id").alias("id_b"), F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    return (
+        a.join(b, on=["k", "cell"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "id_a",
+            "id_b",
+            (
+                F.least("e_a", "e_b") - F.greatest("s_a", "s_b")
+            ).alias("overlap_seconds"),
+        )
+        .distinct()
+    )

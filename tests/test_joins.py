@@ -170,3 +170,39 @@ def test_longest_prefix_join_picks_deepest(spark):
     }
     assert out == {1: ("a b c", 3), 2: ("a b", 2), 3: ("z", 1)}
     assert 4 not in out  # no rule matches -> absent (inner LPM)
+
+
+def test_interval_self_overlap_exact_pairs(spark):
+    from iatlas_cbioportal_export_spark.operators.joins import (
+        interval_self_overlap,
+    )
+
+    rows = [
+        # key 1: a[0,100] overlaps b[50,150] (50s); c[200,300] disjoint;
+        #        d[90,210] overlaps a (10s), b (60s), c (10s)
+        (1, 10, 0, 100), (1, 11, 50, 150), (1, 12, 200, 300),
+        (1, 13, 90, 210),
+        # key 2: touching endpoints count as overlap (0 seconds)
+        (2, 20, 0, 100), (2, 21, 100, 200),
+        # key 3: same spans as key 1 ids but different key -> no cross-key
+        (3, 30, 0, 100),
+    ]
+    df = spark.createDataFrame(rows, "k long, id long, s long, e long")
+    out = {
+        (r["k"], r["id_a"], r["id_b"]): r["overlap_seconds"]
+        for r in interval_self_overlap(
+            df, "k", "id", "s", "e", cell_width=64
+        ).collect()
+    }
+    assert out == {
+        (1, 10, 11): 50, (1, 10, 13): 10, (1, 11, 13): 60,
+        (1, 12, 13): 10, (2, 20, 21): 0,
+    }
+    # invariance to cell width
+    out2 = {
+        (r["k"], r["id_a"], r["id_b"]): r["overlap_seconds"]
+        for r in interval_self_overlap(
+            df, "k", "id", "s", "e", cell_width=1000
+        ).collect()
+    }
+    assert out2 == out
