@@ -2167,6 +2167,29 @@ def q_sim_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_clinical_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curves per market segment (the survival
+    analysis the reference's OS_MONTHS/OS_STATUS schema feeds): durations
+    and censoring derived deterministically from customer; at-risk counts
+    are a reverse running sum, the survival product a forward
+    exp(Σ ln(1−d/n)) — window order fixes the float association so both
+    engines fold identically."""
+    from iatlas_cbioportal_export_spark.plans.clinical_pipeline import (
+        kaplan_meier,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (
+            F.abs(F.floor("c_acctbal").cast("long")) % 60 + 1
+        ).alias("duration"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("event"),
+    )
+    return kaplan_meier(cust, "c_mktsegment", "duration", "event")
+
+
 def q_events_interval_overlap(spark, sf_dir):
     """Interval-interval overlap join: per-user event windows
     [ts, ts + (event_id mod 120) minutes] that overlap — grid-cell
@@ -2783,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpm_join_categories": q_lpm_join_categories,
         "text_cooccurrence_pmi": q_text_cooccurrence_pmi,
         "events_interval_overlap": q_events_interval_overlap,
+        "clinical_kaplan_meier": q_clinical_kaplan_meier,
     }
 
 
@@ -5150,5 +5174,36 @@ def oracle_sql() -> dict[str, str]:
         FROM l a JOIN l b
           ON a.user_id = b.user_id AND a.id < b.id
          AND a.s <= b.e AND b.s <= a.e
+    """
+    d["clinical_kaplan_meier"] = """
+        WITH s AS (
+            SELECT c_mktsegment AS g,
+                   (abs(CAST(floor(c_acctbal) AS BIGINT)) % 60) + 1 AS t,
+                   CASE WHEN c_custkey % 4 = 0 THEN 0 ELSE 1 END AS ev
+            FROM customer
+        ),
+        pt AS (
+            SELECT g, t, CAST(sum(ev) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM s GROUP BY g, t
+        ),
+        cur AS (
+            SELECT g, t, d,
+                   sum(c) OVER (PARTITION BY g ORDER BY t
+                                ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS n_risk
+            FROM pt
+        )
+        SELECT g AS c_mktsegment, t AS duration,
+               CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+               CASE WHEN d = n_risk THEN 0.0
+                    ELSE round(exp(sum(CASE WHEN d < n_risk
+                                   THEN ln(1 - CAST(d AS DOUBLE) / n_risk)
+                                   ELSE 0.0 END)
+                         OVER (PARTITION BY g ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)), 6) END AS survival
+        FROM cur
+        QUALIFY d > 0
     """
     return d

@@ -96,3 +96,78 @@ def preprocess_clinical(
             out, oncotree_codes, "ONCOTREE_CODE", ["CANCER_TYPE", "CANCER_TYPE_DETAILED"]
         )
     return out
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curves per group — the survival analysis the
+    reference's clinical schema exists to feed (OS_MONTHS/OS_STATUS,
+    cf. reference clinical.py's survival-status recode F3/F5): at each
+    distinct event time tᵢ, S(tᵢ) = Π_{j≤i} (1 − dⱼ/nⱼ) with dⱼ deaths at
+    tⱼ and nⱼ subjects still at risk.
+
+    DataFrame-native shape: one groupBy(group, duration) collapses subjects
+    to per-time (deaths, total) rows — the only corpus-sized shuffle; the
+    at-risk counts are a REVERSE running sum and the survival product a
+    FORWARD running ``exp(Σ ln(1−d/n))``, both over the same per-group
+    window ordering, so state is one row per distinct (group, time). The
+    window's cumulative order fixes the float association — both engines
+    fold the same ln terms in the same sequence (round 6dp absorbs the
+    last-ulp libm differences).
+
+    ``event_col``: 1 = event occurred, 0 = censored (censored subjects
+    leave the risk set at their time but contribute no death factor).
+    Output: (group, time, n_risk, n_events, survival) for times with ≥1
+    event.
+    """
+    from pyspark.sql import Window
+
+    per_t = df.groupBy(
+        F.col(group_col).alias("g"), F.col(duration_col).alias("t")
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).alias("d"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    w_rev = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_fwd = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the time where EVERYONE remaining dies (d == n_risk, necessarily the
+    # group's last row) has factor 0: ln(0) raises in DuckDB and returns
+    # NULL in Spark (silently dropped by sum) — guard it explicitly and pin
+    # survival to 0.0 there in both engines
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    curves = per_t.select(
+        "g",
+        "t",
+        "d",
+        F.sum("c").over(w_rev).alias("n_risk"),
+    ).select(
+        "g",
+        "t",
+        "d",
+        "n_risk",
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(term).over(w_fwd)), 6))
+        .alias("survival"),
+    )
+    return curves.filter(F.col("d") > 0).select(
+        F.col("g").alias(group_col),
+        F.col("t").alias(duration_col),
+        F.col("n_risk"),
+        F.col("d").alias("n_events"),
+        "survival",
+    )

@@ -85,3 +85,43 @@ def test_neoantigen_outer_join_growth(spark, fixture):
     ids = {r["SAMPLE_ID"] for r in out.select("SAMPLE_ID").collect()}
     assert "neo-only" in ids  # outer join grew the table (auditable via J3)
     assert out.filter(F.col("SAMPLE_ID") == "S1-PAPER").collect()[0]["neo_count"] == 12
+
+
+def test_kaplan_meier_textbook_example(spark):
+    from iatlas_cbioportal_export_spark.plans.clinical_pipeline import (
+        kaplan_meier,
+    )
+
+    # classic toy cohort: events at t=1 (1 of 5), t=3 (2 of 3, after one
+    # censored at t=2), censored at t=4, event at t=5 (1 of 1 -> S=0)
+    rows = [
+        ("a", 1, 1), ("a", 2, 0), ("a", 3, 1), ("a", 3, 1),
+        ("a", 4, 0), ("a", 5, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, ev int")
+    out = {
+        r["t"]: (r["n_risk"], r["n_events"], r["survival"])
+        for r in kaplan_meier(df, "g", "t", "ev").collect()
+    }
+    s1 = round(1 - 1 / 6, 6)                      # 5/6 at t=1 (n=6)
+    s3 = round((5 / 6) * (1 - 2 / 4), 6)          # n=4 at t=3
+    assert out[1] == (6, 1, s1)
+    assert out[3] == (4, 2, s3)
+    assert out[5] == (1, 1, 0.0)                  # full-death endpoint
+    assert 2 not in out and 4 not in out          # censor-only times hidden
+
+
+def test_kaplan_meier_groups_independent(spark):
+    from iatlas_cbioportal_export_spark.plans.clinical_pipeline import (
+        kaplan_meier,
+    )
+
+    rows = [("x", 1, 1), ("x", 2, 1), ("y", 1, 1)]
+    df = spark.createDataFrame(rows, "g string, t long, ev int")
+    out = {
+        (r["g"], r["t"]): r["survival"]
+        for r in kaplan_meier(df, "g", "t", "ev").collect()
+    }
+    assert out[("x", 1)] == 0.5
+    assert out[("x", 2)] == 0.0
+    assert out[("y", 1)] == 0.0
