@@ -2190,6 +2190,29 @@ def q_clinical_kaplan_meier(spark, sf_dir):
     return kaplan_meier(cust, "c_mktsegment", "duration", "event")
 
 
+def q_clinical_logrank(spark, sf_dir):
+    """Two-sample log-rank test (BUILDING vs MACHINERY survival): exact
+    integer death/risk grids, per-time e/v terms rounded to 9dp and summed
+    as DECIMAL(28,9) so the statistic is shuffle-order independent. The
+    oracle mirrors the arithmetic parenthesization exactly."""
+    from iatlas_cbioportal_export_spark.plans.clinical_pipeline import (
+        logrank_test,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (
+            F.abs(F.floor("c_acctbal").cast("long")) % 60 + 1
+        ).alias("duration"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("event"),
+    )
+    return logrank_test(
+        cust, "c_mktsegment", "duration", "event", "BUILDING", "MACHINERY"
+    )
+
+
 def q_events_interval_overlap(spark, sf_dir):
     """Interval-interval overlap join: per-user event windows
     [ts, ts + (event_id mod 120) minutes] that overlap — grid-cell
@@ -2807,6 +2830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cooccurrence_pmi": q_text_cooccurrence_pmi,
         "events_interval_overlap": q_events_interval_overlap,
         "clinical_kaplan_meier": q_clinical_kaplan_meier,
+        "clinical_logrank": q_clinical_logrank,
     }
 
 
@@ -5205,5 +5229,51 @@ def oracle_sql() -> dict[str, str]:
                                AND CURRENT ROW)), 6) END AS survival
         FROM cur
         QUALIFY d > 0
+    """
+    d["clinical_logrank"] = """
+        WITH s AS (
+            SELECT c_mktsegment AS g,
+                   (abs(CAST(floor(c_acctbal) AS BIGINT)) % 60) + 1 AS t,
+                   CASE WHEN c_custkey % 4 = 0 THEN 0 ELSE 1 END AS ev
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ),
+        pt AS (
+            SELECT t,
+                   CAST(sum(CASE WHEN g = 'BUILDING' THEN ev ELSE 0 END)
+                        AS BIGINT) AS d_a,
+                   CAST(sum(ev) AS BIGINT) AS d,
+                   CAST(count(CASE WHEN g = 'BUILDING' THEN 1 END)
+                        AS BIGINT) AS c_a,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM s GROUP BY t
+        ),
+        grid AS (
+            SELECT t, d_a, d,
+                   sum(c_a) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING) AS n_a,
+                   sum(c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS n
+            FROM pt
+        ),
+        g2 AS (SELECT * FROM grid WHERE d > 0),
+        terms AS (
+            SELECT d_a,
+                   CAST(round(d * (CAST(n_a AS DOUBLE) / n), 9)
+                        AS DECIMAL(28,9)) AS e_term,
+                   CAST(round(CASE WHEN n > 1
+                        THEN d * (CAST(n_a AS DOUBLE) / n)
+                             * (1 - CAST(n_a AS DOUBLE) / n)
+                             * (n - d) / (n - 1)
+                        ELSE 0.0 END, 9) AS DECIMAL(28,9)) AS v_term
+            FROM g2
+        )
+        SELECT 'BUILDING' AS group_a, 'MACHINERY' AS group_b,
+               CAST(sum(d_a) AS BIGINT) AS observed_a,
+               CAST(sum(e_term) AS DOUBLE) AS expected_a,
+               CAST(sum(v_term) AS DOUBLE) AS variance,
+               round((sum(d_a) - CAST(sum(e_term) AS DOUBLE))
+                     / sqrt(CAST(sum(v_term) AS DOUBLE)), 6) AS z
+        FROM terms
     """
     return d

@@ -171,3 +171,81 @@ def kaplan_meier(
         F.col("d").alias("n_events"),
         "survival",
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel-Cox) — "do these survival curves
+    differ?", the statistic a clinical pipeline computes right after
+    :func:`kaplan_meier`. At each event time on the JOINT grid:
+    observed deaths O_a, expected E_a = d·n_a/n, hypergeometric variance
+    V = d·(n_a/n)·(1−n_a/n)·(n−d)/(n−1); Z = Σ(O_a−E_a)/√ΣV.
+
+    Determinism contract: the per-time e/v terms are doubles, and a plain
+    double sum would depend on shuffle-fetch order — each term is rounded
+    to 9dp and summed as DECIMAL(28,9) (exact, associative), the same lane
+    the time-decay op uses. Counts stay integers end-to-end.
+
+    Plan: one groupBy(time) over the two groups' per-time death/total
+    counts (conditional sums — no pivot), reverse running sums for the two
+    risk sets over the joint grid, one single-row final aggregate.
+    Output: (group_a, group_b, observed_a, expected_a, variance, z).
+    """
+    from pyspark.sql import Window
+
+    two = df.filter(F.col(group_col).isin([group_a, group_b]))
+    per_t = two.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, F.col(event_col)).otherwise(0)
+        ).cast("long").alias("d_a"),
+        F.sum(F.col(event_col).cast("long")).alias("d"),
+        F.count(F.when(F.col(group_col) == group_a, F.lit(1))).alias("c_a"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    w_rev = (
+        Window.orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    grid = per_t.select(
+        "t",
+        "d_a",
+        "d",
+        F.sum("c_a").over(w_rev).alias("n_a"),
+        F.sum("c").over(w_rev).alias("n"),
+    ).filter(F.col("d") > 0)
+    ratio = F.col("n_a").cast("double") / F.col("n")
+    e_term = F.round(F.col("d") * ratio, 9).cast("decimal(28,9)")
+    v_term = F.round(
+        F.when(
+            F.col("n") > 1,
+            F.col("d")
+            * ratio
+            * (F.lit(1.0) - ratio)
+            * (F.col("n") - F.col("d"))
+            / (F.col("n") - F.lit(1)),
+        ).otherwise(F.lit(0.0)),
+        9,
+    ).cast("decimal(28,9)")
+    agg = grid.agg(
+        F.sum("d_a").alias("observed_a"),
+        F.sum(e_term).alias("__e"),
+        F.sum(v_term).alias("__v"),
+    )
+    return agg.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        "observed_a",
+        F.col("__e").cast("double").alias("expected_a"),
+        F.col("__v").cast("double").alias("variance"),
+        F.round(
+            (F.col("observed_a") - F.col("__e").cast("double"))
+            / F.sqrt(F.col("__v").cast("double")),
+            6,
+        ).alias("z"),
+    )

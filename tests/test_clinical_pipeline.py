@@ -125,3 +125,34 @@ def test_kaplan_meier_groups_independent(spark):
     assert out[("x", 1)] == 0.5
     assert out[("x", 2)] == 0.0
     assert out[("y", 1)] == 0.0
+
+
+def test_logrank_identical_groups_z_near_zero(spark):
+    from iatlas_cbioportal_export_spark.plans.clinical_pipeline import (
+        logrank_test,
+    )
+
+    # two groups with IDENTICAL survival experience: O_a == E_a exactly
+    rows = []
+    for g in ("a", "b"):
+        rows += [(g, t, 1) for t in (1, 2, 3, 4)] + [(g, 5, 0)]
+    df = spark.createDataFrame(rows, "g string, t long, ev int")
+    r = logrank_test(df, "g", "t", "ev", "a", "b").collect()[0]
+    assert r["observed_a"] == 4
+    assert abs(r["observed_a"] - r["expected_a"]) < 1e-9
+    assert abs(r["z"]) < 1e-6
+
+
+def test_logrank_hand_computed_single_time(spark):
+    from iatlas_cbioportal_export_spark.plans.clinical_pipeline import (
+        logrank_test,
+    )
+
+    # one event time: group a: 2 subjects 1 death; group b: 2 subjects,
+    # 0 deaths. d=1, n=4, n_a=2 -> E_a=0.5, V=1*(.5)*(.5)*(3)/3=0.25, Z=1.0
+    rows = [("a", 1, 1), ("a", 1, 0), ("b", 1, 0), ("b", 1, 0)]
+    df = spark.createDataFrame(rows, "g string, t long, ev int")
+    r = logrank_test(df, "g", "t", "ev", "a", "b").collect()[0]
+    assert (r["observed_a"], r["expected_a"], r["variance"], r["z"]) == (
+        1, 0.5, 0.25, 1.0,
+    )
