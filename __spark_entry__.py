@@ -2190,6 +2190,21 @@ def q_clinical_kaplan_meier(spark, sf_dir):
     return kaplan_meier(cust, "c_mktsegment", "duration", "event")
 
 
+def q_maf_oncoprint(spark, sf_dir):
+    """Oncoprint alteration matrix over the MAF shape: top-10 recurrently
+    mutated genes (distinct mutated samples, TakeOrdered heap — no full
+    sort) broadcast back as the matrix filter. Genes derive
+    deterministically from the variant id; the oracle replays the ranking
+    with a window and the same tie-breaks."""
+    from iatlas_cbioportal_export_spark.operators.maf import oncoprint_matrix
+
+    maf = _maf_shaped(spark, sf_dir).withColumn(
+        "Hugo_Symbol",
+        F.concat(F.lit("GENE"), (F.col("variant_id") % 40).cast("string")),
+    )
+    return oncoprint_matrix(maf, top_genes=10)
+
+
 def q_clinical_logrank(spark, sf_dir):
     """Two-sample log-rank test (BUILDING vs MACHINERY survival): exact
     integer death/risk grids, per-time e/v terms rounded to 9dp and summed
@@ -2831,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_overlap": q_events_interval_overlap,
         "clinical_kaplan_meier": q_clinical_kaplan_meier,
         "clinical_logrank": q_clinical_logrank,
+        "maf_oncoprint": q_maf_oncoprint,
     }
 
 
@@ -5275,5 +5291,27 @@ def oracle_sql() -> dict[str, str]:
                round((sum(d_a) - CAST(sum(e_term) AS DOUBLE))
                      / sqrt(CAST(sum(v_term) AS DOUBLE)), 6) AS z
         FROM terms
+    """
+    d["maf_oncoprint"] = """
+        WITH maf AS (
+            SELECT 'GENE' || CAST(o_orderkey % 40 AS VARCHAR) AS gene,
+                   'TSB-' || CAST(o_orderkey % 500 AS VARCHAR) AS sample
+            FROM orders
+        ),
+        gr AS (
+            SELECT gene, count(DISTINCT sample) AS n_samples FROM maf
+            GROUP BY gene
+            ORDER BY n_samples DESC, gene LIMIT 10
+        ),
+        rk AS (
+            SELECT gene,
+                   CAST(row_number() OVER (ORDER BY n_samples DESC, gene)
+                        AS INTEGER) AS gene_rank
+            FROM gr
+        )
+        SELECT m.gene, rk.gene_rank, m.sample,
+               count(*) AS n_mutations
+        FROM maf m JOIN rk USING (gene)
+        GROUP BY m.gene, rk.gene_rank, m.sample
     """
     return d

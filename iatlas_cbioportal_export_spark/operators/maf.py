@@ -19,7 +19,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Columns the annotator adds — the representative ~40-column Genome Nexus /
@@ -285,4 +285,47 @@ def allele_frequency(maf: DataFrame) -> DataFrame:
     return maf.withColumn(
         "tumor_allele_freq",
         F.when((t_alt + t_ref) > 0, F.round(t_alt / (t_alt + t_ref), 6)),
+    )
+
+
+def oncoprint_matrix(
+    maf: DataFrame,
+    gene_col: str = "Hugo_Symbol",
+    sample_col: str = "Tumor_Sample_Barcode",
+    top_genes: int = 10,
+) -> DataFrame:
+    """Oncoprint-style alteration matrix: the top-N most recurrently
+    mutated genes (by DISTINCT mutated samples — recurrence, not raw
+    variant count) × every sample carrying them — the gene×sample grid
+    cBioPortal renders from exactly this MAF shape (the reference bundle's
+    downstream consumer).
+
+    Plan: gene ranking is one countDistinct aggregate + TakeOrderedAndProject
+    (per-partition heaps, k rows to the driver-side merge — never a full
+    sort); the top-gene set then BROADCASTS back as a semi-join filter so
+    the matrix aggregate only shuffles rows of the N selected genes.
+    Output: (gene, gene_rank, sample, n_mutations).
+    """
+    gene_rank = (
+        maf.groupBy(F.col(gene_col).alias("gene"))
+        .agg(F.count_distinct(F.col(sample_col)).alias("n_samples"))
+        .orderBy(F.desc("n_samples"), "gene")
+        .limit(top_genes)
+        .select(
+            "gene",
+            F.row_number()
+            .over(
+                Window.orderBy(F.desc("n_samples"), "gene")
+            )
+            .alias("gene_rank"),
+        )
+    )
+    return (
+        maf.select(
+            F.col(gene_col).alias("gene"),
+            F.col(sample_col).alias("sample"),
+        )
+        .join(F.broadcast(gene_rank), on="gene")
+        .groupBy("gene", "gene_rank", "sample")
+        .agg(F.count(F.lit(1)).alias("n_mutations"))
     )

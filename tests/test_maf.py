@@ -181,3 +181,25 @@ def test_annotate_by_variant_matches_rowwise_annotate(spark):
     assert a == b
     # the Python stage only saw 3 distinct keys, but all 5 rows come back
     assert b_df.count() == 5
+
+
+def test_oncoprint_matrix_ranks_and_counts(spark):
+    from iatlas_cbioportal_export_spark.operators.maf import oncoprint_matrix
+
+    rows = [
+        # geneA in 3 samples, geneB in 2 (s1 twice), geneC in 1
+        ("geneA", "s1"), ("geneA", "s2"), ("geneA", "s3"),
+        ("geneB", "s1"), ("geneB", "s1"), ("geneB", "s2"),
+        ("geneC", "s9"),
+    ]
+    df = spark.createDataFrame(
+        rows, "Hugo_Symbol string, Tumor_Sample_Barcode string"
+    )
+    out = {
+        (r["gene"], r["sample"]): (r["gene_rank"], r["n_mutations"])
+        for r in oncoprint_matrix(df, top_genes=2).collect()
+    }
+    # geneC excluded (rank 3); geneB's s1 counts 2 mutations
+    assert set(g for g, _ in out) == {"geneA", "geneB"}
+    assert out[("geneA", "s1")] == (1, 1)
+    assert out[("geneB", "s1")] == (2, 2)
