@@ -26,6 +26,7 @@ ALLOW_NESTED_LOOP = {
     "text_unigram_logprob",    # corpus-total scalar: one-row broadcast join
     "text_length_histogram",   # corpus-total scalar: one-row broadcast join
     "text_bigram_logprob",     # corpus-total scalar: one-row broadcast join
+    "text_cooccurrence_pmi",   # pair/token totals: one-row broadcast join
 }
 
 _QUERIES = entrymod.queries()

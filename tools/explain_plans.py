@@ -235,6 +235,28 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # pair expansion narrow; shuffles are count aggregates; top-N is a heap
+    # (the totals crossJoin is the declared one-row broadcast — see
+    # test_registry_lint.ALLOW_NESTED_LOOP)
+    "text_cooccurrence_pmi": (
+        ["TakeOrderedAndProject", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    # grid-cell bucketing keeps the overlap join on the hash-equi path
+    "events_interval_overlap": (
+        ["HashAggregate|SortMergeJoin|ShuffledHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "clinical_kaplan_meier": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    "clinical_logrank": (["Window", "HashAggregate"], ["CartesianProduct"]),
+    # gene ranking is a heap (no full sort); matrix filter broadcasts
+    "maf_oncoprint": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
