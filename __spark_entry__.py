@@ -2636,11 +2636,13 @@ def _pagerank_oracle(iterations: int = 4, scale: int = 10**12) -> str:
 
 
 def q_fuzzy_join_names(spark, sf_dir):
-    """Fuzzy entity-resolution join (ED-Join): customer names vs a
-    deterministically perturbed twin list (substitute / delete / identity by
-    custkey mod 3), all pairs with levenshtein <= 1 — NO cartesian product:
-    rarest-first q-gram prefix blocking provably contains every true match
-    (count+prefix filters), then codegen'd threshold levenshtein verifies.
+    """Fuzzy entity-resolution join (symmetric-delete blocking): customer
+    names vs a deterministically perturbed twin list (substitute / delete /
+    identity by custkey mod 3), all pairs with levenshtein <= 1 — NO
+    cartesian product: candidates share a ≤d-deletion variant hash (the
+    SymSpell invariant provably covers every true match; candidates scale
+    with match density, unlike gram blocking which exploded on these
+    low-entropy names), then codegen'd threshold levenshtein verifies.
     The oracle brute-forces the same pair predicate; pair-set equality IS
     the blocking-completeness check."""
     from iatlas_cbioportal_export_spark.operators.entity import (
@@ -2670,7 +2672,7 @@ def q_fuzzy_join_names(spark, sf_dir):
     )
     return fuzzy_join_edit_distance(
         left, pert, "c_custkey", "c_name", "r_key", "r_name",
-        max_distance=1, q=2,
+        max_distance=1,
     )
 
 

@@ -1,35 +1,35 @@
 """Fuzzy entity-resolution join: edit-distance string matching WITHOUT a
-cartesian product (ED-Join-style q-gram prefix blocking + exact levenshtein
-verification).
+cartesian product — symmetric-delete blocking (the SymSpell invariant) +
+exact threshold-levenshtein verification.
 
 The reference pipeline joins identifiers exactly (SURVEY.md §2.3); real
 entity resolution — recrawled URLs, OCR'd names, near-identical patient
 labels — needs `ed(s, t) <= d` matching. The naive plan is |L|·|R|
-levenshtein calls; this operator prunes to candidate pairs that PROVABLY
-contain every true match:
+levenshtein calls.
 
-  count filter   ed(s,t) <= d  ⇒  the (distinct) q-gram sets share
-                 >= max(|Gs|,|Gt|) − d·q grams (each edit destroys <= q
-                 grams), and |len(s) − len(t)| <= d;
-  prefix filter  sets sharing >= T elements have intersecting
-                 (|G| − T + 1)-prefixes under ANY common total order
-                 ⇒ a prefix of d·q + 1 grams per string suffices whenever
-                 max(|Gs|,|Gt|) > d·q.
+Why symmetric delete and not q-gram (ED-Join) blocking: gram-prefix
+candidates scale with GRAM ENTROPY, not match density. On low-entropy keys
+(zero-padded sequential ids — the classic ER workload) every q-gram is
+common: measured on 15k×15k "Customer#000…" names, position-compatible
+2-gram prefixes produced 14M candidates and 4-grams 107M (every digit gram
+appears in ~10³ names) — OOM territory for a 16k-pair answer. Deletion
+variants instead are near-unique per string: two strings share a variant
+essentially only when they're genuinely close, so candidates ≈ true pairs.
 
-Strings with <= d·q grams get no prefix guarantee against each other, so
-they fall into a LENGTH-KEYED catch-all tier (short×short all-pairs within
-|Δlen| <= d — bounded because "short" means < q + d·q chars); short×long
-pairs are still covered by the gram tier because a short string's whole
-gram set IS its (d·q+1)-prefix.
+Soundness (the SymSpell invariant): if ``ed(s, t) <= d`` then the
+≤d-deletion neighborhoods of s and t intersect — each substitution deletes
+the affected char from both sides, each insertion/deletion deletes it from
+the longer side; composing ≤ d edits needs ≤ d deletions per side. So the
+candidate set (pairs sharing ≥1 variant HASH) provably contains every true
+match; hash collisions only ADD candidates (verification removes them),
+never lose one.
 
-The global gram order is RAREST-FIRST (document frequency over both sides,
-ties by gram): prefixes then hold the discriminative grams — with a hash
-order every "Customer#…" row would block on the same common grams and the
-bucket join degenerates toward quadratic. The df table costs one extra
-aggregate over exploded grams; everything that shuffles afterward is
-(id, gram) / (id, id) pairs — never full rows. Verification fetches the two
-string columns by id join and runs Spark's codegen'd ``levenshtein`` with
-the threshold short-circuit.
+Cost model: (len choose ≤d) variants per string — len+1 for d=1,
+O(len²/2) for d=2; this operator targets the realistic ER regime d ≤ 2.
+Variants shuffle as xxhash64 LONGS (blocking internals need no
+cross-engine portability — completeness is structural and the output is
+levenshtein-verified); only (id, hash) and (id, id) pairs move until the
+final per-id string fetch.
 """
 
 from __future__ import annotations
@@ -38,46 +38,49 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _distinct_qgrams(col: Column, q: int) -> Column:
-    """Distinct q-grams of a string; strings shorter than q contribute the
-    whole string as their single gram (keeps every string blockable)."""
-    return F.when(F.length(col) < q, F.array(col)).otherwise(
-        F.array_distinct(
+def _delete_at(col: Column, i: Column) -> Column:
+    """The string with the i-th char (1-based) deleted."""
+    return F.concat(
+        col.substr(F.lit(1), i - 1),
+        col.substr(i + 1, F.length(col)),
+    )
+
+
+def _deletion_key_hashes(col: Column, d: int) -> Column:
+    """xxhash64 of every ≤d-deletion variant of ``col`` (including the
+    string itself), deduplicated. d=1: len+1 keys; d=2: +len·(len−1)/2."""
+    keys = F.array(F.xxhash64(col))
+    if d >= 1:
+        keys = F.concat(
+            keys,
             F.transform(
-                F.sequence(F.lit(1), F.length(col) - q + 1),
-                lambda i: col.substr(i, F.lit(q)),
-            )
+                F.sequence(F.lit(1), F.length(col)),
+                lambda i: F.xxhash64(_delete_at(col, i)),
+            ),
         )
-    )
-
-
-def _prefix_grams(tagged: DataFrame, q: int, prefix_len: int) -> DataFrame:
-    """(side, id, len, gram) for each string's rarest-first gram prefix.
-
-    One explode + one df-aggregate + one groupBy(id) — the sort that picks
-    the prefix happens inside ``sort_array`` on per-id arrays (KB-sized),
-    not as a global orderBy.
-    """
-    grams = tagged.select(
-        "side", "id", "len", F.explode("grams").alias("gram")
-    )
-    df_tbl = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        grams.join(df_tbl, on="gram")
-        .groupBy("side", "id", "len")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("df"), F.col("gram")))
-                ),
-                1,
-                prefix_len,
-            ).alias("pref")
+    if d >= 2:
+        # delete j then i with i < j — deleting the later position first
+        # keeps the earlier index stable
+        keys = F.concat(
+            keys,
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(2), F.greatest(F.length(col), F.lit(2))),
+                    lambda j: F.transform(
+                        F.sequence(F.lit(1), j - 1),
+                        lambda i: F.xxhash64(
+                            _delete_at(_delete_at(col, j), i)
+                        ),
+                    ),
+                )
+            ),
         )
-    )
-    return ranked.select(
-        "side", "id", "len", F.explode("pref.gram").alias("gram")
-    )
+    if d >= 3:
+        raise ValueError(
+            "symmetric-delete blocking targets d <= 2 (variant count grows "
+            "as len^d); for larger d use a metric tree / trie partitioning"
+        )
+    return F.array_distinct(keys)
 
 
 def fuzzy_join_edit_distance(
@@ -88,72 +91,45 @@ def fuzzy_join_edit_distance(
     right_id: str,
     right_col: str,
     max_distance: int = 1,
-    q: int = 2,
 ) -> DataFrame:
     """All pairs (l, r) with ``levenshtein(l[left_col], r[right_col]) <=
     max_distance`` — exact result set, candidate-pruned plan.
 
     Output: ``(l_id, r_id, edit_distance)``.
 
-    Plan: gram tier (prefix block join on rarest d·q+1 grams) ∪ catch-all
-    tier (strings with <= d·q grams, equi-joined on right-length ∈
-    [len−d, len+d] via a d·q-bounded explode) → distinct candidate id
-    pairs → fetch the two strings by id → threshold levenshtein verify.
+    Plan: explode each side's ≤d-deletion variant hashes (bounded fan-out,
+    narrow), equi-join the two hash streams (candidates ≈ true-match
+    density — see module docstring), length-filter, distinct id pairs,
+    fetch the two strings by id, codegen'd threshold levenshtein.
     """
     d = max_distance
-    pref_len = d * q + 1
-    lt = left.select(
-        F.lit("l").alias("side"),
-        F.col(left_id).alias("id"),
-        F.length(left_col).alias("len"),
-        _distinct_qgrams(F.col(left_col), q).alias("grams"),
+    lk = left.select(
+        F.col(left_id).alias("l_id"),
+        F.length(left_col).alias("l_len"),
+        F.explode(
+            _deletion_key_hashes(F.col(left_col), d)
+        ).alias("kh"),
     )
-    rt = right.select(
-        F.lit("r").alias("side"),
-        F.col(right_id).alias("id"),
-        F.length(right_col).alias("len"),
-        _distinct_qgrams(F.col(right_col), q).alias("grams"),
+    rk = right.select(
+        F.col(right_id).alias("r_id"),
+        F.length(right_col).alias("r_len"),
+        F.explode(
+            _deletion_key_hashes(F.col(right_col), d)
+        ).alias("kh"),
     )
-    tagged = lt.unionByName(rt)
-
-    pref = _prefix_grams(
-        tagged.select("side", "id", "len", "grams"), q, pref_len
-    )
-    lp = pref.filter(F.col("side") == "l").select(
-        F.col("id").alias("l_id"), F.col("len").alias("l_len"), "gram"
-    )
-    rp = pref.filter(F.col("side") == "r").select(
-        F.col("id").alias("r_id"), F.col("len").alias("r_len"), "gram"
-    )
-    gram_cand = (
-        lp.join(rp, on="gram")
+    cand = (
+        lk.join(rk, on="kh")
         .filter(F.abs(F.col("l_len") - F.col("r_len")) <= d)
         .select("l_id", "r_id")
+        .distinct()
     )
-
-    # catch-all: short strings (gram count <= d*q) have no prefix guarantee
-    # against each other; join them on exact length keys len-d..len+d
-    shorts = tagged.filter(F.size("grams") <= d * q)
-    ls = shorts.filter(F.col("side") == "l").select(
-        F.col("id").alias("l_id"),
-        F.explode(
-            F.sequence(F.col("len") - d, F.col("len") + d)
-        ).alias("len_key"),
-    )
-    rs = shorts.filter(F.col("side") == "r").select(
-        F.col("id").alias("r_id"), F.col("len").alias("len_key")
-    )
-    short_cand = ls.join(rs, on="len_key").select("l_id", "r_id")
-
-    cand = gram_cand.unionByName(short_cand).distinct()
-
     lv = left.select(
         F.col(left_id).alias("l_id"), F.col(left_col).alias("__ls")
     )
     rv = right.select(
         F.col(right_id).alias("r_id"), F.col(right_col).alias("__rs")
     )
-    verified = (
+    return (
         cand.join(lv, on="l_id")
         .join(rv, on="r_id")
         .select(
@@ -163,4 +139,3 @@ def fuzzy_join_edit_distance(
         )
         .filter(F.col("edit_distance") >= 0)
     )
-    return verified

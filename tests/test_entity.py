@@ -1,4 +1,4 @@
-"""Fuzzy entity-resolution join: blocking completeness + verification."""
+"""Fuzzy entity-resolution join: symmetric-delete blocking completeness."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -36,9 +36,9 @@ def test_each_edit_kind_found(spark):
     assert out == {(1, 10): 1, (2, 11): 1, (3, 12): 1}
 
 
-def test_short_strings_hit_catchall_tier(spark):
-    # "ab" vs "cb": ed=1 but the distinct 2-gram sets {ab} and {cb} are
-    # DISJOINT — only the length-keyed catch-all tier can find this pair.
+def test_short_strings_found(spark):
+    # "ab" vs "cb": ed=1 with disjoint 2-gram sets — the case that broke
+    # gram blocking; deletion variants share "b" so symmetric delete finds it.
     left = spark.createDataFrame([(1, "ab"), (2, "a")], "id long, name string")
     right = spark.createDataFrame(
         [(10, "cb"), (11, "b"), (12, "abc")], "id long, name string"
