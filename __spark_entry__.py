@@ -2190,6 +2190,20 @@ def q_clinical_kaplan_meier(spark, sf_dir):
     return kaplan_meier(cust, "c_mktsegment", "duration", "event")
 
 
+def q_stats_chi_square(spark, sf_dir):
+    """Pearson chi-square independence test: order priority × order status
+    contingency. Exact integer observed counts/marginals; per-cell
+    (O−E)²/E terms rounded 9dp and summed as DECIMAL(28,9) — shuffle-order
+    independent. The full r×c grid includes zero-observed cells (they
+    contribute E)."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        chi_square_independence,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return chi_square_independence(orders, "o_orderpriority", "o_orderstatus")
+
+
 def q_maf_oncoprint(spark, sf_dir):
     """Oncoprint alteration matrix over the MAF shape: top-10 recurrently
     mutated genes (distinct mutated samples, TakeOrdered heap — no full
@@ -2849,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clinical_kaplan_meier": q_clinical_kaplan_meier,
         "clinical_logrank": q_clinical_logrank,
         "maf_oncoprint": q_maf_oncoprint,
+        "stats_chi_square": q_stats_chi_square,
     }
 
 
@@ -5315,5 +5330,36 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_mutations
         FROM maf m JOIN rk USING (gene)
         GROUP BY m.gene, rk.gene_rank, m.sample
+    """
+    d["stats_chi_square"] = """
+        WITH obs AS (
+            SELECT o_orderpriority AS a, o_orderstatus AS b,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM orders GROUP BY 1, 2
+        ),
+        rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM obs GROUP BY a),
+        cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM obs GROUP BY b),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        cells AS (
+            SELECT rm.a, cm.b, rm.ra, cm.cb, tot.n,
+                   coalesce(obs.o, 0) AS o
+            FROM rm CROSS JOIN cm
+            LEFT JOIN obs ON obs.a = rm.a AND obs.b = cm.b
+            CROSS JOIN tot
+        ),
+        terms AS (
+            SELECT n, a, b,
+                   CAST(round((o - ra * cb / CAST(n AS DOUBLE))
+                              * (o - ra * cb / CAST(n AS DOUBLE))
+                              / (ra * cb / CAST(n AS DOUBLE)), 9)
+                        AS DECIMAL(28,9)) AS term
+            FROM cells
+        )
+        SELECT max(n) AS n,
+               count(DISTINCT a) AS n_rows_a,
+               count(DISTINCT b) AS n_cols_b,
+               (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
+               round(CAST(sum(term) AS DOUBLE), 6) AS chi2
+        FROM terms
     """
     return d

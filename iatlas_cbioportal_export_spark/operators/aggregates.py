@@ -429,3 +429,50 @@ def equi_depth_buckets(
     for i, b in enumerate(bounds):
         bucket = F.when(c <= F.lit(b), bucket).otherwise(F.lit(i + 1))
     return bounds, df.withColumn("bucket", bucket)
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the association screen of a profiling/validation pass (the
+    statistical-test tier next to the survival log-rank).
+
+    χ² = Σ_cells (O − E)²/E with E = row_total·col_total/N. Observed
+    counts, marginals and N stay EXACT integers (one groupBy(a, b) plus two
+    KB-sized marginal aggregates joined back — all combiner-reduced); the
+    per-cell (O−E)²/E terms are the only floats, each rounded to 9dp and
+    summed as DECIMAL(28,9) so the statistic is shuffle-order independent
+    (the time-decay/log-rank determinism lane).
+
+    Output: one row (n, n_rows_a, n_cols_b, dof, chi2).
+    """
+    obs = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    row_m = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    col_m = obs.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    # the FULL r×c grid, not just observed combos: an absent cell has O=0
+    # but E>0 and contributes E to the statistic. The grid is a broadcast
+    # cross of two categorical-sized marginal frames (KB) — a deliberate
+    # tiny nested-loop, like the one-row total broadcasts elsewhere.
+    cells = (
+        row_m.crossJoin(F.broadcast(col_m))
+        .join(obs, on=["a", "b"], how="left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+    )
+    e = F.col("ra") * F.col("cb") / F.col("n").cast("double")
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 9).cast(
+        "decimal(28,9)"
+    )
+    return cells.agg(
+        F.max("n").alias("n"),
+        F.count_distinct("a").alias("n_rows_a"),
+        F.count_distinct("b").alias("n_cols_b"),
+        (
+            (F.count_distinct("a") - 1) * (F.count_distinct("b") - 1)
+        ).alias("dof"),
+        F.round(F.sum(term).cast("double"), 6).alias("chi2"),
+    )

@@ -322,3 +322,34 @@ def test_equi_depth_buckets_quartiles(spark):
         ).collect()
     }
     assert counts == {0: 25, 1: 25, 2: 25, 3: 25}
+
+
+def test_chi_square_hand_computed_2x2(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        chi_square_independence,
+    )
+
+    # classic 2x2: O = [[10, 20], [20, 10]]; chi2 = N*(ad-bc)^2/(r1*r2*c1*c2)
+    rows = (
+        [("x", "u")] * 10 + [("x", "v")] * 20
+        + [("y", "u")] * 20 + [("y", "v")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    expect = 60 * (10 * 10 - 20 * 20) ** 2 / (30 * 30 * 30 * 30)
+    assert (r["n"], r["dof"]) == (60, 1)
+    assert abs(r["chi2"] - round(expect, 6)) < 1e-6
+
+
+def test_chi_square_absent_cell_contributes_expected(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        chi_square_independence,
+    )
+
+    # cell (y, v) has zero observations but E = 2*2/4 = 1 -> contributes 1
+    rows = [("x", "u"), ("x", "v"), ("y", "u"), ("y", "u")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    # O=[[1,1],[2,0]]; E=[[1.5,0.5],[1.5,0.5]]
+    expect = (0.25 / 1.5) + (0.25 / 0.5) + (0.25 / 1.5) + (0.25 / 0.5)
+    assert abs(r["chi2"] - round(expect, 6)) < 1e-6

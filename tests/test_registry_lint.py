@@ -27,6 +27,7 @@ ALLOW_NESTED_LOOP = {
     "text_length_histogram",   # corpus-total scalar: one-row broadcast join
     "text_bigram_logprob",     # corpus-total scalar: one-row broadcast join
     "text_cooccurrence_pmi",   # pair/token totals: one-row broadcast join
+    "stats_chi_square",        # r x c marginal grid: categorical-sized broadcast cross
 }
 
 _QUERIES = entrymod.queries()
