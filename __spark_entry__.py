@@ -2190,6 +2190,17 @@ def q_clinical_kaplan_meier(spark, sf_dir):
     return kaplan_meier(cust, "c_mktsegment", "duration", "event")
 
 
+def q_events_streaks(spark, sf_dir):
+    """Gaps-and-islands: per-user consecutive-active-day streaks via the
+    day − row_number() run constant — distinct-before-shuffle, one window
+    per user, run groupBy reuses the user-hash exchange."""
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        activity_streaks,
+    )
+
+    return activity_streaks(_t(spark, sf_dir, "events"))
+
+
 def q_stats_chi_square(spark, sf_dir):
     """Pearson chi-square independence test: order priority × order status
     contingency. Exact integer observed counts/marginals; per-cell
@@ -2864,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clinical_logrank": q_clinical_logrank,
         "maf_oncoprint": q_maf_oncoprint,
         "stats_chi_square": q_stats_chi_square,
+        "events_streaks": q_events_streaks,
     }
 
 
@@ -5361,5 +5373,24 @@ def oracle_sql() -> dict[str, str]:
                (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
                round(CAST(sum(term) AS DOUBLE), 6) AS chi2
         FROM terms
+    """
+    d["events_streaks"] = """
+        WITH a AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                       AS day
+            FROM events
+        ),
+        r AS (
+            SELECT u, day,
+                   day - row_number() OVER (PARTITION BY u ORDER BY day)
+                       AS grp
+            FROM a
+        )
+        SELECT u AS user_id,
+               strftime(DATE '1970-01-01' + CAST(min(day) AS INTEGER),
+                        '%Y-%m-%d') AS streak_start,
+               count(*) AS streak_days
+        FROM r GROUP BY u, grp
     """
     return d

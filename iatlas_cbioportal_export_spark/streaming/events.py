@@ -607,3 +607,47 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def activity_streaks(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gaps-and-islands: each user's runs of CONSECUTIVE active days
+    (streaks) — the engagement metric behind "7-day streak" features, and
+    the canonical islands idiom: group consecutive integers by
+    ``day − row_number()`` (constant within a run, shifts at every gap).
+
+    Plan: activity reduces to DISTINCT (user, day) pairs first (map-side
+    combined), ONE window per user orders the days, and the run groupBy
+    reuses the same user-hash partitioning — nothing larger than
+    (user, day) ever shuffles.
+
+    Output: (user, streak_start yyyy-MM-dd, streak_days) — one row per run.
+    """
+    from pyspark.sql import Window
+
+    days = events.select(
+        F.col(user_col).alias("u"),
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01")).alias("day"),
+    ).distinct()
+    w = Window.partitionBy("u").orderBy("day")
+    runs = days.withColumn(
+        "grp", F.col("day") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("u", "grp")
+        .agg(
+            F.min("day").alias("__start"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .select(
+            F.col("u").alias(user_col),
+            F.date_format(
+                F.date_add(F.lit("1970-01-01"), F.col("__start")),
+                "yyyy-MM-dd",
+            ).alias("streak_start"),
+            "streak_days",
+        )
+    )

@@ -661,3 +661,30 @@ def test_attribution_outer_stream_expiry_emits_unmatched(spark, tmp_path):
     # click 4's window end (14:30) is past the final watermark, so it is
     # STILL PENDING — the trailing-emission semantic under test
     assert got == {(1, 2), (3, None)}
+
+
+def test_activity_streaks_runs_and_gaps(spark):
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        activity_streaks,
+    )
+
+    rows = [
+        # user 1: 01-01..01-03 (streak 3; two events one day), gap, 01-05
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 09:00:00"),
+        (1, "2024-01-02 23:00:00"), (1, "2024-01-03 01:00:00"),
+        (1, "2024-01-05 12:00:00"),
+        # user 2: single day
+        (2, "2024-01-10 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts"
+    )
+    got = {
+        (r["user_id"], r["streak_start"]): r["streak_days"]
+        for r in activity_streaks(df).collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): 3,
+        (1, "2024-01-05"): 1,
+        (2, "2024-01-10"): 1,
+    }
