@@ -2190,6 +2190,24 @@ def q_clinical_kaplan_meier(spark, sf_dir):
     return kaplan_meier(cust, "c_mktsegment", "duration", "event")
 
 
+def q_stats_linear_trend(spark, sf_dir):
+    """Per-priority least-squares trend of order value (floor-cents) over
+    order date (days since 1992-01-01): the five sums accumulate EXACTLY in
+    DECIMAL(38,0), then the closed-form slope/intercept/R² runs on doubles
+    derived from them — bit-stable under any partitioning; the oracle
+    replays the identical formula."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        grouped_linear_fit,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff("o_orderdate", F.lit("1992-01-01")).alias("x"),
+        F.floor(F.col("o_totalprice") * 100).alias("y"),
+    )
+    return grouped_linear_fit(orders, "o_orderpriority", "x", "y")
+
+
 def q_events_streaks(spark, sf_dir):
     """Gaps-and-islands: per-user consecutive-active-day streaks via the
     day − row_number() run constant — distinct-before-shuffle, one window
@@ -2876,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maf_oncoprint": q_maf_oncoprint,
         "stats_chi_square": q_stats_chi_square,
         "events_streaks": q_events_streaks,
+        "stats_linear_trend": q_stats_linear_trend,
     }
 
 
@@ -5392,5 +5411,37 @@ def oracle_sql() -> dict[str, str]:
                         '%Y-%m-%d') AS streak_start,
                count(*) AS streak_days
         FROM r GROUP BY u, grp
+    """
+    d["stats_linear_trend"] = """
+        WITH v AS (
+            SELECT o_orderpriority AS g,
+                   CAST(date_diff('day', DATE '1992-01-01',
+                                  CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+            FROM orders
+        ),
+        s AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS DOUBLE) AS sx,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(x * y) AS DOUBLE) AS sxy,
+                   CAST(sum(x * x) AS DOUBLE) AS sxx,
+                   CAST(sum(y * y) AS DOUBLE) AS syy
+            FROM v GROUP BY g
+        )
+        SELECT g AS o_orderpriority, n,
+               round(CASE WHEN n * sxx - sx * sx > 0
+                          THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     END, 9) AS slope,
+               round(CASE WHEN n * sxx - sx * sx > 0
+                          THEN (sy - ((n * sxy - sx * sy)
+                                      / (n * sxx - sx * sx)) * sx) / n
+                     END, 9) AS intercept,
+               round(CASE WHEN n * sxx - sx * sx > 0
+                           AND n * syy - sy * sy > 0
+                          THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                               / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                     END, 6) AS r2
+        FROM s
     """
     return d

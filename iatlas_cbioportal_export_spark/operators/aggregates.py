@@ -476,3 +476,51 @@ def chi_square_independence(
         ).alias("dof"),
         F.round(F.sum(term).cast("double"), 6).alias("chi2"),
     )
+
+
+def grouped_linear_fit(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Closed-form least-squares line per group — "trend per segment" as
+    ONE aggregate: slope/intercept/R² come from the five classic sums
+    (n, Σx, Σy, Σxy, Σx², Σy²), which for INTEGRAL x/y are computed
+    EXACTLY (DECIMAL(38,0) accumulation — no float summation order
+    anywhere). The closed-form arithmetic then runs on doubles derived
+    from those exact sums, so the result is bit-stable under any
+    partitioning; an engine replaying the same formula matches.
+
+    Map-side combined single shuffle (one row of sums per group per
+    partition). Degenerate groups (all x equal → zero denominator) return
+    NULL slope/intercept/r2. Output: (group, n, slope, intercept, r2).
+    """
+    x = F.col(x_col).cast("decimal(38,0)")
+    y = F.col(y_col).cast("decimal(38,0)")
+    sums = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.when(dx > 0, cov / dx)
+    return sums.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round(F.when(dx > 0, (sy - (cov / dx) * sx) / n), 9).alias(
+            "intercept"
+        ),
+        F.round(
+            F.when((dx > 0) & (dy > 0), cov * cov / (dx * dy)), 6
+        ).alias("r2"),
+    )

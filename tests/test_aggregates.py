@@ -353,3 +353,20 @@ def test_chi_square_absent_cell_contributes_expected(spark):
     # O=[[1,1],[2,0]]; E=[[1.5,0.5],[1.5,0.5]]
     expect = (0.25 / 1.5) + (0.25 / 0.5) + (0.25 / 1.5) + (0.25 / 0.5)
     assert abs(r["chi2"] - round(expect, 6)) < 1e-6
+
+
+def test_grouped_linear_fit_exact_line(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        grouped_linear_fit,
+    )
+
+    # group a: exact line y=3x+7 (r2=1); group b: constant x (degenerate)
+    rows = [("a", x, 3 * x + 7) for x in range(10)] + [
+        ("b", 5, 1), ("b", 5, 9),
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r for r in grouped_linear_fit(df, "g", "x", "y").collect()}
+    assert out["a"]["slope"] == 3.0
+    assert out["a"]["intercept"] == 7.0
+    assert out["a"]["r2"] == 1.0
+    assert out["b"]["slope"] is None and out["b"]["r2"] is None
