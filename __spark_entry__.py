@@ -2190,6 +2190,28 @@ def q_clinical_kaplan_meier(spark, sf_dir):
     return kaplan_meier(cust, "c_mktsegment", "duration", "event")
 
 
+def q_stats_psi_drift(spark, sf_dir):
+    """Population Stability Index of the event-value distribution: first
+    half of the month (reference) vs second half (current), quartile
+    boundaries from EXACT reference order statistics (histogram-refinement
+    passes), Laplace-smoothed per-bin shares, per-bin ln terms rounded 9dp
+    (no float reduction anywhere). The oracle recomputes the boundaries by
+    rank and replays the same arithmetic."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        exact_order_statistic,
+        psi_report,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.dayofmonth("ts").alias("dom"),
+        F.floor(F.col("value") * 100).alias("c"),
+    )
+    ref = ev.filter(F.col("dom") <= 15).select("c")
+    cur = ev.filter(F.col("dom") > 15).select("c")
+    bounds = [exact_order_statistic(ref, "c", q)[2] for q in (0.25, 0.5, 0.75)]
+    return psi_report(ref, cur, "c", bounds)
+
+
 def q_stats_linear_trend(spark, sf_dir):
     """Per-priority least-squares trend of order value (floor-cents) over
     order date (days since 1992-01-01): the five sums accumulate EXACTLY in
@@ -2895,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_chi_square": q_stats_chi_square,
         "events_streaks": q_events_streaks,
         "stats_linear_trend": q_stats_linear_trend,
+        "stats_psi_drift": q_stats_psi_drift,
     }
 
 
@@ -5443,5 +5466,57 @@ def oracle_sql() -> dict[str, str]:
                                / ((n * sxx - sx * sx) * (n * syy - sy * sy))
                      END, 6) AS r2
         FROM s
+    """
+    d["stats_psi_drift"] = """
+        WITH ev AS (
+            SELECT CAST(date_part('day', ts) AS INTEGER) AS dom,
+                   CAST(floor(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        ref AS (SELECT c FROM ev WHERE dom <= 15),
+        cur AS (SELECT c FROM ev WHERE dom > 15),
+        rr AS MATERIALIZED (
+            SELECT c, row_number() OVER (ORDER BY c) AS rn FROM ref
+        ),
+        nn AS (SELECT count(*) AS n FROM ref),
+        b AS (
+            SELECT
+                (SELECT c FROM rr, nn
+                 WHERE rn = CAST(ceil(0.25 * nn.n) AS BIGINT)) AS b1,
+                (SELECT c FROM rr, nn
+                 WHERE rn = CAST(ceil(0.5 * nn.n) AS BIGINT)) AS b2,
+                (SELECT c FROM rr, nn
+                 WHERE rn = CAST(ceil(0.75 * nn.n) AS BIGINT)) AS b3
+        ),
+        rbin AS (
+            SELECT CASE WHEN c <= b1 THEN 0 WHEN c <= b2 THEN 1
+                        WHEN c <= b3 THEN 2 ELSE 3 END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_ref
+            FROM ref CROSS JOIN b GROUP BY 1
+        ),
+        cbin AS (
+            SELECT CASE WHEN c <= b1 THEN 0 WHEN c <= b2 THEN 1
+                        WHEN c <= b3 THEN 2 ELSE 3 END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_cur
+            FROM cur CROSS JOIN b GROUP BY 1
+        ),
+        grid AS (SELECT unnest(range(0, 4)) AS bucket),
+        cells AS (
+            SELECT CAST(grid.bucket AS INTEGER) AS bucket,
+                   coalesce(rbin.n_ref, 0) AS n_ref,
+                   coalesce(cbin.n_cur, 0) AS n_cur
+            FROM grid LEFT JOIN rbin ON grid.bucket = rbin.bucket
+                      LEFT JOIN cbin ON grid.bucket = cbin.bucket
+        ),
+        tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM cells)
+        SELECT bucket, n_ref, n_cur,
+               round((n_ref + 1) / CAST(tr + 4 AS DOUBLE), 9) AS p_ref,
+               round((n_cur + 1) / CAST(tc + 4 AS DOUBLE), 9) AS p_cur,
+               round(((n_ref + 1) / CAST(tr + 4 AS DOUBLE)
+                      - (n_cur + 1) / CAST(tc + 4 AS DOUBLE))
+                     * ln(((n_ref + 1) / CAST(tr + 4 AS DOUBLE))
+                          / ((n_cur + 1) / CAST(tc + 4 AS DOUBLE))), 9)
+                   AS psi_term
+        FROM cells CROSS JOIN tot
     """
     return d

@@ -524,3 +524,70 @@ def grouped_linear_fit(
             F.when((dx > 0) & (dy > 0), cov * cov / (dx * dy)), 6
         ).alias("r2"),
     )
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    bounds: Sequence[int],
+) -> DataFrame:
+    """Population Stability Index between a reference and a current sample
+    of an integral column — the standard distribution-drift monitor for
+    features/scores in production ML. Bins come from literal ``bounds``
+    (typically exact quantiles of the reference period via
+    :func:`exact_order_statistic`); per bin b:
+
+        term_b = (p_b − q_b) · ln(p_b / q_b)
+
+    with Laplace-smoothed shares p = (c+1)/(N+k) so empty bins stay
+    finite. Counts are exact integers from one aggregate per side
+    (narrow CASE assignment over the literal bounds — no shuffle of
+    values, only per-bin counters); the ln terms are rounded to 9dp —
+    per-BIN values, not a float reduction, so there is no summation-order
+    exposure at all.
+
+    Output: one row per bin (bucket, n_ref, n_cur, p_ref, p_cur,
+    psi_term); PSI = Σ psi_term.
+    """
+    k = len(bounds) + 1
+
+    def bucketed(df: DataFrame, name: str) -> DataFrame:
+        c = F.col(col)
+        bucket = F.lit(0)
+        for i, b in enumerate(bounds):
+            bucket = F.when(c <= F.lit(int(b)), bucket).otherwise(
+                F.lit(i + 1)
+            )
+        return df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    grid = ref.sparkSession.range(k).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    cells = (
+        grid.join(bucketed(ref, "n_ref"), on="bucket", how="left")
+        .join(bucketed(cur, "n_cur"), on="bucket", how="left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    p = (F.col("n_ref") + 1) / (F.col("tr") + k).cast("double")
+    q = (F.col("n_cur") + 1) / (F.col("tc") + k).cast("double")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round(p, 9).alias("p_ref"),
+            F.round(q, 9).alias("p_cur"),
+            F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+        )
+    )

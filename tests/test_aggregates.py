@@ -370,3 +370,25 @@ def test_grouped_linear_fit_exact_line(spark):
     assert out["a"]["intercept"] == 7.0
     assert out["a"]["r2"] == 1.0
     assert out["b"]["slope"] is None and out["b"]["r2"] is None
+
+
+def test_psi_report_identical_and_shifted(spark):
+    import math
+
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        psi_report,
+    )
+
+    ref = spark.createDataFrame([(v,) for v in range(1, 101)], "c long")
+    # identical distributions -> every term 0
+    out = psi_report(ref, ref, "c", [25, 50, 75]).collect()
+    assert len(out) == 4
+    assert all(r["psi_term"] == 0.0 for r in out)
+    # fully shifted sample: everything lands in the last bin
+    cur = spark.createDataFrame([(v,) for v in range(200, 300)], "c long")
+    rows = {r["bucket"]: r for r in psi_report(ref, cur, "c", [25, 50, 75]).collect()}
+    assert rows[3]["n_cur"] == 100 and rows[0]["n_cur"] == 0
+    p, q = 26 / 104, 1 / 104
+    assert abs(rows[0]["psi_term"] - round((p - q) * math.log(p / q), 9)) < 1e-9
+    psi = sum(r["psi_term"] for r in rows.values())
+    assert psi > 1.0  # drastic drift
