@@ -257,6 +257,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["TakeOrderedAndProject", "BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "stats_chi_square": (["HashAggregate"], ["CartesianProduct"]),
+    "events_streaks": (["Window", "HashAggregate"], ["CartesianProduct"]),
+    # ONE aggregate computes all five sums; no window, no second pass
+    "stats_linear_trend": (
+        ["HashAggregate"],
+        ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"],
+    ),
+    "stats_psi_drift": (["HashAggregate"], ["CartesianProduct"]),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
