@@ -2190,6 +2190,26 @@ def q_clinical_kaplan_meier(spark, sf_dir):
     return kaplan_meier(cust, "c_mktsegment", "duration", "event")
 
 
+def q_stats_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D between URGENT and LOW order-value
+    distributions (floor-cents): exact integer per-value counts, merged-
+    grid cumulative CDFs, and a MAX — reduction-order independent by
+    construction, no quantization lane needed."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        ks_two_sample,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).alias("c"),
+    )
+    return ks_two_sample(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select("c"),
+        orders.filter(F.col("o_orderpriority") == "5-LOW").select("c"),
+        "c",
+    )
+
+
 def q_stats_psi_drift(spark, sf_dir):
     """Population Stability Index of the event-value distribution: first
     half of the month (reference) vs second half (current), quartile
@@ -2918,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaks": q_events_streaks,
         "stats_linear_trend": q_stats_linear_trend,
         "stats_psi_drift": q_stats_psi_drift,
+        "stats_ks_test": q_stats_ks_test,
     }
 
 
@@ -5518,5 +5539,35 @@ def oracle_sql() -> dict[str, str]:
                           / ((n_cur + 1) / CAST(tc + 4 AS DOUBLE))), 9)
                    AS psi_term
         FROM cells CROSS JOIN tot
+    """
+    d["stats_ks_test"] = """
+        WITH g AS (
+            SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS ca,
+                   CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END
+                       AS cb
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        grid AS (
+            SELECT v, CAST(sum(ca) AS BIGINT) AS c1,
+                   CAST(sum(cb) AS BIGINT) AS c2
+            FROM g GROUP BY v
+        ),
+        tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                       CAST(sum(c2) AS BIGINT) AS n2 FROM grid),
+        cum AS (
+            SELECT sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS k1,
+                   sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS k2,
+                   tot.n1, tot.n2
+            FROM grid CROSS JOIN tot
+        )
+        SELECT max(n1) AS n_a, max(n2) AS n_b,
+               round(max(abs(k1 / CAST(n1 AS DOUBLE)
+                             - k2 / CAST(n2 AS DOUBLE))), 9) AS d_stat
+        FROM cum
     """
     return d

@@ -591,3 +591,52 @@ def psi_report(
             F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
         )
     )
+
+
+def ks_two_sample(
+    a: DataFrame, b: DataFrame, col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic D = sup_x |F_a(x) − F_b(x)|
+    — the nonparametric "are these two samples from the same distribution?"
+    test (the distribution-level complement of the mean-level tests).
+
+    Shape: both sides collapse to per-distinct-value counts first (map-side
+    combined — the only corpus-sized shuffle), the two empirical CDFs are
+    cumulative sums over the merged value grid, and D is a MAX — which is
+    reduction-order independent, so no decimal-quantization lane is needed:
+    each |F_a − F_b| is a deterministic double of exact integer counts.
+
+    The cumulative window runs over the DISTINCT-value grid (bounded by
+    value cardinality, not corpus size); for an unbounded-cardinality
+    column, bucket it first (e.g. :func:`equi_depth_buckets`).
+
+    Output: one row (n_a, n_b, d_stat).
+    """
+    grid = (
+        a.select(F.col(col).alias("v"), F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+        .unionAll(
+            b.select(F.col(col).alias("v"), F.lit(0), F.lit(1))
+        )
+        .groupBy("v")
+        .agg(F.sum("ca").alias("c1"), F.sum("cb").alias("c2"))
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = grid.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    cum = grid.crossJoin(F.broadcast(tot)).select(
+        F.sum("c1").over(w).alias("k1"),
+        F.sum("c2").over(w).alias("k2"),
+        "n1",
+        "n2",
+    )
+    return cum.agg(
+        F.max("n1").alias("n_a"),
+        F.max("n2").alias("n_b"),
+        F.round(
+            F.max(F.abs(F.col("k1") / F.col("n1") - F.col("k2") / F.col("n2"))),
+            9,
+        ).alias("d_stat"),
+    )

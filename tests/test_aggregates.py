@@ -392,3 +392,22 @@ def test_psi_report_identical_and_shifted(spark):
     assert abs(rows[0]["psi_term"] - round((p - q) * math.log(p / q), 9)) < 1e-9
     psi = sum(r["psi_term"] for r in rows.values())
     assert psi > 1.0  # drastic drift
+
+
+def test_ks_two_sample_known_values(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        ks_two_sample,
+    )
+
+    # disjoint supports -> D = 1
+    a = spark.createDataFrame([(v,) for v in (1, 2, 3)], "c long")
+    b = spark.createDataFrame([(v,) for v in (10, 11)], "c long")
+    r = ks_two_sample(a, b, "c").collect()[0]
+    assert (r["n_a"], r["n_b"], r["d_stat"]) == (3, 2, 1.0)
+    # identical samples -> D = 0
+    r2 = ks_two_sample(a, a, "c").collect()[0]
+    assert r2["d_stat"] == 0.0
+    # hand case: a={1,2}, b={2,3}: D at v=1 is |1/2-0|=0.5
+    a3 = spark.createDataFrame([(1,), (2,)], "c long")
+    b3 = spark.createDataFrame([(2,), (3,)], "c long")
+    assert ks_two_sample(a3, b3, "c").collect()[0]["d_stat"] == 0.5

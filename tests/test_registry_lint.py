@@ -29,6 +29,7 @@ ALLOW_NESTED_LOOP = {
     "text_cooccurrence_pmi",   # pair/token totals: one-row broadcast join
     "stats_chi_square",        # r x c marginal grid: categorical-sized broadcast cross
     "stats_psi_drift",         # bin totals: one-row broadcast join
+    "stats_ks_test",           # sample totals: one-row broadcast join
 }
 
 _QUERIES = entrymod.queries()
