@@ -265,6 +265,7 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"],
     ),
     "stats_psi_drift": (["HashAggregate"], ["CartesianProduct"]),
+    "stats_ks_test": (["Window", "HashAggregate"], ["CartesianProduct"]),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
