@@ -2261,6 +2261,22 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_maf_gene_cooccurrence(spark, sf_dir):
+    """Pairwise mutation co-occurrence vs independence over the top-10
+    recurrent genes (the post-oncoprint exclusivity screen): exact integer
+    pair counts incl. zero-overlap pairs from the full gene grid; expected
+    and log2 ratio are single per-row float ops mirrored by the oracle."""
+    from iatlas_cbioportal_export_spark.operators.maf import (
+        gene_co_occurrence,
+    )
+
+    maf = _maf_shaped(spark, sf_dir).withColumn(
+        "Hugo_Symbol",
+        F.concat(F.lit("GENE"), (F.col("variant_id") % 40).cast("string")),
+    )
+    return gene_co_occurrence(maf, top_genes=10)
+
+
 def q_stats_chi_square(spark, sf_dir):
     """Pearson chi-square independence test: order priority × order status
     contingency. Exact integer observed counts/marginals; per-cell
@@ -2939,6 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_linear_trend": q_stats_linear_trend,
         "stats_psi_drift": q_stats_psi_drift,
         "stats_ks_test": q_stats_ks_test,
+        "maf_gene_cooccurrence": q_maf_gene_cooccurrence,
     }
 
 
@@ -5569,5 +5586,43 @@ def oracle_sql() -> dict[str, str]:
                round(max(abs(k1 / CAST(n1 AS DOUBLE)
                              - k2 / CAST(n2 AS DOUBLE))), 9) AS d_stat
         FROM cum
+    """
+    d["maf_gene_cooccurrence"] = """
+        WITH maf AS (
+            SELECT 'GENE' || CAST(o_orderkey % 40 AS VARCHAR) AS gene,
+                   'TSB-' || CAST(o_orderkey % 500 AS VARCHAR) AS s
+            FROM orders
+        ),
+        top AS (
+            SELECT gene, CAST(count(DISTINCT s) AS BIGINT) AS n_samples
+            FROM maf GROUP BY gene
+            ORDER BY n_samples DESC, gene LIMIT 10
+        ),
+        gs AS (
+            SELECT DISTINCT m.gene, m.s
+            FROM maf m JOIN top USING (gene)
+        ),
+        nt AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n FROM maf),
+        pb AS (
+            SELECT a.gene AS gene_a, b.gene AS gene_b,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM gs a JOIN gs b ON a.s = b.s AND a.gene < b.gene
+            GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT ta.gene AS gene_a, ta.n_samples AS n_a,
+                   tb.gene AS gene_b, tb.n_samples AS n_b
+            FROM top ta CROSS JOIN top tb
+            WHERE ta.gene < tb.gene
+        )
+        SELECT g.gene_a, g.gene_b, g.n_a, g.n_b,
+               coalesce(b.n_both, 0) AS n_both,
+               round(g.n_a * g.n_b / CAST(nt.n AS DOUBLE), 6) AS expected,
+               round(log2((coalesce(b.n_both, 0) + 1)
+                          / (g.n_a * g.n_b / CAST(nt.n AS DOUBLE) + 1)), 6)
+                   AS log2_ratio
+        FROM grid g
+        LEFT JOIN pb b ON b.gene_a = g.gene_a AND b.gene_b = g.gene_b
+        CROSS JOIN nt
     """
     return d

@@ -329,3 +329,84 @@ def oncoprint_matrix(
         .groupBy("gene", "gene_rank", "sample")
         .agg(F.count(F.lit(1)).alias("n_mutations"))
     )
+
+
+def gene_co_occurrence(
+    maf: DataFrame,
+    gene_col: str = "Hugo_Symbol",
+    sample_col: str = "Tumor_Sample_Barcode",
+    top_genes: int = 10,
+) -> DataFrame:
+    """Pairwise mutation co-occurrence / mutual-exclusivity screen over the
+    recurrently mutated genes — the analysis cBioPortal runs right after
+    the oncoprint: for each gene pair, how many samples carry BOTH
+    mutations vs the count expected under independence (n_a·n_b/N).
+    log2((observed+1)/(expected+1)) > 0 ⇒ co-occurring, < 0 ⇒ mutually
+    exclusive (the oncogenic-pathway signal).
+
+    Plan: the top-gene set comes from the same recurrence heap as
+    :func:`oncoprint_matrix` and BROADCASTS as a filter; distinct
+    (gene, sample) pairs then self-join on sample — per-sample fan-out is
+    bounded by the top-gene count (≤ C(top_genes, 2) pairs per sample),
+    so the pair shuffle is corpus-linear. Counts are exact integers; the
+    expected/log2 columns are single per-row float ops (round 6).
+
+    Output: (gene_a, gene_b, n_a, n_b, n_both, expected, log2_ratio)
+    with gene_a < gene_b.
+    """
+    top = (
+        maf.groupBy(F.col(gene_col).alias("gene"))
+        .agg(F.count_distinct(F.col(sample_col)).alias("n_samples"))
+        .orderBy(F.desc("n_samples"), "gene")
+        .limit(top_genes)
+        .select("gene", "n_samples")
+    )
+    gs = (
+        maf.select(
+            F.col(gene_col).alias("gene"), F.col(sample_col).alias("s")
+        )
+        .join(F.broadcast(top.select("gene")), on="gene")
+        .distinct()
+    )
+    n_total = maf.select(
+        F.count_distinct(F.col(sample_col)).alias("n")
+    )
+    a = gs.select(F.col("gene").alias("gene_a"), "s")
+    b = gs.select(F.col("gene").alias("gene_b"), "s")
+    both = (
+        a.join(b, on="s")
+        .filter(F.col("gene_a") < F.col("gene_b"))
+        .groupBy("gene_a", "gene_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = top.select(
+        F.col("gene").alias("gene_a"), F.col("n_samples").alias("n_a")
+    )
+    tb = top.select(
+        F.col("gene").alias("gene_b"), F.col("n_samples").alias("n_b")
+    )
+    # full pair grid (a tiny broadcast cross of the top-gene list with
+    # itself): pairs with ZERO shared samples are the mutual-exclusivity
+    # signal and must not vanish from the output
+    grid = ta.crossJoin(F.broadcast(tb)).filter(
+        F.col("gene_a") < F.col("gene_b")
+    )
+    e = F.col("n_a") * F.col("n_b") / F.col("n").cast("double")
+    return (
+        grid.join(both, on=["gene_a", "gene_b"], how="left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "gene_a",
+            "gene_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_both", F.lit(0)).alias("n_both"),
+            F.round(e, 6).alias("expected"),
+            F.round(
+                F.log2(
+                    (F.coalesce("n_both", F.lit(0)) + 1) / (e + 1)
+                ),
+                6,
+            ).alias("log2_ratio"),
+        )
+    )

@@ -203,3 +203,28 @@ def test_oncoprint_matrix_ranks_and_counts(spark):
     assert set(g for g, _ in out) == {"geneA", "geneB"}
     assert out[("geneA", "s1")] == (1, 1)
     assert out[("geneB", "s1")] == (2, 2)
+
+
+def test_gene_co_occurrence_counts_and_exclusive_pairs(spark):
+    from iatlas_cbioportal_export_spark.operators.maf import (
+        gene_co_occurrence,
+    )
+
+    rows = [
+        # A & B co-occur in s1, s2; C never overlaps A/B (exclusive)
+        ("A", "s1"), ("B", "s1"), ("A", "s2"), ("B", "s2"),
+        ("A", "s3"), ("C", "s4"), ("C", "s5"),
+    ]
+    df = spark.createDataFrame(
+        rows, "Hugo_Symbol string, Tumor_Sample_Barcode string"
+    )
+    out = {
+        (r["gene_a"], r["gene_b"]): r
+        for r in gene_co_occurrence(df, top_genes=3).collect()
+    }
+    assert out[("A", "B")]["n_both"] == 2
+    assert out[("A", "C")]["n_both"] == 0          # exclusivity row kept
+    assert out[("A", "C")]["log2_ratio"] < 0
+    assert out[("A", "B")]["log2_ratio"] > 0
+    # expected under independence: n_a * n_b / N  (N = 5 samples)
+    assert out[("A", "B")]["expected"] == round(3 * 2 / 5, 6)

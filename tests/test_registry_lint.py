@@ -30,6 +30,7 @@ ALLOW_NESTED_LOOP = {
     "stats_chi_square",        # r x c marginal grid: categorical-sized broadcast cross
     "stats_psi_drift",         # bin totals: one-row broadcast join
     "stats_ks_test",           # sample totals: one-row broadcast join
+    "maf_gene_cooccurrence",   # top-gene pair grid + totals: tiny broadcast crosses
 }
 
 _QUERIES = entrymod.queries()

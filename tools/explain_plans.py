@@ -266,6 +266,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     "stats_psi_drift": (["HashAggregate"], ["CartesianProduct"]),
     "stats_ks_test": (["Window", "HashAggregate"], ["CartesianProduct"]),
+    "maf_gene_cooccurrence": (
+        ["HashAggregate"],
+        ["CartesianProduct"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
