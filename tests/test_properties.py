@@ -116,3 +116,83 @@ def test_redact_pii_leaves_clean_text_alone(spark, docs):
     for i, doc in enumerate(docs):
         for name, rx, _tok in PII_PATTERNS:
             assert out[i][f"n_{name}"] == len(re.findall(rx, doc)), (name, doc)
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    names=st.lists(
+        st.text(alphabet=st.sampled_from(list("abc01")), min_size=0, max_size=8),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    ),
+    d=st.sampled_from([1, 2]),
+)
+def test_fuzzy_join_equals_brute_force(spark, names, d):
+    """Symmetric-delete blocking completeness: the blocked join's pair set
+    must EQUAL all-pairs levenshtein <= d on arbitrary short strings
+    (including empty strings and repeated-character degenerates)."""
+    from iatlas_cbioportal_export_spark.operators.entity import (
+        fuzzy_join_edit_distance,
+    )
+
+    left = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, name string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, n) for i, n in enumerate(names)], "id long, name string"
+    )
+    got = {
+        (r["l_id"], r["r_id"]): r["edit_distance"]
+        for r in fuzzy_join_edit_distance(
+            left, right, "id", "name", "id", "name", max_distance=d
+        ).collect()
+    }
+    want = {
+        (i, 100 + j): _lev(a, b)
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if _lev(a, b) <= d
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=texts, k=st.sampled_from([2, 3]))
+def test_duplicated_spans_match_python_reference(spark, docs, k):
+    from collections import defaultdict
+
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    toks = {i: [t for t in re.split(r"\s+", d) if t] for i, d in enumerate(docs)}
+    windows = {
+        i: [tuple(ts[j : j + k]) for j in range(len(ts) - k + 1)]
+        for i, ts in toks.items()
+    }
+    owners = defaultdict(set)
+    for i, ws in windows.items():
+        for w in ws:
+            owners[w].add(i)
+    expect = {
+        i: (
+            len(ws),
+            sum(1 for w in ws if len(owners[w]) >= 2),
+        )
+        for i, ws in windows.items()
+    }
+    got = {
+        r["id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in duplicated_spans(_df(spark, docs), k=k).collect()
+    }
+    assert got == expect
