@@ -196,3 +196,90 @@ def test_duplicated_spans_match_python_reference(spark, docs, k):
         for r in duplicated_spans(_df(spark, docs), k=k).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    k=st.sampled_from([1, 2, 3]),
+)
+def test_pagerank_matches_integer_reference_random_graphs(spark, edges, k):
+    """Random digraphs (self-loops, dangling nodes, duplicate edges):
+    the distributed ranks equal the exact integer reference at every
+    iteration count."""
+    from collections import defaultdict
+
+    from iatlas_cbioportal_export_spark.operators.graph import pagerank
+
+    dedup = sorted(set(edges))
+    df = spark.createDataFrame(dedup, "src long, dst long")
+    got = {
+        r["node"]: r["rank_int"]
+        for r in pagerank(df, iterations=k).collect()
+    }
+    scale = 10**12
+    nodes = sorted({n for e in dedup for n in e})
+    od = defaultdict(int)
+    for s, _ in dedup:
+        od[s] += 1
+    tp = scale * 15 // 100
+    rank = {n: scale for n in nodes}
+    for _ in range(k):
+        m = defaultdict(int)
+        for s, t in dedup:
+            m[t] += (rank[s] * 85) // (100 * od[s])
+        rank = {n: tp + m[n] for n in nodes}
+    assert got == rank
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=texts, k=st.sampled_from([1, 3]))
+def test_bpe_train_matches_reference_random_corpora(spark, docs, k):
+    """Random corpora (whitespace runs, punctuation, empty docs): merges
+    AND final symbol table equal the greedy Python reference, including
+    argmax tie-breaks."""
+    from collections import Counter, defaultdict
+
+    from iatlas_cbioportal_export_spark.operators.text import (
+        bpe_symbol_table,
+        bpe_train_merges,
+    )
+
+    wf = Counter(w for t in docs for w in re.split(r"\s+", t) if w)
+    state = {w: list(w) for w in wf}
+    merges_ref = []
+    for _ in range(k):
+        pc = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            break
+        (a, b), cnt = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges_ref.append((a, b, cnt))
+        for w, syms in state.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            state[w] = out
+    syms_ref = defaultdict(int)
+    for w, syms in state.items():
+        for s in syms:
+            syms_ref[s] += wf[w]
+
+    merges, st_df = bpe_train_merges(_df(spark, docs), n_merges=k)
+    assert merges == merges_ref
+    got = {r["symbol"]: r["freq"] for r in bpe_symbol_table(st_df).collect()}
+    assert got == dict(syms_ref)
