@@ -283,3 +283,66 @@ def test_bpe_train_matches_reference_random_corpora(spark, docs, k):
     assert merges == merges_ref
     got = {r["symbol"]: r["freq"] for r in bpe_symbol_table(st_df).collect()}
     assert got == dict(syms_ref)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=40,
+    ),
+    q=st.sampled_from([0.01, 0.25, 0.5, 0.9, 1.0]),
+    nb=st.sampled_from([2, 7, 64]),
+)
+def test_exact_order_statistic_any_domain(spark, vals, q, nb):
+    """Histogram refinement returns the exact k-th order statistic for any
+    value distribution (duplicates, negatives, huge gaps) and any bucket
+    count — including n_buckets=2 (pure bisection)."""
+    import math
+
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        exact_order_statistic,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    n, k, v = exact_order_statistic(df, "c", q, n_buckets=nb)
+    kk = max(1, math.ceil(q * len(vals)))
+    assert (n, k) == (len(vals), kk)
+    assert v == sorted(vals)[kk - 1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # key
+            st.integers(min_value=0, max_value=500),    # start
+            st.integers(min_value=0, max_value=200),    # length
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    w=st.sampled_from([16, 100, 1000]),
+)
+def test_interval_overlap_equals_brute_force(spark, ivs, w):
+    """Grid-cell bucketed overlap join equals the all-pairs predicate for
+    any interval set and any cell width."""
+    from iatlas_cbioportal_export_spark.operators.joins import (
+        interval_self_overlap,
+    )
+
+    rows = [(k, i, s, s + ln) for i, (k, s, ln) in enumerate(ivs)]
+    df = spark.createDataFrame(rows, "k long, id long, s long, e long")
+    got = {
+        (r["k"], r["id_a"], r["id_b"]): r["overlap_seconds"]
+        for r in interval_self_overlap(
+            df, "k", "id", "s", "e", cell_width=w
+        ).collect()
+    }
+    want = {}
+    for ka, ia, sa, ea in rows:
+        for kb, ib, sb, eb in rows:
+            if ka == kb and ia < ib and sa <= eb and sb <= ea:
+                want[(ka, ia, ib)] = min(ea, eb) - max(sa, sb)
+    assert got == want
