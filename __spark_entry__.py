@@ -2261,6 +2261,19 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_emb_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss projection 64 → 16 dims through the
+    deterministic ±1 quadratic-parity matrix — narrow folds only, exploded to
+    (id, pos, value) scalars; the oracle replays the identical index-order
+    fold and sign formula."""
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return random_projection(emb, dim_out=16)
+
+
 def q_maf_gene_cooccurrence(spark, sf_dir):
     """Pairwise mutation co-occurrence vs independence over the top-10
     recurrent genes (the post-oncoprint exclusivity screen): exact integer
@@ -2956,6 +2969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_psi_drift": q_stats_psi_drift,
         "stats_ks_test": q_stats_ks_test,
         "maf_gene_cooccurrence": q_maf_gene_cooccurrence,
+        "emb_random_projection": q_emb_random_projection,
     }
 
 
@@ -5624,5 +5638,16 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g
         LEFT JOIN pb b ON b.gene_a = g.gene_a AND b.gene_b = g.gene_b
         CROSS JOIN nt
+    """
+    d["emb_random_projection"] = """
+        SELECT vec_id AS id, CAST(j.pos AS INTEGER) AS pos,
+               round(list_reduce(list_prepend(0.0,
+                   list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * (1 - 2 * ((((i - 1) * 131 + j.pos * 137 + 13)
+                                         * ((i - 1) * 131 + j.pos * 137 + 13)
+                                         % 1000003) % 2)))),
+                   (a, x) -> a + x) * 0.25, 6) AS value
+        FROM embeddings, (SELECT unnest(range(0, 16)) AS pos) j
     """
     return d

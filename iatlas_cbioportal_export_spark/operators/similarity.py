@@ -823,3 +823,56 @@ def query_lsh_index(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def random_projection(
+    df: DataFrame,
+    dim_out: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each vector
+    through a DETERMINISTIC ±1 matrix (sign from a fixed quadratic-parity
+    formula — no stored model, any engine/rebuild derives the identical
+    matrix, the same portability rule as the LSH hyperplanes) and scale by
+    1/√dim_out. JL preserves pairwise distances within (1±ε), which is why
+    it's the standard pre-ANN shrink for fat embeddings.
+
+    Entirely NARROW — one sequential fold per output lane, fold order fixed
+    by the input index so the double result is reduction-order
+    deterministic (the oracle replays the identical fold). Output is
+    exploded to (id, pos, value) rows — hashable scalars, and the long/thin
+    shape the quantizers downstream consume.
+    """
+    import math
+
+    inv = 1.0 / math.sqrt(dim_out)
+    vec = F.col(vec_col)
+
+    def lane(j: int):
+        # sign(i, j) = parity of (i·131 + j·137 + 13)² mod 1000003 —
+        # integer arithmetic any engine replays. The quadratic mix matters:
+        # a LINEAR form's parity is just (i + j) mod 2, which makes every
+        # lane ±the same alternating vector and projects constant vectors
+        # to ZERO (caught by the norm-preservation test).
+        def signed(x, i):
+            y = i * 131 + F.lit(j * 137 + 13)
+            return x.cast("double") * (
+                F.lit(1) - F.lit(2) * (((y * y) % 1_000_003) % 2)
+            )
+
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                signed,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) * F.lit(inv)
+
+    lanes = F.array(*[F.round(lane(j), 6) for j in range(dim_out)])
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(lanes).alias("pos", "value"),
+    )

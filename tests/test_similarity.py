@@ -345,3 +345,32 @@ def test_lsh_index_query_matches_adhoc_ann(spark):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS t_lsh_index")
+
+
+def test_random_projection_preserves_pairwise_distance_roughly(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        random_projection,
+    )
+
+    # two parallel vectors and one orthogonal-ish: JL keeps relative
+    # geometry; identical inputs project identically (determinism)
+    rows = [
+        (1, [1.0] * 64),
+        (2, [1.0] * 64),
+        (3, [(-1.0) ** i for i in range(64)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = random_projection(df, dim_out=16).collect()
+    v = {}
+    for r in out:
+        v.setdefault(r["id"], {})[r["pos"]] = r["value"]
+    assert v[1] == v[2]                       # deterministic matrix
+    assert len(v[1]) == 16
+    # norm preserved within JL distortion for the all-ones vector
+    n_in = math.sqrt(64)
+    n_out = math.sqrt(sum(x * x for x in v[1].values()))
+    assert 0.3 * n_in < n_out < 3 * n_in
