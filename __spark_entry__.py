@@ -2261,6 +2261,28 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix of event types per user stream
+    (funnel's deterministic order key, one lag window, |types|²-bounded
+    aggregate). Counts exact; probs are a single division mirrored by the
+    oracle."""
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        transition_matrix,
+    )
+
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
+def q_events_exp_smoothing(spark, sf_dir):
+    """Single exponential smoothing (α=0.3) of each event type's hourly
+    value series: exact decimal hourly sums, per-key ordered-array fold
+    (series length bounded by time buckets) — the oracle seeds DuckDB's
+    list_reduce with the first element exactly like the slice+seed fold."""
+    from iatlas_cbioportal_export_spark.streaming.events import exp_smoothing
+
+    return exp_smoothing(_t(spark, sf_dir, "events"), alpha=0.3)
+
+
 def q_emb_random_projection(spark, sf_dir):
     """Johnson-Lindenstrauss projection 64 → 16 dims through the
     deterministic ±1 quadratic-parity matrix — narrow folds only, exploded to
@@ -2970,6 +2992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ks_test": q_stats_ks_test,
         "maf_gene_cooccurrence": q_maf_gene_cooccurrence,
         "emb_random_projection": q_emb_random_projection,
+        "events_exp_smoothing": q_events_exp_smoothing,
+        "events_transition_matrix": q_events_transition_matrix,
     }
 
 
@@ -5649,5 +5673,50 @@ def oracle_sql() -> dict[str, str]:
                                          % 1000003) % 2)))),
                    (a, x) -> a + x) * 0.25, 6) AS value
         FROM embeddings, (SELECT unnest(range(0, 16)) AS pos) j
+    """
+    d["events_exp_smoothing"] = """
+        WITH hourly AS (
+            SELECT event_type AS k, date_trunc('hour', ts) AS h,
+                   sum(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        series AS (
+            SELECT k,
+                   list(CAST(v AS DOUBLE) ORDER BY h) AS vals
+            FROM hourly GROUP BY k
+        )
+        SELECT k AS event_type,
+               CAST(len(vals) AS INTEGER) AS n_hours,
+               round(vals[len(vals)], 6) AS last_value,
+               round(list_reduce(vals,
+                     (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc), 6)
+                   AS smoothed
+        FROM series
+    """
+    d["events_transition_matrix"] = """
+        WITH s AS (
+            SELECT user_id,
+                   (epoch_us(ts) // 1000000) * 1000000000 + event_id AS k,
+                   event_type AS t
+            FROM events
+        ),
+        steps AS (
+            SELECT t,
+                   lag(t) OVER (PARTITION BY user_id ORDER BY k) AS prev
+            FROM s
+        ),
+        counts AS (
+            SELECT prev AS from_type, t AS to_type,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM steps WHERE prev IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS rt
+            FROM counts GROUP BY from_type
+        )
+        SELECT c.from_type, c.to_type, c.n_transitions,
+               round(c.n_transitions / CAST(t.rt AS DOUBLE), 6) AS prob
+        FROM counts c JOIN totals t USING (from_type)
     """
     return d

@@ -651,3 +651,102 @@ def activity_streaks(
             "streak_days",
         )
     )
+
+
+def exp_smoothing(
+    events: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Single exponential smoothing over each key's HOURLY value series —
+    the first-line forecasting/denoising primitive (sₜ = α·vₜ + (1−α)·sₜ₋₁,
+    seeded with v₀): the smoothed last level IS the one-step-ahead
+    forecast.
+
+    A recursion over time looks sequential, but per KEY it is one fold:
+    hourly buckets aggregate exactly (decimal sums — the only corpus-sized
+    shuffle), each key's series collects into ONE ordered array (bounded
+    by the time-bucket count, not event count), and the recursion runs as
+    a sequential array fold — deterministic order, so the double result is
+    engine-replayable (DuckDB's list_reduce seeds from the first element;
+    the fold here does the same via slice+seed).
+
+    Output: (key, n_hours, last_value, smoothed) — smoothed to 6dp.
+    """
+    hourly = events.groupBy(
+        F.col(key_col).alias("k"),
+        F.date_trunc("hour", ts_col).alias("h"),
+    ).agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("v")
+    )
+    series = hourly.groupBy("k").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("h"), F.col("v")))
+        ).alias("sv")
+    )
+    vals = F.transform("sv", lambda s: s["v"].cast("double"))
+    a = F.lit(float(alpha))
+    smoothed = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+    )
+    return series.select(
+        F.col("k").alias(key_col),
+        F.size("sv").alias("n_hours"),
+        F.round(F.element_at(vals, -1), 6).alias("last_value"),
+        F.round(smoothed, 6).alias("smoothed"),
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream:
+    counts and row-normalized probabilities of event-type bigrams — the
+    behavioral model behind next-action prediction and anomaly scoring.
+
+    The deterministic order key is truncated-second epoch·1e9 + event id
+    (the funnel's total order, tie-safe and engine-replayable); transitions
+    come from ONE lag window per user, the matrix from one (from, to)
+    count aggregate (state bounded by |types|², not events), and
+    probabilities divide by broadcast row totals — exact integers until
+    the final division.
+
+    Output: (from_type, to_type, n_transitions, prob).
+    """
+    k = (
+        F.col(ts_col).cast("timestamp").cast("long") * F.lit(1_000_000_000)
+        + F.col(id_col)
+    )
+    w = Window.partitionBy(user_col).orderBy("k")
+    steps = (
+        events.select(
+            F.col(user_col), k.alias("k"), F.col(type_col).alias("t")
+        )
+        .withColumn("prev", F.lag("t").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    counts = steps.groupBy(
+        F.col("prev").alias("from_type"), F.col("t").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("row_total")
+    )
+    return (
+        counts.join(F.broadcast(totals), on="from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions") / F.col("row_total").cast("double"), 6
+            ).alias("prob"),
+        )
+    )

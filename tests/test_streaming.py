@@ -688,3 +688,54 @@ def test_activity_streaks_runs_and_gaps(spark):
         (1, "2024-01-05"): 1,
         (2, "2024-01-10"): 1,
     }
+
+
+def test_exp_smoothing_recursion(spark):
+    from iatlas_cbioportal_export_spark.streaming.events import exp_smoothing
+
+    # one key, three hourly buckets with values 10, 20, 40 (the second
+    # hour aggregates two events); alpha=0.5 -> s = ((10*.5+? seed 10)
+    # s1 = .5*20+.5*10 = 15; s2 = .5*40+.5*15 = 27.5
+    rows = [
+        (1, "2024-01-01 00:10:00", "click", 10.0),
+        (2, "2024-01-01 01:20:00", "click", 15.0),
+        (3, "2024-01-01 01:40:00", "click", 5.0),
+        (4, "2024-01-01 02:05:00", "click", 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "event_type", "value"
+    )
+    r = exp_smoothing(df, alpha=0.5).collect()[0]
+    assert (r["n_hours"], r["last_value"], r["smoothed"]) == (3, 40.0, 27.5)
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        transition_matrix,
+    )
+
+    rows = [
+        # user 7: view -> click -> view -> click ; user 8: view -> purchase
+        (1, "2024-01-01 00:00:01", 7, "view"),
+        (2, "2024-01-01 00:00:02", 7, "click"),
+        (3, "2024-01-01 00:00:03", 7, "view"),
+        (4, "2024-01-01 00:00:04", 7, "click"),
+        (5, "2024-01-01 00:00:01", 8, "view"),
+        (6, "2024-01-01 00:00:02", 8, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id", "event_type"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["prob"])
+        for r in transition_matrix(df).collect()
+    }
+    # from view: 2x click, 1x purchase; from click: 1x view
+    assert out[("view", "click")] == (2, round(2 / 3, 6))
+    assert out[("view", "purchase")] == (1, round(1 / 3, 6))
+    assert out[("click", "view")] == (1, 1.0)
+    assert ("purchase", "view") not in out  # no cross-user transition
