@@ -270,6 +270,20 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["CartesianProduct"],
     ),
+    # series collect is per-key ObjectHashAggregate; fold is narrow
+    "events_exp_smoothing": (
+        ["ObjectHashAggregate|SortAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "events_transition_matrix": (
+        ["Window", "HashAggregate", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # entirely narrow until the posexplode projection
+    "emb_random_projection": (
+        ["posexplode"],
+        ["Exchange", "CartesianProduct"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
