@@ -2261,6 +2261,27 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Triangle count of the part co-purchase graph (parts sharing an
+    order): degree-ordered wedge enumeration bounds the fan-out by √m per
+    vertex; the count is orientation-independent, so the oracle counts the
+    same triangles with the simple u<v<w three-way join."""
+    from iatlas_cbioportal_export_spark.operators.graph import (
+        count_triangles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnsRenamed({"l_partkey": "p1"})
+    b = li.withColumnsRenamed({"l_partkey": "p2"})
+    edges = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    return count_triangles(edges)
+
+
 def q_events_transition_matrix(spark, sf_dir):
     """First-order Markov transition matrix of event types per user stream
     (funnel's deterministic order key, one lag window, |types|²-bounded
@@ -2994,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_random_projection": q_emb_random_projection,
         "events_exp_smoothing": q_events_exp_smoothing,
         "events_transition_matrix": q_events_transition_matrix,
+        "graph_triangles": q_graph_triangles,
     }
 
 
@@ -5718,5 +5740,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.from_type, c.to_type, c.n_transitions,
                round(c.n_transitions / CAST(t.rt AS DOUBLE), 6) AS prob
         FROM counts c JOIN totals t USING (from_type)
+    """
+    d["graph_triangles"] = """
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        verts AS (
+            SELECT count(DISTINCT x) AS nv FROM (
+                SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+        ),
+        tri AS (
+            SELECT CAST(count(*) AS BIGINT) AS nt
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT CAST(verts.nv AS BIGINT) AS n_vertices,
+               (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+               tri.nt AS n_triangles
+        FROM verts CROSS JOIN tri
     """
     return d

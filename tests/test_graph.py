@@ -176,3 +176,22 @@ def test_pagerank_dangling_node_keeps_teleport_only(spark):
     scale, tp = 10**12, 10**12 * 15 // 100
     assert got[1] == tp
     assert got[2] == tp + (tp * 85) // 100
+
+
+def test_count_triangles_known_graphs(spark):
+    from iatlas_cbioportal_export_spark.operators.graph import (
+        count_triangles,
+    )
+
+    # K4 has 4 triangles; plus a pendant edge and a duplicate/reversed edge
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 9), (1, 0), (2, 2)]  # reversed dup + self-loop noise
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = count_triangles(df).collect()[0]
+    assert (r["n_vertices"], r["n_edges"], r["n_triangles"]) == (5, 7, 4)
+
+    # triangle-free: a star
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    assert count_triangles(star).collect()[0]["n_triangles"] == 0
