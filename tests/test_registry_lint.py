@@ -31,6 +31,7 @@ ALLOW_NESTED_LOOP = {
     "stats_psi_drift",         # bin totals: one-row broadcast join
     "stats_ks_test",           # sample totals: one-row broadcast join
     "maf_gene_cooccurrence",   # top-gene pair grid + totals: tiny broadcast crosses
+    "graph_triangles",         # stats assembly: one-row broadcast crosses
 }
 
 _QUERIES = entrymod.queries()

@@ -284,6 +284,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["posexplode"],
         ["Exchange", "CartesianProduct"],
     ),
+    # wedge + closing joins stay hash joins on rank-encoded longs
+    "graph_triangles": (
+        ["Scan ExistingRDD"],
+        ["CartesianProduct"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
