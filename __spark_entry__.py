@@ -2261,6 +2261,19 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """EXACT token-set Jaccard self-join at J ≥ 0.9 via rarest-first prefix
+    filtering (AllPairs/PPJoin family) — the exact-answer complement to the
+    MinHash tier. The oracle brute-forces all pairs, so pair-set AND value
+    equality is the completeness proof of the length+prefix filters."""
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_prefix_join(docs, threshold=0.9)
+
+
 def q_graph_triangles(spark, sf_dir):
     """Triangle count of the part co-purchase graph (parts sharing an
     order): degree-ordered wedge enumeration bounds the fan-out by √m per
@@ -3016,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_exp_smoothing": q_events_exp_smoothing,
         "events_transition_matrix": q_events_transition_matrix,
         "graph_triangles": q_graph_triangles,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     }
 
 
@@ -5760,5 +5774,19 @@ def oracle_sql() -> dict[str, str]:
                (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
                tri.nt AS n_triangles
         FROM verts CROSS JOIN tri
+    """
+    d["dedup_jaccard_prefix"] = f"""
+        WITH t AS MATERIALIZED (
+            SELECT doc_id, list_sort(list_distinct({_TOKS})) AS ts
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                     / (len(a.ts) + len(b.ts)
+                        - len(list_intersect(a.ts, b.ts))), 6) AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+              / (len(a.ts) + len(b.ts)
+                 - len(list_intersect(a.ts, b.ts))) >= 0.9
     """
     return d

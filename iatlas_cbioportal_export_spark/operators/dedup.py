@@ -606,3 +606,87 @@ def duplicated_spans(
             .alias("dup_window_fraction"),
         )
     )
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity self-join (J ≥ threshold) via
+    prefix filtering (the AllPairs/PPJoin family, Bayardo et al. 2007) —
+    the exact-answer complement to the MinHash tier: no probabilistic
+    recall, every qualifying pair returned, still no all-pairs product.
+
+    Filters (all provably complete):
+    - length: J(a,b) ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t;
+    - prefix: J ≥ t ⇒ |a∩b| ≥ ⌈t·|a|⌉, so the ⌊|a| − t·|a|⌋ + 1 RAREST
+      tokens of a (global (df, token) order — rarest-first keeps the
+      candidate blocks small; cf. the measured gram-entropy lesson in
+      operators/entity.py) must hit any true partner's prefix.
+
+    Verification fetches the two sorted token ARRAYS by id (doc-bounded
+    payload, candidates only — the near-dup vector-fetch pattern) and
+    computes exact |a∩b| via array_intersect. Shuffles: (id, token)
+    exploded pairs, then (id, id) candidates.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    t = float(threshold)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(F.array_distinct(tokens(text_col))).alias("ts"),
+    ).localCheckpoint(eager=False)
+    posting = toks.select(
+        "id", F.size("ts").alias("n"), F.explode("ts").alias("tok")
+    )
+    df_tbl = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # prefix length depends on the row's own set size (row-dependent slice)
+    pref_len = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
+    prefixes = (
+        posting.join(df_tbl, on="tok")
+        .groupBy("id", "n")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("tok")))
+            ).alias("ordered")
+        )
+        .select(
+            "id",
+            "n",
+            F.explode(
+                F.slice(F.col("ordered.tok"), F.lit(1), pref_len)
+            ).alias("tok"),
+        )
+    )
+    a = prefixes.select(
+        F.col("id").alias("id_a"), F.col("n").alias("na"), "tok"
+    )
+    b = prefixes.select(
+        F.col("id").alias("id_b"), F.col("n").alias("nb"), "tok"
+    )
+    cand = (
+        a.join(b, on="tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("nb") >= F.ceil(F.lit(t) * F.col("na")))
+            & (F.col("na") >= F.ceil(F.lit(t) * F.col("nb")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("id_a"), F.col("ts").alias("tsa"))
+    tb = toks.select(F.col("id").alias("id_b"), F.col("ts").alias("tsb"))
+    inter = F.size(F.array_intersect("tsa", "tsb"))
+    union = F.size("tsa") + F.size("tsb") - inter
+    return (
+        cand.join(ta, on="id_a")
+        .join(tb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )

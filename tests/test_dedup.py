@@ -204,3 +204,23 @@ def test_duplicated_spans_exact_dup_docs_fully_covered(docs):
     assert out[1]["dup_window_fraction"] == 1.0
     assert out[2]["dup_window_fraction"] == 1.0
     assert out[4]["n_dup_windows"] == 0
+
+
+def test_jaccard_prefix_join_exact_small(spark):
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    rows = [
+        (1, "a b c d"),
+        (2, "a b c e"),     # J(1,2) = 3/5 = 0.6
+        (3, "a b c d"),     # J(1,3) = 1.0, J(2,3) = 0.6
+        (4, "x y z"),       # nothing
+        (5, "a"),           # J with 1: 1/4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_prefix_join(df, threshold=0.6).collect()
+    }
+    assert got == {(1, 2): 0.6, (1, 3): 1.0, (2, 3): 0.6}
