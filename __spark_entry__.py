@@ -2261,6 +2261,26 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_sim_item_cf(spark, sf_dir):
+    """Item-item collaborative filtering over the customer↔part interaction
+    log (orders ⋈ lineitem): cosine over binary user vectors =
+    c_ij/√(c_i·c_j), per-user pair fan-out capped, top-100 by support. The
+    oracle replays the same pair counts and division."""
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        item_cooccurrence_similarity,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+    )
+    return item_cooccurrence_similarity(inter, top_n=100)
+
+
 def q_dedup_jaccard_prefix(spark, sf_dir):
     """EXACT token-set Jaccard self-join at J ≥ 0.9 via rarest-first prefix
     filtering (AllPairs/PPJoin family) — the exact-answer complement to the
@@ -3030,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transition_matrix": q_events_transition_matrix,
         "graph_triangles": q_graph_triangles,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "sim_item_cf": q_sim_item_cf,
     }
 
 
@@ -5788,5 +5809,27 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
               / (len(a.ts) + len(b.ts)
                  - len(list_intersect(a.ts, b.ts))) >= 0.9
+    """
+    d["sim_item_cf"] = """
+        WITH ui AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        ic AS MATERIALIZED (
+            SELECT i, CAST(count(*) AS BIGINT) AS ci FROM ui GROUP BY i
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.i AS item_a, b.i AS item_b,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+            GROUP BY 1, 2
+        )
+        SELECT p.item_a, p.item_b, p.n_both,
+               round(p.n_both / sqrt(CAST(ca.ci AS DOUBLE) * cb.ci), 6)
+                   AS cosine
+        FROM pairs p JOIN ic ca ON p.item_a = ca.i
+                     JOIN ic cb ON p.item_b = cb.i
+        ORDER BY p.n_both DESC, p.item_a, p.item_b
+        LIMIT 100
     """
     return d

@@ -876,3 +876,64 @@ def random_projection(
         F.col(id_col).alias("id"),
         F.posexplode(lanes).alias("pos", "value"),
     )
+
+
+def item_cooccurrence_similarity(
+    interactions: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    top_n: int = 100,
+    max_user_items: int = 1000,
+) -> DataFrame:
+    """Item-item collaborative-filtering similarity from an interaction
+    log: cosine over binary user vectors, which reduces to
+    ``c_ij / √(c_i·c_j)`` with c_ij = users who touched both items — the
+    classic co-occurrence recommender ("users who bought X also bought Y").
+
+    Plan: interactions dedup to DISTINCT (user, item) (map-side combined);
+    pairs are generated PER USER by a self-join on the user key, so the
+    fan-out is Σ_user items_u² — bounded by ``max_user_items`` (users over
+    the cap are dropped with a narrow pre-filter; a user touching
+    everything contributes no signal and quadratic rows — the hot-bucket
+    cap rule from the LSH tiers). Item totals broadcast back; the top-N is
+    a TakeOrderedAndProject heap.
+
+    Output: (item_a, item_b, n_both, cosine) — top_n by (n_both desc,
+    item_a, item_b), item_a < item_b.
+    """
+    ui = interactions.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).distinct()
+    per_user = ui.groupBy("u").agg(F.count(F.lit(1)).alias("nu"))
+    ui = ui.join(
+        F.broadcast(per_user.filter(F.col("nu") <= max_user_items)),
+        on="u",
+        how="left_semi",
+    )
+    item_counts = ui.groupBy("i").agg(F.count(F.lit(1)).alias("ci"))
+    a = ui.select("u", F.col("i").alias("item_a"))
+    b = ui.select("u", F.col("i").alias("item_b"))
+    pairs = (
+        a.join(b, on="u")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = item_counts.withColumnsRenamed({"i": "item_a", "ci": "ca"})
+    cb = item_counts.withColumnsRenamed({"i": "item_b", "ci": "cb"})
+    return (
+        pairs.join(F.broadcast(ca), on="item_a")
+        .join(F.broadcast(cb), on="item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / F.sqrt(F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("n_both"), "item_a", "item_b")
+        .limit(top_n)
+    )

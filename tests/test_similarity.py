@@ -374,3 +374,34 @@ def test_random_projection_preserves_pairwise_distance_roughly(spark):
     n_in = math.sqrt(64)
     n_out = math.sqrt(sum(x * x for x in v[1].values()))
     assert 0.3 * n_in < n_out < 3 * n_in
+
+
+def test_item_cf_cosine_and_cap(spark):
+    import math
+
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        item_cooccurrence_similarity,
+    )
+
+    rows = [
+        # items 1,2 shared by users a,b; item 3 only with a; dup interaction
+        ("a", 1), ("a", 2), ("a", 3), ("a", 1),
+        ("b", 1), ("b", 2),
+        ("c", 9),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, item_id long")
+    out = {
+        (r["item_a"], r["item_b"]): (r["n_both"], r["cosine"])
+        for r in item_cooccurrence_similarity(df).collect()
+    }
+    # c_1=2, c_2=2, c_12=2 -> cosine 1.0; c_13=1 -> 1/sqrt(2*1)
+    assert out[(1, 2)] == (2, 1.0)
+    assert out[(1, 3)] == (1, round(1 / math.sqrt(2), 6))
+    assert (3, 9) not in out
+    # cap: a hyper-user is dropped entirely
+    spam = [("z", i) for i in range(50)]
+    df2 = spark.createDataFrame(rows + spam, "user_id string, item_id long")
+    capped = item_cooccurrence_similarity(df2, max_user_items=10)
+    assert {(r["item_a"], r["item_b"]) for r in capped.collect()} == {
+        (1, 2), (1, 3), (2, 3),
+    }
