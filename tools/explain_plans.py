@@ -289,6 +289,15 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan ExistingRDD"],
         ["CartesianProduct"],
     ),
+    "dedup_jaccard_prefix": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # per-user pair join + broadcast totals + top-N heap
+    "sim_item_cf": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
