@@ -2261,6 +2261,33 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_stats_ab_ztest(spark, sf_dir):
+    """Two-proportion z-test over a deterministic A/B split (user_id mod 2):
+    unit = user, success = "ever purchased". Exact integer counts, scalar
+    float ops only; oracle replays the pooled-variance formula."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        two_proportion_ztest,
+    )
+
+    units = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("converted")
+        )
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("bucket"),
+            "converted",
+        )
+    )
+    return two_proportion_ztest(units, "user_id", "bucket", "converted")
+
+
 def q_sim_item_cf(spark, sf_dir):
     """Item-item collaborative filtering over the customer↔part interaction
     log (orders ⋈ lineitem): cosine over binary user vectors =
@@ -3051,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "sim_item_cf": q_sim_item_cf,
+        "stats_ab_ztest": q_stats_ab_ztest,
     }
 
 
@@ -5831,5 +5859,36 @@ def oracle_sql() -> dict[str, str]:
                      JOIN ic cb ON p.item_b = cb.i
         ORDER BY p.n_both DESC, p.item_a, p.item_b
         LIMIT 100
+    """
+    d["stats_ab_ztest"] = """
+        WITH units AS (
+            SELECT user_id,
+                   CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS bk,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM events GROUP BY user_id
+        ),
+        per AS (
+            SELECT bk, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(converted) AS BIGINT) AS conv
+            FROM units GROUP BY bk
+        ),
+        j AS (
+            SELECT a.bk AS bucket_a, a.n AS n_a, a.conv AS conv_a,
+                   b.bk AS bucket_b, b.n AS n_b, b.conv AS conv_b
+            FROM per a CROSS JOIN per b
+            WHERE a.bk = 'A' AND b.bk = 'B'
+        )
+        SELECT bucket_a, bucket_b, n_a, n_b, conv_a, conv_b,
+               round(conv_a / CAST(n_a AS DOUBLE), 6) AS p_a,
+               round(conv_b / CAST(n_b AS DOUBLE), 6) AS p_b,
+               round((conv_a / CAST(n_a AS DOUBLE)
+                      - conv_b / CAST(n_b AS DOUBLE))
+                     / sqrt(((conv_a + conv_b)
+                             / CAST(n_a + n_b AS DOUBLE))
+                            * (1.0 - (conv_a + conv_b)
+                               / CAST(n_a + n_b AS DOUBLE))
+                            * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+        FROM j
     """
     return d

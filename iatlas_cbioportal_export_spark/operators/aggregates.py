@@ -640,3 +640,63 @@ def ks_two_sample(
             9,
         ).alias("d_stat"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    unit_col: str,
+    bucket_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test — the A/B experiment readout: conversion rate
+    per bucket, pooled-variance z statistic
+    ``z = (p̂₁ − p̂₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂))``.
+
+    ``df`` is UNIT-level (one row per experimental unit with its bucket
+    and 0/1 success — dedupe events upstream); counts are exact integers
+    from one aggregate, the statistic is a handful of scalar float ops on
+    them (deterministic — no reductions over floats anywhere). Buckets are
+    the two distinct ``bucket_col`` values (lexicographic a < b).
+
+    Output: one row (bucket_a, bucket_b, n_a, n_b, conv_a, conv_b,
+    p_a, p_b, z).
+    """
+    per = df.groupBy(F.col(bucket_col).alias("bk")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(success_col).cast("long")).alias("conv"),
+    )
+    a = per.orderBy("bk").limit(1).select(
+        F.col("bk").alias("bucket_a"),
+        F.col("n").alias("n_a"),
+        F.col("conv").alias("conv_a"),
+    )
+    b = per.orderBy(F.desc("bk")).limit(1).select(
+        F.col("bk").alias("bucket_b"),
+        F.col("n").alias("n_b"),
+        F.col("conv").alias("conv_b"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    p1 = F.col("conv_a") / F.col("n_a").cast("double")
+    p2 = F.col("conv_b") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (p1 - p2) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a")
+            + F.lit(1.0) / F.col("n_b")
+        )
+    )
+    return j.select(
+        "bucket_a",
+        "bucket_b",
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p1, 6).alias("p_a"),
+        F.round(p2, 6).alias("p_b"),
+        F.round(z, 6).alias("z"),
+    )

@@ -411,3 +411,29 @@ def test_ks_two_sample_known_values(spark):
     a3 = spark.createDataFrame([(1,), (2,)], "c long")
     b3 = spark.createDataFrame([(2,), (3,)], "c long")
     assert ks_two_sample(a3, b3, "c").collect()[0]["d_stat"] == 0.5
+
+
+def test_two_proportion_ztest_hand_computed(spark):
+    import math
+
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        two_proportion_ztest,
+    )
+
+    # A: 3/4 convert; B: 1/4 convert
+    rows = (
+        [(i, "A", 1) for i in range(3)] + [(3, "A", 0)]
+        + [(10, "B", 1)] + [(11 + i, "B", 0) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "uid long, bucket string, conv int")
+    r = two_proportion_ztest(df, "uid", "bucket", "conv").collect()[0]
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (4, 3, 4, 1)
+    p, q, pp = 0.75, 0.25, 0.5
+    z = (p - q) / math.sqrt(pp * 0.5 * (0.25 + 0.25))
+    assert r["z"] == round(z, 6)
+    # identical buckets -> z == 0
+    df2 = spark.createDataFrame(
+        [(1, "A", 1), (2, "A", 0), (3, "B", 1), (4, "B", 0)],
+        "uid long, bucket string, conv int",
+    )
+    assert two_proportion_ztest(df2, "uid", "bucket", "conv").collect()[0]["z"] == 0.0

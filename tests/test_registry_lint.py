@@ -32,6 +32,7 @@ ALLOW_NESTED_LOOP = {
     "stats_ks_test",           # sample totals: one-row broadcast join
     "maf_gene_cooccurrence",   # top-gene pair grid + totals: tiny broadcast crosses
     "graph_triangles",         # stats assembly: one-row broadcast crosses
+    "stats_ab_ztest",          # two one-row bucket frames crossed
 }
 
 _QUERIES = entrymod.queries()
