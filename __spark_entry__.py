@@ -2263,19 +2263,26 @@ def q_events_streaks(spark, sf_dir):
 
 def q_stats_ab_ztest(spark, sf_dir):
     """Two-proportion z-test over a deterministic A/B split (user_id mod 2):
-    unit = user, success = "ever purchased". Exact integer counts, scalar
-    float ops only; oracle replays the pooled-variance formula."""
+    unit = user, success = "the user's FIRST event (funnel order key) is a
+    purchase" — a rate that stays strictly inside (0,1) at every SF, unlike
+    ever-purchased which saturates and zeroes the pooled variance. Exact
+    integer counts, scalar float ops only; oracle replays the formula."""
     from iatlas_cbioportal_export_spark.operators.aggregates import (
         two_proportion_ztest,
     )
 
+    ev = _t(spark, sf_dir, "events")
+    k = (
+        F.col("ts").cast("timestamp").cast("long") * F.lit(1_000_000_000)
+        + F.col("event_id")
+    )
     units = (
-        _t(spark, sf_dir, "events")
+        ev.select("user_id", k.alias("k"), "event_type")
         .groupBy("user_id")
         .agg(
-            F.max(
-                (F.col("event_type") == "purchase").cast("int")
-            ).alias("converted")
+            (F.min_by("event_type", "k") == "purchase")
+            .cast("int")
+            .alias("converted")
         )
         .select(
             "user_id",
@@ -5864,8 +5871,10 @@ def oracle_sql() -> dict[str, str]:
         WITH units AS (
             SELECT user_id,
                    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS bk,
-                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                       AS converted
+                   CASE WHEN arg_min(event_type,
+                                     (epoch_us(ts) // 1000000) * 1000000000
+                                     + event_id) = 'purchase'
+                        THEN 1 ELSE 0 END AS converted
             FROM events GROUP BY user_id
         ),
         per AS (

@@ -681,14 +681,14 @@ def two_proportion_ztest(
     pp = (F.col("conv_a") + F.col("conv_b")) / (
         F.col("n_a") + F.col("n_b")
     ).cast("double")
-    z = (p1 - p2) / F.sqrt(
-        pp
-        * (F.lit(1.0) - pp)
-        * (
-            F.lit(1.0) / F.col("n_a")
-            + F.lit(1.0) / F.col("n_b")
-        )
+    # degenerate experiments (everyone or no one converts → pooled variance
+    # 0) must yield NULL, not 0/0: under ANSI mode (the default in bare
+    # Spark 4 sessions — i.e. the driver harness) the raw division is a
+    # hard DIVIDE_BY_ZERO error, found exactly this way
+    var = pp * (F.lit(1.0) - pp) * (
+        F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")
     )
+    z = F.when(var > 0, (p1 - p2) / F.sqrt(var))
     return j.select(
         "bucket_a",
         "bucket_b",

@@ -437,3 +437,16 @@ def test_two_proportion_ztest_hand_computed(spark):
         "uid long, bucket string, conv int",
     )
     assert two_proportion_ztest(df2, "uid", "bucket", "conv").collect()[0]["z"] == 0.0
+
+
+def test_two_proportion_ztest_degenerate_yields_null(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        two_proportion_ztest,
+    )
+
+    # everyone converts -> pooled variance 0 -> z NULL (ANSI-safe)
+    df = spark.createDataFrame(
+        [(1, "A", 1), (2, "A", 1), (3, "B", 1)],
+        "uid long, bucket string, conv int",
+    )
+    assert two_proportion_ztest(df, "uid", "bucket", "conv").collect()[0]["z"] is None
