@@ -2261,6 +2261,64 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_graph_kcore(spark, sf_dir):
+    """Fixed-round (4) k-core peeling of the part co-purchase graph at
+    k=90: per-round survivor counts as the periphery evaporates. The
+    oracle replays the rounds as generated chained CTEs (the PageRank/BPE
+    pattern)."""
+    from iatlas_cbioportal_export_spark.operators.graph import kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnsRenamed({"l_partkey": "p1"})
+    b = li.withColumnsRenamed({"l_partkey": "p2"})
+    edges = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    return kcore_peel(edges, k=90, rounds=4)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Generated chained-CTE twin of q_graph_kcore: one degree/alive/edge
+    block per round, MATERIALIZED (same exponential-inlining reason as the
+    BPE oracle)."""
+    sql = [
+        """
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        sql.append(
+            f""",
+        d{r} AS MATERIALIZED (
+            SELECT x, count(*) AS c FROM (
+                SELECT u AS x FROM e{r - 1}
+                UNION ALL SELECT v FROM e{r - 1}) GROUP BY x
+        ),
+        a{r} AS MATERIALIZED (SELECT x FROM d{r} WHERE c >= {k}),
+        e{r} AS MATERIALIZED (
+            SELECT e.u, e.v FROM e{r - 1} e
+            JOIN a{r} au ON e.u = au.x
+            JOIN a{r} av ON e.v = av.x
+        ),
+        s{r} AS (
+            SELECT {r} AS round,
+                   (SELECT CAST(count(DISTINCT x) AS BIGINT) FROM (
+                        SELECT u AS x FROM e{r}
+                        UNION ALL SELECT v FROM e{r})) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges
+        )"""
+        )
+    unions = " UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(1, rounds + 1))
+    sql.append(f"\n        SELECT CAST(round AS INTEGER) AS round, n_nodes, n_edges FROM ({unions})")
+    return "".join(sql)
+
+
 def q_stats_ab_ztest(spark, sf_dir):
     """Two-proportion z-test over a deterministic A/B split (user_id mod 2):
     unit = user, success = "the user's FIRST event (funnel order key) is a
@@ -3086,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "sim_item_cf": q_sim_item_cf,
         "stats_ab_ztest": q_stats_ab_ztest,
+        "graph_kcore": q_graph_kcore,
     }
 
 
@@ -5900,4 +5959,5 @@ def oracle_sql() -> dict[str, str]:
                             * (1.0 / n_a + 1.0 / n_b)), 6) AS z
         FROM j
     """
+    d["graph_kcore"] = _kcore_oracle(k=90, rounds=4)
     return d

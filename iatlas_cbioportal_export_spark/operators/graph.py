@@ -385,3 +385,60 @@ def count_triangles(
     return stats.crossJoin(F.broadcast(tri)).select(
         "n_vertices", "n_edges", "n_triangles"
     )
+
+
+def kcore_peel(
+    pairs: DataFrame,
+    k: int,
+    rounds: int = 4,
+    left_col: str = "src",
+    right_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly drop vertices of degree < k
+    and the edges touching them — the dense-subgraph extractor (spam rings,
+    co-purchase cores, community nuclei). Full k-core = peel to fixpoint;
+    a FIXED round count keeps the computation deterministic-shaped for
+    oracle replay (rounds are a parameter, exactly like the PageRank/BPE
+    iteration counts) and each round's survivor counts are the useful
+    telemetry anyway (how fast the periphery evaporates).
+
+    Per round: one degree aggregate over the edge list + two semi-joins
+    (only (node) and (u,v) id pairs shuffle); state is the surviving edge
+    list, lineage-truncated per round.
+
+    Output: (round, n_nodes, n_edges) for rounds 1..``rounds``.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(left_col), F.col(right_col)).alias("u"),
+            F.greatest(F.col(left_col), F.col(right_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    stats: list[tuple[int, int, int]] = []
+    for r in range(1, rounds + 1):
+        deg = (
+            e.select(F.col("u").alias("x"))
+            .union(e.select("v"))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        alive = deg.filter(F.col("c") >= k).select("x")
+        e = (
+            e.join(alive.withColumnRenamed("x", "u"), on="u", how="left_semi")
+            .join(alive.withColumnRenamed("x", "v"), on="v", how="left_semi")
+            .localCheckpoint(eager=False)
+        )
+        row = e.agg(F.count(F.lit(1)).alias("ne")).collect()[0]
+        n_nodes = (
+            e.select(F.col("u").alias("x"))
+            .union(e.select("v"))
+            .distinct()
+            .count()
+        )
+        stats.append((r, int(n_nodes), int(row["ne"])))
+    return pairs.sparkSession.createDataFrame(
+        stats, "round int, n_nodes long, n_edges long"
+    )

@@ -195,3 +195,19 @@ def test_count_triangles_known_graphs(spark):
         [(0, i) for i in range(1, 6)], "src long, dst long"
     )
     assert count_triangles(star).collect()[0]["n_triangles"] == 0
+
+
+def test_kcore_peel_rounds(spark):
+    from iatlas_cbioportal_export_spark.operators.graph import kcore_peel
+
+    # K4 (all degree 3) + a tail 3-4-5: k=2 peels the tail in two rounds
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["round"]: (r["n_nodes"], r["n_edges"])
+           for r in kcore_peel(df, k=2, rounds=3).collect()}
+    # round 1: node 5 (deg 1) dies -> edge (4,5) gone; 4 now deg 1
+    assert out[1] == (5, 7)
+    # round 2: node 4 dies -> (3,4) gone; K4 remains (stable 2-core)
+    assert out[2] == (4, 6)
+    assert out[3] == (4, 6)

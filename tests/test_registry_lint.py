@@ -33,6 +33,7 @@ ALLOW_NESTED_LOOP = {
     "maf_gene_cooccurrence",   # top-gene pair grid + totals: tiny broadcast crosses
     "graph_triangles",         # stats assembly: one-row broadcast crosses
     "stats_ab_ztest",          # two one-row bucket frames crossed
+    "graph_kcore",             # driver-literal result frame (LocalTableScan)
 }
 
 _QUERIES = entrymod.queries()
