@@ -2261,6 +2261,24 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_stats_correlation(spark, sf_dir):
+    """Pairwise Pearson correlations of four lineitem measures (quantity,
+    price cents, discount bp, tax bp) — all sums exact in one aggregate
+    pass, the closed form on doubles derived from them; the oracle replays
+    identical arithmetic."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        correlation_matrix,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor("l_quantity").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).alias("price_c"),
+        F.floor(F.col("l_discount") * 10000).alias("disc_bp"),
+        F.floor(F.col("l_tax") * 10000).alias("tax_bp"),
+    )
+    return correlation_matrix(li, ["qty", "price_c", "disc_bp", "tax_bp"])
+
+
 def q_graph_kcore(spark, sf_dir):
     """Fixed-round (4) k-core peeling of the part co-purchase graph at
     k=90: per-round survivor counts as the periphery evaporates. The
@@ -3145,6 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_item_cf": q_sim_item_cf,
         "stats_ab_ztest": q_stats_ab_ztest,
         "graph_kcore": q_graph_kcore,
+        "stats_correlation": q_stats_correlation,
     }
 
 
@@ -5960,4 +5979,43 @@ def oracle_sql() -> dict[str, str]:
         FROM j
     """
     d["graph_kcore"] = _kcore_oracle(k=90, rounds=4)
+    _CORR_COLS = [
+        ("qty", "floor(l_quantity)"),
+        ("price_c", "floor(l_extendedprice * 100)"),
+        ("disc_bp", "floor(l_discount * 10000)"),
+        ("tax_bp", "floor(l_tax * 10000)"),
+    ]
+    _sum_exprs = [
+        "CAST(count(*) AS BIGINT) AS n_exact",
+        "CAST(count(*) AS DOUBLE) AS n",
+    ]
+    for _a, _expr in _CORR_COLS:
+        _sum_exprs.append(
+            f"CAST(sum(CAST({_expr} AS BIGINT)) AS DOUBLE) AS s_{_a}"
+        )
+        _sum_exprs.append(
+            f"CAST(sum(CAST({_expr} AS BIGINT) * CAST({_expr} AS BIGINT))"
+            f" AS DOUBLE) AS ss_{_a}"
+        )
+    _corr_pairs = []
+    for _i, (_a, _ea) in enumerate(_CORR_COLS):
+        for _b, _eb in _CORR_COLS[_i + 1:]:
+            _sum_exprs.append(
+                f"CAST(sum(CAST({_ea} AS BIGINT) * CAST({_eb} AS BIGINT))"
+                f" AS DOUBLE) AS sp_{_a}_{_b}"
+            )
+            _corr_pairs.append(
+                f"""SELECT '{_a}' AS col_a, '{_b}' AS col_b,
+                    n_exact AS n,
+                    round((n * sp_{_a}_{_b} - s_{_a} * s_{_b})
+                          / (sqrt(n * ss_{_a} - s_{_a} * s_{_a})
+                             * sqrt(n * ss_{_b} - s_{_b} * s_{_b})), 6)
+                        AS pearson_r FROM sums"""
+            )
+    d["stats_correlation"] = (
+        "WITH sums AS MATERIALIZED (SELECT "
+        + ", ".join(_sum_exprs)
+        + " FROM lineitem)\n"
+        + " UNION ALL ".join(_corr_pairs)
+    )
     return d

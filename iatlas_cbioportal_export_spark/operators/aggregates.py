@@ -700,3 +700,50 @@ def two_proportion_ztest(
         F.round(p2, 6).alias("p_b"),
         F.round(z, 6).alias("z"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """Pairwise Pearson correlations of integral columns in ONE aggregate
+    pass: every Σx, Σx², Σxy accumulates EXACTLY (DECIMAL(38,0) — the
+    grouped-OLS lane), then r = (nΣxy − ΣxΣy)/√((nΣx²−Σx²ᵗ)(nΣy²−Σy²ᵗ))
+    runs on doubles derived from the exact sums. One row per unordered
+    column pair; constant columns yield NULL r.
+
+    The aggregate computes k + k + k(k−1)/2 sums for k columns — one
+    map-side-combined shuffle of a single sums row per partition,
+    regardless of corpus size.
+    """
+    names = list(cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in names:
+        x = F.col(c).cast("decimal(38,0)")
+        aggs.append(F.sum(x).alias(f"s_{c}"))
+        aggs.append(F.sum(x * x).alias(f"ss_{c}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(
+                F.sum(
+                    F.col(a).cast("decimal(38,0)")
+                    * F.col(b).cast("decimal(38,0)")
+                ).alias(f"sp_{a}_{b}")
+            )
+    sums = df.agg(*aggs).collect()[0]
+    n = float(sums["n"])
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            sa, sb = float(sums[f"s_{a}"]), float(sums[f"s_{b}"])
+            da = n * float(sums[f"ss_{a}"]) - sa * sa
+            db = n * float(sums[f"ss_{b}"]) - sb * sb
+            cov = n * float(sums[f"sp_{a}_{b}"]) - sa * sb
+            r = (
+                round(cov / (da**0.5 * db**0.5), 6)
+                if da > 0 and db > 0
+                else None
+            )
+            rows.append((a, b, int(sums["n"]), r))
+    return df.sparkSession.createDataFrame(
+        rows, "col_a string, col_b string, n long, pearson_r double"
+    )

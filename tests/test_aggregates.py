@@ -450,3 +450,20 @@ def test_two_proportion_ztest_degenerate_yields_null(spark):
         "uid long, bucket string, conv int",
     )
     assert two_proportion_ztest(df, "uid", "bucket", "conv").collect()[0]["z"] is None
+
+
+def test_correlation_matrix_known_values(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        correlation_matrix,
+    )
+
+    rows = [(x, 2 * x + 1, -x, 5) for x in range(10)]
+    df = spark.createDataFrame(rows, "a long, b long, c long, d long")
+    out = {
+        (r["col_a"], r["col_b"]): r["pearson_r"]
+        for r in correlation_matrix(df, ["a", "b", "c", "d"]).collect()
+    }
+    assert out[("a", "b")] == 1.0     # perfect positive
+    assert out[("a", "c")] == -1.0    # perfect negative
+    assert out[("a", "d")] is None    # constant column -> undefined
+    assert len(out) == 6

@@ -34,6 +34,7 @@ ALLOW_NESTED_LOOP = {
     "graph_triangles",         # stats assembly: one-row broadcast crosses
     "stats_ab_ztest",          # two one-row bucket frames crossed
     "graph_kcore",             # driver-literal result frame (LocalTableScan)
+    "stats_correlation",       # driver-literal result frame (LocalTableScan)
 }
 
 _QUERIES = entrymod.queries()
