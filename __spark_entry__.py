@@ -2261,6 +2261,54 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_graph_bfs(spark, sf_dir):
+    """3-hop BFS distances from part 0 over the co-purchase graph:
+    frontier-expansion joins on ids only, per-round lineage truncation;
+    generated chained-CTE oracle replays the rounds."""
+    from iatlas_cbioportal_export_spark.operators.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnsRenamed({"l_partkey": "p1"})
+    b = li.withColumnsRenamed({"l_partkey": "p2"})
+    edges = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    return bfs_distances(edges, source=0, rounds=3)
+
+
+def _bfs_oracle(source: int, rounds: int) -> str:
+    """Generated chained-CTE twin of q_graph_bfs."""
+    sql = [
+        f"""
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        e AS MATERIALIZED (
+            SELECT u AS s, v AS t FROM e0 UNION SELECT v, u FROM e0
+        ),
+        d0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS node,
+                                   0 AS dist)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev_all = " UNION ALL ".join(f"SELECT node FROM d{i}" for i in range(r))
+        sql.append(
+            f""",
+        d{r} AS MATERIALIZED (
+            SELECT DISTINCT e.t AS node, {r} AS dist
+            FROM d{r - 1} f JOIN e ON f.node = e.s
+            WHERE e.t NOT IN ({prev_all})
+        )"""
+        )
+    unions = " UNION ALL ".join(f"SELECT * FROM d{i}" for i in range(rounds + 1))
+    sql.append(f"\n        SELECT node, CAST(dist AS INTEGER) AS dist FROM ({unions})")
+    return "".join(sql)
+
+
 def q_stats_correlation(spark, sf_dir):
     """Pairwise Pearson correlations of four lineitem measures (quantity,
     price cents, discount bp, tax bp) — all sums exact in one aggregate
@@ -3164,6 +3212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ab_ztest": q_stats_ab_ztest,
         "graph_kcore": q_graph_kcore,
         "stats_correlation": q_stats_correlation,
+        "graph_bfs": q_graph_bfs,
     }
 
 
@@ -5979,6 +6028,7 @@ def oracle_sql() -> dict[str, str]:
         FROM j
     """
     d["graph_kcore"] = _kcore_oracle(k=90, rounds=4)
+    d["graph_bfs"] = _bfs_oracle(source=0, rounds=3)
     _CORR_COLS = [
         ("qty", "floor(l_quantity)"),
         ("price_c", "floor(l_extendedprice * 100)"),

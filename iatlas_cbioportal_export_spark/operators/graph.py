@@ -442,3 +442,53 @@ def kcore_peel(
     return pairs.sparkSession.createDataFrame(
         stats, "round int, n_nodes long, n_edges long"
     )
+
+
+def bfs_distances(
+    pairs: DataFrame,
+    source: int,
+    rounds: int = 3,
+    left_col: str = "src",
+    right_col: str = "dst",
+) -> DataFrame:
+    """Single-source BFS hop distances (≤ ``rounds`` hops) over the
+    undirected graph — frontier expansion, the canonical iterative-join
+    primitive under "friends-of-friends" / blast-radius queries.
+
+    Per round: frontier ⋈ edges (ids only) → dedupe → anti-join against
+    the visited set → stamp the round number; state is the (node, dist)
+    table, lineage-truncated per round like the PageRank loop. A fixed
+    round count keeps the shape oracle-replayable (and in practice IS the
+    query: "within 3 hops").
+
+    Output: (node, dist) for every node reached within ``rounds`` hops
+    (source included at dist 0).
+    """
+    spark = pairs.sparkSession
+    e = (
+        pairs.select(
+            F.col(left_col).cast("long").alias("s"),
+            F.col(right_col).cast("long").alias("t"),
+        )
+        .union(
+            pairs.select(
+                F.col(right_col).cast("long"), F.col(left_col).cast("long")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = spark.createDataFrame([(int(source), 0)], "node long, dist int")
+    frontier = dist.select("node")
+    for r in range(1, rounds + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("t").alias("node"))
+            .distinct()
+            .join(dist.select("node"), on="node", how="left_anti")
+            .select("node", F.lit(r).cast("int").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return dist

@@ -211,3 +211,18 @@ def test_kcore_peel_rounds(spark):
     # round 2: node 4 dies -> (3,4) gone; K4 remains (stable 2-core)
     assert out[2] == (4, 6)
     assert out[3] == (4, 6)
+
+
+def test_bfs_distances_chain_and_bound(spark):
+    from iatlas_cbioportal_export_spark.operators.graph import bfs_distances
+
+    # chain 0-1-2-3-4-5 with a shortcut 0-3
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(df, source=0, rounds=3).collect()
+    }
+    # shortcut wins for 3; node 5 (true dist 3 via shortcut) included;
+    # nothing beyond 3 hops
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2, 5: 3}

@@ -35,6 +35,7 @@ ALLOW_NESTED_LOOP = {
     "stats_ab_ztest",          # two one-row bucket frames crossed
     "graph_kcore",             # driver-literal result frame (LocalTableScan)
     "stats_correlation",       # driver-literal result frame (LocalTableScan)
+    "graph_bfs",               # 1-row source frame union/joins
 }
 
 _QUERIES = entrymod.queries()
