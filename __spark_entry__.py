@@ -2261,6 +2261,26 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_sim_association_rules(spark, sf_dir):
+    """Directed market-basket rules part→part over customer baskets:
+    support/confidence/lift from exact co-occurrence counts, support ≥ 3,
+    top-100 by support with deterministic tie-breaks. Oracle replays the
+    same counts and divisions."""
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        association_rules,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+    )
+    return association_rules(inter, min_pair_support=3, top_n=100)
+
+
 def q_graph_bfs(spark, sf_dir):
     """3-hop BFS distances from part 0 over the co-purchase graph:
     frontier-expansion joins on ids only, per-round lineage truncation;
@@ -3213,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "stats_correlation": q_stats_correlation,
         "graph_bfs": q_graph_bfs,
+        "sim_association_rules": q_sim_association_rules,
     }
 
 
@@ -6029,6 +6050,31 @@ def oracle_sql() -> dict[str, str]:
     """
     d["graph_kcore"] = _kcore_oracle(k=90, rounds=4)
     d["graph_bfs"] = _bfs_oracle(source=0, rounds=3)
+    d["sim_association_rules"] = """
+        WITH ui AS MATERIALIZED (
+            SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        nb AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nb FROM ui),
+        ic AS MATERIALIZED (
+            SELECT i, CAST(count(*) AS BIGINT) AS ci FROM ui GROUP BY i
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.i AS antecedent, b.i AS consequent,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM ui a JOIN ui b ON a.u = b.u AND a.i <> b.i
+            GROUP BY 1, 2 HAVING count(*) >= 3
+        )
+        SELECT p.antecedent, p.consequent, p.support,
+               round(p.support / CAST(ca.ci AS DOUBLE), 6) AS confidence,
+               round((p.support * nb.nb)
+                     / (CAST(ca.ci AS DOUBLE) * cb.ci), 6) AS lift
+        FROM pairs p JOIN ic ca ON p.antecedent = ca.i
+                     JOIN ic cb ON p.consequent = cb.i
+                     CROSS JOIN nb
+        ORDER BY p.support DESC, p.antecedent, p.consequent
+        LIMIT 100
+    """
     _CORR_COLS = [
         ("qty", "floor(l_quantity)"),
         ("price_c", "floor(l_extendedprice * 100)"),

@@ -937,3 +937,71 @@ def item_cooccurrence_similarity(
         .orderBy(F.desc("n_both"), "item_a", "item_b")
         .limit(top_n)
     )
+
+
+def association_rules(
+    interactions: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    min_pair_support: int = 2,
+    top_n: int = 100,
+    max_user_items: int = 1000,
+) -> DataFrame:
+    """Market-basket association rules a→b from the same co-occurrence
+    counts as :func:`item_cooccurrence_similarity`: support = c_ab,
+    confidence = c_ab/c_a, lift = (c_ab·N)/(c_a·c_b) with N = basket
+    (user) count. DIRECTED rules: each unordered pair yields both a→b and
+    b→a (confidence differs).
+
+    Same plan skeleton as item CF (per-user pair fan-out capped, broadcast
+    item totals + one-row N); the ``min_pair_support`` filter prunes the
+    rule set before the ranking heap. Output: (antecedent, consequent,
+    support, confidence, lift) — top_n by (support desc, antecedent,
+    consequent).
+    """
+    ui = interactions.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).distinct()
+    per_user = ui.groupBy("u").agg(F.count(F.lit(1)).alias("nu"))
+    ui = ui.join(
+        F.broadcast(per_user.filter(F.col("nu") <= max_user_items)),
+        on="u",
+        how="left_semi",
+    )
+    n_users = ui.select("u").distinct().agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    item_counts = ui.groupBy("i").agg(F.count(F.lit(1)).alias("ci"))
+    a = ui.select("u", F.col("i").alias("x"))
+    b = ui.select("u", F.col("i").alias("y"))
+    pairs = (
+        a.join(b, on="u")
+        .filter(F.col("x") != F.col("y"))
+        .groupBy(
+            F.col("x").alias("antecedent"), F.col("y").alias("consequent")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_pair_support)
+    )
+    ca = item_counts.withColumnsRenamed({"i": "antecedent", "ci": "ca"})
+    cb = item_counts.withColumnsRenamed({"i": "consequent", "ci": "cb"})
+    return (
+        pairs.join(F.broadcast(ca), on="antecedent")
+        .join(F.broadcast(cb), on="consequent")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.round(
+                F.col("support") / F.col("ca").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("support") * F.col("nb"))
+                / (F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "antecedent", "consequent")
+        .limit(top_n)
+    )

@@ -36,6 +36,7 @@ ALLOW_NESTED_LOOP = {
     "graph_kcore",             # driver-literal result frame (LocalTableScan)
     "stats_correlation",       # driver-literal result frame (LocalTableScan)
     "graph_bfs",               # 1-row source frame union/joins
+    "sim_association_rules",   # basket-count scalar: one-row broadcast join
 }
 
 _QUERIES = entrymod.queries()

@@ -405,3 +405,24 @@ def test_item_cf_cosine_and_cap(spark):
     assert {(r["item_a"], r["item_b"]) for r in capped.collect()} == {
         (1, 2), (1, 3), (2, 3),
     }
+
+
+def test_association_rules_confidence_and_lift(spark):
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        association_rules,
+    )
+
+    # 4 baskets: {1,2} x3, {1} x1 -> rule 2->1 has confidence 1.0,
+    # rule 1->2 has confidence 0.75; lift = 3*4/(4*3) = 1.0 and
+    # 3*4/(3*4)... c1=4, c2=3: lift(1->2) = 3*4/(4*3)=1.0
+    rows = [("a", 1), ("a", 2), ("b", 1), ("b", 2), ("c", 1), ("c", 2),
+            ("d", 1)]
+    df = spark.createDataFrame(rows, "user_id string, item_id long")
+    out = {
+        (r["antecedent"], r["consequent"]): (
+            r["support"], r["confidence"], r["lift"]
+        )
+        for r in association_rules(df, min_pair_support=2).collect()
+    }
+    assert out[(2, 1)] == (3, 1.0, 1.0)
+    assert out[(1, 2)] == (3, 0.75, 1.0)
