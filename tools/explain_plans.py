@@ -298,6 +298,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["TakeOrderedAndProject", "BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "sim_association_rules": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    # final state is the round-3 checkpoint union — LogicalRDD scans only
+    "graph_bfs": (["Scan ExistingRDD"], ["CartesianProduct"]),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
