@@ -346,3 +346,98 @@ def test_interval_overlap_equals_brute_force(spark, ivs, w):
             if ka == kb and ia < ib and sa <= eb and sb <= ea:
                 want[(ka, ia, ib)] = min(ea, eb) - max(sa, sb)
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_triangle_count_equals_brute_force(spark, edges):
+    import itertools
+
+    from iatlas_cbioportal_export_spark.operators.graph import (
+        count_triangles,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = count_triangles(df).collect()[0]["n_triangles"]
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for e in canon for n in e})
+    want = sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in canon and (y, z) in canon and (x, z) in canon
+    )
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    k=st.sampled_from([1, 2, 3]),
+    rounds=st.sampled_from([1, 3]),
+)
+def test_kcore_peel_matches_python_reference(spark, edges, k, rounds):
+    from collections import defaultdict
+
+    from iatlas_cbioportal_export_spark.operators.graph import kcore_peel
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["round"]: (r["n_nodes"], r["n_edges"])
+        for r in kcore_peel(df, k=k, rounds=rounds).collect()
+    }
+    e = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    want = {}
+    for r in range(1, rounds + 1):
+        deg = defaultdict(int)
+        for u, v in e:
+            deg[u] += 1
+            deg[v] += 1
+        alive = {x for x, c in deg.items() if c >= k}
+        e = {(u, v) for u, v in e if u in alive and v in alive}
+        nodes = {n for ed in e for n in ed}
+        want[r] = (len(nodes), len(e))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=texts, t=st.sampled_from([0.3, 0.6, 0.9]))
+def test_jaccard_prefix_join_equals_brute_force(spark, docs, t):
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    df = _df(spark, docs)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_prefix_join(df, threshold=t).collect()
+    }
+    sets = {
+        i: set(w for w in re.split(r"\s+", d) if w)
+        for i, d in enumerate(docs)
+    }
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] and sets[j]:
+                inter = len(sets[i] & sets[j])
+                uni = len(sets[i] | sets[j])
+                jac = inter / uni
+                if jac >= t:
+                    want[(i, j)] = round(jac, 6)
+    assert got == want
