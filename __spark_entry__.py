@@ -2261,6 +2261,18 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_events_seasonal_residuals(spark, sf_dir):
+    """Hour-of-day seasonal-mean decomposition per event type: exact
+    decimal hourly sums and seasonal totals, one double division per row,
+    residual = hourly − seasonal mean. Oracle replays the identical
+    deferred-division arithmetic."""
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        seasonal_profile_residuals,
+    )
+
+    return seasonal_profile_residuals(_t(spark, sf_dir, "events"))
+
+
 def q_sim_association_rules(spark, sf_dir):
     """Directed market-basket rules part→part over customer baskets:
     support/confidence/lift from exact co-occurrence counts, support ≥ 3,
@@ -3234,6 +3246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_correlation": q_stats_correlation,
         "graph_bfs": q_graph_bfs,
         "sim_association_rules": q_sim_association_rules,
+        "events_seasonal_residuals": q_events_seasonal_residuals,
     }
 
 
@@ -6074,6 +6087,29 @@ def oracle_sql() -> dict[str, str]:
                      CROSS JOIN nb
         ORDER BY p.support DESC, p.antecedent, p.consequent
         LIMIT 100
+    """
+    d["events_seasonal_residuals"] = """
+        WITH hourly AS MATERIALIZED (
+            SELECT event_type AS k, date_trunc('hour', ts) AS h,
+                   sum(CAST(value AS DECIMAL(18,2))) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        hh AS MATERIALIZED (
+            SELECT k, h, v, CAST(date_part('hour', h) AS INTEGER) AS hod
+            FROM hourly
+        ),
+        seasonal AS MATERIALIZED (
+            SELECT k, hod, sum(v) AS sv, CAST(count(*) AS BIGINT) AS cnt
+            FROM hh GROUP BY k, hod
+        )
+        SELECT hh.k AS event_type,
+               strftime(hh.h, '%Y-%m-%d %H:%M:%S') AS window_start,
+               hh.hod AS hour_of_day,
+               CAST(hh.v AS DOUBLE) AS hourly_value,
+               round(CAST(s.sv AS DOUBLE) / s.cnt, 6) AS seasonal_mean,
+               round(CAST(hh.v AS DOUBLE)
+                     - CAST(s.sv AS DOUBLE) / s.cnt, 6) AS residual
+        FROM hh JOIN seasonal s ON hh.k = s.k AND hh.hod = s.hod
     """
     _CORR_COLS = [
         ("qty", "floor(l_quantity)"),

@@ -750,3 +750,51 @@ def transition_matrix(
             ).alias("prob"),
         )
     )
+
+
+def seasonal_profile_residuals(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Seasonal-mean decomposition of each key's hourly series: the
+    hour-of-day profile (the "seasonal" component a daily-cycle metric
+    repeats) and each bucket's residual against it — the de-seasonalized
+    signal anomaly detectors should consume instead of the raw series
+    (cf. hourly_anomaly_zscore, which this complements).
+
+    Exactness: hourly sums AND the per-(key, hour-of-day) seasonal means
+    are decimal-exact (sum/count division deferred to ONE double division
+    per row, identical in both engines); residual = hourly value − seasonal
+    mean, rounded 6dp. Two aggregates + one broadcast-size join keyed on
+    (key, hour_of_day) — 24·|keys| seasonal rows.
+
+    Output: (key, window_start, hour_of_day, hourly_value, seasonal_mean,
+    residual).
+    """
+    hourly = events.groupBy(
+        F.col(key_col).alias("k"),
+        F.date_trunc("hour", ts_col).alias("h"),
+    ).agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("v"))
+    hourly = hourly.withColumn("hod", F.hour("h"))
+    seasonal = hourly.groupBy("k", "hod").agg(
+        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        hourly.join(F.broadcast(seasonal), on=["k", "hod"])
+        .select(
+            F.col("k").alias(key_col),
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col("hod").alias("hour_of_day"),
+            F.col("v").cast("double").alias("hourly_value"),
+            F.round(
+                F.col("sv").cast("double") / F.col("cnt"), 6
+            ).alias("seasonal_mean"),
+            F.round(
+                F.col("v").cast("double")
+                - F.col("sv").cast("double") / F.col("cnt"),
+                6,
+            ).alias("residual"),
+        )
+    )

@@ -739,3 +739,31 @@ def test_transition_matrix_counts_and_probs(spark):
     assert out[("view", "purchase")] == (1, round(1 / 3, 6))
     assert out[("click", "view")] == (1, 1.0)
     assert ("purchase", "view") not in out  # no cross-user transition
+
+
+def test_seasonal_profile_residuals(spark):
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        seasonal_profile_residuals,
+    )
+
+    # two days, same hour-of-day 10: values 10 and 30 -> seasonal mean 20,
+    # residuals -10 and +10; a lone hour 11 has residual 0
+    rows = [
+        (1, "2024-01-01 10:00:00", "click", 10.0),
+        (2, "2024-01-02 10:30:00", "click", 30.0),
+        (3, "2024-01-01 11:00:00", "click", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "event_type", "value"
+    )
+    out = {
+        (r["window_start"], r["hour_of_day"]): (
+            r["hourly_value"], r["seasonal_mean"], r["residual"]
+        )
+        for r in seasonal_profile_residuals(df).collect()
+    }
+    assert out[("2024-01-01 10:00:00", 10)] == (10.0, 20.0, -10.0)
+    assert out[("2024-01-02 10:00:00", 10)] == (30.0, 20.0, 10.0)
+    assert out[("2024-01-01 11:00:00", 11)] == (7.0, 7.0, 0.0)
