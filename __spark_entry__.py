@@ -2261,6 +2261,22 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_stats_mad_outliers(spark, sf_dir):
+    """Robust outlier profile per order priority: discrete median and MAD
+    on floor-cents (integer end-to-end), outlier rule |x−med| > 5·MAD in
+    exact integer arithmetic. Oracle replays the rank-and-pick picks with
+    the same tie-break order."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        mad_outlier_profile,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).alias("c"),
+    )
+    return mad_outlier_profile(orders, "o_orderpriority", "c", k=5)
+
+
 def q_events_seasonal_residuals(spark, sf_dir):
     """Hour-of-day seasonal-mean decomposition per event type: exact
     decimal hourly sums and seasonal totals, one double division per row,
@@ -3247,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs": q_graph_bfs,
         "sim_association_rules": q_sim_association_rules,
         "events_seasonal_residuals": q_events_seasonal_residuals,
+        "stats_mad_outliers": q_stats_mad_outliers,
     }
 
 
@@ -6110,6 +6127,43 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(hh.v AS DOUBLE)
                      - CAST(s.sv AS DOUBLE) / s.cnt, 6) AS residual
         FROM hh JOIN seasonal s ON hh.k = s.k AND hh.hod = s.hod
+    """
+    d["stats_mad_outliers"] = """
+        WITH v AS MATERIALIZED (
+            SELECT o_orderpriority AS g,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+            FROM orders
+        ),
+        r AS MATERIALIZED (
+            SELECT g, x,
+                   row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM v
+        ),
+        med AS MATERIALIZED (
+            SELECT g, x AS med, CAST(n AS BIGINT) AS n FROM r
+            WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+        ),
+        dev AS MATERIALIZED (
+            SELECT v.g, v.x, med.med, med.n, abs(v.x - med.med) AS ad
+            FROM v JOIN med ON v.g = med.g
+        ),
+        dr AS MATERIALIZED (
+            SELECT g, ad,
+                   row_number() OVER (PARTITION BY g ORDER BY ad, x) AS arn,
+                   n
+            FROM dev
+        ),
+        mad AS MATERIALIZED (
+            SELECT g, ad AS mad FROM dr
+            WHERE arn = CAST(ceil(n / 2.0) AS BIGINT)
+        )
+        SELECT dev.g AS o_orderpriority, max(dev.n) AS n,
+               max(dev.med) AS median, max(mad.mad) AS mad,
+               CAST(sum(CASE WHEN dev.ad > 5 * mad.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev JOIN mad ON dev.g = mad.g
+        GROUP BY dev.g
     """
     _CORR_COLS = [
         ("qty", "floor(l_quantity)"),

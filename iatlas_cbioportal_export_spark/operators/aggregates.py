@@ -747,3 +747,69 @@ def correlation_matrix(
     return df.sparkSession.createDataFrame(
         rows, "col_a string, col_b string, n long, pearson_r double"
     )
+
+
+def mad_outlier_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Robust per-group outlier profile via Median Absolute Deviation:
+    median and MAD by discrete rank-and-pick (the percentile_disc lane —
+    no interpolation, so INTEGRAL values stay integral end-to-end and the
+    outlier rule ``|x − median| > k·MAD`` is exact integer arithmetic;
+    mean/stddev z-scores get dragged by the very outliers they hunt, MAD
+    doesn't).
+
+    Two window passes per group (value rank, then deviation rank) + one
+    broadcast of the per-group medians — group cardinality is the
+    broadcast bound. Output: (group, n, median, mad, n_outliers).
+    """
+    ranked = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("x")
+    ).select(
+        "g",
+        "x",
+        F.row_number().over(
+            Window.partitionBy("g").orderBy("x")
+        ).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") / 2).cast("long")
+    ).select("g", F.col("x").alias("med"), "n")
+    dev = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
+        .join(F.broadcast(med), on="g")
+        .select("g", "x", "med", "n", F.abs(F.col("x") - F.col("med")).alias("ad"))
+    )
+    dev_ranked = dev.select(
+        "g",
+        "x",
+        "med",
+        "n",
+        "ad",
+        F.row_number().over(
+            Window.partitionBy("g").orderBy("ad", "x")
+        ).alias("arn"),
+    )
+    mad = dev_ranked.filter(
+        F.col("arn") == F.ceil(F.col("n") / 2).cast("long")
+    ).select("g", F.col("ad").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), on="g")
+        .groupBy("g", "n", "med", "mad")
+        .agg(
+            F.sum(
+                (F.col("ad") > F.lit(int(k)) * F.col("mad")).cast("long")
+            ).alias("n_outliers")
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            F.col("med").alias("median"),
+            "mad",
+            "n_outliers",
+        )
+    )

@@ -467,3 +467,17 @@ def test_correlation_matrix_known_values(spark):
     assert out[("a", "c")] == -1.0    # perfect negative
     assert out[("a", "d")] is None    # constant column -> undefined
     assert len(out) == 6
+
+
+def test_mad_outlier_profile(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        mad_outlier_profile,
+    )
+
+    # group a: values 1..9 plus a wild 1000 -> med=5 (rank 5 of 10),
+    # deviations {4,3,2,1,0,1,2,3,4,995} -> mad = 2 (rank 5 of sorted
+    # devs 0,1,1,2,2,3,3,4,4,995); outliers: |x-5| > 10 -> only 1000
+    rows = [("a", v) for v in range(1, 10)] + [("a", 1000)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    r = mad_outlier_profile(df, "g", "x", k=5).collect()[0]
+    assert (r["n"], r["median"], r["mad"], r["n_outliers"]) == (10, 5, 2, 1)
