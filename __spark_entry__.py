@@ -2261,6 +2261,63 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_graph_label_propagation(spark, sf_dir):
+    """3-round synchronous label propagation over the co-purchase graph:
+    majority vote with smallest-label ties, one join + one argmax
+    aggregate per round. Generated chained-CTE oracle replays each vote
+    with the identical (count desc, label asc) pick."""
+    from iatlas_cbioportal_export_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnsRenamed({"l_partkey": "p1"})
+    b = li.withColumnsRenamed({"l_partkey": "p2"})
+    edges = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    return label_propagation(edges, rounds=3)
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Generated chained-CTE twin of q_graph_label_propagation."""
+    sql = [
+        """
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        e AS MATERIALIZED (
+            SELECT u AS s, v AS t FROM e0 UNION SELECT v, u FROM e0
+        ),
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT s AS node, s AS label FROM e
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        sql.append(
+            f""",
+        v{r} AS MATERIALIZED (
+            SELECT e.s AS n, l.label, count(*) AS c
+            FROM e JOIN l{r - 1} l ON e.t = l.node GROUP BY 1, 2
+        ),
+        l{r} AS MATERIALIZED (
+            SELECT n AS node, label FROM (
+                SELECT n, label,
+                       row_number() OVER (PARTITION BY n
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM v{r})
+            WHERE rn = 1
+        )"""
+        )
+    sql.append(f"\n        SELECT node, label FROM l{rounds}")
+    return "".join(sql)
+
+
 def q_stats_mad_outliers(spark, sf_dir):
     """Robust outlier profile per order priority: discrete median and MAD
     on floor-cents (integer end-to-end), outlier rule |x−med| > 5·MAD in
@@ -3264,6 +3321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_association_rules": q_sim_association_rules,
         "events_seasonal_residuals": q_events_seasonal_residuals,
         "stats_mad_outliers": q_stats_mad_outliers,
+        "graph_label_propagation": q_graph_label_propagation,
     }
 
 
@@ -6080,6 +6138,7 @@ def oracle_sql() -> dict[str, str]:
     """
     d["graph_kcore"] = _kcore_oracle(k=90, rounds=4)
     d["graph_bfs"] = _bfs_oracle(source=0, rounds=3)
+    d["graph_label_propagation"] = _lpa_oracle(rounds=3)
     d["sim_association_rules"] = """
         WITH ui AS MATERIALIZED (
             SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i

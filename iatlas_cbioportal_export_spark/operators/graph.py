@@ -492,3 +492,67 @@ def bfs_distances(
         dist = dist.union(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return dist
+
+
+def label_propagation(
+    pairs: DataFrame,
+    rounds: int = 3,
+    left_col: str = "src",
+    right_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round synchronous label propagation — community detection by
+    majority vote: every node starts as its own label; each round it
+    adopts the most frequent label among its neighbors (ties → smallest
+    label), all nodes updating simultaneously. Complements
+    ``connected_components`` (communities are denser-than-connected
+    structure) with the mode-vote rather than min-label update rule.
+
+    Per round: one labels⋈edges join + one (node, label) count aggregate +
+    one deterministic argmax ``max(struct(count, -label))`` — only
+    (node, label, count) longs shuffle; state is the (node, label) table,
+    lineage-truncated per round. Fixed rounds keep the shape
+    oracle-replayable (the PageRank/k-core pattern).
+
+    Output: (node, label) after ``rounds`` rounds.
+    """
+    e = (
+        pairs.select(
+            F.col(left_col).cast("long").alias("s"),
+            F.col(right_col).cast("long").alias("t"),
+        )
+        .union(
+            pairs.select(
+                F.col(right_col).cast("long"), F.col(left_col).cast("long")
+            )
+        )
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        e.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(labels, e["t"] == labels["node"])
+            .select(F.col("s").alias("n"), "label")
+            .groupBy("n", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("n")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("__b")
+            )
+            .select(
+                F.col("n").alias("node"),
+                (-F.col("__b.nl")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

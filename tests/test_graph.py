@@ -226,3 +226,38 @@ def test_bfs_distances_chain_and_bound(spark):
     # shortcut wins for 3; node 5 (true dist 3 via shortcut) included;
     # nothing beyond 3 hops
     assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2, 5: 3}
+
+
+def test_label_propagation_matches_python_reference(spark):
+    from collections import Counter, defaultdict
+
+    from iatlas_cbioportal_export_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # two triangles bridged by one edge — synchronous majority vote with
+    # smallest-label ties (labels DO leak across the bridge over rounds;
+    # the reference fold is the contract, not an intuition)
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    for rounds in (1, 2, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df_from(spark, edges), rounds=rounds).collect()
+        }
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        lab = {n: n for n in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for n in adj:
+                c = Counter(lab[m] for m in adj[n])
+                best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                nxt[n] = best
+            lab = nxt
+        assert got == lab, rounds
+
+
+def df_from(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")

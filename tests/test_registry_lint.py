@@ -37,6 +37,7 @@ ALLOW_NESTED_LOOP = {
     "stats_correlation",       # driver-literal result frame (LocalTableScan)
     "graph_bfs",               # 1-row source frame union/joins
     "sim_association_rules",   # basket-count scalar: one-row broadcast join
+    "graph_label_propagation", # checkpointed per-round state scans
 }
 
 _QUERIES = entrymod.queries()
