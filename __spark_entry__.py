@@ -2261,6 +2261,19 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_stats_mutual_information(spark, sf_dir):
+    """Mutual information + marginal entropies between order priority and
+    status — the information-theoretic dependency readout beside the
+    chi-square row; per-cell ln terms decimal-quantized, oracle mirrors
+    the arithmetic."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        mutual_information,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return mutual_information(orders, "o_orderpriority", "o_orderstatus")
+
+
 def q_graph_label_propagation(spark, sf_dir):
     """3-round synchronous label propagation over the co-purchase graph:
     majority vote with smallest-label ties, one join + one argmax
@@ -3322,6 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_residuals": q_events_seasonal_residuals,
         "stats_mad_outliers": q_stats_mad_outliers,
         "graph_label_propagation": q_graph_label_propagation,
+        "stats_mutual_information": q_stats_mutual_information,
     }
 
 
@@ -6139,6 +6153,39 @@ def oracle_sql() -> dict[str, str]:
     d["graph_kcore"] = _kcore_oracle(k=90, rounds=4)
     d["graph_bfs"] = _bfs_oracle(source=0, rounds=3)
     d["graph_label_propagation"] = _lpa_oracle(rounds=3)
+    d["stats_mutual_information"] = """
+        WITH obs AS MATERIALIZED (
+            SELECT o_orderpriority AS a, o_orderstatus AS b,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM orders GROUP BY 1, 2
+        ),
+        rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM obs GROUP BY a),
+        cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM obs GROUP BY b),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                       CAST(sum(o) AS DOUBLE) AS nd FROM obs),
+        mi AS (
+            SELECT CAST(sum(CAST(round((o / nd)
+                       * ln((o / nd) / ((ra / nd) * (cb / nd))), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS mi
+            FROM obs JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN tot
+        ),
+        ha AS (
+            SELECT CAST(sum(CAST(round(-(ra / nd) * ln(ra / nd), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS ha
+            FROM rm CROSS JOIN tot
+        ),
+        hb AS (
+            SELECT CAST(sum(CAST(round(-(cb / nd) * ln(cb / nd), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS hb
+            FROM cm CROSS JOIN tot
+        )
+        SELECT tot.n, round(ha.ha, 6) AS h_a, round(hb.hb, 6) AS h_b,
+               round(mi.mi, 6) AS mi,
+               CASE WHEN least(ha.ha, hb.hb) > 0
+                    THEN round(mi.mi / least(ha.ha, hb.hb), 6) END
+                   AS normalized_mi
+        FROM tot CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+    """
     d["sim_association_rules"] = """
         WITH ui AS MATERIALIZED (
             SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i

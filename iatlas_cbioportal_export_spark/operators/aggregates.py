@@ -813,3 +813,70 @@ def mad_outlier_profile(
             "n_outliers",
         )
     )
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information I(A;B) = Σ p(a,b)·ln(p(a,b)/(p(a)p(b))) between
+    two categorical columns, plus the marginal entropies — the
+    information-theoretic complement to :func:`chi_square_independence`
+    (feature-selection ranking, dependency strength in nats).
+
+    Same plan as the chi-square: one (a, b) count aggregate, two KB-sized
+    marginals, one-row total; only OBSERVED cells contribute (absent cells
+    have p=0 and a zero limit term). Per-cell ln terms round to 9dp and
+    sum as DECIMAL(28,9) — shuffle-order independent.
+
+    Output: one row (n, h_a, h_b, mi, normalized_mi) with
+    normalized_mi = mi/min(h_a, h_b) (NULL when either entropy is 0).
+    """
+    obs = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    row_m = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    col_m = obs.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    nd = F.col("n").cast("double")
+    cells = (
+        obs.join(row_m, on="a")
+        .join(col_m, on="b")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_ab = F.col("o") / nd
+    mi_term = F.round(
+        p_ab * F.log(p_ab / ((F.col("ra") / nd) * (F.col("cb") / nd))), 9
+    ).cast("decimal(28,9)")
+    mi_row = cells.agg(
+        F.max("n").alias("n"), F.sum(mi_term).alias("__mi")
+    )
+    ha_row = row_m.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                -(F.col("ra") / nd) * F.log(F.col("ra") / nd), 9
+            ).cast("decimal(28,9)")
+        ).alias("__ha")
+    )
+    hb_row = col_m.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                -(F.col("cb") / nd) * F.log(F.col("cb") / nd), 9
+            ).cast("decimal(28,9)")
+        ).alias("__hb")
+    )
+    joined = mi_row.crossJoin(F.broadcast(ha_row)).crossJoin(
+        F.broadcast(hb_row)
+    )
+    h_min = F.least(
+        F.col("__ha").cast("double"), F.col("__hb").cast("double")
+    )
+    return joined.select(
+        "n",
+        F.round(F.col("__ha").cast("double"), 6).alias("h_a"),
+        F.round(F.col("__hb").cast("double"), 6).alias("h_b"),
+        F.round(F.col("__mi").cast("double"), 6).alias("mi"),
+        F.when(
+            h_min > 0,
+            F.round(F.col("__mi").cast("double") / h_min, 6),
+        ).alias("normalized_mi"),
+    )

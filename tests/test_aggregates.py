@@ -481,3 +481,26 @@ def test_mad_outlier_profile(spark):
     df = spark.createDataFrame(rows, "g string, x long")
     r = mad_outlier_profile(df, "g", "x", k=5).collect()[0]
     assert (r["n"], r["median"], r["mad"], r["n_outliers"]) == (10, 5, 2, 1)
+
+
+def test_mutual_information_known_cases(spark):
+    import math
+
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        mutual_information,
+    )
+
+    # perfectly dependent: B == A -> MI == H(A) == ln 2; NMI == 1
+    dep = spark.createDataFrame(
+        [("x", "u")] * 5 + [("y", "v")] * 5, "a string, b string"
+    )
+    r = mutual_information(dep, "a", "b").collect()[0]
+    assert r["mi"] == round(math.log(2), 6)
+    assert r["normalized_mi"] == 1.0
+    # independent uniform 2x2 -> MI == 0
+    ind = spark.createDataFrame(
+        [("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")] * 3,
+        "a string, b string",
+    )
+    r2 = mutual_information(ind, "a", "b").collect()[0]
+    assert abs(r2["mi"]) < 1e-6

@@ -38,6 +38,7 @@ ALLOW_NESTED_LOOP = {
     "graph_bfs",               # 1-row source frame union/joins
     "sim_association_rules",   # basket-count scalar: one-row broadcast join
     "graph_label_propagation", # checkpointed per-round state scans
+    "stats_mutual_information",# marginal/total one-row broadcast crosses
 }
 
 _QUERIES = entrymod.queries()
