@@ -304,6 +304,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # final state is the round-3 checkpoint union — LogicalRDD scans only
     "graph_bfs": (["Scan ExistingRDD"], ["CartesianProduct"]),
+    "events_seasonal_residuals": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    "stats_mad_outliers": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct"],
+    ),
+    "graph_label_propagation": (
+        ["Scan ExistingRDD"],
+        ["CartesianProduct"],
+    ),
+    "stats_mutual_information": (["HashAggregate"], ["CartesianProduct"]),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
