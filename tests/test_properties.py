@@ -441,3 +441,44 @@ def test_jaccard_prefix_join_equals_brute_force(spark, docs, t):
                 if jac >= t:
                     want[(i, j)] = round(jac, 6)
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    rounds=st.sampled_from([1, 2, 3]),
+)
+def test_bfs_distances_match_reference(spark, edges, rounds):
+    from collections import defaultdict, deque
+
+    from iatlas_cbioportal_export_spark.operators.graph import bfs_distances
+
+    src = min(min(a, b) for a, b in edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(df, source=src, rounds=rounds).collect()
+    }
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    want = {src: 0}
+    q = deque([src])
+    while q:
+        u = q.popleft()
+        if want[u] >= rounds:
+            continue
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want
