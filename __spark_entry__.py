@@ -2261,6 +2261,17 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_events_time_to_convert(spark, sf_dir):
+    """Conversion latency first-view → first-subsequent-purchase per user:
+    exact integer second gaps, discrete median/p90 by rank-and-pick.
+    Oracle replays the conditional mins and picks."""
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        time_to_convert,
+    )
+
+    return time_to_convert(_t(spark, sf_dir, "events"))
+
+
 def q_stats_mutual_information(spark, sf_dir):
     """Mutual information + marginal entropies between order priority and
     status — the information-theoretic dependency readout beside the
@@ -3336,6 +3347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mad_outliers": q_stats_mad_outliers,
         "graph_label_propagation": q_graph_label_propagation,
         "stats_mutual_information": q_stats_mutual_information,
+        "events_time_to_convert": q_events_time_to_convert,
     }
 
 
@@ -6153,6 +6165,36 @@ def oracle_sql() -> dict[str, str]:
     d["graph_kcore"] = _kcore_oracle(k=90, rounds=4)
     d["graph_bfs"] = _bfs_oracle(source=0, rounds=3)
     d["graph_label_propagation"] = _lpa_oracle(rounds=3)
+    d["events_time_to_convert"] = """
+        WITH sec AS MATERIALIZED (
+            SELECT user_id AS u, event_type AS t,
+                   epoch_us(ts) // 1000000 AS s
+            FROM events WHERE event_type IN ('view', 'purchase')
+        ),
+        fv AS (
+            SELECT u, min(CASE WHEN t = 'view' THEN s END) AS fv
+            FROM sec GROUP BY u
+        ),
+        gaps AS MATERIALIZED (
+            SELECT sec.u, min(sec.s) - fv.fv AS gap
+            FROM sec JOIN fv ON sec.u = fv.u
+            WHERE sec.t = 'purchase' AND fv.fv IS NOT NULL
+                  AND sec.s >= fv.fv
+            GROUP BY sec.u, fv.fv
+        ),
+        r AS (
+            SELECT gap,
+                   row_number() OVER (ORDER BY gap, u) AS rn,
+                   count(*) OVER () AS n
+            FROM gaps
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_converted,
+               max(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                        THEN gap END) AS median_seconds,
+               max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                        THEN gap END) AS p90_seconds
+        FROM r
+    """
     d["stats_mutual_information"] = """
         WITH obs AS MATERIALIZED (
             SELECT o_orderpriority AS a, o_orderstatus AS b,

@@ -798,3 +798,66 @@ def seasonal_profile_residuals(
             ).alias("residual"),
         )
     )
+
+
+def time_to_convert(
+    events: DataFrame,
+    first_step: str = "view",
+    second_step: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conversion-latency profile: per user, the gap between the FIRST
+    ``first_step`` event and the first ``second_step`` AFTER it; exact
+    discrete median and p90 of those gaps — the "how long does conversion
+    take" readout next to the funnel's "how many convert".
+
+    All integers: epoch-second truncation (both engines floor), one
+    conditional-min aggregate per user, rank-and-pick percentiles over the
+    (small — one row per converted user) gap table. Output: one row
+    (n_converted, median_seconds, p90_seconds).
+    """
+    from pyspark.sql import Window
+
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    per_user = (
+        events.filter(F.col(type_col).isin([first_step, second_step]))
+        .select(F.col(user_col).alias("u"), F.col(type_col).alias("t"), sec.alias("s"))
+        .groupBy("u")
+        .agg(
+            F.min(F.when(F.col("t") == first_step, F.col("s"))).alias("fv")
+        )
+    )
+    # first second_step AFTER the first first_step needs the fv bound:
+    # one more conditional-min join pass keyed on user
+    seconds = (
+        events.filter(F.col(type_col) == second_step)
+        .select(F.col(user_col).alias("u"), sec.alias("s"))
+        .join(per_user.filter(F.col("fv").isNotNull()), on="u")
+        .filter(F.col("s") >= F.col("fv"))
+        .groupBy("u", "fv")
+        .agg(F.min("s").alias("fp"))
+        .select("u", (F.col("fp") - F.col("fv")).alias("gap"))
+    )
+    ranked = seconds.select(
+        "gap",
+        F.row_number().over(Window.orderBy("gap", "u")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_converted"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") / 2).cast("long"),
+                F.col("gap"),
+            )
+        ).alias("median_seconds"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(0.9) * F.col("n")).cast("long"),
+                F.col("gap"),
+            )
+        ).alias("p90_seconds"),
+    )

@@ -39,6 +39,7 @@ ALLOW_NESTED_LOOP = {
     "sim_association_rules",   # basket-count scalar: one-row broadcast join
     "graph_label_propagation", # checkpointed per-round state scans
     "stats_mutual_information",# marginal/total one-row broadcast crosses
+    "events_time_to_convert",  # converted-user gap table: global rank window
 }
 
 _QUERIES = entrymod.queries()

@@ -767,3 +767,36 @@ def test_seasonal_profile_residuals(spark):
     assert out[("2024-01-01 10:00:00", 10)] == (10.0, 20.0, -10.0)
     assert out[("2024-01-02 10:00:00", 10)] == (30.0, 20.0, 10.0)
     assert out[("2024-01-01 11:00:00", 11)] == (7.0, 7.0, 0.0)
+
+
+def test_time_to_convert_gaps_and_percentiles(spark):
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        time_to_convert,
+    )
+
+    rows = [
+        # user 7: view at t0, purchase 60s later (an EARLIER purchase at
+        # t0-100 must not count)
+        (1, "2024-01-01 00:00:00", 7, "view"),
+        (2, "2023-12-31 23:58:20", 7, "purchase"),
+        (3, "2024-01-01 00:01:00", 7, "purchase"),
+        # user 8: view only -> not converted
+        (4, "2024-01-01 00:00:00", 8, "view"),
+        # user 9: view then purchase 120s later
+        (5, "2024-01-01 00:00:00", 9, "view"),
+        (6, "2024-01-01 00:02:00", 9, "purchase"),
+        # user 10: purchase only (no view) -> excluded
+        (7, "2024-01-01 00:00:00", 10, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id",
+        "event_type"
+    )
+    r = time_to_convert(df).collect()[0]
+    # gaps sorted: [60, 120]; median = rank ceil(2/2)=1 -> 60; p90 = rank
+    # ceil(1.8)=2 -> 120
+    assert (r["n_converted"], r["median_seconds"], r["p90_seconds"]) == (
+        2, 60, 120,
+    )
