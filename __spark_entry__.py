@@ -2261,6 +2261,17 @@ def q_events_streaks(spark, sf_dir):
     return activity_streaks(_t(spark, sf_dir, "events"))
 
 
+def q_text_char_entropy(spark, sf_dir):
+    """Per-document character entropy (gibberish/degeneracy detector):
+    sorted-class fold fixes the double summation order, so the oracle
+    replays the identical sequence over the same sorted distinct chars."""
+    from iatlas_cbioportal_export_spark.operators.curation import (
+        char_entropy_score,
+    )
+
+    return char_entropy_score(_t(spark, sf_dir, "documents"))
+
+
 def q_events_time_to_convert(spark, sf_dir):
     """Conversion latency first-view → first-subsequent-purchase per user:
     exact integer second gaps, discrete median/p90 by rank-and-pick.
@@ -3348,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_propagation": q_graph_label_propagation,
         "stats_mutual_information": q_stats_mutual_information,
         "events_time_to_convert": q_events_time_to_convert,
+        "text_char_entropy": q_text_char_entropy,
     }
 
 
@@ -6165,6 +6177,32 @@ def oracle_sql() -> dict[str, str]:
     d["graph_kcore"] = _kcore_oracle(k=90, rounds=4)
     d["graph_bfs"] = _bfs_oracle(source=0, rounds=3)
     d["graph_label_propagation"] = _lpa_oracle(rounds=3)
+    d["text_char_entropy"] = """
+        WITH c AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, ''), x -> x <> '')
+                       AS chars
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id, chars,
+                   list_sort(list_distinct(chars)) AS classes
+            FROM c
+        )
+        SELECT doc_id AS id,
+               CAST(len(chars) AS INTEGER) AS n_chars,
+               CAST(len(classes) AS INTEGER) AS n_distinct_chars,
+               round(CASE WHEN len(chars) > 0 THEN
+                   -list_reduce(list_prepend(0.0,
+                       list_transform(classes, ch ->
+                           (CAST(len(list_filter(chars, x -> x = ch))
+                                 AS DOUBLE) / len(chars))
+                           * ln(CAST(len(list_filter(chars, x -> x = ch))
+                                     AS DOUBLE) / len(chars)))),
+                       (a, x) -> a + x)
+                   ELSE 0.0 END, 6) AS entropy
+        FROM k
+    """
     d["events_time_to_convert"] = """
         WITH sec AS MATERIALIZED (
             SELECT user_id AS u, event_type AS t,

@@ -303,3 +303,47 @@ def dsir_importance_weights(
         F.size("__bks").alias("n_features"),
         F.round(score, 6).alias("dsir_weight"),
     )
+
+
+def char_entropy_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon character entropy (nats) — the gibberish/
+    degeneracy detector in a curation stack: near-zero entropy flags
+    repeated-character spam ("aaaa…"), implausibly high entropy flags
+    random-noise strings; natural language sits in a stable band.
+
+    Fully NARROW: character classes come from ``array_distinct`` +
+    ``array_sort`` (the SORTED class order fixes the fold sequence, so the
+    double sum is deterministic and engine-replayable), per-class counts
+    are ``size(filter(...))`` — O(len·distinct) per row, fine for document
+    text, zero shuffle. Output: (id, n_chars, n_distinct_chars, entropy).
+    """
+    # split("", "") yields [""] — drop empty elements so an empty document
+    # reports 0 chars (matches the oracle's filtered split)
+    chars = F.filter(
+        F.split(F.col(text_col), ""), lambda c: c != ""
+    )
+    classes = F.array_sort(F.array_distinct(chars))
+    counts = F.transform(
+        classes,
+        lambda ch: F.size(F.filter(chars, lambda c: c == ch)),
+    )
+    n = F.size(chars)
+    ent = F.when(
+        n > 0,
+        -F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda acc, c: acc
+            + (c.cast("double") / n) * F.log(c.cast("double") / n),
+        ),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_chars"),
+        F.size(classes).alias("n_distinct_chars"),
+        F.round(ent, 6).alias("entropy"),
+    )

@@ -151,3 +151,24 @@ def test_dsir_weights_deterministic_across_partitionings(spark):
     assert {(r["doc_id"], r["dsir_weight"]) for r in a} == {
         (r["doc_id"], r["dsir_weight"]) for r in b
     }
+
+
+def test_char_entropy_bands(spark):
+    import math
+
+    from iatlas_cbioportal_export_spark.operators.curation import (
+        char_entropy_score,
+    )
+
+    rows = [
+        (1, "aaaaaaaa"),          # degenerate -> 0
+        (2, "abababab"),          # two classes -> ln 2
+        (3, ""),                  # empty -> 0
+        (4, "abcdefgh"),          # uniform 8 -> ln 8
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in char_entropy_score(df).collect()}
+    assert out[1]["entropy"] == 0.0
+    assert out[2]["entropy"] == round(math.log(2), 6)
+    assert out[3] ["entropy"] == 0.0 and out[3]["n_chars"] == 0
+    assert out[4]["entropy"] == round(math.log(8), 6)
