@@ -317,6 +317,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct"],
     ),
     "stats_mutual_information": (["HashAggregate"], ["CartesianProduct"]),
+    "events_time_to_convert": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct"],
+    ),
+    # entirely narrow: split/filter/fold per row, no exchange before the agg
+    "text_char_entropy": (["codegen id"], ["Exchange", "CartesianProduct"]),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
