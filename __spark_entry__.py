@@ -3177,69 +3177,14 @@ def q_dedup_span_windows(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
-    checks the FIRST 50 entries only. Tier 1 (entries 1-38) holds the
-    queries with no green driver row yet (r1: never reached, or fixed this
-    round); tier 2 (39-50) re-checks the flagship composites plus one
-    representative per operator family whose code changed this round. The
-    r1-proven parity tier sits past 50 — its evidence is CORRECTNESS_r01."""
+    checks the FIRST 50 entries only. Round-3 rotation: entries 1-50 are
+    the first 50 registry entries that have never received a driver-green
+    CORRECTNESS row (all were verified locally via tools/check_parity.py,
+    evidence in PARITY_LOCAL.md); entries 51-82 are the remaining 32
+    never-driver-checked entries (rotate into the window in round 4);
+    the rest carry green rows in CORRECTNESS_r01/r02."""
     return {
-        # --- tier 1a: fixed this round (failed or no_oracle in r1) ---
-        "p2_neq_filter_keep_nulls": q_p2_neq_filter_keep_nulls,
-        "f5_days_to_months": q_f5_days_to_months,
-        "multimodal_features": q_multimodal_features,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "sim_ivf_trained": q_sim_ivf_trained,
-        "embedding_near_dup": q_embedding_near_dup,
-        # --- tier 1b: registered in r1 but past the driver's 50-entry window ---
-        "tpch_q2_min_cost_supplier": q_tpch_q2,
-        "tpch_q6_forecast_revenue": q_tpch_q6,
-        "tpch_q7_volume_shipping": q_tpch_q7,
-        "tpch_q8_market_share": q_tpch_q8,
-        "tpch_q9_product_profit": q_tpch_q9,
-        "tpch_q10_returned_items": q_tpch_q10,
-        "tpch_q11_important_parts": q_tpch_q11,
-        "tpch_q12_late_priority": q_tpch_q12,
-        "tpch_q13_order_distribution": q_tpch_q13,
-        "tpch_q14_promo_share": q_tpch_q14,
-        "tpch_q15_top_supplier": q_tpch_q15,
-        "tpch_q16_supplier_counts": q_tpch_q16,
-        "tpch_q17_small_qty_revenue": q_tpch_q17,
-        "tpch_q18_large_volume": q_tpch_q18,
-        "tpch_q19_brand_bands": q_tpch_q19,
-        "tpch_q20_excess_shipping": q_tpch_q20,
-        "tpch_q21_waiting_suppliers": q_tpch_q21,
-        "tpch_q22_sales_opportunity": q_tpch_q22,
-        "asof_join_last_purchase": q_asof_join_last_purchase,
-        "range_join_qty_size": q_range_join_qty_size,
-        "window_topk_per_group": q_window_topk_per_group,
-        "rollup_revenue": q_rollup_revenue,
-        "cube_revenue": q_cube_revenue,
-        "window_moving_avg": q_window_moving_avg,
-        "percentiles_by_segment": q_percentiles_by_segment,
-        "events_attribution": q_events_attribution,
-        "events_json_extract": q_events_json_extract,
-        "stream_hourly_counts": q_stream_hourly_counts,
-        "events_sessionize": q_events_sessionize,
-        # --- tier 2: composites + changed-code regression re-checks ---
-        "curation_pipeline": q_curation_pipeline,
-        "text_tfidf": q_text_tfidf,
-        "maf_annotate_pipeline": q_maf_annotate_pipeline,
-        "maf_annotation_wide": q_maf_annotation_wide,
-        "maf_field_conformance": q_maf_field_conformance,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "v_validation_suite": q_v_validation_suite,
-        "sim_topk_bruteforce": q_sim_topk_bruteforce,
-        "dedup_components": q_dedup_components,
-        "text_top_ngrams": q_text_top_ngrams,
-        "s3_header_roundtrip": q_s3_header_roundtrip,
-        "f8_case_list_render": q_f8_case_list_render,
-        # --- tier 3 (past the 50-entry window): r1-proven parity rows
-        # (flagship_case_lists additionally runs via the entry() smoke;
-        # text_bm25 is new this round — local check_parity proves it, rotate
-        # it into the window next round) ---
+        # --- window (1-50): never driver-checked before round 3 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
         "text_chunking": q_text_chunking,
@@ -3270,6 +3215,110 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "repetition_removal": q_repetition_removal,
         "gopher_quality": q_gopher_quality,
+        "sim_semantic_dedup": q_sim_semantic_dedup,
+        "text_dsir_weights": q_text_dsir_weights,
+        "cdc_apply_changelog": q_cdc_apply_changelog,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "zorder_layout": q_zorder_layout,
+        "events_funnel": q_events_funnel,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "dedup_keep_best": q_dedup_keep_best,
+        "events_time_decay": q_events_time_decay,
+        "sketch_count_min": q_sketch_count_min,
+        "events_anomaly_zscore": q_events_anomaly_zscore,
+        "pivot_status_counts": q_pivot_status_counts,
+        "unpivot_part_metrics": q_unpivot_part_metrics,
+        "dedup_span_windows": q_dedup_span_windows,
+        "fuzzy_join_names": q_fuzzy_join_names,
+        "graph_pagerank": q_graph_pagerank,
+        "text_bpe_train": q_text_bpe_train,
+        "events_retention": q_events_retention,
+        "text_bpe_segment": q_text_bpe_segment,
+        "exact_quantiles": q_exact_quantiles,
+        # --- 51-82: never driver-checked; rotate into window in round 4 ---
+        "events_attribution_outer": q_events_attribution_outer,
+        "window_rank_suite": q_window_rank_suite,
+        "equi_depth_bins": q_equi_depth_bins,
+        "lpm_join_categories": q_lpm_join_categories,
+        "text_cooccurrence_pmi": q_text_cooccurrence_pmi,
+        "events_interval_overlap": q_events_interval_overlap,
+        "clinical_kaplan_meier": q_clinical_kaplan_meier,
+        "clinical_logrank": q_clinical_logrank,
+        "maf_oncoprint": q_maf_oncoprint,
+        "stats_chi_square": q_stats_chi_square,
+        "events_streaks": q_events_streaks,
+        "stats_linear_trend": q_stats_linear_trend,
+        "stats_psi_drift": q_stats_psi_drift,
+        "stats_ks_test": q_stats_ks_test,
+        "maf_gene_cooccurrence": q_maf_gene_cooccurrence,
+        "emb_random_projection": q_emb_random_projection,
+        "events_exp_smoothing": q_events_exp_smoothing,
+        "events_transition_matrix": q_events_transition_matrix,
+        "graph_triangles": q_graph_triangles,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "sim_item_cf": q_sim_item_cf,
+        "stats_ab_ztest": q_stats_ab_ztest,
+        "graph_kcore": q_graph_kcore,
+        "stats_correlation": q_stats_correlation,
+        "graph_bfs": q_graph_bfs,
+        "sim_association_rules": q_sim_association_rules,
+        "events_seasonal_residuals": q_events_seasonal_residuals,
+        "stats_mad_outliers": q_stats_mad_outliers,
+        "graph_label_propagation": q_graph_label_propagation,
+        "stats_mutual_information": q_stats_mutual_information,
+        "events_time_to_convert": q_events_time_to_convert,
+        "text_char_entropy": q_text_char_entropy,
+        # --- driver-green in CORRECTNESS_r01/r02 ---
+        "p2_neq_filter_keep_nulls": q_p2_neq_filter_keep_nulls,
+        "f5_days_to_months": q_f5_days_to_months,
+        "multimodal_features": q_multimodal_features,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_trained": q_sim_ivf_trained,
+        "embedding_near_dup": q_embedding_near_dup,
+        "tpch_q2_min_cost_supplier": q_tpch_q2,
+        "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q7_volume_shipping": q_tpch_q7,
+        "tpch_q8_market_share": q_tpch_q8,
+        "tpch_q9_product_profit": q_tpch_q9,
+        "tpch_q10_returned_items": q_tpch_q10,
+        "tpch_q11_important_parts": q_tpch_q11,
+        "tpch_q12_late_priority": q_tpch_q12,
+        "tpch_q13_order_distribution": q_tpch_q13,
+        "tpch_q14_promo_share": q_tpch_q14,
+        "tpch_q15_top_supplier": q_tpch_q15,
+        "tpch_q16_supplier_counts": q_tpch_q16,
+        "tpch_q17_small_qty_revenue": q_tpch_q17,
+        "tpch_q18_large_volume": q_tpch_q18,
+        "tpch_q19_brand_bands": q_tpch_q19,
+        "tpch_q20_excess_shipping": q_tpch_q20,
+        "tpch_q21_waiting_suppliers": q_tpch_q21,
+        "tpch_q22_sales_opportunity": q_tpch_q22,
+        "asof_join_last_purchase": q_asof_join_last_purchase,
+        "range_join_qty_size": q_range_join_qty_size,
+        "window_topk_per_group": q_window_topk_per_group,
+        "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
+        "window_moving_avg": q_window_moving_avg,
+        "percentiles_by_segment": q_percentiles_by_segment,
+        "events_attribution": q_events_attribution,
+        "events_json_extract": q_events_json_extract,
+        "stream_hourly_counts": q_stream_hourly_counts,
+        "events_sessionize": q_events_sessionize,
+        "curation_pipeline": q_curation_pipeline,
+        "text_tfidf": q_text_tfidf,
+        "maf_annotate_pipeline": q_maf_annotate_pipeline,
+        "maf_annotation_wide": q_maf_annotation_wide,
+        "maf_field_conformance": q_maf_field_conformance,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "v_validation_suite": q_v_validation_suite,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "dedup_components": q_dedup_components,
+        "text_top_ngrams": q_text_top_ngrams,
+        "s3_header_roundtrip": q_s3_header_roundtrip,
+        "f8_case_list_render": q_f8_case_list_render,
         "flagship_case_lists": flagship_case_lists,
         "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
         "dedup_exact": q_dedup_exact,
@@ -3308,58 +3357,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q4_order_priority": q_tpch_q4,
         "tpch_q5_local_supplier": q_tpch_q5,
-        "sim_semantic_dedup": q_sim_semantic_dedup,
-        "text_dsir_weights": q_text_dsir_weights,
-        "cdc_apply_changelog": q_cdc_apply_changelog,
-        "text_bigram_logprob": q_text_bigram_logprob,
-        "zorder_layout": q_zorder_layout,
-        "events_funnel": q_events_funnel,
-        "grouping_sets_revenue": q_grouping_sets_revenue,
-        "dedup_keep_best": q_dedup_keep_best,
-        "events_time_decay": q_events_time_decay,
-        "sketch_count_min": q_sketch_count_min,
-        "events_anomaly_zscore": q_events_anomaly_zscore,
-        "pivot_status_counts": q_pivot_status_counts,
-        "unpivot_part_metrics": q_unpivot_part_metrics,
-        "dedup_span_windows": q_dedup_span_windows,
-        "fuzzy_join_names": q_fuzzy_join_names,
-        "graph_pagerank": q_graph_pagerank,
-        "text_bpe_train": q_text_bpe_train,
-        "events_retention": q_events_retention,
-        "text_bpe_segment": q_text_bpe_segment,
-        "exact_quantiles": q_exact_quantiles,
-        "events_attribution_outer": q_events_attribution_outer,
-        "window_rank_suite": q_window_rank_suite,
-        "equi_depth_bins": q_equi_depth_bins,
-        "lpm_join_categories": q_lpm_join_categories,
-        "text_cooccurrence_pmi": q_text_cooccurrence_pmi,
-        "events_interval_overlap": q_events_interval_overlap,
-        "clinical_kaplan_meier": q_clinical_kaplan_meier,
-        "clinical_logrank": q_clinical_logrank,
-        "maf_oncoprint": q_maf_oncoprint,
-        "stats_chi_square": q_stats_chi_square,
-        "events_streaks": q_events_streaks,
-        "stats_linear_trend": q_stats_linear_trend,
-        "stats_psi_drift": q_stats_psi_drift,
-        "stats_ks_test": q_stats_ks_test,
-        "maf_gene_cooccurrence": q_maf_gene_cooccurrence,
-        "emb_random_projection": q_emb_random_projection,
-        "events_exp_smoothing": q_events_exp_smoothing,
-        "events_transition_matrix": q_events_transition_matrix,
-        "graph_triangles": q_graph_triangles,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "sim_item_cf": q_sim_item_cf,
-        "stats_ab_ztest": q_stats_ab_ztest,
-        "graph_kcore": q_graph_kcore,
-        "stats_correlation": q_stats_correlation,
-        "graph_bfs": q_graph_bfs,
-        "sim_association_rules": q_sim_association_rules,
-        "events_seasonal_residuals": q_events_seasonal_residuals,
-        "stats_mad_outliers": q_stats_mad_outliers,
-        "graph_label_propagation": q_graph_label_propagation,
-        "stats_mutual_information": q_stats_mutual_information,
-        "events_time_to_convert": q_events_time_to_convert,
-        "text_char_entropy": q_text_char_entropy,
     }
 
 

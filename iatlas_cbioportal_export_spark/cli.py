@@ -100,6 +100,20 @@ def cmd_maf(args: argparse.Namespace) -> int:
     ok, failed = split_annotation_errors(annotate(maf, annotator=annotator))
     write_chunked_tsv(drop_chrm(ok), os.path.join(args.out, "data_mutations_extended"),
                       max_rows=args.max_rows)
+    # meta descriptor — the reference's generate_meta_files step (maf.py:209-216)
+    from iatlas_cbioportal_export_spark.sources.sinks import render_meta_file
+
+    with open(os.path.join(args.out, "meta_mutations_extended.txt"), "w") as fh:
+        fh.write(
+            render_meta_file(
+                {
+                    "cancer_study_identifier": f"iatlas_{args.dataset}",
+                    "genetic_alteration_type": "MUTATION_EXTENDED",
+                    "datatype": "MAF",
+                    "data_filename": "data_mutations_extended",
+                }
+            )
+        )
     n_failed = failed.count()
     if n_failed:
         write_chunked_tsv(failed, os.path.join(args.out, "annotation_errors"))
@@ -107,38 +121,199 @@ def cmd_maf(args: argparse.Namespace) -> int:
     return 0
 
 
+# The reference's bundle surface (utils.py:11-22 REQUIRED_OUTPUT_FILES).
+# Our writer names the mutation artifact ``data_mutations_extended`` (a
+# chunked directory, S4) where the reference has a single
+# ``data_mutations.txt`` — validate accepts either spelling.
+_MAF_ARTIFACT_NAMES = (
+    "data_mutations_extended",
+    "data_mutations.txt",
+    "data_mutations_extended.txt",
+)
+_MAF_META_NAMES = ("meta_mutations_extended.txt", "meta_mutations.txt")
+_PASSTHROUGH_FILES = (
+    "data_gene_signatures.txt",
+    "meta_gene_signatures.txt",
+    "data_rna_seq_mrna.txt",
+    "meta_rna_seq_mrna.txt",
+)
+# Columns that identify the gene row (not a sample) in the pass-through
+# matrices (gene-signature / RNA-seq: gene × sample wide tables).
+_MATRIX_GENE_COLS = {
+    "Hugo_Symbol", "Entrez_Gene_Id", "geneset_id", "NAME", "DESCRIPTION",
+}
+
+
 def cmd_validate(args: argparse.Namespace) -> int:
+    """Full-bundle validation: the reference ``validate.py`` main flow
+    (``validate.py:229-284``) re-expressed natively over the whole bundle —
+    V1 file presence (``utils.py:11-22``), per-clinical-table fused profile
+    checks, patient↔sample referential keyset, the 118-column MAF schema
+    check (V12, ``validate.py:159-172``), MAF value conformance (the native
+    subset of cBioPortal ``validateData.py --strict_maf_checks`` the
+    reference shells out to, ``validate.py:211-216``), MAF-barcodes ⊆
+    clinical-samples, V13 maf-vs-neoantigen keyset (``validate.py:135-157``,
+    with ``--neoantigen``), and gene-signature / RNA-seq pass-through matrix
+    checks (``validate.py:175-195``: present, non-empty, sample columns ⊆
+    clinical samples). The whole suite is ONE lazy findings union → one
+    Spark action; exit 1 on any ERROR row (ErrorFlagHandler semantics,
+    ``utils.py:52-58``)."""
+    from pyspark.sql import functions as F
+
     from iatlas_cbioportal_export_spark.operators.validation import (
+        file_presence_findings,
         findings_union,
         has_errors,
-        no_all_null_columns,
-        no_duplicate_rows,
-        no_null_keys,
+        keyed_dup_and_distinct_checks,
+        keyset_preserved,
+        keyset_subset,
+        maf_value_conformance,
+        required_columns_present,
+        table_profile_checks,
     )
+    from iatlas_cbioportal_export_spark.sources.maf_schema import REQUIRED_MAF_COLS
     from iatlas_cbioportal_export_spark.sources.readers import (
+        read_tsv,
         read_tsv_skip_cbioportal_header,
     )
 
     spark = _spark()
+    bundle = args.bundle
     findings = []
+
+    maf_name = next(
+        (n for n in _MAF_ARTIFACT_NAMES if os.path.exists(os.path.join(bundle, n))),
+        None,
+    )
+    maf_meta = next(
+        (n for n in _MAF_META_NAMES if os.path.exists(os.path.join(bundle, n))),
+        None,
+    )
+    required = [
+        "data_clinical_patient.txt",
+        "data_clinical_sample.txt",
+        "meta_clinical_patient.txt",
+        "meta_clinical_sample.txt",
+        "meta_study.txt",
+        maf_name or _MAF_ARTIFACT_NAMES[0],
+        maf_meta or _MAF_META_NAMES[0],
+    ]
+    optional = list(_PASSTHROUGH_FILES)
+    if args.strict:
+        required += optional
+        optional = []
+    findings.append(file_presence_findings(spark, bundle, required, optional))
+
+    # --- clinical tables: fused single-scan profiles + keyed uniqueness ---
+    clinical: dict[str, object] = {}
     for name, key in (
         ("data_clinical_patient.txt", "PATIENT_ID"),
         ("data_clinical_sample.txt", "SAMPLE_ID"),
     ):
-        path = os.path.join(args.bundle, name)
+        path = os.path.join(bundle, name)
         if not os.path.exists(path):
-            print(f"MISSING {name}", file=sys.stderr)  # V1
-            return 1
+            continue  # already an ERROR finding from file presence
         df = read_tsv_skip_cbioportal_header(spark, path)
-        findings.extend(
-            [
-                no_null_keys(df, [key]),
-                no_all_null_columns(df),
-                no_duplicate_rows(df, check=f"no_dup_rows_{name}"),
-            ]
+        clinical[name] = df
+        short = name[len("data_clinical_") : -len(".txt")]
+        findings.append(
+            table_profile_checks(
+                df,
+                no_null_cols=[key] if key in df.columns else [],
+                all_null_cols=list(df.columns),
+            )
         )
+        if key in df.columns:
+            findings.append(
+                keyed_dup_and_distinct_checks(
+                    df, key, dup_check=f"no_duplicate_{key.lower()}_{short}"
+                )
+            )
+    patient = clinical.get("data_clinical_patient.txt")
+    sample = clinical.get("data_clinical_sample.txt")
+    if (
+        patient is not None
+        and sample is not None
+        and "PATIENT_ID" in sample.columns
+        and "PATIENT_ID" in patient.columns
+    ):
+        findings.append(
+            keyset_subset(
+                sample, "PATIENT_ID", patient, "PATIENT_ID",
+                check="sample_patients_in_patient_table",
+            )
+        )
+
+    # --- mutation data: V12 schema, value conformance, referential checks ---
+    if maf_name is not None:
+        maf_path = os.path.join(bundle, maf_name)
+        if os.path.isdir(maf_path):
+            maf = (
+                spark.read.option("sep", "\t")
+                .option("header", True)
+                .csv(maf_path)
+            )
+        else:
+            maf = read_tsv(spark, maf_path, comment="#")
+        findings.append(
+            required_columns_present(
+                maf, REQUIRED_MAF_COLS, check="maf_required_columns"
+            )
+        )
+        findings.append(maf_value_conformance(maf))
+        if "Tumor_Sample_Barcode" in maf.columns:
+            findings.append(
+                table_profile_checks(maf, no_null_cols=["Tumor_Sample_Barcode"])
+            )
+            if sample is not None and "SAMPLE_ID" in sample.columns:
+                findings.append(
+                    keyset_subset(
+                        maf, "Tumor_Sample_Barcode", sample, "SAMPLE_ID",
+                        check="maf_barcodes_in_clinical",
+                    )
+                )
+            if args.neoantigen:
+                neo = read_tsv(spark, args.neoantigen)
+                findings.append(
+                    keyset_preserved(
+                        maf, "Tumor_Sample_Barcode", neo, "Sample_ID",
+                        check="neoantigen_maf_ids_equal",
+                    )
+                )
+
+    # --- pass-through matrices: non-empty + sample columns ⊆ clinical ---
+    for name in ("data_gene_signatures.txt", "data_rna_seq_mrna.txt"):
+        path = os.path.join(bundle, name)
+        if not os.path.exists(path):
+            continue
+        mat = read_tsv(spark, path)
+        findings.append(
+            mat.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(f"nonempty_{name}").alias("check"),
+                F.when(F.col("n") > 0, F.lit("OK"))
+                .otherwise(F.lit("ERROR"))
+                .alias("status"),
+                F.col("n").cast("long").alias("observed"),
+                F.lit(1).cast("long").alias("expected"),
+                F.lit("matrix row count").alias("detail"),
+            )
+        )
+        sample_cols = [c for c in mat.columns if c not in _MATRIX_GENE_COLS]
+        if sample_cols == list(mat.columns):
+            sample_cols = sample_cols[1:]  # unknown gene column: skip the first
+        if sample_cols and sample is not None and "SAMPLE_ID" in sample.columns:
+            col_df = spark.createDataFrame(
+                [(c,) for c in sample_cols], "matrix_sample string"
+            )
+            findings.append(
+                keyset_subset(
+                    col_df, "matrix_sample", sample, "SAMPLE_ID",
+                    check=f"matrix_samples_in_clinical_{name}",
+                )
+            )
+
     suite = findings_union(findings)
-    suite.show(100, truncate=False)
+    suite.show(200, truncate=False)
     return 1 if has_errors(suite) else 0
 
 
@@ -217,10 +392,21 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--out", required=True)
     m.add_argument("--endpoint", help="Genome Nexus REST endpoint (default: offline fake)")
     m.add_argument("--max-rows", type=int, default=40_000)
+    m.add_argument("--dataset", default="study", help="dataset name for the study id")
     m.set_defaults(fn=cmd_maf)
 
     v = sub.add_parser("validate", help="run the validation suite on a bundle")
     v.add_argument("--bundle", required=True)
+    v.add_argument(
+        "--neoantigen",
+        help="neoantigen summary TSV for the V13 maf-vs-neoantigen keyset check",
+    )
+    v.add_argument(
+        "--strict",
+        action="store_true",
+        help="treat missing gene-signature / RNA-seq pass-through files as "
+        "ERROR (the reference requires all 10 bundle files)",
+    )
     v.set_defaults(fn=cmd_validate)
 
     load = sub.add_parser("load", help="copy a bundle to its destination store")

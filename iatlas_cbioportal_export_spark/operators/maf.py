@@ -208,6 +208,15 @@ def annotate(
     # names around the stage and restored afterwards — metadata-only renames.
     from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
+    # Re-annotation semantics: stale annotation columns in the input (a MAF
+    # that already went through an annotator, e.g. the reference's 118-col
+    # files) are REPLACED — drop them so the stage's output carries exactly
+    # one canonical-typed copy of each (duplicate labels would also break
+    # the Arrow column-by-name hand-back).
+    ann_names = {name for name, _ in ANNOTATION_COLS}
+    stale = [c for c in maf.columns if c in ann_names]
+    if stale:
+        maf = maf.drop(*stale)
     safe = {c: c.replace(".", "__dot__") for c in maf.columns if "." in c}
     maf_safe = maf.withColumnsRenamed(safe) if safe else maf
     ann_fields = [

@@ -170,6 +170,63 @@ def keyset_preserved(
     )
 
 
+def keyset_subset(
+    left: DataFrame, left_key: str, right: DataFrame, right_key: str,
+    check: str = "keyset_subset",
+) -> DataFrame:
+    """Referential check: every distinct ``left_key`` value appears in
+    ``right_key`` (one-directional — the containment half of
+    :func:`keyset_preserved`). This is the native form of cBioPortal
+    ``validateData.py``'s sample-reference checks (MAF barcodes must be
+    clinical samples; matrix columns must be clinical samples) that the
+    reference shells out to (``validate.py:211-216``). One distinct + one
+    anti-join on the key column only — never the full rows."""
+    missing = (
+        left.select(F.col(left_key).alias("__k"))
+        .distinct()
+        .join(
+            right.select(F.col(right_key).alias("__k")).distinct(),
+            "__k",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_missing"))
+    )
+    return missing.select(
+        *_finding_row(
+            check,
+            F.col("n_missing") == 0,
+            F.col("n_missing"),
+            F.lit(0),
+            F.lit(f"{left_key} values absent from {right_key}"),
+        )
+    )
+
+
+def file_presence_findings(
+    spark, bundle_dir: str, required: Sequence[str], optional: Sequence[str] = ()
+) -> DataFrame:
+    """V1: bundle-file presence as finding rows (reference
+    ``utils.py:11-22`` ``REQUIRED_OUTPUT_FILES`` + the read-or-die loop in
+    ``validate.py:175-196``). ``required`` misses are ERROR; ``optional``
+    misses (the gene-signature / RNA-seq pass-throughs a clinical+maf run
+    doesn't produce) are WARN — present files of either kind are OK.
+    Driver-side stat of ~10 paths; no data scan."""
+    import os
+
+    rows = []
+    for kind, names in (("required", required), ("optional", optional)):
+        for name in names:
+            present = os.path.exists(os.path.join(bundle_dir, name))
+            status = "OK" if present else ("ERROR" if kind == "required" else "WARN")
+            rows.append(
+                (f"file_present_{name}", status, int(present), 1,
+                 "" if present else f"missing {kind} file {name}")
+            )
+    return spark.createDataFrame(
+        rows, "check string, status string, observed long, expected long, detail string"
+    )
+
+
 def required_columns_present(
     df: DataFrame, required: Sequence[str], check: str = "required_columns_present"
 ) -> DataFrame:

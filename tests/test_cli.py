@@ -28,13 +28,31 @@ def _write_inputs(tmp_path):
     )
     maf_dir = tmp_path / "mafs"
     maf_dir.mkdir()
-    (maf_dir / "x.maf").write_text(
-        "#version\n"
-        "Hugo_Symbol\tChromosome\tStart_Position\tTumor_Sample_Barcode\n"
-        "TP53\tchr17\t100\ts1\n"
-        "KRAS\tchrM\t200\ts2\n"
-    )
+    (maf_dir / "x.maf").write_text(_full_width_maf())
     return clinical, oncotree, codes, maf_dir
+
+
+def _full_width_maf() -> str:
+    """A MAF carrying the reference's full 118-column schema
+    (validate.py:14-133) so the CLI validate's V12 check passes — only the
+    fields the pipeline/conformance checks read are populated."""
+    from iatlas_cbioportal_export_spark.sources.maf_schema import REQUIRED_MAF_COLS
+
+    rows = [
+        {"Hugo_Symbol": "TP53", "Chromosome": "chr17", "Start_Position": "100",
+         "End_Position": "101", "Reference_Allele": "A", "Tumor_Seq_Allele2": "G",
+         "t_ref_count": "10", "t_alt_count": "5", "Tumor_Sample_Barcode": "s1"},
+        {"Hugo_Symbol": "KRAS", "Chromosome": "chrM", "Start_Position": "200",
+         "End_Position": "200", "Reference_Allele": "C", "Tumor_Seq_Allele2": "T",
+         "t_ref_count": "8", "t_alt_count": "3", "Tumor_Sample_Barcode": "s2"},
+        {"Hugo_Symbol": "EGFR", "Chromosome": "chr7", "Start_Position": "300",
+         "End_Position": "300", "Reference_Allele": "G", "Tumor_Seq_Allele2": "A",
+         "t_ref_count": "12", "t_alt_count": "6", "Tumor_Sample_Barcode": "s3"},
+    ]
+    lines = ["#version", "\t".join(REQUIRED_MAF_COLS)]
+    for row in rows:
+        lines.append("\t".join(row.get(c, "") for c in REQUIRED_MAF_COLS))
+    return "\n".join(lines) + "\n"
 
 
 def test_cli_clinical_validate_load_roundtrip(spark, tmp_path):
@@ -145,3 +163,70 @@ def test_cli_curate_jsonl_roundtrip(tmp_path, spark):
     by_id = {d["doc_id"]: d["text"] for d in kept}
     assert set(by_id) == {1, 4}  # 2 deduped (keep-min), 3 gated out
     assert "<EMAIL>" in by_id[1] and "a@b.io" not in by_id[1]
+
+
+def _make_bundle(tmp_path):
+    clinical, oncotree, codes, maf_dir = _write_inputs(tmp_path)
+    bundle = str(tmp_path / "vbundle")
+    assert main(
+        ["clinical", "--clinical", str(clinical), "--oncotree", str(oncotree),
+         "--codes", str(codes), "--dataset", "Demo", "--out", bundle]
+    ) == 0
+    assert main(["maf", "--maf-folder", str(maf_dir), "--out", bundle,
+                 "--dataset", "Demo"]) == 0
+    return bundle
+
+
+def test_cli_validate_full_bundle(spark, tmp_path, capsys):
+    """The reference validate.py main flow end-to-end: clinical+maf bundle →
+    V1 presence, fused clinical profiles, V12 118-col MAF check, value
+    conformance, maf-barcodes⊆samples, V13 neoantigen keyset."""
+    bundle = _make_bundle(tmp_path)
+    # Neoantigen summary matching the POST-chrM-drop barcodes (s1, s3).
+    neo = tmp_path / "neo.tsv"
+    neo.write_text("Sample_ID\tneoantigen_count\ns1\t4\ns3\t2\n")
+    rc = main(["validate", "--bundle", bundle, "--neoantigen", str(neo)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    for check in (
+        "file_present_meta_study.txt",
+        "file_present_data_mutations_extended",
+        "no_duplicate_patient_id_patient",
+        "no_duplicate_sample_id_sample",
+        "sample_patients_in_patient_table",
+        "maf_required_columns",
+        "maf_chromosome_vocabulary",
+        "maf_barcodes_in_clinical",
+        "neoantigen_maf_ids_equal",
+    ):
+        assert check in out, check
+    # Missing pass-throughs are WARN by default, not ERROR.
+    assert "WARN" in out
+
+
+def test_cli_validate_neoantigen_mismatch_fails(spark, tmp_path):
+    bundle = _make_bundle(tmp_path)
+    neo = tmp_path / "neo.tsv"
+    neo.write_text("Sample_ID\tneoantigen_count\ns1\t4\nsX\t9\n")  # sX extra, s3 missing
+    assert main(["validate", "--bundle", bundle, "--neoantigen", str(neo)]) == 1
+
+
+def test_cli_validate_strict_requires_passthroughs(spark, tmp_path):
+    bundle = _make_bundle(tmp_path)
+    assert main(["validate", "--bundle", bundle, "--strict"]) == 1
+
+
+def test_cli_validate_passthrough_matrix_checks(spark, tmp_path, capsys):
+    bundle = _make_bundle(tmp_path)
+    # Valid gene-signature matrix: sample columns ⊆ clinical samples → rc 0.
+    with open(os.path.join(bundle, "data_gene_signatures.txt"), "w") as fh:
+        fh.write("geneset_id\ts1\ts2\ts3\nIFNG_SIG\t0.1\t0.2\t0.3\n")
+    rc = main(["validate", "--bundle", bundle])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "nonempty_data_gene_signatures.txt" in out
+    assert "matrix_samples_in_clinical_data_gene_signatures.txt" in out
+    # RNA-seq matrix referencing an unknown sample → ERROR.
+    with open(os.path.join(bundle, "data_rna_seq_mrna.txt"), "w") as fh:
+        fh.write("Hugo_Symbol\ts1\tsGHOST\nTP53\t1.5\t2.5\n")
+    assert main(["validate", "--bundle", bundle]) == 1
