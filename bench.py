@@ -1,17 +1,29 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+JSON line: {"metric": ..., "value": core_total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is fully materialized (count + a cheap hash-ish aggregate via
-collect on small results is avoided — we force execution with
-``df.write.format("noop")`` semantics via count()).
+Noise handling (round-3): ambient load on a shared box swings single-shot
+timings by ±50% (r1/r2 notes), which is wider than the regression gate —
+so every query now runs THREE times (whole-suite round-robin, so a load
+spike hits different queries in different reps) and reports the per-query
+MEDIAN. The JSON additionally carries the three per-rep wall totals
+("rep_totals") so the spread is visible next to the value.
+
+Scoring keys:
+- "value"          — sum of per-query medians over CORE (the same 20-query
+                     suite r1/r2 reported, so the ratio vs BASELINE/BENCH_r01
+                     stays apples-to-apples).
+- "queries"        — per-query medians for core + extended.
+- "extended_total" — sum of medians over the EXTENDED tier promoted in r3
+                     (graph / fuzzy-join / PMI / exact-quantile paths).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -20,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod  # noqa: E402
 from iatlas_cbioportal_export_spark import get_spark  # noqa: E402
 
-HEADLINE = [
+CORE = [
     "flagship_case_lists",
     "clinical_e2e_preprocess",
     "maf_annotate_pipeline",
@@ -43,6 +55,18 @@ HEADLINE = [
     "events_sessionize",
 ]
 
+# r2-surface queries promoted into the bench (VERDICT r2 item 5): the graph,
+# entity-resolution, co-occurrence, and exact-order-statistic scale paths.
+EXTENDED = [
+    "graph_pagerank",
+    "dedup_jaccard_prefix",
+    "text_cooccurrence_pmi",
+    "exact_quantiles",
+    "fuzzy_join_names",
+]
+
+N_REPS = 3
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,21 +78,34 @@ def main() -> None:
     # Hadoop FS / datasource stack — measured ~3s on first touch).
     spark.range(1).count()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(sum(timings.values()), 3)
+    names = CORE + EXTENDED
+    reps: list[dict[str, float]] = []
+    for _ in range(N_REPS):
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = queries[name]
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        reps.append(timings)
+    medians = {
+        name: round(statistics.median(r[name] for r in reps), 3) for name in names
+    }
+    core_total = round(sum(medians[n] for n in CORE), 3)
+    extended_total = round(sum(medians[n] for n in EXTENDED), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
-                "value": total,
+                "value": core_total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
                 "sf": float(sf),
+                "reps": N_REPS,
+                "rep_totals": [
+                    round(sum(r.values()), 3) for r in reps
+                ],
+                "extended_total": extended_total,
             }
         )
     )

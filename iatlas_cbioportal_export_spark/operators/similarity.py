@@ -86,6 +86,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 1000,
 ) -> DataFrame:
     """Exact top-k nearest neighbors by cosine for each query vector.
 
@@ -97,7 +98,24 @@ def brute_force_topk(
     the bottleneck; it also serializes each query's ranking into a single
     reducer task). Self-matches (same id) are excluded.
     Output: (query_id, vec_id, cosine_sim, rank).
+
+    This is the EXACT small-|Q| path: work is |C|·|Q| regardless of any
+    pruning, so it is guarded by ``max_queries`` (default 10³). A query set
+    above the cap raises with a pointer at :func:`ann_topk_lsh` /
+    :func:`ivf_topk`, which bucket the corpus so each query scores a sliver
+    of |C|; pass a higher ``max_queries`` explicitly to override. The guard
+    counts ``limit(cap+1)`` on the query side only — bounded work even when
+    a huge frame is passed by mistake (the failure mode it exists to catch).
     """
+    n_queries = queries.limit(max_queries + 1).count()
+    if n_queries > max_queries:
+        raise ValueError(
+            f"brute_force_topk saw more than max_queries="
+            f"{max_queries} query vectors: the exact path is "
+            "|corpus|x|queries| work and "
+            "is meant for small query sets. Use ann_topk_lsh or ivf_topk "
+            "for large query sets, or raise max_queries explicitly."
+        )
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
     )

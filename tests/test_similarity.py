@@ -426,3 +426,24 @@ def test_association_rules_confidence_and_lift(spark):
     }
     assert out[(2, 1)] == (3, 1.0, 1.0)
     assert out[(1, 2)] == (3, 0.75, 1.0)
+
+
+def test_brute_force_topk_query_cap_guard(spark):
+    """The exact path refuses oversized query sets (|C|x|Q| work) and points
+    at the ANN/IVF scale paths; an explicit higher cap overrides."""
+    import pytest
+
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    corpus = spark.range(20).selectExpr(
+        "id as vec_id", "array(cast(id as double), 1.0d) as embedding"
+    )
+    queries = spark.range(5).selectExpr(
+        "id + 100 as vec_id", "array(cast(id as double), 2.0d) as embedding"
+    )
+    with pytest.raises(ValueError, match="ann_topk_lsh"):
+        brute_force_topk(corpus, queries, k=2, max_queries=3)
+    out = brute_force_topk(corpus, queries, k=2, max_queries=5)
+    assert out.count() == 10
