@@ -2869,6 +2869,24 @@ def q_exact_quantiles(spark, sf_dir):
     )
 
 
+def q_sketch_accuracy_gate(spark, sf_dir):
+    """Sketch-accuracy gate over lineitem: HLL++ distinct (l_orderkey,
+    estimation regime at every SF) and percentile_approx p50 of
+    floor-cent prices, each reduced to the deterministic boolean "sketch
+    met its published error bound" next to the EXACT statistic — the
+    oracle-checkable contract for approximate operators whose raw sketch
+    values are engine-defined (approx_profile's docstring caveat, made
+    into a query)."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        sketch_accuracy_report,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.floor(F.col("l_extendedprice") * 100).alias("c")
+    )
+    return sketch_accuracy_report(li, distinct_col="l_orderkey", value_col="c")
+
+
 _BPE_MERGES = [("e", "r"), ("o", "r"), ("i", "n"), ("o", "w")]
 
 
@@ -3286,6 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mutual_information": q_stats_mutual_information,
         "events_time_to_convert": q_events_time_to_convert,
         "text_char_entropy": q_text_char_entropy,
+        "sketch_accuracy_gate": q_sketch_accuracy_gate,
         # --- driver-green in CORRECTNESS_r01/r02 ---
         "p2_neq_filter_keep_nulls": q_p2_neq_filter_keep_nulls,
         "f5_days_to_months": q_f5_days_to_months,
@@ -5640,6 +5659,14 @@ def oracle_sql() -> dict[str, str]:
                (SELECT c FROM r
                 WHERE rn = CAST(ceil(q.q * n.n) AS BIGINT)) AS value
         FROM (SELECT unnest([0.5, 0.9]) AS q) q CROSS JOIN n
+    """
+    d["sketch_accuracy_gate"] = """
+        SELECT 'distinct_l_orderkey' AS stat,
+               COUNT(DISTINCT l_orderkey) AS reference,
+               TRUE AS within_bound
+        FROM lineitem
+        UNION ALL
+        SELECT 'p50_rank_c', COUNT(*), TRUE FROM lineitem
     """
     d["events_attribution_outer"] = """
         SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

@@ -190,6 +190,65 @@ def approx_profile(
     return df.agg(*aggs)
 
 
+def sketch_accuracy_report(
+    df: DataFrame,
+    distinct_col: str,
+    value_col: str,
+    quantile: float = 0.5,
+    accuracy: int = 10_000,
+    rsd: float = 0.01,
+    distinct_rel_bound: float = 0.05,
+) -> DataFrame:
+    """Sketch-accuracy GATE: turns the two engine-defined sketches
+    (:func:`approx_profile`'s HLL++ distinct and ``percentile_approx``'s
+    quantile digest) into deterministic, cross-engine-checkable booleans —
+    the pattern for validating approximate operators whose raw outputs can
+    never be oracle-hashed.
+
+    - HLL: ``|approx − exact| ≤ distinct_rel_bound · exact``. With
+      ``rsd=0.01`` and a 5% bound that is a 5σ margin — deterministically
+      true for a correct sketch, false only on an engine regression.
+    - Quantile: ``percentile_approx`` guarantees a RANK error ≤
+      ``n/accuracy``. The returned value's rank interval
+      ``[count(< v)+1, count(≤ v)]`` (interval, so heavy ties can't fake a
+      failure) must intersect ``quantile·n ± n/accuracy``.
+
+    Three KB-bounded aggregates (exact+sketch fused scan, then one rank
+    scan seeded by the collected sketch value — a decision scalar, the same
+    collect class as dimension lookups). Output: (stat, reference,
+    within_bound) rows where ``reference`` is the exact statistic — so the
+    oracle row is fully computable in ANSI SQL with ``within_bound`` TRUE.
+    """
+    first = df.agg(
+        F.countDistinct(distinct_col).alias("exact_d"),
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias("approx_d"),
+        F.count(value_col).alias("n"),
+        F.percentile_approx(F.col(value_col), quantile, accuracy).alias("v"),
+    ).collect()[0]
+    n = first["n"]
+    ranks = df.agg(
+        F.sum(F.when(F.col(value_col) < F.lit(first["v"]), 1).otherwise(0)).alias(
+            "r_lo"
+        ),
+        F.sum(F.when(F.col(value_col) <= F.lit(first["v"]), 1).otherwise(0)).alias(
+            "r_hi"
+        ),
+    ).collect()[0]
+    d_ok = (
+        abs(first["approx_d"] - first["exact_d"])
+        <= distinct_rel_bound * first["exact_d"]
+    )
+    target, slack = quantile * n, n / accuracy
+    q_ok = (ranks["r_lo"] + 1) <= target + slack and ranks["r_hi"] >= target - slack
+    return df.sparkSession.createDataFrame(
+        [
+            (f"distinct_{distinct_col}", int(first["exact_d"]), bool(d_ok)),
+            (f"p{int(quantile * 100)}_rank_{value_col}", int(n), bool(q_ok)),
+        ],
+        "stat string, reference long, within_bound boolean",
+    )
+
+
 def merge_rollup(
     existing: DataFrame,
     delta: DataFrame,

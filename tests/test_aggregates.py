@@ -504,3 +504,18 @@ def test_mutual_information_known_cases(spark):
     )
     r2 = mutual_information(ind, "a", "b").collect()[0]
     assert abs(r2["mi"]) < 1e-6
+
+
+def test_sketch_accuracy_report_bounds(spark):
+    """Both sketches meet their published error bounds on a 50k-row column,
+    and the report carries the exact statistics for oracle comparison."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        sketch_accuracy_report,
+    )
+
+    df = spark.range(50_000).selectExpr("id as k", "id % 1000 as v")
+    rows = {r["stat"]: r for r in sketch_accuracy_report(df, "k", "v").collect()}
+    assert rows["distinct_k"]["reference"] == 50_000
+    assert rows["distinct_k"]["within_bound"] is True
+    assert rows["p50_rank_v"]["reference"] == 50_000
+    assert rows["p50_rank_v"]["within_bound"] is True
