@@ -608,36 +608,12 @@ def duplicated_spans(
     )
 
 
-def jaccard_prefix_join(
-    df: DataFrame,
-    threshold: float = 0.5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """EXACT token-set Jaccard similarity self-join (J ≥ threshold) via
-    prefix filtering (the AllPairs/PPJoin family, Bayardo et al. 2007) —
-    the exact-answer complement to the MinHash tier: no probabilistic
-    recall, every qualifying pair returned, still no all-pairs product.
-
-    Filters (all provably complete):
-    - length: J(a,b) ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t;
-    - prefix: J ≥ t ⇒ |a∩b| ≥ ⌈t·|a|⌉, so the ⌊|a| − t·|a|⌋ + 1 RAREST
-      tokens of a (global (df, token) order — rarest-first keeps the
-      candidate blocks small; cf. the measured gram-entropy lesson in
-      operators/entity.py) must hit any true partner's prefix.
-
-    Verification fetches the two sorted token ARRAYS by id (doc-bounded
-    payload, candidates only — the near-dup vector-fetch pattern) and
-    computes exact |a∩b| via array_intersect. Shuffles: (id, token)
-    exploded pairs, then (id, id) candidates.
-
-    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
-    """
-    t = float(threshold)
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.array_sort(F.array_distinct(tokens(text_col))).alias("ts"),
-    ).localCheckpoint(eager=False)
+def _jaccard_prefix_candidates(toks, t: float):
+    """AllPairs/PPJoin candidate pairs over (id, ts) distinct-set rows —
+    length, rarest-first prefix, and positional filters; see
+    :func:`jaccard_prefix_join` for the completeness arguments."""
+    t_num = int(round(t * 1_000_000))
+    t_den = 1_000_000
     posting = toks.select(
         "id", F.size("ts").alias("n"), F.explode("ts").alias("tok")
     )
@@ -655,19 +631,133 @@ def jaccard_prefix_join(
         .select(
             "id",
             "n",
-            F.explode(
+            F.posexplode(
                 F.slice(F.col("ordered.tok"), F.lit(1), pref_len)
-            ).alias("tok"),
+            ).alias("pos", "tok"),  # pos: 0-based rarity rank
         )
     )
     a = prefixes.select(
-        F.col("id").alias("id_a"), F.col("n").alias("na"), "tok"
+        F.col("id").alias("id_a"), F.col("n").alias("na"),
+        F.col("pos").alias("pa"), "tok",
     )
     b = prefixes.select(
-        F.col("id").alias("id_b"), F.col("n").alias("nb"), "tok"
+        F.col("id").alias("id_b"), F.col("n").alias("nb"),
+        F.col("pos").alias("pb"), "tok",
     )
-    cand = (
+    # PPJoin overlap upper bound for a first-match at 0-based (pa, pb):
+    # 1 + min(tokens after the match on each side).
+    ubound = 1 + F.least(
+        F.col("na") - F.col("pa") - 1, F.col("nb") - F.col("pb") - 1
+    )
+    alpha_ok = (
+        ubound * F.lit(t_num + t_den)
+        >= F.lit(t_num) * (F.col("na") + F.col("nb")) - F.lit(t_num + t_den)
+    )
+    return (
         a.join(b, on="tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("nb") >= F.ceil(F.lit(t) * F.col("na")))
+            & (F.col("na") >= F.ceil(F.lit(t) * F.col("nb")))
+            & alpha_ok
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _jaccard_deletion_candidates(toks, t: float):
+    """Deletion-neighborhood candidate pairs over (id, ts) distinct-set
+    rows, valid when every set's ka = n − ⌈t·n⌉ is ≤ 3 (caller gates).
+
+    Each set emits xxhash64 signatures of itself and of every subset
+    reachable by deleting up to ka elements (ka ≤ 3) — all
+    narrow array expressions over the already-sorted token array (removal
+    by position preserves sort order, so equal subsets hash equally). A
+    qualifying pair (J ≥ t ⇒ |a\\b| ≤ ka, |b\\a| ≤ kb) therefore shares
+    the signature of a∩b. Signature blocks track near-identical-set
+    density, not token frequency."""
+    n = F.size("ts")
+    sep = "\x1f"
+
+    def h(arr):
+        return F.xxhash64(F.concat_ws(sep, arr))
+
+    ka = (n - F.ceil(F.lit(t) * n)).cast("int")
+    empty = F.array().cast("array<bigint>")
+    sig0 = F.array(h(F.col("ts")))
+    del1 = (
+        F.when(
+            (ka >= 1) & (n >= 1),
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: h(
+                    F.concat(
+                        F.slice("ts", 1, i), F.slice("ts", i + 2, n - i - 1)
+                    )
+                ),
+            ),
+        ).otherwise(empty)
+    )
+    del2 = (
+        F.when(
+            (ka >= 2) & (n >= 2),
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, n - 1),
+                        lambda j: h(
+                            F.concat(
+                                F.slice("ts", 1, i),
+                                F.slice("ts", i + 2, j - i - 1),
+                                F.slice("ts", j + 2, n - j - 1),
+                            )
+                        ),
+                    ),
+                )
+            ),
+        ).otherwise(empty)
+    )
+    del3 = (
+        F.when(
+            (ka >= 3) & (n >= 3),
+            F.flatten(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), n - 3),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, n - 2),
+                            lambda j: F.transform(
+                                F.sequence(j + 1, n - 1),
+                                lambda k: h(
+                                    F.concat(
+                                        F.slice("ts", 1, i),
+                                        F.slice("ts", i + 2, j - i - 1),
+                                        F.slice("ts", j + 2, k - j - 1),
+                                        F.slice("ts", k + 2, n - k - 1),
+                                    )
+                                ),
+                            ),
+                        ),
+                    )
+                )
+            ),
+        ).otherwise(empty)
+    )
+    posting = toks.select(
+        "id",
+        n.alias("n"),
+        F.explode(F.concat(sig0, del1, del2, del3)).alias("sig"),
+    )
+    a = posting.select(
+        F.col("id").alias("id_a"), F.col("n").alias("na"), "sig"
+    )
+    b = posting.select(
+        F.col("id").alias("id_b"), F.col("n").alias("nb"), "sig"
+    )
+    return (
+        a.join(b, on="sig")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("nb") >= F.ceil(F.lit(t) * F.col("na")))
@@ -676,17 +766,142 @@ def jaccard_prefix_join(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocking: str = "auto",
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity self-join (J ≥ threshold) — the
+    exact-answer complement to the MinHash tier: no probabilistic recall,
+    every qualifying pair returned, still no all-pairs product. Two
+    complete candidate schemes, auto-selected by regime:
+
+    - ``deletion`` (high-threshold regime): J ≥ t forces
+      ``|a\\b| ≤ ka = na − ⌈t·na⌉`` per side (inter ≥ t·union ≥ t·na), so
+      when the corpus-wide max ka ≤ 3 every qualifying pair shares the
+      hash of a ≤ka-deletion subset (both sides can delete their way down
+      to a∩b) — the SymSpell invariant applied to SETS, mirroring the
+      measured gram-entropy replacement in operators/entity.py.
+      Candidates scale with true-match density, IMMUNE to vocabulary
+      entropy: the prefix scheme measured 199M candidates for a 573k-pair
+      answer on a 10× row-amplified low-entropy corpus
+      (tools/stress_bench.py) because every "rare" token was still
+      corpus-common; deletion blocking keys on whole-set content instead
+      of single tokens. Signature hashing is xxhash64 (internal blocking
+      only — collisions can only ADD candidates, which exact verification
+      removes).
+    - ``prefix`` (general regime, any threshold): AllPairs/PPJoin
+      (Bayardo et al. 2007; Xiao et al. 2008), used when long sets or low
+      thresholds would make deletion neighborhoods combinatorial.
+
+    ``blocking="auto"`` picks deletion iff the corpus max ka ≤ 3 (one tiny
+    aggregate — a KB-bounded decision scalar).
+
+    Prefix-scheme filters (all provably complete):
+    - length: J(a,b) ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t;
+    - prefix: J ≥ t ⇒ |a∩b| ≥ ⌈t·|a|⌉, so the ⌊|a| − t·|a|⌋ + 1 RAREST
+      tokens of a (global (df, token) order — rarest-first keeps the
+      candidate blocks small; cf. the measured gram-entropy lesson in
+      operators/entity.py) must hit any true partner's prefix.
+    - position (PPJoin, Xiao et al. 2008): a match at rarity-rank
+      positions (i, j) (1-based, same global order both sides) that is the
+      pair's FIRST match bounds the overlap by ``1 + min(na−i, nb−j)``;
+      J ≥ t needs overlap ≥ t/(1+t)·(na+nb), so rows whose bound falls
+      short are pruned BEFORE the pair distinct. Every true pair keeps its
+      first-match row (no earlier common token ⇒ the bound is valid and
+      met), so completeness holds even though later-match rows of the same
+      pair may be pruned with an invalid-for-them bound. The comparison is
+      integer (t as micro-unit rational, one overlap-unit slack), immune
+      to float-boundary dust. Measured: 10× row-amplified corpus went
+      super-linear (15.7×) on common-token blocks without this; the
+      positional prune removes the cross-block survivors that length
+      filtering alone admits.
+
+    Before any blocking, documents with IDENTICAL token sets are collapsed
+    to one representative (exact: groupBy the sorted-distinct array itself,
+    no hashing) — duplicate-heavy corpora put hundreds of set-equal docs in
+    every candidate block, and each such group of size g costs g² candidate
+    rows for what is one set comparison. The pairwise machinery then runs
+    on distinct sets only; member pairs are expanded back afterwards
+    (within-group pairs at J=1, cross-group pairs inherit the set pair's
+    J). Expansion work is proportional to the OUTPUT — irreducible.
+
+    Verification fetches the two sorted token ARRAYS by set id (set-bounded
+    payload, candidates only — the near-dup vector-fetch pattern) and
+    computes exact |a∩b| via array_intersect. Shuffles: one set-collapse
+    groupBy, (set, token) exploded pairs, then (set, set) candidates.
+
+    Regime note (measured, tools/stress_bench.py, 10× row-amplified
+    low-entropy corpus, identical 573k-pair outputs): prefix 398s vs
+    deletion 52s — prefix candidate volume is Σ block² over prefix-token
+    blocks and degrades toward all-pairs when every "rare" token is
+    corpus-common, while deletion blocks stay match-density-sized. The
+    remaining uncovered regime is low threshold × low entropy (ka > 3 ⇒
+    prefix, and prefix blocks are big): there the exact answer is itself
+    near-quadratic — use minhash_near_duplicates (probabilistic recall,
+    linear sketch volume) instead.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    t = float(threshold)
+    doc_toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(F.array_distinct(tokens(text_col))).alias("ts"),
+    )
+    sets = (
+        doc_toks.groupBy("ts")
+        .agg(F.min("id").alias("sid"), F.collect_list("id").alias("members"))
+        .localCheckpoint(eager=False)
+    )
+    toks = sets.select(F.col("sid").alias("id"), "ts")
+    if blocking == "auto":
+        max_ka = (
+            toks.agg(
+                F.max(
+                    F.size("ts") - F.ceil(F.lit(t) * F.size("ts"))
+                ).alias("m")
+            ).collect()[0]["m"]
+        )
+        blocking = "deletion" if max_ka is not None and max_ka <= 3 else "prefix"
+    if blocking == "deletion":
+        cand = _jaccard_deletion_candidates(toks, t)
+    else:
+        cand = _jaccard_prefix_candidates(toks, t)
     ta = toks.select(F.col("id").alias("id_a"), F.col("ts").alias("tsa"))
     tb = toks.select(F.col("id").alias("id_b"), F.col("ts").alias("tsb"))
     inter = F.size(F.array_intersect("tsa", "tsb"))
     union = F.size("tsa") + F.size("tsb") - inter
-    return (
+    set_pairs = (
         cand.join(ta, on="id_a")
         .join(tb, on="id_b")
         .select(
-            "id_a",
-            "id_b",
+            F.col("id_a").alias("sa"),
+            F.col("id_b").alias("sb"),
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= t)
     )
+    # Expand set pairs back to member pairs (fan-out == output size).
+    ma = sets.select(F.col("sid").alias("sa"), F.explode("members").alias("ma"))
+    mb = sets.select(F.col("sid").alias("sb"), F.explode("members").alias("mb"))
+    cross = (
+        set_pairs.join(ma, on="sa")
+        .join(mb, on="sb")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        sets.filter(F.size("members") > 1)
+        .select(F.explode("members").alias("id_a"), "members")
+        .select("id_a", F.explode("members").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)

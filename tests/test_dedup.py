@@ -224,3 +224,28 @@ def test_jaccard_prefix_join_exact_small(spark):
         for r in jaccard_prefix_join(df, threshold=0.6).collect()
     }
     assert got == {(1, 2): 0.6, (1, 3): 1.0, (2, 3): 0.6}
+
+
+def test_jaccard_join_schemes_agree(spark):
+    """Prefix and deletion blocking produce the identical exact pair set
+    (same docs corpus slice, high threshold so both schemes are eligible),
+    and auto picks deletion in the high-threshold regime."""
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(80)
+    )
+    out = {}
+    for scheme in ("prefix", "deletion", "auto"):
+        rows = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_prefix_join(
+                docs, threshold=0.9, blocking=scheme
+            ).collect()
+        )
+        out[scheme] = rows
+    assert out["prefix"] == out["deletion"] == out["auto"]
+    assert len(out["prefix"]) > 0

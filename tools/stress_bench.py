@@ -78,6 +78,75 @@ def amplify_embeddings(spark, factor: int):
     )
 
 
+def amplify_lineitem(spark, factor: int):
+    """Disjoint graph/value replicas: keys offset per replica so the
+    part↔supplier graph gains components (scaling), not degree (skew)."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    reps = spark.range(factor).select(F.col("id").alias("__rep"))
+    return li.crossJoin(reps).select(
+        (F.col("l_partkey") + F.col("__rep") * 10_000_000).alias("l_partkey"),
+        (F.col("l_suppkey") + F.col("__rep") * 10_000_000).alias("l_suppkey"),
+        (F.col("l_extendedprice") + F.col("__rep").cast("double") * 0.001).alias(
+            "l_extendedprice"
+        ),
+    )
+
+
+def amplify_customer(spark, factor: int):
+    """Replica-prefixed names: cross-replica edit distance > d, so the
+    fuzzy join's match space stays per-replica (scaling, not blow-up)."""
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    n = c.count()
+    reps = spark.range(factor).select(F.col("id").alias("__rep"))
+    return c.crossJoin(reps).select(
+        (F.col("c_custkey") + F.col("__rep") * n * 10).alias("c_custkey"),
+        F.concat(
+            F.lit("r"),
+            # 3 repeated digits: cross-replica distance >= 3 > d, so the
+            # match space stays per-replica even for identity names
+            F.repeat(F.col("__rep").cast("string"), 3),
+            F.lit("#"),
+            F.col("c_name"),
+        ).alias("c_name"),
+    )
+
+
+def _pagerank_edges(li):
+    e0 = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000_000).alias("dst"),
+    ).distinct()
+    return e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _fuzzy_pair(cust):
+    left = cust.select("c_custkey", "c_name")
+    pert = cust.select(
+        (F.col("c_custkey") + 2_000_000_000).alias("r_key"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.substring("c_name", 1, 9),
+                F.lit("X"),
+                F.expr("substring(c_name, 11)"),
+            ),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(F.substring("c_name", 1, 9), F.expr("substring(c_name, 11)")),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("r_name"),
+    )
+    return left, pert
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     # local mode: driver == executors — size the one JVM for the amplified
@@ -112,6 +181,51 @@ def main() -> None:
             e, dim=64, threshold=0.99, num_planes=14
         ).count(),
     }
+    # r3: the extended-bench tier's heavy paths, on their own inputs
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        exact_order_statistic,
+    )
+    from iatlas_cbioportal_export_spark.operators.entity import (
+        fuzzy_join_edit_distance,
+    )
+    from iatlas_cbioportal_export_spark.operators.graph import pagerank
+
+    cases.update(
+        {
+            "jaccard_prefix_09": lambda d: dedup_ops.jaccard_prefix_join(
+                d, threshold=0.9
+            ).count(),
+            "span_windows_k6": lambda d: dedup_ops.duplicated_spans(d).count(),
+            "cooccurrence_pmi": lambda d: text_ops.cooccurrence_pmi(d).count(),
+        }
+    )
+    li1 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    liN = amplify_lineitem(spark, factor).localCheckpoint(eager=True)
+    cust1 = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    custN = amplify_customer(spark, factor).localCheckpoint(eager=True)
+    li_cases = {
+        "pagerank_4r": lambda li: pagerank(
+            _pagerank_edges(li), iterations=4
+        ).count(),
+        "exact_quantile_p50": lambda li: exact_order_statistic(
+            li.select(
+                F.floor(F.col("l_extendedprice") * 100).alias("c")
+            ),
+            "c",
+            0.5,
+        ),
+    }
+    cust_cases = {
+        "fuzzy_join_d1": lambda c: fuzzy_join_edit_distance(
+            *_fuzzy_pair(c), "c_custkey", "c_name", "r_key", "r_name",
+            max_distance=1,
+        ).count(),
+    }
+
     for name, fn in cases.items():
         t1 = _timed(lambda: fn(docs1))
         tN = _timed(lambda: fn(docsN))
@@ -119,6 +233,14 @@ def main() -> None:
     for name, fn in emb_cases.items():
         t1 = _timed(lambda: fn(emb1))
         tN = _timed(lambda: fn(embN))
+        print(f"{name:22s} 1x={t1:6.2f}s  {factor}x={tN:7.2f}s  ratio={tN / t1:5.1f}")
+    for name, fn in li_cases.items():
+        t1 = _timed(lambda: fn(li1))
+        tN = _timed(lambda: fn(liN))
+        print(f"{name:22s} 1x={t1:6.2f}s  {factor}x={tN:7.2f}s  ratio={tN / t1:5.1f}")
+    for name, fn in cust_cases.items():
+        t1 = _timed(lambda: fn(cust1))
+        tN = _timed(lambda: fn(custN))
         print(f"{name:22s} 1x={t1:6.2f}s  {factor}x={tN:7.2f}s  ratio={tN / t1:5.1f}")
 
 
