@@ -871,26 +871,33 @@ def jaccard_prefix_join(
         cand = _jaccard_deletion_candidates(toks, t)
     else:
         cand = _jaccard_prefix_candidates(toks, t)
-    ta = toks.select(F.col("id").alias("id_a"), F.col("ts").alias("tsa"))
-    tb = toks.select(F.col("id").alias("id_b"), F.col("ts").alias("tsb"))
+    # The verify fetch carries each side's member list alongside its token
+    # array, so the pair→members expansion below is two NARROW explodes
+    # (fan-out == output size) instead of two more shuffling joins of the
+    # (potentially huge) qualifying-pair set.
+    ta = sets.select(
+        F.col("sid").alias("id_a"), F.col("ts").alias("tsa"),
+        F.col("members").alias("mem_a"),
+    )
+    tb = sets.select(
+        F.col("sid").alias("id_b"), F.col("ts").alias("tsb"),
+        F.col("members").alias("mem_b"),
+    )
     inter = F.size(F.array_intersect("tsa", "tsb"))
     union = F.size("tsa") + F.size("tsb") - inter
     set_pairs = (
         cand.join(ta, on="id_a")
         .join(tb, on="id_b")
         .select(
-            F.col("id_a").alias("sa"),
-            F.col("id_b").alias("sb"),
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            "mem_a",
+            "mem_b",
         )
         .filter(F.col("jaccard") >= t)
     )
-    # Expand set pairs back to member pairs (fan-out == output size).
-    ma = sets.select(F.col("sid").alias("sa"), F.explode("members").alias("ma"))
-    mb = sets.select(F.col("sid").alias("sb"), F.explode("members").alias("mb"))
     cross = (
-        set_pairs.join(ma, on="sa")
-        .join(mb, on="sb")
+        set_pairs.select("jaccard", F.explode("mem_a").alias("ma"), "mem_b")
+        .select("jaccard", "ma", F.explode("mem_b").alias("mb"))
         .select(
             F.least("ma", "mb").alias("id_a"),
             F.greatest("ma", "mb").alias("id_b"),
