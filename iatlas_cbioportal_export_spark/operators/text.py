@@ -899,3 +899,63 @@ def cooccurrence_pmi(
         .orderBy(F.desc("pair_count"), "a", "b")
         .limit(top_n)
     )
+
+
+def vocabulary_growth(
+    df: DataFrame,
+    fractions: tuple[float, ...] = (0.25, 0.5, 0.75, 1.0),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-token count at nested
+    deterministic corpus prefixes — the curve that decides whether a corpus
+    is still yielding NEW vocabulary (worth ingesting more of) or has
+    saturated (more data ≈ more duplicates), and what vocab size a tokenizer
+    trained on X% of it will see.
+
+    Prefixes are the id-hash samples of ``operators.sampling`` (bucket <
+    f·10⁴), so they are NESTED (a doc in the 25% sample is in the 50% one),
+    reproducible under any partitioning/engine, and the oracle can replay
+    membership exactly.
+
+    Plan shape — the token dictionary is aggregated ONCE for all fractions:
+    explode tokens with the doc's sample bucket, ``groupBy(token).min(bucket)``
+    (map-side combined; a token's first-appearance fraction is the min bucket
+    over its docs), then ONE single-row conditional aggregate per threshold,
+    unpivoted to (fraction_bp, n_docs, vocab_size) rows. Adding fractions
+    adds columns to a 1-row aggregate, not passes over the data.
+
+    Output: one row per fraction — ``fraction_bp`` (basis points of 10⁴),
+    ``n_docs``, ``vocab_size``.
+    """
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        _BUCKETS,
+        _bucket,
+    )
+
+    thresholds = sorted({int(round(f * _BUCKETS)) for f in fractions})
+    b = _bucket(id_col, salt)
+    tok_min = (
+        df.select(b.alias("__b"), T.tokens(text_col).alias("__toks"))
+        .select("__b", F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("__b").alias("mb"))
+    )
+    vocab_row = tok_min.agg(
+        *[
+            F.sum((F.col("mb") < F.lit(t)).cast("long")).alias(f"v{t}")
+            for t in thresholds
+        ]
+    )
+    docs_row = df.agg(
+        *[
+            F.sum((b < F.lit(t)).cast("long")).alias(f"d{t}")
+            for t in thresholds
+        ]
+    )
+    stack_expr = "stack({n}, {args}) as (fraction_bp, n_docs, vocab_size)".format(
+        n=len(thresholds),
+        args=", ".join(f"{t}, d{t}, v{t}" for t in thresholds),
+    )
+    return docs_row.crossJoin(F.broadcast(vocab_row)).selectExpr(stack_expr)

@@ -23,6 +23,66 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def list_data_files(spark, path: str) -> list[tuple[str, int]]:
+    """(name, bytes) of the data files under a table directory — a pure
+    NameNode/driver metadata listing (no data read), the input every
+    compaction decision needs. Hidden/marker files (``_SUCCESS``, ``.crc``)
+    are excluded."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: list[tuple[str, int]] = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            out.append((name, int(st.getLen())))
+    return sorted(out)
+
+
+def plan_compaction(
+    spark, path: str, target_file_bytes: int
+) -> dict[str, int]:
+    """Size-targeted compaction plan from file metadata alone:
+    ``n_target = ceil(total_bytes / target_file_bytes)`` (≥ 1). Returns
+    ``{"n_files", "total_bytes", "n_target"}``. Planning cost is one
+    directory listing — independent of data volume, so the decision scales
+    to a 100 TB table the same as to a test fixture."""
+    files = list_data_files(spark, path)
+    total = sum(b for _, b in files)
+    n_target = max(1, -(-total // int(target_file_bytes)))
+    return {"n_files": len(files), "total_bytes": total, "n_target": n_target}
+
+
+def compact_small_files(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = True,
+) -> dict[str, int]:
+    """Small-file compaction: rewrite a parquet directory as
+    ``ceil(total_bytes / target)`` files (the metadata-pressure killer for
+    long-running ingestion pipelines — a 100 TB table accreted in per-batch
+    dribbles ends up as millions of KB-files whose listing/footer overhead
+    dominates every scan).
+
+    ``shuffle=True`` (default) uses ``repartition(n)`` — one round-robin
+    exchange, paid once at write time, yielding uniformly-sized output
+    files regardless of input skew. ``shuffle=False`` uses ``coalesce(n)``
+    — zero shuffle (input splits are glued), cheaper but inherits any input
+    size skew into the outputs; right when inputs are already uniform.
+
+    Returns the plan dict plus ``n_output_files`` (post-write listing).
+    """
+    plan = plan_compaction(spark, in_path, target_file_bytes)
+    df = spark.read.parquet(in_path)
+    n = plan["n_target"]
+    df = df.repartition(n) if shuffle else df.coalesce(n)
+    df.write.mode("overwrite").parquet(out_path)
+    plan["n_output_files"] = len(list_data_files(spark, out_path))
+    return plan
+
+
 def z_order_value(cols: Sequence[Column | str], bits: int = 16) -> Column:
     """Morton value of N non-negative integer columns: bit i of column c
     lands at output bit ``i*N + c``. Inputs must already be bounded ranks in

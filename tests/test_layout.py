@@ -49,3 +49,55 @@ def test_zordered_write_bounds_spans_on_both_dims(spark, tmp_path):
     assert max(spans(zpath, "y")) <= n // 2
     # ...while the linear layout prunes only its sort key: files span ~all of y
     assert max(spans(lpath, "y")) == n - 1
+
+
+def test_compaction_plan_is_metadata_only(spark, tmp_path):
+    from iatlas_cbioportal_export_spark.sources.layout import (
+        list_data_files,
+        plan_compaction,
+    )
+
+    path = str(tmp_path / "frag")
+    spark.range(10_000).repartition(8).write.parquet(path)
+    files = list_data_files(spark, path)
+    assert len(files) == 8
+    assert all(b > 0 for _, b in files)
+    total = sum(b for _, b in files)
+    plan = plan_compaction(spark, path, target_file_bytes=total // 3 + 1)
+    assert plan == {"n_files": 8, "total_bytes": total, "n_target": 3}
+    # target larger than the table -> one file, never zero
+    assert plan_compaction(spark, path, total * 10)["n_target"] == 1
+
+
+def test_compact_small_files_roundtrip(spark, tmp_path):
+    from iatlas_cbioportal_export_spark.sources.layout import (
+        compact_small_files,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    df = spark.range(5_000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    )
+    df.repartition(16).write.parquet(src)
+    plan = compact_small_files(spark, src, out, target_file_bytes=1 << 40)
+    assert plan["n_target"] == 1
+    assert plan["n_output_files"] == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 5_000
+    assert back.agg(F.sum("id")).collect()[0][0] == 5_000 * 4_999 // 2
+
+
+def test_compact_coalesce_path_skips_shuffle(spark, tmp_path):
+    from iatlas_cbioportal_export_spark.sources.layout import (
+        compact_small_files,
+    )
+
+    src = str(tmp_path / "src2")
+    out = str(tmp_path / "out2")
+    spark.range(1_000).repartition(8).write.parquet(src)
+    plan = compact_small_files(
+        spark, src, out, target_file_bytes=1 << 40, shuffle=False
+    )
+    assert plan["n_output_files"] == 1
+    assert spark.read.parquet(out).count() == 1_000

@@ -1,0 +1,56 @@
+"""Key-skew profiling: exact integer statistics and the salting handoff."""
+
+import pyspark.sql.functions as F
+
+from iatlas_cbioportal_export_spark.operators.profiling import key_skew_report
+
+
+def _df(spark, counts: dict[str, int]):
+    rows = [(k,) for k, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_skew_report_exact_values(spark):
+    # 80 'hot' + 10 'a' + 10 'b' = 100 rows, 3 keys
+    df = _df(spark, {"hot": 80, "a": 10, "b": 10})
+    out = {
+        r["key_value"]: r
+        for r in key_skew_report(df, "k", top_k=3, num_partitions=4).collect()
+    }
+    hot = out["hot"]
+    assert hot["cnt"] == 80
+    assert hot["share_ppm"] == 800_000
+    # 80 * 3 keys * 1000 / 100 = 2400: hot carries 2.4 keys' worth of rows
+    assert hot["skew_x1000"] == 2400
+    # ceil(80 * 4 / 100) = ceil(3.2) = 4 salt buckets
+    assert hot["suggested_salt"] == 4
+    assert hot["rank"] == 1
+    assert out["a"]["suggested_salt"] == 1  # 10 rows < one uniform share
+    assert out["a"]["rank"] == 2  # tie with 'b' broken by key asc
+    assert out["b"]["rank"] == 3
+
+
+def test_skew_report_uniform_keys_salt_one(spark):
+    df = _df(spark, {c: 5 for c in "abcd"})
+    rows = key_skew_report(df, "k", top_k=10, num_partitions=8).collect()
+    assert len(rows) == 4
+    assert all(r["suggested_salt"] <= 2 for r in rows)
+    assert all(r["skew_x1000"] == 1000 for r in rows)
+
+
+def test_skew_report_top_k_limits(spark):
+    df = _df(spark, {f"k{i}": i + 1 for i in range(20)})
+    rows = key_skew_report(df, "k", top_k=5).collect()
+    assert [r["cnt"] for r in rows] == [20, 19, 18, 17, 16]
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_skew_report_exact_ceiling_boundary(spark):
+    # cnt * P / total exactly integral: 50 * 4 / 100 = 2.0 -> ceil stays 2
+    df = _df(spark, {"x": 50, "y": 25, "z": 25})
+    out = {
+        r["key_value"]: r["suggested_salt"]
+        for r in key_skew_report(df, "k", top_k=3, num_partitions=4).collect()
+    }
+    assert out["x"] == 2
+    assert out["y"] == 1

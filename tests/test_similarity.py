@@ -447,3 +447,70 @@ def test_brute_force_topk_query_cap_guard(spark):
         brute_force_topk(corpus, queries, k=2, max_queries=3)
     out = brute_force_topk(corpus, queries, k=2, max_queries=5)
     assert out.count() == 10
+
+
+def test_mips_topk_differs_from_cosine_when_norms_matter(spark):
+    # d1 points the same direction as q but is SHORT; d2 is slightly
+    # off-angle but LONG: cosine prefers d1, inner product prefers d2.
+    rows = [
+        (0, [1.0, 0.0]),        # query
+        (1, [0.1, 0.0]),        # d1: cos=1.0, dot=0.1
+        (2, [4.0, 3.0]),        # d2: cos=0.8, dot=4.0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from iatlas_cbioportal_export_spark.operators.similarity import mips_topk
+
+    mips = mips_topk(df, df.filter("vec_id = 0"), k=2)
+    got = {r["vec_id"]: r["rank"] for r in mips.collect()}
+    assert got == {2: 1, 1: 2}
+    cos = brute_force_topk(df, df.filter("vec_id = 0"), k=2)
+    cos_got = {r["vec_id"]: r["rank"] for r in cos.collect()}
+    assert cos_got == {1: 1, 2: 2}  # the orderings really do disagree
+
+
+def test_mips_augment_reduces_mips_to_cosine_order(spark):
+    import random
+
+    import pyspark.sql.functions as F
+
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        mips_augment,
+        mips_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(6)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    aug = mips_augment(df).select("vec_id", F.col("augmented").alias("embedding"))
+    # augmented vectors all share the corpus max norm M
+    norms = aug.select(
+        F.sqrt(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda a, x: a + x * x
+            )
+        ).alias("n")
+    ).collect()
+    assert max(r["n"] for r in norms) - min(r["n"] for r in norms) < 1e-9
+    # cosine top-k over augmented corpus with zero-padded queries == MIPS
+    queries = df.filter("vec_id < 3").select(
+        "vec_id",
+        F.concat("embedding", F.array(F.lit(0.0))).alias("embedding"),
+    )
+    cos_on_aug = brute_force_topk(aug, queries, k=5)
+    mips = mips_topk(df, df.filter("vec_id < 3"), k=5)
+    a = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in cos_on_aug.collect())
+    b = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in mips.collect())
+    assert a == b
+
+
+def test_mips_topk_query_cap_guard(spark):
+    from iatlas_cbioportal_export_spark.operators.similarity import mips_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        mips_topk(df, df, k=2, max_queries=5)

@@ -435,3 +435,43 @@ def test_cooccurrence_pmi_counts_and_window(spark):
     # window=1: only adjacent pairs
     adj = cooccurrence_pmi(df, window=1, top_n=100).count()
     assert adj == 3
+
+
+def test_vocabulary_growth_nested_and_monotone(spark):
+    from iatlas_cbioportal_export_spark.operators.text import vocabulary_growth
+
+    rows = [(i, f"tok{i} shared common") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["fraction_bp"]: r
+        for r in vocabulary_growth(df, fractions=(0.25, 0.5, 1.0)).collect()
+    }
+    assert set(out) == {2500, 5000, 10000}
+    # full corpus: every doc sampled, vocab = 200 unique + 2 shared
+    assert out[10000]["n_docs"] == 200
+    assert out[10000]["vocab_size"] == 202
+    # nested prefixes: both counts monotone non-decreasing in the fraction
+    assert out[2500]["n_docs"] <= out[5000]["n_docs"] <= 200
+    assert out[2500]["vocab_size"] <= out[5000]["vocab_size"] <= 202
+    # each sampled doc contributes its unique token; shared tokens appear
+    # as soon as the sample is non-empty
+    assert out[2500]["vocab_size"] == out[2500]["n_docs"] + 2
+
+
+def test_vocabulary_growth_matches_manual_membership(spark):
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        _BUCKETS,
+        _KNUTH,
+        _MOD,
+    )
+    from iatlas_cbioportal_export_spark.operators.text import vocabulary_growth
+
+    rows = [(i, f"w{i % 7}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["fraction_bp"]: r
+        for r in vocabulary_growth(df, fractions=(0.5,)).collect()
+    }
+    ids = [i for i in range(50) if ((i * _KNUTH) % _MOD) % _BUCKETS < 5000]
+    assert out[5000]["n_docs"] == len(ids)
+    assert out[5000]["vocab_size"] == len({i % 7 for i in ids})

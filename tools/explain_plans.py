@@ -323,6 +323,29 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # entirely narrow: split/filter/fold per row, no exchange before the agg
     "text_char_entropy": (["codegen id"], ["Exchange", "CartesianProduct"]),
+    # one map-side-combined groupBy over the raw table; the totals join is a
+    # 1-row broadcast; top-k is a heap, never a full sort shuffle
+    "profile_key_skew": (
+        ["HashAggregate", "TakeOrderedAndProject"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # reads back the COMPACTED files; one aggregate, no joins at all
+    "layout_compaction": (
+        ["HashAggregate", "codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    # the deliberate broadcast cross join of the exact path (same contract as
+    # sim_topk_bruteforce) + the no-shuffle partial top-k mapInPandas stage
+    "sim_mips_topk": (
+        ["BroadcastNestedLoopJoin", "ArrowEvalPython|MapInPandas"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # one token-dictionary aggregate serves every fraction; the two 1-row
+    # aggregates meet in a broadcast nested-loop (1x1 rows - bounded)
+    "text_vocab_growth": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
