@@ -670,33 +670,50 @@ def _jaccard_deletion_candidates(toks, t: float):
     """Deletion-neighborhood candidate pairs over (id, ts) distinct-set
     rows, valid when every set's ka = n − ⌈t·n⌉ is ≤ 3 (caller gates).
 
-    Each set emits xxhash64 signatures of itself and of every subset
-    reachable by deleting up to ka elements (ka ≤ 3) — all
-    narrow array expressions over the already-sorted token array (removal
-    by position preserves sort order, so equal subsets hash equally). A
-    qualifying pair (J ≥ t ⇒ |a\\b| ≤ ka, |b\\a| ≤ kb) therefore shares
-    the signature of a∩b. Signature blocks track near-identical-set
-    density, not token frequency."""
+    Each set emits signatures of itself and of every subset reachable by
+    deleting up to ka elements (ka ≤ 3). A qualifying pair
+    (J ≥ t ⇒ |a\\b| ≤ ka, |b\\a| ≤ kb) therefore shares the signature of
+    a∩b. Signature blocks track near-identical-set density, not token
+    frequency.
+
+    The subset signature is the XOR of per-token xxhash64 values —
+    order-independent and overflow-free (a 64-bit SUM trips ANSI-mode
+    ARITHMETIC_OVERFLOW under the driver's plain session), so deleting
+    elements is pure arithmetic: ``sig(S∖{i,j}) = total ⊕ hᵢ ⊕ hⱼ``. Each
+    of the O(n^ka) signatures costs O(1) long XORs instead of
+    materializing + re-hashing an O(n)-token subset array (the earlier
+    concat/slice formulation measured ~40% of the whole join's wall time
+    on 20-token sets: C(n,2) array builds × ~300 chars hashed each).
+    Equal subsets still collide by construction; XOR collisions between
+    DIFFERENT subsets can only add candidates, which exact verification
+    removes — the same one-sided-error contract as every blocking hash
+    here."""
+    # hs/total are MATERIALIZED columns before any lambda references them —
+    # referencing the raw expressions inside F.transform would re-inline
+    # (and re-evaluate) the O(n) hash/sum subtree per element (the
+    # measured O(n²) re-inlining trap; see cooccurrence_pmi history).
+    toks = toks.select(
+        "id",
+        "ts",
+        F.transform(F.col("ts"), lambda x: F.xxhash64(x)).alias("__hs"),
+    ).select(
+        "id",
+        "ts",
+        "__hs",
+        F.aggregate(
+            "__hs", F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)
+        ).alias("__htot"),
+    )
     n = F.size("ts")
-    sep = "\x1f"
-
-    def h(arr):
-        return F.xxhash64(F.concat_ws(sep, arr))
-
     ka = (n - F.ceil(F.lit(t) * n)).cast("int")
     empty = F.array().cast("array<bigint>")
-    sig0 = F.array(h(F.col("ts")))
+    hs = F.col("__hs")
+    total = F.col("__htot")
+    sig0 = F.array(total)
     del1 = (
         F.when(
             (ka >= 1) & (n >= 1),
-            F.transform(
-                F.sequence(F.lit(0), n - 1),
-                lambda i: h(
-                    F.concat(
-                        F.slice("ts", 1, i), F.slice("ts", i + 2, n - i - 1)
-                    )
-                ),
-            ),
+            F.transform(hs, lambda h: total.bitwiseXOR(h)),
         ).otherwise(empty)
     )
     del2 = (
@@ -704,16 +721,12 @@ def _jaccard_deletion_candidates(toks, t: float):
             (ka >= 2) & (n >= 2),
             F.flatten(
                 F.transform(
-                    F.sequence(F.lit(0), n - 2),
+                    F.sequence(F.lit(1), n - 1),
                     lambda i: F.transform(
-                        F.sequence(i + 1, n - 1),
-                        lambda j: h(
-                            F.concat(
-                                F.slice("ts", 1, i),
-                                F.slice("ts", i + 2, j - i - 1),
-                                F.slice("ts", j + 2, n - j - 1),
-                            )
-                        ),
+                        F.sequence(i + 1, n),
+                        lambda j: total.bitwiseXOR(
+                            F.element_at(hs, i)
+                        ).bitwiseXOR(F.element_at(hs, j)),
                     ),
                 )
             ),
@@ -725,19 +738,15 @@ def _jaccard_deletion_candidates(toks, t: float):
             F.flatten(
                 F.flatten(
                     F.transform(
-                        F.sequence(F.lit(0), n - 3),
+                        F.sequence(F.lit(1), n - 2),
                         lambda i: F.transform(
-                            F.sequence(i + 1, n - 2),
+                            F.sequence(i + 1, n - 1),
                             lambda j: F.transform(
-                                F.sequence(j + 1, n - 1),
-                                lambda k: h(
-                                    F.concat(
-                                        F.slice("ts", 1, i),
-                                        F.slice("ts", i + 2, j - i - 1),
-                                        F.slice("ts", j + 2, k - j - 1),
-                                        F.slice("ts", k + 2, n - k - 1),
-                                    )
-                                ),
+                                F.sequence(j + 1, n),
+                                lambda k: total.bitwiseXOR(
+                                    F.element_at(hs, i)
+                                ).bitwiseXOR(F.element_at(hs, j))
+                                .bitwiseXOR(F.element_at(hs, k)),
                             ),
                         ),
                     )
@@ -836,67 +845,117 @@ def jaccard_prefix_join(
     groupBy, (set, token) exploded pairs, then (set, set) candidates.
 
     Regime note (measured, tools/stress_bench.py, 10× row-amplified
-    low-entropy corpus, identical 573k-pair outputs): prefix 398s vs
-    deletion 52s — prefix candidate volume is Σ block² over prefix-token
-    blocks and degrades toward all-pairs when every "rare" token is
-    corpus-common, while deletion blocks stay match-density-sized. The
-    remaining uncovered regime is low threshold × low entropy (ka > 3 ⇒
-    prefix, and prefix blocks are big): there the exact answer is itself
-    near-quadratic — use minhash_near_duplicates (probabilistic recall,
-    linear sketch volume) instead.
+    low-entropy corpus, identical 573k-pair outputs): prefix 296s vs
+    deletion 16s (XOR signatures; 1×: 4.9s vs 5.6s) — prefix candidate
+    volume is Σ block² over prefix-token blocks and degrades toward
+    all-pairs when every "rare" token is corpus-common, while deletion
+    blocks stay match-density-sized. The remaining uncovered regime is low
+    threshold × low entropy (ka > 3 ⇒ prefix, and prefix blocks are big):
+    there the exact answer is itself near-quadratic — use
+    minhash_near_duplicates (probabilistic recall, linear sketch volume)
+    instead.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     t = float(threshold)
+    # Empty token sets are excluded up front: J(∅, ∅) = 0/0 is undefined
+    # (NOT 1.0 — two blank documents are not near-duplicates), and an empty
+    # set can never reach a positive threshold against a non-empty one.
     doc_toks = df.select(
         F.col(id_col).alias("id"),
         F.array_sort(F.array_distinct(tokens(text_col))).alias("ts"),
-    )
+    ).filter(F.size("ts") > 0)
     sets = (
         doc_toks.groupBy("ts")
         .agg(F.min("id").alias("sid"), F.collect_list("id").alias("members"))
         .localCheckpoint(eager=False)
     )
     toks = sets.select(F.col("sid").alias("id"), "ts")
+    # One tiny stats aggregate drives BOTH regime decisions (blocking scheme
+    # and verify-side broadcast): max ka and the distinct-set count are
+    # KB-bounded decision scalars from a single job.
+    stats = toks.agg(
+        F.max(F.size("ts") - F.ceil(F.lit(t) * F.size("ts"))).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    max_ka, n_sets = stats["m"], stats["n"]
     if blocking == "auto":
-        max_ka = (
-            toks.agg(
-                F.max(
-                    F.size("ts") - F.ceil(F.lit(t) * F.size("ts"))
-                ).alias("m")
-            ).collect()[0]["m"]
-        )
         blocking = "deletion" if max_ka is not None and max_ka <= 3 else "prefix"
     if blocking == "deletion":
         cand = _jaccard_deletion_candidates(toks, t)
     else:
         cand = _jaccard_prefix_candidates(toks, t)
-    # The verify fetch carries each side's member list alongside its token
-    # array, so the pair→members expansion below is two NARROW explodes
-    # (fan-out == output size) instead of two more shuffling joins of the
-    # (potentially huge) qualifying-pair set.
-    ta = sets.select(
-        F.col("sid").alias("id_a"), F.col("ts").alias("tsa"),
-        F.col("members").alias("mem_a"),
+    # Vocab-adaptive verification encoding (the dictionary + bitmap-index
+    # analogue of low-cardinality columnar storage): when the corpus
+    # vocabulary fits in 64 distinct tokens, each set is ONE long bitmask
+    # and |a∩b| = bit_count(a & b) — exact (the token→bit dictionary is a
+    # bijection; sets are distinct so popcount == set size), and orders of
+    # magnitude cheaper than hashing two string arrays per candidate pair
+    # when candidates run to millions. The dictionary is a KB-bounded
+    # decision collect (≤ 65 rows via limit — bounded even on huge
+    # corpora); larger vocabularies verify on the sorted token arrays.
+    vocab_rows = (
+        toks.select(F.explode("ts").alias("tok")).distinct().limit(65).collect()
     )
-    tb = sets.select(
-        F.col("sid").alias("id_b"), F.col("ts").alias("tsb"),
-        F.col("members").alias("mem_b"),
-    )
-    inter = F.size(F.array_intersect("tsa", "tsb"))
-    union = F.size("tsa") + F.size("tsb") - inter
+    small_vocab = len(vocab_rows) <= 64
+    if small_vocab:
+        tok_bit = {
+            tok: i for i, tok in enumerate(sorted(r["tok"] for r in vocab_rows))
+        }
+        # map holds the PRE-SHIFTED bit value (1 << i) — shiftleft takes a
+        # literal bit count, and baking the shift into the literal map is
+        # one lookup per token instead of a shift per element anyway.
+        bit_map = F.create_map(
+            *[
+                c
+                for tok, i in sorted(tok_bit.items())
+                for c in (F.lit(tok), F.lit(1 << i).cast("long"))
+            ]
+        )
+        enc = F.aggregate(
+            "ts",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseOR(F.element_at(bit_map, x)),
+        )
+    else:
+        enc = F.col("ts")
+    # Verification scores candidates against COMPACT (sid, encoding) frames
+    # only — members are fetched AFTER the J ≥ t filter, so the (often much
+    # larger) candidate set never drags member lists through a join, and the
+    # member joins are proportional to the QUALIFYING pairs. Under the mask
+    # encoding a side frame is 16 bytes/set; when the distinct-set count
+    # is broadcast-sized (checkpointing hides stats from the planner, so
+    # the hint is explicit, gated on the measured n_sets) the two verify
+    # joins and two member joins all go broadcast-hash — the candidate pair
+    # set is never shuffled. Past the cap they fall back to shuffle
+    # equi-joins on set id: inherent, and still sketch-sized payloads.
+    bcast_cap = 2_000_000 if small_vocab else 100_000
+    hint = F.broadcast if n_sets <= bcast_cap else (lambda d: d)
+    ta = sets.select(F.col("sid").alias("id_a"), enc.alias("tsa"))
+    tb = sets.select(F.col("sid").alias("id_b"), enc.alias("tsb"))
+    if small_vocab:
+        inter = F.bit_count(F.col("tsa").bitwiseAND(F.col("tsb")))
+        union = F.bit_count(F.col("tsa")) + F.bit_count(F.col("tsb")) - inter
+    else:
+        inter = F.size(F.array_intersect("tsa", "tsb"))
+        union = F.size("tsa") + F.size("tsb") - inter
     set_pairs = (
-        cand.join(ta, on="id_a")
-        .join(tb, on="id_b")
+        cand.join(hint(ta), on="id_a")
+        .join(hint(tb), on="id_b")
         .select(
+            "id_a",
+            "id_b",
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
-            "mem_a",
-            "mem_b",
         )
         .filter(F.col("jaccard") >= t)
     )
+    mem_a = sets.select(F.col("sid").alias("id_a"), F.col("members").alias("mem_a"))
+    mem_b = sets.select(F.col("sid").alias("id_b"), F.col("members").alias("mem_b"))
     cross = (
-        set_pairs.select("jaccard", F.explode("mem_a").alias("ma"), "mem_b")
+        set_pairs.join(hint(mem_a), on="id_a")
+        .join(hint(mem_b), on="id_b")
+        # pair→members expansion as two NARROW explodes: fan-out == output
+        .select("jaccard", F.explode("mem_a").alias("ma"), "mem_b")
         .select("jaccard", "ma", F.explode("mem_b").alias("mb"))
         .select(
             F.least("ma", "mb").alias("id_a"),

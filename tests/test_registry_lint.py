@@ -40,6 +40,9 @@ ALLOW_NESTED_LOOP = {
     "graph_label_propagation", # checkpointed per-round state scans
     "stats_mutual_information",# marginal/total one-row broadcast crosses
     "events_time_to_convert",  # converted-user gap table: global rank window
+    "profile_key_skew",        # (total, n_keys) scalar: one-row broadcast join
+    "sim_mips_topk",           # scoring vs broadcast query set (= bruteforce)
+    "text_vocab_growth",       # two 1-row aggregates crossed (curve assembly)
 }
 
 _QUERIES = entrymod.queries()
