@@ -12,15 +12,22 @@ tool turns the plan-shape assertions (PLANS.md) into measured numbers:
     when run with no explicit query list)
 
 Implementation: Spark's UI REST API (/api/v1/applications/<id>/stages)
-exposes per-stage shuffleWriteBytes / inputBytes. Each query runs with a
-distinct job group; stages are attributed by recording the completed-stage
-id set before and after (local mode runs one app, so stage ids are global
-and monotone). Metrics are read AFTER the query completes — no listener
-plumbing through py4j."""
+exposes per-stage shuffleWriteBytes / inputRecords; stages are attributed
+by recording the completed-stage id set before and after (local mode runs
+one app, so stage ids are global and monotone), metrics read AFTER the
+query completes — no listener plumbing through py4j. Local ``file://``
+scans do NOT populate the inputBytes task metric in this build (checked:
+a full column read over a 2 MB table reports 3.3 KB), so source volume is
+taken from the plan instead: the scan locations in the formatted explain,
+summed as on-disk file sizes. That is bytes-of-files-scanned — an upper
+bound that ignores column pruning, i.e. the CONSERVATIVE denominator for
+a shuffle ratio."""
 
 from __future__ import annotations
 
 import json
+import os
+import re
 import sys
 import time
 import urllib.request
@@ -69,6 +76,34 @@ def _stage_rows(base: str, app_id: str) -> dict[int, dict]:
     return out
 
 
+_LOC = re.compile(r"Location: \w+ \[([^\]]*)\]")
+
+
+def _path_bytes(p: str) -> int:
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    total = 0
+    for root, _dirs, files in os.walk(p):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def source_bytes(df) -> int:
+    """On-disk bytes of every distinct scan location in the physical plan."""
+    qe = df._jdf.queryExecution()
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = qe.explainString(jmode)
+    paths = set()
+    for m in _LOC.finditer(plan):
+        for p in m.group(1).split(","):
+            p = p.strip()
+            if p.startswith("file:"):
+                paths.add(p[5:])
+    return sum(_path_bytes(p) for p in paths)
+
+
 def fmt_bytes(n: float) -> str:
     for unit in ("B", "KB", "MB", "GB"):
         if abs(n) < 1024:
@@ -96,42 +131,55 @@ def main() -> None:
 
     rows = []
     for name in names:
+        # snapshot BEFORE query construction: iterative operators
+        # (pagerank, exact quantiles, jaccard's stats/collapse) run eager
+        # localCheckpoint / decision jobs while the query is being BUILT —
+        # those stages are part of the query's cost and must be attributed
+        # to it. source_bytes comes from the plan afterwards; checkpointed
+        # plans root at LogicalRDD with no file location, so src can be 0
+        # (reported as n/a) even though input was read during construction.
         before = set(_stage_rows(base, app_id))
         t0 = time.time()
-        queries[name](spark, sf_dir).count()
+        df = queries[name](spark, sf_dir)
+        src = source_bytes(df)
+        df.count()
         wall = time.time() - t0
         # completed-stage metrics can lag the job end by a beat
         time.sleep(0.3)
         after = _stage_rows(base, app_id)
         new = [st for sid, st in after.items() if sid not in before]
-        inp = sum(st.get("inputBytes", 0) for st in new)
+        in_rec = sum(st.get("inputRecords", 0) for st in new)
         sw = sum(st.get("shuffleWriteBytes", 0) for st in new)
-        ratio = (sw / inp) if inp else float("nan")
-        rows.append((name, inp, sw, ratio, wall, len(new)))
+        ratio = f"{sw / src:.3f}" if src else "n/a"
+        srcs = fmt_bytes(src) if src else "n/a"
+        rows.append((name, srcs, in_rec, sw, ratio, wall, len(new)))
         print(
-            f"{name:28s} input={fmt_bytes(inp):>9s} shuffle={fmt_bytes(sw):>9s} "
-            f"ratio={ratio:7.3f} stages={len(new):3d} wall={wall:5.1f}s"
+            f"{name:28s} src={srcs:>9s} in_rec={in_rec:>9d} "
+            f"shuffle={fmt_bytes(sw):>9s} ratio={ratio:>7s} "
+            f"stages={len(new):3d} wall={wall:5.1f}s"
         )
 
     if write_md:
         lines = [
             "# SHUFFLE.md — measured shuffle volume per query",
             "",
-            f"sf_dir: `{sf_dir}`, local[32]. `ratio` = shuffle-write bytes /",
-            "parquet-input bytes for all stages of the query's jobs (Spark UI",
-            "REST metrics). Small ratios mean the operator moves sketches or",
-            "aggregates, not raw data — the property that survives a 100x",
-            "scale-up; ratios near or above 1 mark the queries whose shuffle",
-            "is the inherent cost of their semantics (global sorts, self-join",
-            "fan-out), documented per query in the operator docstrings.",
+            f"sf_dir: `{sf_dir}`, local[32]. `src` = on-disk bytes of every",
+            "file the plan scans (conservative denominator — ignores column",
+            "pruning); `in_rec` = measured input records; `shuffle` =",
+            "measured shuffle-write bytes over all the query's stages (Spark",
+            "UI REST metrics); `ratio` = shuffle / src. Small ratios mean",
+            "the operator moves sketches or aggregates, not raw data — the",
+            "property that survives a 100x scale-up; ratios near or above 1",
+            "mark queries whose shuffle IS their semantics (self-join",
+            "fan-out, whole-table regroup), documented per operator.",
             "",
-            "| query | input | shuffle write | ratio | stages | wall |",
-            "|---|---|---|---|---|---|",
+            "| query | src bytes | input records | shuffle write | ratio | stages | wall |",
+            "|---|---|---|---|---|---|---|",
         ]
-        for name, inp, sw, ratio, wall, nst in rows:
+        for name, srcs, in_rec, sw, ratio, wall, nst in rows:
             lines.append(
-                f"| {name} | {fmt_bytes(inp)} | {fmt_bytes(sw)} "
-                f"| {ratio:.3f} | {nst} | {wall:.1f}s |"
+                f"| {name} | {srcs} | {in_rec} | {fmt_bytes(sw)} "
+                f"| {ratio} | {nst} | {wall:.1f}s |"
             )
         with open("/root/repo/SHUFFLE.md", "w") as f:
             f.write("\n".join(lines) + "\n")
