@@ -56,13 +56,18 @@ CORE = [
 ]
 
 # r2-surface queries promoted into the bench (VERDICT r2 item 5): the graph,
-# entity-resolution, co-occurrence, and exact-order-statistic scale paths.
+# entity-resolution, co-occurrence, and exact-order-statistic scale paths —
+# plus the r3 additions (skew profiling, compaction, MIPS, vocab growth).
 EXTENDED = [
     "graph_pagerank",
     "dedup_jaccard_prefix",
     "text_cooccurrence_pmi",
     "exact_quantiles",
     "fuzzy_join_names",
+    "profile_key_skew",
+    "layout_compaction",
+    "sim_mips_topk",
+    "text_vocab_growth",
 ]
 
 N_REPS = 3

@@ -881,6 +881,16 @@ def jaccard_prefix_join(
     max_ka, n_sets = stats["m"], stats["n"]
     if blocking == "auto":
         blocking = "deletion" if max_ka is not None and max_ka <= 3 else "prefix"
+    elif blocking == "deletion" and max_ka is not None and max_ka > 3:
+        # an explicit override outside the scheme's validity regime would
+        # SILENTLY drop qualifying pairs (neighborhoods only cover <=3
+        # deletions) — refuse, like connected_components refuses an
+        # unconverged max_iterations
+        raise ValueError(
+            f"deletion blocking requires every set's ka = n - ceil(t*n) "
+            f"<= 3, but the corpus max is {max_ka} (threshold={t}). "
+            "Use blocking='prefix' or 'auto'."
+        )
     if blocking == "deletion":
         cand = _jaccard_deletion_candidates(toks, t)
     else:

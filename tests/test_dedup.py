@@ -249,3 +249,63 @@ def test_jaccard_join_schemes_agree(spark):
         out[scheme] = rows
     assert out["prefix"] == out["deletion"] == out["auto"]
     assert len(out["prefix"]) > 0
+
+
+def test_jaccard_join_large_vocab_array_lane(spark):
+    """Vocabulary > 64 forces the sorted-array verification lane (the
+    bitmask fast path only exists for <=64 distinct tokens): brute-force
+    comparison over a 120-token vocabulary pins the array lane's
+    exactness, for both blocking schemes."""
+    import itertools
+    import random
+
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i:03d}" for i in range(120)]
+    base = rng.sample(vocab, 30)
+    docs = []
+    for i in range(40):
+        toks = list(base)
+        # perturb 0-2 tokens: one substitution keeps J(29/31)=0.935 >= 0.9,
+        # two (or collapses) usually fall below — both sides of the
+        # threshold are populated. ka stays <= 3 so the deletion scheme's
+        # contract holds under an explicit blocking= override too.
+        for _ in range(rng.randrange(0, 3)):
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        j = inter / uni
+        if j >= 0.9:
+            want[(a, b)] = round(j, 6)
+    assert want, "fixture must contain qualifying pairs"
+
+    for scheme in ("prefix", "deletion"):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_prefix_join(
+                df, threshold=0.9, blocking=scheme
+            ).collect()
+        }
+        assert got == want, scheme
+
+
+def test_jaccard_deletion_override_out_of_regime_raises(spark):
+    import pytest as _pytest
+
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    rows = [(i, " ".join(f"t{i}_{k}" for k in range(30))) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with _pytest.raises(ValueError, match="deletion blocking requires"):
+        jaccard_prefix_join(df, threshold=0.5, blocking="deletion").count()
