@@ -5,6 +5,7 @@ from iatlas_cbioportal_export_spark.operators import (  # noqa: F401
     joins,
     maf,
     multimodal,
+    profiling,
     projections,
     similarity,
     text,
