@@ -276,6 +276,15 @@ def pagerank(
     (rounds are few and fixed; without truncation each round re-analyzes a
     nested O(iterations)-deep join DAG).
 
+    Partitioning reuse: ``edeg`` is hash-repartitioned on ``src`` and
+    ``nodes`` on ``node`` ONCE, before their checkpoints —
+    ``localCheckpoint`` preserves outputPartitioning, and every downstream
+    state table inherits hash(node) through the joins/aggregates, so the
+    only per-round exchange left is the contribution ``groupBy(dst)``
+    (regrouping src-keyed contributions by destination, which no static
+    layout can avoid). Without this, each round re-shuffles the full edge
+    table AND both join sides: 3 exchanges per round instead of 1.
+
     Output: ``(node, rank_int)`` — rank in micro-units of ``scale``.
     """
     e = (
@@ -287,12 +296,14 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    # (src, dst, od): built once, reused by every iteration
-    edeg = e.join(deg, on="src").localCheckpoint(eager=False)
+    # (src, dst, od): built once, hash-laid-out on the per-round join key,
+    # reused by every iteration with no further exchange
+    edeg = e.join(deg, on="src").repartition("src").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition("node")
         .localCheckpoint(eager=False)
     )
     teleport = scale * (damping_den - damping_num) // damping_den
