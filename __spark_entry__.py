@@ -1999,6 +1999,19 @@ def q_sketch_count_min(spark, sf_dir):
     return count_min_estimate(docs, _CMS_PROBES, counters)
 
 
+def q_sketch_hll_distinct(spark, sf_dir):
+    """Per-group HyperLogLog distinct-order estimate over lineitem
+    (group = l_returnflag, key = l_orderkey) from an explicit 256-register
+    portable sketch, next to the exact distinct count and a 3σ relative-
+    error gate. The harmonic denominator is an exact scaled-integer sum, so
+    the estimate is bit-identical under any shuffle order and the oracle
+    replays the identical register table."""
+    from iatlas_cbioportal_export_spark.operators.sketch import hll_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hll_distinct(li, "l_orderkey", ["l_returnflag"], p=8)
+
+
 def q_events_time_decay(spark, sf_dir):
     """Recency-weighted per-user engagement: value · 0.5^(age_days/30) at a
     fixed reference instant (2026-01-01 UTC), decimal-quantized per term so
@@ -3392,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_compaction": q_layout_compaction,
         "sim_mips_topk": q_sim_mips_topk,
         "text_vocab_growth": q_text_vocab_growth,
+        "sketch_hll_distinct": q_sketch_hll_distinct,
         # --- driver-green in CORRECTNESS_r01/r02 ---
         "p2_neq_filter_keep_nulls": q_p2_neq_filter_keep_nulls,
         "f5_days_to_months": q_f5_days_to_months,
@@ -5754,6 +5768,91 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         UNION ALL
         SELECT 'p50_rank_c', COUNT(*), TRUE FROM lineitem
+    """
+    from iatlas_cbioportal_export_spark.operators.sketch import hll_alpha
+
+    _hll_numer = repr(hll_alpha(256) * 256 * 256 * float(1 << 31))
+    _hll_bound = repr(3.0 * 1.04 / (256**0.5))
+
+    def _hll_fold(base: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(1, length(ks) + 1), "
+            "i -> CAST(ascii(ks[i]) AS BIGINT))), "
+            f"(a, c) -> (a * {base} + c) % 1000000007)"
+        )
+
+    # two quadratic scramble rounds (x² + c mod p) as chained CTE stages —
+    # the exact twin of operators/sketch._key_hash
+    _hll_mix_c = 0x9E3779B9 % 1000000007
+
+    d["sketch_hll_distinct"] = f"""
+        WITH keyed AS (
+            SELECT l_returnflag, CAST(l_orderkey AS VARCHAR) AS ks
+            FROM lineitem
+        ),
+        h0 AS (
+            SELECT l_returnflag,
+                   {_hll_fold(31)} AS ha,
+                   {_hll_fold(131)} AS hb
+            FROM keyed
+        ),
+        h1 AS (
+            SELECT l_returnflag,
+                   (ha * ha + {_hll_mix_c}) % 1000000007 AS ha,
+                   (hb * hb + {_hll_mix_c}) % 1000000007 AS hb
+            FROM h0
+        ),
+        h AS (
+            SELECT l_returnflag,
+                   (ha * ha + {_hll_mix_c}) % 1000000007 AS ha,
+                   (hb * hb + {_hll_mix_c}) % 1000000007 AS hb
+            FROM h1
+        ),
+        regs AS (
+            SELECT l_returnflag, ha % 256 AS bucket,
+                   max(CASE WHEN hb = 0 THEN 31
+                       ELSE 31 - length(bin(hb)) END) AS mj
+            FROM h GROUP BY 1, 2
+        ),
+        sk AS (
+            SELECT l_returnflag,
+                   count(*) AS used_registers,
+                   CAST(sum(CAST(1 AS BIGINT) << (31 - mj)) AS BIGINT)
+                       AS s_present
+            FROM regs GROUP BY 1
+        ),
+        ex AS (
+            SELECT l_returnflag,
+                   count(DISTINCT l_orderkey) AS exact_distinct
+            FROM lineitem GROUP BY 1
+        ),
+        j AS (
+            SELECT sk.l_returnflag, used_registers,
+                   256 - used_registers AS zero_registers,
+                   s_present + CAST(256 - used_registers AS BIGINT)
+                       * (CAST(1 AS BIGINT) << 31) AS harmonic_sum_scaled,
+                   exact_distinct
+            FROM sk JOIN ex USING (l_returnflag)
+        ),
+        e AS (
+            SELECT *,
+                   CASE WHEN ({_hll_numer} / harmonic_sum_scaled) <= 640.0
+                             AND zero_registers > 0
+                        THEN 256.0 * ln(256.0 / zero_registers)
+                        ELSE {_hll_numer} / harmonic_sum_scaled
+                   END AS est
+            FROM j
+        )
+        SELECT l_returnflag, 256 AS m, used_registers, zero_registers,
+               harmonic_sum_scaled,
+               round(est, 4) AS est_distinct,
+               exact_distinct,
+               round(100.0 * abs(est - exact_distinct) / exact_distinct, 4)
+                   AS rel_err_pct,
+               abs(est - exact_distinct) / exact_distinct <= {_hll_bound}
+                   AS within_bound
+        FROM e
     """
     d["profile_key_skew"] = """
         WITH counts AS (

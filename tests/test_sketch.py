@@ -1,9 +1,13 @@
-"""Count-min sketch: one-sided error, exactness without collisions, and
-shard mergeability (the property that makes it a 100 TB profiling tool)."""
+"""Sketch tier: count-min (one-sided error, exactness without collisions,
+shard mergeability) and HyperLogLog (accuracy gate, determinism, register
+mergeability — the properties that make them 100 TB profiling tools)."""
+
+from pyspark.sql import functions as F
 
 from iatlas_cbioportal_export_spark.operators.sketch import (
     count_min_build,
     count_min_estimate,
+    hll_distinct,
 )
 
 
@@ -32,6 +36,51 @@ def test_cms_exact_when_width_dominates_vocab(spark):
     assert out["beta"]["est_count"] == 2
     assert out["gamma"]["est_count"] == 1
     assert out["delta"]["est_count"] == 0 and out["delta"]["true_count"] == 0
+
+
+def test_hll_estimate_within_bound_and_deterministic(spark):
+    """10k sequential ids (the adversarial case for a linear fold — the
+    scramble rounds exist for exactly this input) estimate within the 3σ
+    band, and two runs produce identical rows (order-independent exact
+    integer denominator)."""
+    df = spark.range(10_000).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    out1 = {r["g"]: r for r in hll_distinct(df, "k", ["g"], p=8).collect()}
+    out2 = {r["g"]: r for r in hll_distinct(df, "k", ["g"], p=8).collect()}
+    for g in ("0", "1"):
+        r = out1[g]
+        assert r["exact_distinct"] == 5_000
+        assert r["within_bound"], r
+        assert r["rel_err_pct"] <= 19.5
+        assert out2[g] == r
+
+
+def test_hll_shard_sketches_merge_by_register_max(spark):
+    """Register tables built on disjoint shards merge by bucket-wise max
+    into exactly the whole-corpus register table — the tree-of-maxes
+    100 TB shape (shards overlap in keys here, which max absorbs)."""
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        hll_register_table,
+    )
+
+    df = spark.range(4_000).select(
+        F.lit("all").alias("g"), F.col("id").alias("k")
+    )
+    whole = {
+        (r["bucket"],): r["mj"]
+        for r in hll_register_table(df, "k", ["g"], p=6).collect()
+    }
+    a = hll_register_table(df.filter("k < 2500"), "k", ["g"], p=6)
+    b = hll_register_table(df.filter("k >= 2000"), "k", ["g"], p=6)
+    merged = {
+        (r["bucket"],): r["mj"]
+        for r in a.unionByName(b)
+        .groupBy("g", "bucket")
+        .agg(F.max("mj").alias("mj"))
+        .collect()
+    }
+    assert merged == whole
 
 
 def test_cms_shard_sketches_merge_by_addition(spark):
