@@ -2012,6 +2012,30 @@ def q_sketch_hll_distinct(spark, sf_dir):
     return hll_distinct(li, "l_orderkey", ["l_returnflag"], p=8)
 
 
+def q_sketch_bloom_prefilter(spark, sf_dir):
+    """Bloom join-prefilter report: a 256-bit filter built over one
+    nation's supplier keys, evaluated as a narrow literal-bitmask test on
+    every lineitem row, scored against the true broadcast semi-join —
+    n_fact / n_bloom_pass / n_true_match / false positives / the
+    no-false-negatives Bloom guarantee. The oracle rebuilds the identical
+    position set from the portable double-hash stream."""
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        bloom_prefilter_report,
+    )
+
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        sup.join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+        .filter(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    return bloom_prefilter_report(
+        li, dim, "l_suppkey", "s_suppkey", m_bits=256, k=4
+    )
+
+
 def q_events_time_decay(spark, sf_dir):
     """Recency-weighted per-user engagement: value · 0.5^(age_days/30) at a
     fixed reference instant (2026-01-01 UTC), decimal-quantized per term so
@@ -3406,6 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mips_topk": q_sim_mips_topk,
         "text_vocab_growth": q_text_vocab_growth,
         "sketch_hll_distinct": q_sketch_hll_distinct,
+        "sketch_bloom_prefilter": q_sketch_bloom_prefilter,
         # --- driver-green in CORRECTNESS_r01/r02 ---
         "p2_neq_filter_keep_nulls": q_p2_neq_filter_keep_nulls,
         "f5_days_to_months": q_f5_days_to_months,
@@ -5853,6 +5878,75 @@ def oracle_sql() -> dict[str, str]:
                abs(est - exact_distinct) / exact_distinct <= {_hll_bound}
                    AS within_bound
         FROM e
+    """
+    d["sketch_bloom_prefilter"] = f"""
+        WITH dimk AS (
+            SELECT DISTINCT s_suppkey AS key
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+        ),
+        dks AS (SELECT key, CAST(key AS VARCHAR) AS ks FROM dimk),
+        dh0 AS (
+            SELECT key, {_hll_fold(31)} AS h1, {_hll_fold(131)} AS h2
+            FROM dks
+        ),
+        dh1 AS (
+            SELECT key, (h1 * h1 + {_hll_mix_c}) % 1000000007 AS h1,
+                   (h2 * h2 + {_hll_mix_c}) % 1000000007 AS h2
+            FROM dh0
+        ),
+        dh AS (
+            SELECT key, (h1 * h1 + {_hll_mix_c}) % 1000000007 AS h1,
+                   (h2 * h2 + {_hll_mix_c}) % 1000000007 AS h2
+            FROM dh1
+        ),
+        dpos AS (
+            SELECT DISTINCT (h1 + i.i * h2) % 256 AS p
+            FROM dh, (SELECT unnest(range(0, 4)) AS i) i
+        ),
+        fks AS (
+            SELECT l_suppkey, CAST(l_suppkey AS VARCHAR) AS ks FROM lineitem
+        ),
+        fh0 AS (
+            SELECT l_suppkey, {_hll_fold(31)} AS h1, {_hll_fold(131)} AS h2
+            FROM fks
+        ),
+        fh1 AS (
+            SELECT l_suppkey, (h1 * h1 + {_hll_mix_c}) % 1000000007 AS h1,
+                   (h2 * h2 + {_hll_mix_c}) % 1000000007 AS h2
+            FROM fh0
+        ),
+        fh AS (
+            SELECT l_suppkey, (h1 * h1 + {_hll_mix_c}) % 1000000007 AS h1,
+                   (h2 * h2 + {_hll_mix_c}) % 1000000007 AS h2
+            FROM fh1
+        ),
+        fl AS (
+            SELECT ((h1 + 0 * h2) % 256) IN (SELECT p FROM dpos)
+                   AND ((h1 + 1 * h2) % 256) IN (SELECT p FROM dpos)
+                   AND ((h1 + 2 * h2) % 256) IN (SELECT p FROM dpos)
+                   AND ((h1 + 3 * h2) % 256) IN (SELECT p FROM dpos)
+                       AS bloom_pass,
+                   l_suppkey IN (SELECT key FROM dimk) AS is_true
+            FROM fh
+        )
+        SELECT count(*) AS n_fact,
+               CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bloom_pass,
+               CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true_match,
+               CAST(sum(CASE WHEN bloom_pass AND NOT is_true
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+               round(CASE WHEN count(*)
+                              > sum(CASE WHEN is_true THEN 1 ELSE 0 END)
+                     THEN sum(CASE WHEN bloom_pass AND NOT is_true
+                              THEN 1 ELSE 0 END)
+                          / (count(*)
+                             - sum(CASE WHEN is_true THEN 1 ELSE 0 END))
+                     ELSE 0.0 END, 6) AS false_positive_rate,
+               sum(CASE WHEN is_true AND NOT bloom_pass THEN 1 ELSE 0 END)
+                   = 0 AS no_false_negatives
+        FROM fl
     """
     d["profile_key_skew"] = """
         WITH counts AS (

@@ -275,3 +275,127 @@ def count_min_estimate(
             ),
         )
     )
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """k bit positions for a key via Kirsch-Mitzenmacher double hashing
+    ``p_i = (h1 + i·h2) mod m`` over the two portable scrambled streams —
+    any engine recomputes the identical positions."""
+    h1 = _key_hash(key, _FP_BASE)
+    h2 = _key_hash(key, _HLL_BASE_B)
+    return [((h1 + F.lit(i) * h2) % F.lit(m_bits)) for i in range(k)]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 256,
+    k: int = 4,
+) -> list[int]:
+    """Build the Bloom bit array over the (distinct) keys of ``df`` —
+    the DIM side of a prefiltered join. One explode to bit positions and
+    one distinct; only ≤ m_bits position longs reach the driver, which
+    packs them into ``m_bits/64`` words (the KB-literal pattern shared
+    with the count-min counters / IVF centroids). Shard filters merge by
+    bitwise OR."""
+    key = F.col(key_col)
+    pos_rows = (
+        df.select(
+            F.explode(F.array(*_bloom_positions(key, m_bits, k))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((m_bits + 63) // 64)
+    for r in pos_rows:
+        p = int(r["p"])
+        words[p // 64] |= 1 << (p % 64)
+    # keep words in signed-64 range for F.lit on the read side
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_prefilter_report(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 256,
+    k: int = 4,
+) -> DataFrame:
+    """The join-prefilter pattern that cuts shuffle volume at 100 TB: build
+    a Bloom filter over the small DIM side's keys, evaluate it as a NARROW
+    literal-bitmask test on every FACT row (no shuffle, no broadcast hash
+    table — m_bits is constant), and report its quality against the true
+    semi-join.
+
+    Output (one row): ``(n_fact, n_bloom_pass, n_true_match,
+    n_false_positive, false_positive_rate, no_false_negatives)``.
+    ``no_false_negatives`` is the Bloom guarantee — every true match
+    passes the filter — checked structurally (same hash arithmetic on
+    both sides), not assumed. The true-match flags come from a broadcast
+    left semi-style join against the dim key set, which is the accuracy
+    oracle here exactly like count-min's ``true_count``; a production
+    prefilter drops it and keeps only the narrow bitmask test in front
+    of the real join."""
+    words = bloom_build(dim, dim_key, m_bits=m_bits, k=k)
+    bits = F.array(*[F.lit(w).cast("long") for w in words])
+    key = F.col(fact_key)
+    with_pos = fact.select(
+        fact_key,
+        bits.alias("_bits"),
+        *[
+            p.alias(f"_p{i}")
+            for i, p in enumerate(_bloom_positions(key, m_bits, k))
+        ],
+    )
+    # bit test: arithmetic shiftright then parity — the Python shiftright
+    # wrapper only takes a literal count, so the column-count form goes
+    # through the SQL expression (sign propagation is harmless: an odd
+    # remainder is ±1, an even one is 0)
+    passes = None
+    for i in range(k):
+        hit = F.expr(
+            f"shiftright(element_at(_bits, cast(_p{i} div 64 as int) + 1), "
+            f"cast(_p{i} % 64 as int)) % 2 != 0"
+        )
+        passes = hit if passes is None else (passes & hit)
+    dimkeys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    flagged = (
+        with_pos.withColumn("bloom_pass", passes)
+        .select(fact_key, "bloom_pass")
+        .join(
+            F.broadcast(dimkeys.withColumn("is_true", F.lit(True))),
+            on=fact_key,
+            how="left",
+        )
+        .select(
+            "bloom_pass",
+            F.coalesce("is_true", F.lit(False)).alias("is_true"),
+        )
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),
+        F.sum(F.col("is_true").cast("long")).alias("n_true_match"),
+        F.sum(
+            (F.col("bloom_pass") & ~F.col("is_true")).cast("long")
+        ).alias("n_false_positive"),
+        F.sum(
+            (F.col("is_true") & ~F.col("bloom_pass")).cast("long")
+        ).alias("n_missed"),
+    )
+    return agg.select(
+        "n_fact",
+        "n_bloom_pass",
+        "n_true_match",
+        "n_false_positive",
+        F.round(
+            F.when(
+                F.col("n_fact") > F.col("n_true_match"),
+                F.col("n_false_positive")
+                / (F.col("n_fact") - F.col("n_true_match")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("false_positive_rate"),
+        (F.col("n_missed") == 0).alias("no_false_negatives"),
+    )

@@ -83,6 +83,43 @@ def test_hll_shard_sketches_merge_by_register_max(spark):
     assert merged == whole
 
 
+def test_bloom_no_false_negatives_and_detects_misses(spark):
+    """Every dim key passes its own filter (the structural Bloom
+    guarantee), and with a roomy bit array non-members are rejected."""
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        bloom_prefilter_report,
+    )
+
+    dim = spark.range(20).select((F.col("id") * 7).alias("k"))
+    fact = spark.range(500).select(F.col("id").alias("k"))
+    r = bloom_prefilter_report(
+        fact, dim, "k", "k", m_bits=4096, k=4
+    ).collect()[0]
+    assert r["no_false_negatives"]
+    # dim keys 0,7,...,133 all fall inside the 0..499 fact range
+    assert r["n_true_match"] == 20
+    assert r["n_bloom_pass"] >= 20
+    # 80 hash positions in 4096 bits: fp rate should be well under 1%
+    assert r["false_positive_rate"] < 0.01
+
+
+def test_bloom_shard_filters_merge_by_bitwise_or(spark):
+    """Filters built over disjoint key shards OR together into exactly the
+    whole-set filter — the shard-parallel build shape."""
+    from iatlas_cbioportal_export_spark.operators.sketch import bloom_build
+
+    df = spark.range(300).select(F.col("id").alias("k"))
+    whole = bloom_build(df, "k", m_bits=512, k=3)
+    a = bloom_build(df.filter("k < 150"), "k", m_bits=512, k=3)
+    b = bloom_build(df.filter("k >= 150"), "k", m_bits=512, k=3)
+
+    def _u(w):  # signed word -> unsigned for OR comparison
+        return w + (1 << 64) if w < 0 else w
+
+    merged = [_u(x) | _u(y) for x, y in zip(a, b)]
+    assert merged == [_u(w) for w in whole]
+
+
 def test_cms_shard_sketches_merge_by_addition(spark):
     rows = [(i, f"w{i % 5} w{i % 3} common") for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
