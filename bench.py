@@ -68,6 +68,8 @@ EXTENDED = [
     "layout_compaction",
     "sim_mips_topk",
     "text_vocab_growth",
+    "sketch_hll_distinct",
+    "sketch_bloom_prefilter",
 ]
 
 N_REPS = 3
