@@ -2036,6 +2036,25 @@ def q_sketch_bloom_prefilter(spark, sf_dir):
     )
 
 
+def q_sketch_hll_set_ops(spark, sf_dir):
+    """HLL set algebra: audience overlap between urgent-order and
+    low-priority-order customer sets — |A|, |B|, |A∪B| from a bucket-max
+    register MERGE (no union re-scan), |A∩B| by inclusion-exclusion, all
+    next to exact twins with a 3σ gate on the union estimate."""
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        hll_set_report,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_custkey"
+    )
+    return hll_set_report(a, b, "o_custkey", p=8)
+
+
 def q_events_time_decay(spark, sf_dir):
     """Recency-weighted per-user engagement: value · 0.5^(age_days/30) at a
     fixed reference instant (2026-01-01 UTC), decimal-quantized per term so
@@ -3431,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_growth": q_text_vocab_growth,
         "sketch_hll_distinct": q_sketch_hll_distinct,
         "sketch_bloom_prefilter": q_sketch_bloom_prefilter,
+        "sketch_hll_set_ops": q_sketch_hll_set_ops,
         # --- driver-green in CORRECTNESS_r01/r02 ---
         "p2_neq_filter_keep_nulls": q_p2_neq_filter_keep_nulls,
         "f5_days_to_months": q_f5_days_to_months,
@@ -5947,6 +5967,80 @@ def oracle_sql() -> dict[str, str]:
                sum(CASE WHEN is_true AND NOT bloom_pass THEN 1 ELSE 0 END)
                    = 0 AS no_false_negatives
         FROM fl
+    """
+    d["sketch_hll_set_ops"] = f"""
+        WITH lab AS (
+            SELECT 'a' AS s, o_custkey AS key FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'b' AS s, o_custkey AS key FROM orders
+            WHERE o_orderpriority = '5-LOW'
+        ),
+        ks0 AS (SELECT s, key, CAST(key AS VARCHAR) AS ks FROM lab),
+        sh0 AS (
+            SELECT s, {_hll_fold(31)} AS ha, {_hll_fold(131)} AS hb
+            FROM ks0
+        ),
+        sh1 AS (
+            SELECT s, (ha * ha + {_hll_mix_c}) % 1000000007 AS ha,
+                   (hb * hb + {_hll_mix_c}) % 1000000007 AS hb
+            FROM sh0
+        ),
+        sh AS (
+            SELECT s, (ha * ha + {_hll_mix_c}) % 1000000007 AS ha,
+                   (hb * hb + {_hll_mix_c}) % 1000000007 AS hb
+            FROM sh1
+        ),
+        regs AS (
+            SELECT s, ha % 256 AS bucket,
+                   max(CASE WHEN hb = 0 THEN 31
+                       ELSE 31 - length(bin(hb)) END) AS mj
+            FROM sh GROUP BY s, bucket
+        ),
+        regs_u AS (
+            SELECT 'u' AS s, bucket, max(mj) AS mj FROM regs GROUP BY bucket
+        ),
+        allr AS (
+            SELECT * FROM regs UNION ALL SELECT * FROM regs_u
+        ),
+        folded AS (
+            SELECT s, count(*) AS used,
+                   CAST(sum(CAST(1 AS BIGINT) << (31 - mj)) AS BIGINT) AS sp
+            FROM allr GROUP BY s
+        ),
+        st AS (
+            SELECT s, used,
+                   sp + CAST(256 - used AS BIGINT)
+                       * (CAST(1 AS BIGINT) << 31) AS hsum
+            FROM folded
+        ),
+        est AS (
+            SELECT s,
+                   CASE WHEN ({_hll_numer} / hsum) <= 640.0 AND (256 - used) > 0
+                        THEN 256.0 * ln(256.0 / (256 - used))
+                        ELSE {_hll_numer} / hsum END AS est
+            FROM st
+        ),
+        er AS (
+            SELECT max(CASE WHEN s = 'a' THEN est END) AS ea,
+                   max(CASE WHEN s = 'b' THEN est END) AS eb,
+                   max(CASE WHEN s = 'u' THEN est END) AS eu
+            FROM est
+        ),
+        ex AS (
+            SELECT count(DISTINCT CASE WHEN s = 'a' THEN key END) AS exact_a,
+                   count(DISTINCT CASE WHEN s = 'b' THEN key END) AS exact_b,
+                   count(DISTINCT key) AS exact_union
+            FROM lab
+        )
+        SELECT round(ea, 4) AS est_a, round(eb, 4) AS est_b,
+               round(eu, 4) AS est_union,
+               round(ea + eb - eu, 4) AS est_intersection,
+               exact_a, exact_b, exact_union,
+               exact_a + exact_b - exact_union AS exact_intersection,
+               abs(eu - exact_union) / exact_union <= {_hll_bound}
+                   AS union_within_bound
+        FROM er, ex
     """
     d["profile_key_skew"] = """
         WITH counts AS (

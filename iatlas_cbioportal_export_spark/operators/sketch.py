@@ -134,6 +134,47 @@ def hll_register_table(
     )
 
 
+def hll_fold_registers(
+    regs: DataFrame, group_cols: Sequence[str], p: int
+) -> DataFrame:
+    """Collapse a register table to per-group ``(used_registers,
+    harmonic_sum_scaled)`` — the exact-integer state the estimator is a
+    pure function of. Accepts any register table: a fresh build, or a
+    bucket-wise-max merge of shard/set tables."""
+    m = 1 << p
+    gcols = list(group_cols)
+    two = F.lit(2).cast("long")
+    folded = regs.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("used_registers"),
+        F.sum(
+            F.pow(two, F.lit(_HLL_WBITS + 1) - F.col("mj")).cast("long")
+        ).alias("s_present"),
+    )
+    zeros = (F.lit(m) - F.col("used_registers")).cast("long")
+    return folded.select(
+        *gcols,
+        "used_registers",
+        (
+            F.col("s_present") + zeros * F.lit(1 << (_HLL_WBITS + 1))
+        ).alias("harmonic_sum_scaled"),
+    )
+
+
+def hll_estimate_expr(m: int) -> Column:
+    """The HLL estimate as a column over ``(used_registers,
+    harmonic_sum_scaled)``: ``α·m²·2^31 / S`` with the Flajolet
+    small-range fallback ``m·ln(m/zeros)`` below 2.5·m."""
+    zeros = F.lit(m) - F.col("used_registers")
+    raw = (
+        F.lit(hll_alpha(m) * m * m * float(1 << (_HLL_WBITS + 1)))
+        / F.col("harmonic_sum_scaled")
+    )
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+
+
 def hll_distinct(
     df: DataFrame,
     key_col: str,
@@ -178,33 +219,14 @@ def hll_distinct(
     m = 1 << p
     gcols = list(group_cols)
     regs = hll_register_table(df, key_col, gcols, p)
-    two = F.lit(2).cast("long")
-    sketch = regs.groupBy(*gcols).agg(
-        F.count(F.lit(1)).alias("used_registers"),
-        F.sum(F.pow(two, F.lit(_HLL_WBITS + 1) - F.col("mj")).cast("long")).alias(
-            "s_present"
-        ),
-    )
     exact = (
         df.groupBy(*gcols)
         .agg(F.countDistinct(key_col).alias("exact_distinct"))
     )
-    alpha = hll_alpha(m)
-    zeros = F.lit(m) - F.col("used_registers")
-    s_total = (
-        F.col("s_present") + zeros.cast("long") * F.lit(1 << (_HLL_WBITS + 1))
-    ).alias("harmonic_sum_scaled")
-    raw = (
-        F.lit(alpha * m * m * float(1 << (_HLL_WBITS + 1)))
-        / F.col("harmonic_sum_scaled")
-    )
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
-    ).otherwise(raw)
+    est = hll_estimate_expr(m)
     bound = 3.0 * 1.04 / (m**0.5)
     out = (
-        sketch.select(*gcols, "used_registers", s_total)
+        hll_fold_registers(regs, gcols, p)
         .join(exact, on=gcols)
         .select(
             *gcols,
@@ -398,4 +420,81 @@ def bloom_prefilter_report(
             6,
         ).alias("false_positive_rate"),
         (F.col("n_missed") == 0).alias("no_false_negatives"),
+    )
+
+
+def hll_set_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Set-cardinality algebra over HLL registers: estimate |A|, |B|,
+    |A∪B| and |A∩B| (inclusion-exclusion) WITHOUT re-scanning the union —
+    the union registers are the bucket-wise max MERGE of A's and B's
+    register tables, which is what makes the sketch a cross-shard /
+    cross-corpus audience-overlap tool: each corpus is sketched once,
+    m-row tables travel, set algebra happens on registers.
+
+    Exact twins for all four quantities ride along (one distinct-count
+    aggregate over the labeled union), plus the 3σ gate on the union
+    estimate. Intersection inherits the summed error of three estimates
+    and CAN be negative near zero overlap — reported as-is (the standard
+    inclusion-exclusion caveat, not a defect to hide).
+
+    Output (one row): ``(est_a, est_b, est_union, est_intersection,
+    exact_a, exact_b, exact_union, exact_intersection,
+    union_within_bound)``.
+    """
+    m = 1 << p
+    labeled = df_a.select(
+        F.lit("a").alias("s"), F.col(key_col).alias("k")
+    ).unionByName(
+        df_b.select(F.lit("b").alias("s"), F.col(key_col).alias("k"))
+    )
+    regs = hll_register_table(labeled, "k", ["s"], p)
+    regs_u = (
+        regs.groupBy("bucket")
+        .agg(F.max("mj").alias("mj"))
+        .select(F.lit("u").alias("s"), "bucket", "mj")
+    )
+    folded = hll_fold_registers(
+        regs.unionByName(regs_u), ["s"], p
+    ).select("s", hll_estimate_expr(m).alias("est"))
+    ests = folded.agg(
+        F.max(F.when(F.col("s") == "a", F.col("est"))).alias("_ea"),
+        F.max(F.when(F.col("s") == "b", F.col("est"))).alias("_eb"),
+        F.max(F.when(F.col("s") == "u", F.col("est"))).alias("_eu"),
+    )
+    exacts = labeled.agg(
+        F.countDistinct(F.when(F.col("s") == "a", F.col("k"))).alias(
+            "exact_a"
+        ),
+        F.countDistinct(F.when(F.col("s") == "b", F.col("k"))).alias(
+            "exact_b"
+        ),
+        F.countDistinct("k").alias("exact_union"),
+    )
+    bound = 3.0 * 1.04 / (m**0.5)
+    return (
+        ests.crossJoin(F.broadcast(exacts))
+        .select(
+            F.round("_ea", 4).alias("est_a"),
+            F.round("_eb", 4).alias("est_b"),
+            F.round("_eu", 4).alias("est_union"),
+            F.round(
+                F.col("_ea") + F.col("_eb") - F.col("_eu"), 4
+            ).alias("est_intersection"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            (
+                F.col("exact_a") + F.col("exact_b") - F.col("exact_union")
+            ).alias("exact_intersection"),
+            (
+                F.abs(F.col("_eu") - F.col("exact_union"))
+                / F.col("exact_union")
+                <= F.lit(bound)
+            ).alias("union_within_bound"),
+        )
     )

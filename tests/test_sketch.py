@@ -83,6 +83,27 @@ def test_hll_shard_sketches_merge_by_register_max(spark):
     assert merged == whole
 
 
+def test_hll_set_ops_identical_and_disjoint(spark):
+    """Identical sets: union registers == each set's registers, so
+    est_union == est_a exactly. Disjoint sets: exact_intersection is 0 and
+    the estimated intersection is small relative to the set sizes."""
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        hll_set_report,
+    )
+
+    same = spark.range(3_000).select(F.col("id").alias("k"))
+    r = hll_set_report(same, same, "k", p=8).collect()[0]
+    assert r["est_union"] == r["est_a"] == r["est_b"]
+    assert r["exact_intersection"] == 3_000
+
+    a = spark.range(3_000).select(F.col("id").alias("k"))
+    b = spark.range(3_000).select((F.col("id") + 1_000_000).alias("k"))
+    r = hll_set_report(a, b, "k", p=8).collect()[0]
+    assert r["exact_intersection"] == 0
+    assert abs(r["est_intersection"]) < 0.25 * 3_000
+    assert r["union_within_bound"]
+
+
 def test_bloom_no_false_negatives_and_detects_misses(spark):
     """Every dim key passes its own filter (the structural Bloom
     guarantee), and with a roomy bit array non-members are rejected."""
