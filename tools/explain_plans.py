@@ -346,6 +346,24 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # register build is one map-side-combined groupBy (≤ groups·m rows
+    # shuffle); the sketch↔exact meet is a small broadcast join
+    "sketch_hll_distinct": (
+        ["HashAggregate", "codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    ),
+    # fact side is NARROW (literal bitmask test — no shuffle, no fact-side
+    # sort); the truth twin is a broadcast join against the KB dim keyset
+    "sketch_bloom_prefilter": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    ),
+    # register algebra over m-row tables; the 1-row est×exact meet is a
+    # broadcast nested-loop by construction (1x1 rows — bounded)
+    "sketch_hll_set_ops": (
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
