@@ -70,6 +70,7 @@ EXTENDED = [
     "text_vocab_growth",
     "sketch_hll_distinct",
     "sketch_bloom_prefilter",
+    "sketch_hll_set_ops",
 ]
 
 N_REPS = 3
