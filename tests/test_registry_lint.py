@@ -43,6 +43,7 @@ ALLOW_NESTED_LOOP = {
     "profile_key_skew",        # (total, n_keys) scalar: one-row broadcast join
     "sim_mips_topk",           # scoring vs broadcast query set (= bruteforce)
     "text_vocab_growth",       # two 1-row aggregates crossed (curve assembly)
+    "sketch_hll_set_ops",      # 1-row est x 1-row exact crossed (report row)
 }
 
 _QUERIES = entrymod.queries()
