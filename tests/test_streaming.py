@@ -800,3 +800,41 @@ def test_time_to_convert_gaps_and_percentiles(spark):
     assert (r["n_converted"], r["median_seconds"], r["p90_seconds"]) == (
         2, 60, 120,
     )
+
+
+def test_hll_registers_stream_equals_batch(spark, tmp_path):
+    """The HLL register build is a plain bounded-state streaming aggregate
+    (state = groups·m rows, independent of input volume): availableNow over
+    a file source yields a register table identical to the batch build, so
+    streaming distinct-profiling is the same tree-of-maxes as batch — no
+    separate streaming operator needed."""
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        hll_register_table,
+    )
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    path = str(tmp_path / "hll_keys")
+    df.write.parquet(path)
+    batch = {
+        (r["g"], r["bucket"]): r["mj"]
+        for r in hll_register_table(
+            spark.read.parquet(path), "k", ["g"], p=6
+        ).collect()
+    }
+    stream = spark.readStream.schema("g string, k long").parquet(path)
+    q = (
+        hll_register_table(stream, "k", ["g"], p=6)
+        .writeStream.format("memory")
+        .queryName("hll_regs_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["g"], r["bucket"]): r["mj"]
+        for r in spark.sql("select * from hll_regs_stream").collect()
+    }
+    assert got == batch and len(got) > 0
