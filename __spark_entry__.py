@@ -6033,13 +6033,17 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT key) AS exact_union
             FROM lab
         )
-        SELECT round(ea, 4) AS est_a, round(eb, 4) AS est_b,
-               round(eu, 4) AS est_union,
-               round(ea + eb - eu, 4) AS est_intersection,
+        SELECT round(coalesce(ea, 0.0), 4) AS est_a,
+               round(coalesce(eb, 0.0), 4) AS est_b,
+               round(coalesce(eu, 0.0), 4) AS est_union,
+               round(coalesce(ea, 0.0) + coalesce(eb, 0.0)
+                     - coalesce(eu, 0.0), 4) AS est_intersection,
                exact_a, exact_b, exact_union,
                exact_a + exact_b - exact_union AS exact_intersection,
-               abs(eu - exact_union) / exact_union <= {_hll_bound}
-                   AS union_within_bound
+               CASE WHEN exact_union > 0
+                    THEN abs(coalesce(eu, 0.0) - exact_union) / exact_union
+                         <= {_hll_bound}
+                    ELSE TRUE END AS union_within_bound
         FROM er, ex
     """
     d["profile_key_skew"] = """

@@ -461,10 +461,19 @@ def hll_set_report(
     folded = hll_fold_registers(
         regs.unionByName(regs_u), ["s"], p
     ).select("s", hll_estimate_expr(m).alias("est"))
+    # an EMPTY set has no register rows at all, so its label is absent from
+    # ``folded`` — coalesce to 0.0, which equals the estimator's value on
+    # an all-zero register table (small-range: m·ln(m/m) = 0)
     ests = folded.agg(
-        F.max(F.when(F.col("s") == "a", F.col("est"))).alias("_ea"),
-        F.max(F.when(F.col("s") == "b", F.col("est"))).alias("_eb"),
-        F.max(F.when(F.col("s") == "u", F.col("est"))).alias("_eu"),
+        F.coalesce(
+            F.max(F.when(F.col("s") == "a", F.col("est"))), F.lit(0.0)
+        ).alias("_ea"),
+        F.coalesce(
+            F.max(F.when(F.col("s") == "b", F.col("est"))), F.lit(0.0)
+        ).alias("_eb"),
+        F.coalesce(
+            F.max(F.when(F.col("s") == "u", F.col("est"))), F.lit(0.0)
+        ).alias("_eu"),
     )
     exacts = labeled.agg(
         F.countDistinct(F.when(F.col("s") == "a", F.col("k"))).alias(
@@ -491,10 +500,13 @@ def hll_set_report(
             (
                 F.col("exact_a") + F.col("exact_b") - F.col("exact_union")
             ).alias("exact_intersection"),
-            (
+            F.when(
+                F.col("exact_union") > 0,
                 F.abs(F.col("_eu") - F.col("exact_union"))
                 / F.col("exact_union")
-                <= F.lit(bound)
-            ).alias("union_within_bound"),
+                <= F.lit(bound),
+            )
+            .otherwise(F.lit(True))  # vacuous on two empty sets
+            .alias("union_within_bound"),
         )
     )

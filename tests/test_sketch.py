@@ -104,6 +104,24 @@ def test_hll_set_ops_identical_and_disjoint(spark):
     assert r["union_within_bound"]
 
 
+def test_hll_set_ops_empty_sets(spark):
+    """Empty inputs: absent register tables estimate 0 (the all-zero-
+    register value), the gate is vacuously true, and nothing raises under
+    ANSI division rules."""
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        hll_set_report,
+    )
+
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    some = spark.range(100).select(F.col("id").alias("k"))
+    r = hll_set_report(empty, empty, "k", p=6).collect()[0]
+    assert r["est_a"] == r["est_b"] == r["est_union"] == 0.0
+    assert r["exact_union"] == 0 and r["union_within_bound"]
+    r = hll_set_report(some, empty, "k", p=6).collect()[0]
+    assert r["est_b"] == 0.0 and r["exact_b"] == 0
+    assert r["est_union"] == r["est_a"]
+
+
 def test_bloom_no_false_negatives_and_detects_misses(spark):
     """Every dim key passes its own filter (the structural Bloom
     guarantee), and with a roomy bit array non-members are rejected."""
