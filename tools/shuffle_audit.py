@@ -59,6 +59,9 @@ DEFAULT_QUERIES = [
     "events_sessionize",
     "profile_key_skew",
     "text_vocab_growth",
+    "sketch_hll_distinct",
+    "sketch_bloom_prefilter",
+    "sketch_hll_set_ops",
 ]
 
 
