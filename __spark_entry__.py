@@ -2055,6 +2055,26 @@ def q_sketch_hll_set_ops(spark, sf_dir):
     return hll_set_report(a, b, "o_custkey", p=8)
 
 
+def q_skyline_pareto(spark, sf_dir):
+    """3-criteria skyline (Pareto frontier) over part: the set of parts
+    with no strictly-better alternative under (price min, size max, name
+    length min). Two-phase distributed prune — partition-local skylines
+    via mapInPandas (zero shuffle), final prune over the survivor union —
+    vs the oracle's quadratic NOT EXISTS anti-join, the only SQL shape of
+    the operator and exactly the |T|² plan the distributed form avoids."""
+    from iatlas_cbioportal_export_spark.operators.skyline import skyline
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        "p_retailprice",
+        F.length("p_name").alias("name_len"),
+    )
+    return skyline(
+        part, {"p_retailprice": "min", "p_size": "max", "name_len": "min"}
+    )
+
+
 def q_events_time_decay(spark, sf_dir):
     """Recency-weighted per-user engagement: value · 0.5^(age_days/30) at a
     fixed reference instant (2026-01-01 UTC), decimal-quantized per term so
@@ -3451,6 +3471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": q_sketch_hll_distinct,
         "sketch_bloom_prefilter": q_sketch_bloom_prefilter,
         "sketch_hll_set_ops": q_sketch_hll_set_ops,
+        "skyline_pareto": q_skyline_pareto,
         # --- driver-green in CORRECTNESS_r01/r02 ---
         "p2_neq_filter_keep_nulls": q_p2_neq_filter_keep_nulls,
         "f5_days_to_months": q_f5_days_to_months,
@@ -6881,4 +6902,27 @@ def oracle_sql() -> dict[str, str]:
         + " FROM lineitem)\n"
         + " UNION ALL ".join(_corr_pairs)
     )
+
+    # Skyline: SQL's only expression of the operator is the quadratic
+    # NOT-EXISTS dominance anti-join — fine at oracle scale, the exact
+    # plan the engine's two-phase prune exists to avoid at 100 TB.
+    d["skyline_pareto"] = """
+        WITH p AS (
+            SELECT p_partkey, p_size, p_retailprice,
+                   length(p_name) AS name_len
+            FROM part
+            WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        )
+        SELECT p_partkey, p_size, p_retailprice, name_len
+        FROM p a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p b
+            WHERE b.p_retailprice <= a.p_retailprice
+              AND b.p_size >= a.p_size
+              AND b.name_len <= a.name_len
+              AND (b.p_retailprice < a.p_retailprice
+                   OR b.p_size > a.p_size
+                   OR b.name_len < a.name_len)
+        )
+    """
     return d
