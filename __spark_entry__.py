@@ -2075,6 +2075,20 @@ def q_skyline_pareto(spark, sf_dir):
     )
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sample without replacement: 50 docs
+    drawn ∝ n_chars via the deterministic id-hash exponential race —
+    narrow key computation + TakeOrderedAndProject (per-partition heaps,
+    one k·P-row exchange). The oracle replays the identical hash, ln and
+    ordering."""
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", k=50)
+
+
 def q_events_time_decay(spark, sf_dir):
     """Recency-weighted per-user engagement: value · 0.5^(age_days/30) at a
     fixed reference instant (2026-01-01 UTC), decimal-quantized per term so
@@ -3472,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom_prefilter": q_sketch_bloom_prefilter,
         "sketch_hll_set_ops": q_sketch_hll_set_ops,
         "skyline_pareto": q_skyline_pareto,
+        "sample_weighted": q_sample_weighted,
         # --- driver-green in CORRECTNESS_r01/r02 ---
         "p2_neq_filter_keep_nulls": q_p2_neq_filter_keep_nulls,
         "f5_days_to_months": q_f5_days_to_months,
@@ -6902,6 +6917,19 @@ def oracle_sql() -> dict[str, str]:
         + " FROM lineitem)\n"
         + " UNION ALL ".join(_corr_pairs)
     )
+
+    # Efraimidis–Spirakis: same id hash, same ln key, same total order.
+    d["sample_weighted"] = """
+        WITH s AS (
+            SELECT doc_id, n_chars,
+                   ln(((((doc_id + 0) * 2654435761) % 1000003) + 0.5)
+                      / 1000003.0) / CAST(n_chars AS DOUBLE) AS k
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        SELECT doc_id, n_chars, round(k, 6) AS es_key
+        FROM s ORDER BY k DESC, doc_id ASC LIMIT 50
+    """
 
     # Skyline: SQL's only expression of the operator is the quadratic
     # NOT-EXISTS dominance anti-join — fine at oracle scale, the exact

@@ -76,6 +76,53 @@ def stratified_sample(
     return df.filter(bucket < threshold)
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: int = 0,
+    key_col: str = "es_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k rows, by the
+    Efraimidis–Spirakis exponential race (Inf. Proc. Letters 97(5), 2006):
+    each row gets key ``u^(1/w)`` for pseudo-uniform ``u`` and weight
+    ``w``; the k largest keys are a weight-proportional sample without
+    replacement. Ranking by ``ln(u)/w`` descending is the same order
+    (ln is monotone, both factors positive/negative consistently) and
+    avoids the underflow of ``u^(1/w)`` for tiny weights.
+
+    ``u`` derives from the same integer id-hash as every sampler here —
+    ``u = (h(id) + 0.5) / MOD`` in (0, 1) — so the selected set is
+    identical on every run, engine and partitioning, and the DuckDB
+    oracle replays it exactly. This is the source-mixture primitive for
+    quality-weighted corpus subsampling (weight = quality score, token
+    count, …) where Bernoulli thinning can't hit an exact k.
+
+    Rows with weight ≤ 0 or NULL are excluded (they have zero selection
+    probability in the limit; E-S keys are undefined for them).
+
+    Plan shape: narrow key computation → ``orderBy(key desc).limit(k)``,
+    which Spark plans as ``TakeOrderedAndProject`` — per-partition k-row
+    heaps, ONE k·P-row exchange, never a full sort. Output adds
+    ``key_col`` (the E-S key, rounded to 6 dp for the report) and keeps
+    every input column.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = ((F.col(id_col).cast("long") + F.lit(salt)) * F.lit(_KNUTH)) % F.lit(_MOD)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_MOD))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es_key_raw", key)
+        .orderBy(F.col("__es_key_raw").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn(key_col, F.round(F.col("__es_key_raw"), 6))
+        .drop("__es_key_raw")
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

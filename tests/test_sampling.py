@@ -65,3 +65,53 @@ def test_stratified_sample_honors_per_stratum_fractions(spark):
     import pytest
     with pytest.raises(ValueError, match="fraction"):
         stratified_sample(df, "doc_id", "source", fractions={"a": 2.0})
+
+
+def _es_reference(ids, weights, k, salt=0):
+    """Numpy replay of the Efraimidis-Spirakis key + ordering."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    weights = np.asarray(weights, dtype=np.float64)
+    h = ((ids + salt) * 2654435761) % 1000003
+    key = np.log((h + 0.5) / 1000003.0) / weights
+    order = np.lexsort((ids, -key))
+    return [int(i) for i in ids[order[:k]]]
+
+
+def test_weighted_sample_matches_reference_and_partitioning(spark):
+    from iatlas_cbioportal_export_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1 + (i * 37) % 200) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    expect = _es_reference([r[0] for r in rows], [r[1] for r in rows], 25)
+    got1 = [r["doc_id"] for r in weighted_sample(df.coalesce(1), "doc_id", "w", 25).collect()]
+    got16 = [r["doc_id"] for r in weighted_sample(df.repartition(16), "doc_id", "w", 25).collect()]
+    assert got1 == expect
+    assert got16 == expect
+
+
+def test_weighted_sample_proportional_to_weight(spark):
+    # k=1 race between weight 9 and weight 1: the heavy row should win
+    # about 90% of salts. Deterministic, so the count is a fixed number;
+    # assert a generous band around the theoretical 0.9.
+    from iatlas_cbioportal_export_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 9), (2, 1)], "doc_id long, w long")
+    wins = sum(
+        weighted_sample(df, "doc_id", "w", 1, salt=s).collect()[0]["doc_id"] == 1
+        for s in range(100)
+    )
+    assert 75 <= wins <= 100, wins
+
+
+def test_weighted_sample_excludes_nonpositive_and_caps_at_n(spark):
+    from iatlas_cbioportal_export_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -2), (4, None), (5, 3)], "doc_id long, w long"
+    )
+    got = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 10).collect()}
+    assert got == {1, 5}
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample(df, "doc_id", "w", 0)
