@@ -89,6 +89,11 @@ def main() -> None:
     names = CORE + EXTENDED
     reps: list[dict[str, float]] = []
     for _ in range(N_REPS):
+        # Each rep measures the real work: the V1 scratch-bundle write and
+        # the layout compaction are cached per process for interactive use,
+        # but a cached rep would exclude work the r1/r2 single-shot
+        # baselines included — clear before every rep.
+        entrymod.reset_bench_caches()
         timings: dict[str, float] = {}
         for name in names:
             fn = queries[name]

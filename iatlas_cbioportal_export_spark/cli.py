@@ -248,9 +248,15 @@ def cmd_validate(args: argparse.Namespace) -> int:
     if maf_name is not None:
         maf_path = os.path.join(bundle, maf_name)
         if os.path.isdir(maf_path):
+            # Infer types on the chunked directory: a header-only read would
+            # make every column a string and turn numeric checks (position
+            # ordering, allele counts) lexicographic. maf_value_conformance
+            # also casts defensively, but typed columns keep every downstream
+            # check honest.
             maf = (
                 spark.read.option("sep", "\t")
                 .option("header", True)
+                .option("inferSchema", True)
                 .csv(maf_path)
             )
         else:

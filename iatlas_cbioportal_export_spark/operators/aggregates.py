@@ -8,6 +8,7 @@ with ``row_number`` — the only Window required for reference parity
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -238,8 +239,15 @@ def sketch_accuracy_report(
         abs(first["approx_d"] - first["exact_d"])
         <= distinct_rel_bound * first["exact_d"]
     )
+    # The published contract is floor((p−err)·N) ≤ rank ≤ ceil((p+err)·N)
+    # with err = 1/accuracy (GK/quantile-digest semantics). The floor/ceil
+    # matter when N/accuracy < 1 row: at N=6000, accuracy=10⁴ the slack is
+    # 0.6, and a rank-2999 answer for p50 is within contract (floor(2999.4)
+    # = 2999) but would fail an un-floored ±0.6 window.
     target, slack = quantile * n, n / accuracy
-    q_ok = (ranks["r_lo"] + 1) <= target + slack and ranks["r_hi"] >= target - slack
+    q_ok = (ranks["r_lo"] + 1) <= math.ceil(target + slack) and ranks[
+        "r_hi"
+    ] >= math.floor(target - slack)
     return df.sparkSession.createDataFrame(
         [
             (f"distinct_{distinct_col}", int(first["exact_d"]), bool(d_ok)),

@@ -22,6 +22,7 @@ the codegen'd expression tree (~60× slower, measured at sf0.1).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -877,10 +878,29 @@ def jaccard_prefix_join(
     stats = toks.agg(
         F.max(F.size("ts") - F.ceil(F.lit(t) * F.size("ts"))).alias("m"),
         F.count(F.lit(1)).alias("n"),
+        F.max(F.size("ts")).alias("mx"),
     ).collect()[0]
-    max_ka, n_sets = stats["m"], stats["n"]
+    max_ka, n_sets, max_set_size = stats["m"], stats["n"], stats["mx"]
+    # Deletion blocking materializes sum_{k<=ka} C(n, k) signatures per set;
+    # ka alone doesn't bound that — a 10k-token set at t=0.9998 has ka=2 but
+    # C(10000,2) ≈ 5e7 variants per ROW (executor OOM territory). Auto only
+    # picks deletion when the worst-case per-set neighborhood stays within a
+    # fixed budget; past it, prefix blocking is the safe exact path.
+    _DELETION_VARIANT_BUDGET = 100_000
+    if max_ka is not None and max_set_size is not None:
+        deletion_variants = sum(
+            math.comb(int(max_set_size), k) for k in range(int(max_ka) + 1)
+        )
+    else:
+        deletion_variants = 0
     if blocking == "auto":
-        blocking = "deletion" if max_ka is not None and max_ka <= 3 else "prefix"
+        blocking = (
+            "deletion"
+            if max_ka is not None
+            and max_ka <= 3
+            and deletion_variants <= _DELETION_VARIANT_BUDGET
+            else "prefix"
+        )
     elif blocking == "deletion" and max_ka is not None and max_ka > 3:
         # an explicit override outside the scheme's validity regime would
         # SILENTLY drop qualifying pairs (neighborhoods only cover <=3

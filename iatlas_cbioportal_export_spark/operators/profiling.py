@@ -60,13 +60,19 @@ def key_skew_report(
     # All ratios as exact INTEGER `div` (never float-divide-then-floor: a
     # double quotient can round up across an integer boundary and flip the
     # floor); ceil(a/b) for positive ints is (a + b - 1) div b.
+    # Products are computed in DECIMAL(38,0): cnt * n_keys * 1000 overflows
+    # BIGINT once cnt * n_keys > ~9.2e15 — easily reached at 100 TB (ANSI
+    # mode would raise, non-ANSI would silently wrap). `div` on decimals is
+    # still exact integer division returning BIGINT, so results and their
+    # types are unchanged at small scale.
+    dcnt = "CAST(cnt AS DECIMAL(38,0))"
     enriched = counts.crossJoin(F.broadcast(totals)).select(
         "key_value",
         "cnt",
-        F.expr("cnt * 1000000 div __total").alias("share_ppm"),
-        F.expr("cnt * __n_keys * 1000 div __total").alias("skew_x1000"),
+        F.expr(f"{dcnt} * 1000000 div __total").alias("share_ppm"),
+        F.expr(f"{dcnt} * __n_keys * 1000 div __total").alias("skew_x1000"),
         F.expr(
-            f"(cnt * {int(num_partitions)} + __total - 1) div __total"
+            f"({dcnt} * {int(num_partitions)} + __total - 1) div __total"
         ).alias("suggested_salt"),
     )
     # TakeOrdered heap via orderBy+limit (Spark plans TakeOrderedAndProject —

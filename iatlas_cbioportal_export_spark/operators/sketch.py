@@ -128,7 +128,11 @@ def hll_register_table(
         F.lit(_HLL_WBITS + 1) - F.length(F.bin(hb))
     )
     return (
-        df.select(*gcols, (ha % F.lit(m)).alias("bucket"), rank.alias("r"))
+        # NULL keys carry no distinct-count information (exact_distinct via
+        # count(distinct) ignores NULLs too); unfiltered they'd mint a
+        # NULL-hash register that inflates used_registers.
+        df.filter(key.isNotNull())
+        .select(*gcols, (ha % F.lit(m)).alias("bucket"), rank.alias("r"))
         .groupBy(*gcols, "bucket")
         .agg(F.max("r").alias("mj"))
     )
@@ -225,9 +229,14 @@ def hll_distinct(
     )
     est = hll_estimate_expr(m)
     bound = 3.0 * 1.04 / (m**0.5)
+    folded = hll_fold_registers(regs, gcols, p)
+    # group_cols=[] is the whole-table estimate: both sides are single-row
+    # frames, joined by a bounded 1×1 cross (join(on=[]) is invalid).
+    joined = (
+        folded.crossJoin(exact) if not gcols else folded.join(exact, on=gcols)
+    )
     out = (
-        hll_fold_registers(regs, gcols, p)
-        .join(exact, on=gcols)
+        joined
         .select(
             *gcols,
             F.lit(m).alias("m"),
@@ -322,7 +331,11 @@ def bloom_build(
     bitwise OR."""
     key = F.col(key_col)
     pos_rows = (
-        df.select(
+        # NULL keys set no bits: hashing NULL yields a NULL position row
+        # that would TypeError in the driver-side pack (and a NULL dim key
+        # never equi-joins, so the filter loses nothing).
+        df.filter(key.isNotNull())
+        .select(
             F.explode(F.array(*_bloom_positions(key, m_bits, k))).alias("p")
         )
         .distinct()

@@ -268,7 +268,12 @@ def maf_value_conformance(
     """
     chrom = F.col(chrom_col)
     ref, alt = F.col(ref_col), F.col(alt_col)
-    start, end = F.col(start_col), F.col(end_col)
+    # Cast positions numerically so the ordering rule is type-safe even when
+    # the caller read the MAF with an all-string schema (e.g. a header-only
+    # directory scan): lexicographic "99" > "100" must not fire the rule, and
+    # real violations with wider End digits must not be missed.
+    start = F.col(start_col).cast("long")
+    end = F.col(end_col).cast("long")
     t_ref = F.col(t_ref_col).cast("double")
     t_alt = F.col(t_alt_col).cast("double")
 

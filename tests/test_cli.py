@@ -230,3 +230,42 @@ def test_cli_validate_passthrough_matrix_checks(spark, tmp_path, capsys):
     with open(os.path.join(bundle, "data_rna_seq_mrna.txt"), "w") as fh:
         fh.write("Hugo_Symbol\ts1\tsGHOST\nTP53\t1.5\t2.5\n")
     assert main(["validate", "--bundle", bundle]) == 1
+
+
+def test_cli_validate_chunked_maf_numeric_position_order(spark, tmp_path):
+    """Regression: the chunked data_mutations_extended/ directory is read
+    header-only (all strings), so Start/End ordering must compare
+    NUMERICALLY. Lexicographically "99" > "100" (false positive on a valid
+    row) and "100" < "99" (false negative on a real violation) — both
+    directions are pinned here."""
+    from iatlas_cbioportal_export_spark.sources.maf_schema import REQUIRED_MAF_COLS
+
+    bundle = _make_bundle(tmp_path)
+    maf_dir = os.path.join(bundle, "data_mutations_extended")
+
+    def _rewrite_chunks(start: str, end: str) -> None:
+        row = {
+            "Hugo_Symbol": "TP53", "Chromosome": "chr17",
+            "Start_Position": start, "End_Position": end,
+            "Reference_Allele": "A", "Tumor_Seq_Allele2": "G",
+            "t_ref_count": "10", "t_alt_count": "5",
+            "Tumor_Sample_Barcode": "s1",
+        }
+        body = "\t".join(REQUIRED_MAF_COLS) + "\n" + "\t".join(
+            row.get(c, "") for c in REQUIRED_MAF_COLS
+        ) + "\n"
+        for f in os.listdir(maf_dir):
+            if f.endswith(".csv"):
+                with open(os.path.join(maf_dir, f), "w") as fh:
+                    fh.write(body)
+            elif f.endswith(".crc"):
+                # Stale Hadoop checksum sidecars would fail the re-read.
+                os.remove(os.path.join(maf_dir, f))
+
+    # Valid row whose string comparison would falsely flag it.
+    _rewrite_chunks("99", "100")
+    assert main(["validate", "--bundle", bundle]) == 0
+
+    # Real violation whose string comparison would miss it.
+    _rewrite_chunks("100", "99")
+    assert main(["validate", "--bundle", bundle]) == 1

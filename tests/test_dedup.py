@@ -309,3 +309,27 @@ def test_jaccard_deletion_override_out_of_regime_raises(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     with _pytest.raises(ValueError, match="deletion blocking requires"):
         jaccard_prefix_join(df, threshold=0.5, blocking="deletion").count()
+
+
+def test_jaccard_auto_avoids_deletion_on_huge_sets(spark):
+    """ka <= 3 alone must not auto-pick deletion blocking: a corpus of very
+    LARGE token sets at a very high threshold has tiny ka but C(n, ka)
+    signature variants per row (n=2000, ka=1 is fine; n=2000 at a threshold
+    giving ka=2 is ~2e6 variants/row — executor-OOM territory at scale).
+    Auto must fall back to prefix; the exact pair set is unchanged."""
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    n = 2000
+    base = [f"w{k:05d}" for k in range(n)]
+    # doc 1 == doc 0 minus one token: J = 1999/2000 = 0.9995 >= t.
+    # threshold 0.999 on n=2000 gives ka = 2000 - ceil(0.999*2000) = 2
+    # → deletion variants ≈ C(2000,2) ≈ 2e6 > budget → prefix.
+    docs = [(0, " ".join(base)), (1, " ".join(base[:-1])), (2, " ".join(f"x{k}" for k in range(50)))]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_prefix_join(df, threshold=0.999, blocking="auto").collect()
+    }
+    assert got == {(0, 1): round(1999 / 2000, 6)}

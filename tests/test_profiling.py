@@ -54,3 +54,52 @@ def test_skew_report_exact_ceiling_boundary(spark):
     }
     assert out["x"] == 2
     assert out["y"] == 1
+
+
+def test_skew_report_decimal_products_no_overflow(spark):
+    """The share/skew/salt products are computed in DECIMAL(38,0): with
+    BIGINT-scale counts (cnt ~ 4.6e18, beyond sqrt-overflow territory for
+    cnt * n_keys * 1000) the report must return exact values, not wrap or
+    raise ARITHMETIC_OVERFLOW under ANSI mode."""
+    from pyspark.sql import functions as F
+
+    from iatlas_cbioportal_export_spark.operators.profiling import (
+        key_skew_report,
+    )
+
+    big = 4_600_000_000_000_000_000  # cnt * 2 keys * 1000 >> 2^63
+    counts = spark.createDataFrame(
+        [("hot", big), ("cold", big // 10)], "key_value string, cnt long"
+    )
+    # Drive the same arithmetic path through a pre-aggregated frame by
+    # exploding is impossible at this magnitude — instead call the operator
+    # on a tiny frame and separately pin the expression arithmetic.
+    dcnt = "CAST(cnt AS DECIMAL(38,0))"
+    row = (
+        counts.crossJoin(
+            F.broadcast(
+                counts.agg(
+                    F.sum("cnt").alias("__total"),
+                    F.count(F.lit(1)).alias("__n_keys"),
+                )
+            )
+        )
+        .select(
+            "key_value",
+            F.expr(f"{dcnt} * 1000000 div __total").alias("share_ppm"),
+            F.expr(f"{dcnt} * __n_keys * 1000 div __total").alias("skew_x1000"),
+        )
+        .filter(F.col("key_value") == "hot")
+        .collect()[0]
+    )
+    total = big + big // 10
+    assert row["share_ppm"] == big * 1_000_000 // total
+    assert row["skew_x1000"] == big * 2 * 1000 // total
+
+    # And the operator end-to-end still yields exact small-scale values.
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 2, "k string"
+    )
+    out = {r["key_value"]: r for r in key_skew_report(df, "k", top_k=2).collect()}
+    assert out["a"]["skew_x1000"] == 6 * 2 * 1000 // 8
+    assert out["a"]["share_ppm"] == 750000

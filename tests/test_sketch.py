@@ -169,3 +169,35 @@ def test_cms_shard_sketches_merge_by_addition(spark):
         [x + y for x, y in zip(ra, rb)] for ra, rb in zip(a, b)
     ]
     assert merged == whole
+
+
+def test_bloom_and_hll_ignore_null_keys(spark):
+    """NULL keys carry no join/distinct information: bloom_build must not
+    TypeError on a NULL position row, and the HLL register table must not
+    mint a NULL-bucket register that inflates used_registers."""
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        bloom_build,
+        hll_distinct,
+        hll_register_table,
+    )
+
+    dim = spark.createDataFrame(
+        [("k1",), ("k2",), (None,)], "key string"
+    )
+    words = bloom_build(dim, "key", m_bits=128, k=3)
+    assert any(w != 0 for w in words)
+    words_no_null = bloom_build(dim.filter("key is not null"), "key", m_bits=128, k=3)
+    assert words == words_no_null
+
+    regs = hll_register_table(dim, "key", group_cols=[], p=4)
+    regs_no_null = hll_register_table(
+        dim.filter("key is not null"), "key", group_cols=[], p=4
+    )
+    assert sorted(map(tuple, regs.collect())) == sorted(
+        map(tuple, regs_no_null.collect())
+    )
+    est = hll_distinct(dim, "key", group_cols=[], p=4).collect()[0]
+    est_clean = hll_distinct(
+        dim.filter("key is not null"), "key", group_cols=[], p=4
+    ).collect()[0]
+    assert tuple(est) == tuple(est_clean)
