@@ -3395,14 +3395,67 @@ def q_text_vocab_growth(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
-    checks the FIRST 50 entries only. Round-3 rotation: entries 1-50 are
-    the first 50 registry entries that have never received a driver-green
-    CORRECTNESS row (all were verified locally via tools/check_parity.py,
-    evidence in PARITY_LOCAL.md); entries 51-82 are the remaining 32
-    never-driver-checked entries (rotate into the window in round 4);
-    the rest carry green rows in CORRECTNESS_r01/r02."""
+    checks the FIRST 50 entries only. Round-4 rotation: entries 1-42 are
+    the LAST never-driver-checked entries (33 carried from the round-3
+    past-window block + the 9 round-3 additions; all verified locally via
+    tools/check_parity.py, evidence in PARITY_LOCAL.md); entries 43-50 are
+    re-check slots for code changed this round (MAF value conformance,
+    validation suite, headline pipelines). After this round every registry
+    entry will have had a driver-green CORRECTNESS row across r1-r4."""
     return {
-        # --- window (1-50): never driver-checked before round 3 ---
+        # --- window (1-42): the final never-driver-checked backlog ---
+        "events_attribution_outer": q_events_attribution_outer,
+        "window_rank_suite": q_window_rank_suite,
+        "equi_depth_bins": q_equi_depth_bins,
+        "lpm_join_categories": q_lpm_join_categories,
+        "text_cooccurrence_pmi": q_text_cooccurrence_pmi,
+        "events_interval_overlap": q_events_interval_overlap,
+        "clinical_kaplan_meier": q_clinical_kaplan_meier,
+        "clinical_logrank": q_clinical_logrank,
+        "maf_oncoprint": q_maf_oncoprint,
+        "stats_chi_square": q_stats_chi_square,
+        "events_streaks": q_events_streaks,
+        "stats_linear_trend": q_stats_linear_trend,
+        "stats_psi_drift": q_stats_psi_drift,
+        "stats_ks_test": q_stats_ks_test,
+        "maf_gene_cooccurrence": q_maf_gene_cooccurrence,
+        "emb_random_projection": q_emb_random_projection,
+        "events_exp_smoothing": q_events_exp_smoothing,
+        "events_transition_matrix": q_events_transition_matrix,
+        "graph_triangles": q_graph_triangles,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "sim_item_cf": q_sim_item_cf,
+        "stats_ab_ztest": q_stats_ab_ztest,
+        "graph_kcore": q_graph_kcore,
+        "stats_correlation": q_stats_correlation,
+        "graph_bfs": q_graph_bfs,
+        "sim_association_rules": q_sim_association_rules,
+        "events_seasonal_residuals": q_events_seasonal_residuals,
+        "stats_mad_outliers": q_stats_mad_outliers,
+        "graph_label_propagation": q_graph_label_propagation,
+        "stats_mutual_information": q_stats_mutual_information,
+        "events_time_to_convert": q_events_time_to_convert,
+        "text_char_entropy": q_text_char_entropy,
+        "sketch_accuracy_gate": q_sketch_accuracy_gate,
+        "profile_key_skew": q_profile_key_skew,
+        "layout_compaction": q_layout_compaction,
+        "sim_mips_topk": q_sim_mips_topk,
+        "text_vocab_growth": q_text_vocab_growth,
+        "sketch_hll_distinct": q_sketch_hll_distinct,
+        "sketch_bloom_prefilter": q_sketch_bloom_prefilter,
+        "sketch_hll_set_ops": q_sketch_hll_set_ops,
+        "skyline_pareto": q_skyline_pareto,
+        "sample_weighted": q_sample_weighted,
+        # --- window (43-50): re-checks of round-4-changed code paths ---
+        "maf_field_conformance": q_maf_field_conformance,
+        "v_validation_suite": q_v_validation_suite,
+        "flagship_case_lists": flagship_case_lists,
+        "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
+        "maf_annotate_pipeline": q_maf_annotate_pipeline,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
         "text_chunking": q_text_chunking,
@@ -3453,55 +3506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "text_bpe_segment": q_text_bpe_segment,
         "exact_quantiles": q_exact_quantiles,
-        # --- 51-82: never driver-checked; rotate into window in round 4 ---
-        "events_attribution_outer": q_events_attribution_outer,
-        "window_rank_suite": q_window_rank_suite,
-        "equi_depth_bins": q_equi_depth_bins,
-        "lpm_join_categories": q_lpm_join_categories,
-        "text_cooccurrence_pmi": q_text_cooccurrence_pmi,
-        "events_interval_overlap": q_events_interval_overlap,
-        "clinical_kaplan_meier": q_clinical_kaplan_meier,
-        "clinical_logrank": q_clinical_logrank,
-        "maf_oncoprint": q_maf_oncoprint,
-        "stats_chi_square": q_stats_chi_square,
-        "events_streaks": q_events_streaks,
-        "stats_linear_trend": q_stats_linear_trend,
-        "stats_psi_drift": q_stats_psi_drift,
-        "stats_ks_test": q_stats_ks_test,
-        "maf_gene_cooccurrence": q_maf_gene_cooccurrence,
-        "emb_random_projection": q_emb_random_projection,
-        "events_exp_smoothing": q_events_exp_smoothing,
-        "events_transition_matrix": q_events_transition_matrix,
-        "graph_triangles": q_graph_triangles,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "sim_item_cf": q_sim_item_cf,
-        "stats_ab_ztest": q_stats_ab_ztest,
-        "graph_kcore": q_graph_kcore,
-        "stats_correlation": q_stats_correlation,
-        "graph_bfs": q_graph_bfs,
-        "sim_association_rules": q_sim_association_rules,
-        "events_seasonal_residuals": q_events_seasonal_residuals,
-        "stats_mad_outliers": q_stats_mad_outliers,
-        "graph_label_propagation": q_graph_label_propagation,
-        "stats_mutual_information": q_stats_mutual_information,
-        "events_time_to_convert": q_events_time_to_convert,
-        "text_char_entropy": q_text_char_entropy,
-        "sketch_accuracy_gate": q_sketch_accuracy_gate,
-        # --- new in round 3 (past-window; rotate with the 51-82 block) ---
-        "profile_key_skew": q_profile_key_skew,
-        "layout_compaction": q_layout_compaction,
-        "sim_mips_topk": q_sim_mips_topk,
-        "text_vocab_growth": q_text_vocab_growth,
-        "sketch_hll_distinct": q_sketch_hll_distinct,
-        "sketch_bloom_prefilter": q_sketch_bloom_prefilter,
-        "sketch_hll_set_ops": q_sketch_hll_set_ops,
-        "skyline_pareto": q_skyline_pareto,
-        "sample_weighted": q_sample_weighted,
-        # --- driver-green in CORRECTNESS_r01/r02 ---
         "p2_neq_filter_keep_nulls": q_p2_neq_filter_keep_nulls,
         "f5_days_to_months": q_f5_days_to_months,
         "multimodal_features": q_multimodal_features,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -3538,18 +3545,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "curation_pipeline": q_curation_pipeline,
         "text_tfidf": q_text_tfidf,
-        "maf_annotate_pipeline": q_maf_annotate_pipeline,
         "maf_annotation_wide": q_maf_annotation_wide,
-        "maf_field_conformance": q_maf_field_conformance,
         "multimodal_frame_sample": q_multimodal_frame_sample,
-        "v_validation_suite": q_v_validation_suite,
-        "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "dedup_components": q_dedup_components,
         "text_top_ngrams": q_text_top_ngrams,
         "s3_header_roundtrip": q_s3_header_roundtrip,
         "f8_case_list_render": q_f8_case_list_render,
-        "flagship_case_lists": flagship_case_lists,
-        "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -3582,7 +3583,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_language_report": q_text_language_report,
         "text_bpe_token_count": q_text_bpe_token_count,
-        "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q4_order_priority": q_tpch_q4,
         "tpch_q5_local_supplier": q_tpch_q5,
