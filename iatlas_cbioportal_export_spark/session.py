@@ -49,6 +49,12 @@ _DEFAULT_CONF: dict[str, str] = {
     # convert at the scan (sources/readers.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # local-mode default is a 1 GiB driver heap shared by all 32 executor
+    # threads — 32 concurrent hash-aggregate states OOM it long before the
+    # box's 128 GiB is touched. Must be set before the JVM launches (no-op
+    # via spark.conf.set); harmless on a real cluster where spark-submit
+    # overrides it.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }
 
 
