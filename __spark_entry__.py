@@ -763,6 +763,7 @@ def reset_bench_caches() -> None:
     single-shot baselines measured, keeping the core total apples-to-apples."""
     _V1_BUNDLE_CACHE.clear()
     _COMPACTION_CACHE.clear()
+    _ZONEMAP_CACHE.clear()
 
 
 def q_v_validation_suite(spark, sf_dir):
@@ -1306,6 +1307,37 @@ def q_orc_roundtrip(spark, sf_dir):
     path = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "li")
     write_orc(li, path)
     return read_orc(spark, path)
+
+
+def q_xml_roundtrip(spark, sf_dir):
+    """Documents written as XML (Spark 4's built-in StAX source, one <doc>
+    element per row) and re-scanned with a DECLARED schema: entity escaping
+    of arbitrary text content, nulls, and long/string typing must survive
+    the roundtrip. The oracle reads the parquet source directly, so any
+    loss in the XML write/parse breaks the value hash. XML is an ingest
+    interchange format only — no column stats, no pushdown; convert to
+    parquet at the boundary."""
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from iatlas_cbioportal_export_spark.sources.readers import (
+        read_xml,
+        write_xml,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    path = os.path.join(tempfile.mkdtemp(prefix="xml_rt_"), "docs")
+    write_xml(docs, path, row_tag="doc")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    return read_xml(spark, path, row_tag="doc", schema=schema)
 
 
 def q_pii_redaction(spark, sf_dir):
@@ -3369,6 +3401,54 @@ def q_layout_compaction(spark, sf_dir):
     )
 
 
+_ZONEMAP_CACHE: dict[str, str] = {}
+
+
+def q_zonemap_pruning(spark, sf_dir):
+    """Zone-map data skipping end-to-end: orders is written clustered on
+    deterministic o_orderkey buckets (floor(key/500) — partitionBy, so the
+    file→key-range map is a pure function of the data, unlike sampled range
+    bounds), then the per-bucket min/max zone map is scored against the
+    range predicate o_orderkey BETWEEN 600 AND 2200: the skipping decision,
+    the exact qualifying rows, and the never-prune-a-matching-bucket
+    structural guarantee, one map-side-combined scan. The oracle replays
+    the bucket arithmetic in SQL — the layout's zone maps are
+    engine-reproducible, which is the point."""
+    from iatlas_cbioportal_export_spark.sources.layout import (
+        write_bucket_clustered,
+        zone_map_pruning_report,
+    )
+
+    path = _ZONEMAP_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        path = tempfile.mkdtemp(prefix="zonemap_orders_")
+        write_bucket_clustered(orders, path, "o_orderkey", 500)
+        _ZONEMAP_CACHE[sf_dir] = path
+    return zone_map_pruning_report(
+        spark, path, "o_orderkey", 600, 2200
+    ).orderBy("zm_bucket")
+
+
+def q_sketch_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters over the corpus token stream (k=30): for
+    every TRUE heavy token (exact frequency > n/31), the deterministic MG
+    contract booleans — found_by_sketch (every f > n/(k+1) item survives)
+    and within_bound (0 ≤ exact − est ≤ n/(k+1)) — next to the exact count.
+    The raw counter values are partitioning-defined, so the gate, not the
+    counters, is the oracle surface (the sketch_accuracy_gate pattern)."""
+    from iatlas_cbioportal_export_spark.functions.text import tokens
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        heavy_hitters_gate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    return heavy_hitters_gate(toks, "token", k=30)
+
+
 def q_sim_mips_topk(spark, sf_dir):
     """Exact maximum-inner-product top-10 for 5 query vectors — the
     dot-product-trained dual-encoder retrieval scoring where cosine
@@ -3455,6 +3535,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "tpch_q1_pricing_summary": q_tpch_q1,
+        # --- new in round 4 (past-window; rotate into a future window) ---
+        "xml_roundtrip": q_xml_roundtrip,
+        "zonemap_pruning": q_zonemap_pruning,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -6117,6 +6201,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                TRUE AS fragmented_16_files, TRUE AS compacted_to_plan
         FROM documents GROUP BY source
+    """
+    d["xml_roundtrip"] = "SELECT doc_id, text, lang, source FROM documents"
+    d["zonemap_pruning"] = """
+        WITH per AS (
+            SELECT CAST(FLOOR(o_orderkey / 500) AS BIGINT) AS zm_bucket,
+                   MIN(o_orderkey) AS zm_min, MAX(o_orderkey) AS zm_max,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_orderkey BETWEEN 600 AND 2200
+                            THEN 1 ELSE 0 END) AS BIGINT) AS qualifying_rows
+            FROM orders GROUP BY 1)
+        SELECT zm_bucket, zm_min, zm_max, n_rows,
+               (zm_max < 600 OR zm_min > 2200) AS pruned,
+               qualifying_rows,
+               (NOT (zm_max < 600 OR zm_min > 2200)
+                OR qualifying_rows = 0) AS prune_safe
+        FROM per ORDER BY zm_bucket
+    """
+    d["sketch_heavy_hitters"] = f"""
+        WITH t AS (SELECT unnest({_TOKS}) AS token FROM documents),
+             n AS (SELECT COUNT(*) AS n FROM t),
+             e AS (SELECT token, COUNT(*) AS exact_count FROM t
+                   GROUP BY token)
+        SELECT token AS item, exact_count,
+               TRUE AS found_by_sketch, TRUE AS within_bound
+        FROM e, n WHERE exact_count > n.n / 31.0
+        ORDER BY exact_count DESC, item ASC
     """
     d["sim_mips_topk"] = """
         WITH q AS (SELECT vec_id AS query_id,

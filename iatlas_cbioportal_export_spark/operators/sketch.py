@@ -523,3 +523,108 @@ def hll_set_report(
             .alias("union_within_bound"),
         )
     )
+
+
+def misra_gries_summary(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Misra-Gries heavy-hitter summary: ≤ ``k`` (item, est) rows whose
+    estimates undercount true frequencies by at most ``n/(k+1)`` — the
+    mergeable deterministic counterpart of count-min for top-item detection
+    (Misra & Gries 1982; merge rule per Agarwal et al., "Mergeable
+    Summaries", PODS 2012).
+
+    Shape: one ``mapInPandas`` pass keeps a k-bounded counter dict per
+    PARTITION (Arrow-batched; the per-item work is a dict op, and the
+    output is ≤ k rows per partition, so nothing corpus-sized ever leaves
+    the scan stage). Partials then merge associatively: sum counters by
+    item, subtract the (k+1)-largest summed value (0 when ≤ k items
+    survive), keep positives — a valid MG summary of the whole stream.
+    The merge input is ≤ k·partitions rows, KB-scale at any data size; at
+    100 TB this is the canonical two-level combine (the same economics as
+    a map-side-combined groupBy, but with a HARD k-row bound per task
+    regardless of item cardinality).
+
+    NULL items are skipped (no frequency semantics, same rule as the other
+    sketches). Estimates depend on partitioning (any valid MG run does) —
+    downstream checks must use the structural guarantees, not the raw
+    ests; see :func:`heavy_hitters_gate`.
+    """
+    import pandas as pd
+
+    kk = int(k)
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item in pdf[item_col]:
+                if item is None or (isinstance(item, float) and pd.isna(item)):
+                    continue
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < kk:
+                    counters[item] = 1
+                else:
+                    # decrement-all; drop zeros (the classic MG step,
+                    # amortized O(1) via dict comprehension per trigger)
+                    counters = {
+                        i: c - 1 for i, c in counters.items() if c > 1
+                    }
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters), "est": list(counters.values())}
+            )
+
+    partials = df.select(F.col(item_col).alias(item_col)).mapInPandas(
+        mg_partition, schema=f"item string, est long"
+    )
+    summed = partials.groupBy("item").agg(F.sum("est").alias("est"))
+    # (k+1)-largest summed count = the merge offset. The summed frame is
+    # ≤ k·partitions rows; the offset is a KB-bounded decision scalar.
+    top = summed.orderBy(F.col("est").desc()).limit(kk + 1).collect()
+    offset = int(top[kk]["est"]) if len(top) > kk else 0
+    return summed.select(
+        "item", (F.col("est") - F.lit(offset)).alias("est")
+    ).filter(F.col("est") > 0)
+
+
+def heavy_hitters_gate(
+    df: DataFrame, item_col: str, k: int
+) -> DataFrame:
+    """Deterministic heavy-hitter CONTRACT check over the Misra-Gries
+    summary — the oracle-checkable surface for a sketch whose raw counter
+    values are partitioning-defined (same pattern as
+    :func:`~iatlas_cbioportal_export_spark.operators.aggregates.sketch_accuracy_report`).
+
+    For every TRUE heavy hitter (exact frequency > n/(k+1), the MG
+    detection threshold), emits:
+
+    - ``exact_count``     — the exact frequency (oracle-computable);
+    - ``found_by_sketch`` — MG guarantees every item with f > n/(k+1)
+                            survives the summary → deterministically TRUE;
+    - ``within_bound``    — ``0 ≤ exact − est ≤ n/(k+1)`` (MG never
+                            overcounts, undercounts by at most n/(k+1)) →
+                            deterministically TRUE.
+
+    Costs: the MG pass, one exact groupBy over the items (the verification
+    twin — drop it in production where the sketch is the point), and a
+    broadcast join of the ≤ k summary rows onto the heavy set.
+    """
+    summary = misra_gries_summary(df, item_col, k)
+    n = df.filter(F.col(item_col).isNotNull()).count()
+    thresh = n / (k + 1)
+    exact = (
+        df.filter(F.col(item_col).isNotNull())
+        .groupBy(F.col(item_col).alias("item"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .filter(F.col("exact_count") > F.lit(thresh))
+    )
+    joined = exact.join(F.broadcast(summary), on="item", how="left")
+    return joined.select(
+        "item",
+        "exact_count",
+        F.col("est").isNotNull().alias("found_by_sketch"),
+        (
+            F.col("est").isNotNull()
+            & (F.col("exact_count") - F.col("est") >= 0)
+            & (F.col("exact_count") - F.col("est") <= F.lit(thresh))
+        ).alias("within_bound"),
+    ).orderBy(F.col("exact_count").desc(), F.col("item").asc())

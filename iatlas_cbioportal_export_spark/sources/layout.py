@@ -131,3 +131,69 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucket_clustered(
+    df: DataFrame, path: str, key_col: str, bucket_width: int
+) -> None:
+    """Write ``df`` partitioned by the deterministic key bucket
+    ``floor(key / bucket_width)`` — single-dimension clustering whose
+    file→key-range assignment is a pure function of the data (unlike
+    ``repartitionByRange``, whose sampled bounds vary run to run), so zone
+    maps built from the layout are engine-reproducible. The write is ONE
+    shuffle on the bucket column; each partition directory then covers a
+    disjoint, known key interval."""
+    bucket = (F.floor(F.col(key_col) / F.lit(int(bucket_width)))).cast("long")
+    (
+        df.withColumn("zm_bucket", bucket)
+        .write.mode("overwrite")
+        .partitionBy("zm_bucket")
+        .parquet(path)
+    )
+
+
+def zone_map_pruning_report(
+    spark,
+    path: str,
+    key_col: str,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Zone-map (min/max-statistics) data skipping, made checkable: per
+    clustered bucket of a :func:`write_bucket_clustered` table, the zone map
+    ``(zm_min, zm_max, n_rows)`` plus, for the range predicate
+    ``key BETWEEN lo AND hi``:
+
+    - ``pruned``          — the skipping decision ``zm_max < lo OR zm_min > hi``
+                            (exactly what parquet footer stats let a scan skip);
+    - ``qualifying_rows`` — the EXACT number of predicate rows in the bucket;
+    - ``prune_safe``      — the structural guarantee ``pruned ⇒ qualifying_rows
+                            = 0`` (a zone map may fail to prune, it must never
+                            prune a bucket that contains matches).
+
+    ONE map-side-combined scan computes the whole report; the output is
+    |buckets| rows — KB-sized however large the table. At 100 TB the zone
+    map IS the scan plan: ``rows`` under un-pruned buckets is what a
+    predicate pushdown reads, everything else is skipped on metadata
+    alone. (In production the same numbers come from parquet footers
+    without any scan; deriving them from the data here makes the report an
+    oracle-checkable statement about the physical layout.)"""
+    data = spark.read.parquet(path)
+    key = F.col(key_col)
+    in_range = key.between(F.lit(int(lo)), F.lit(int(hi)))
+    per = data.groupBy("zm_bucket").agg(
+        F.min(key).alias("zm_min"),
+        F.max(key).alias("zm_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(in_range, 1).otherwise(0)).alias("qualifying_rows"),
+    )
+    pruned = (F.col("zm_max") < F.lit(int(lo))) | (F.col("zm_min") > F.lit(int(hi)))
+    return per.select(
+        F.col("zm_bucket").cast("long").alias("zm_bucket"),
+        "zm_min",
+        "zm_max",
+        "n_rows",
+        pruned.alias("pruned"),
+        "qualifying_rows",
+        (~pruned | (F.col("qualifying_rows") == 0)).alias("prune_safe"),
+    )

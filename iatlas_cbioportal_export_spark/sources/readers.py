@@ -170,6 +170,35 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """XML scan (Spark 4's built-in xml source). Schema is strongly
+    recommended for the same no-inference-pass reason as
+    :func:`read_jsonl`; ``row_tag`` names the repeating element. Each task
+    stream-parses its own files (StAX) — the scan distributes like any
+    text source, but XML carries no column statistics, so filters CANNOT
+    push down into the scan: treat it as an ingest format, convert to
+    parquet at the boundary (the ``read → write_parquet`` hop is one narrow
+    pass)."""
+    reader = spark.read.option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.xml(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str, mode: str = "overwrite"
+) -> None:
+    """XML sink — one ``<row_tag>`` element per row, one file per
+    partition. Interchange with XML-expecting consumers (clinical-data
+    registries, legacy ETL); not a storage format."""
+    df.write.mode(mode).option("rowTag", row_tag).xml(path)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:

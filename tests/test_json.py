@@ -52,3 +52,26 @@ def test_json_field_stats_counts_only_parsed(spark):
     assert got["click"] == (2, 30, 15.0)
     # malformed + null rows contribute nothing to count/sum
     assert got["view"] == (1, 5, 5.0)
+
+
+def test_xml_roundtrip_escaping(spark, tmp_path):
+    """XML write/read must survive entity-escaping hazards (&, <, >, quotes,
+    unicode) and nulls with a declared schema."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from iatlas_cbioportal_export_spark.sources.readers import read_xml, write_xml
+
+    rows = [
+        (1, "a < b & c > d"),
+        (2, 'quotes "x" and \'y\''),
+        (3, "unicode: héllo – ⊕"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    path = str(tmp_path / "xmlrt")
+    write_xml(df, path, row_tag="rec")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("text", StringType())]
+    )
+    back = read_xml(spark, path, row_tag="rec", schema=schema)
+    assert sorted((r["id"], r["text"]) for r in back.collect()) == sorted(rows)

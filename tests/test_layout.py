@@ -101,3 +101,30 @@ def test_compact_coalesce_path_skips_shuffle(spark, tmp_path):
     )
     assert plan["n_output_files"] == 1
     assert spark.read.parquet(out).count() == 1_000
+
+
+def test_zone_map_pruning_report(spark, tmp_path):
+    """Clustered write + zone-map report: per-bucket min/max/count exact,
+    pruning decision matches the stats, and the structural guarantee holds
+    (a pruned bucket never contains qualifying rows)."""
+    from iatlas_cbioportal_export_spark.sources.layout import (
+        write_bucket_clustered,
+        zone_map_pruning_report,
+    )
+
+    df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    path = str(tmp_path / "clustered")
+    write_bucket_clustered(df, path, "k", 10)
+    rows = {
+        r["zm_bucket"]: r
+        for r in zone_map_pruning_report(spark, path, "k", 25, 44).collect()
+    }
+    assert set(rows) == set(range(10))
+    for b, r in rows.items():
+        assert (r["zm_min"], r["zm_max"], r["n_rows"]) == (b * 10, b * 10 + 9, 10)
+        assert r["prune_safe"]
+    assert [b for b in sorted(rows) if not rows[b]["pruned"]] == [2, 3, 4]
+    assert rows[2]["qualifying_rows"] == 5   # 25..29
+    assert rows[3]["qualifying_rows"] == 10  # 30..39
+    assert rows[4]["qualifying_rows"] == 5   # 40..44
+    assert all(rows[b]["qualifying_rows"] == 0 for b in rows if rows[b]["pruned"])

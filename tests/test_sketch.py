@@ -201,3 +201,44 @@ def test_bloom_and_hll_ignore_null_keys(spark):
         dim.filter("key is not null"), "key", group_cols=[], p=4
     ).collect()[0]
     assert tuple(est) == tuple(est_clean)
+
+
+def test_misra_gries_contract(spark):
+    """MG summary: <= k items, never overcounts, undercounts by <= n/(k+1);
+    the gate finds every true heavy hitter with both booleans TRUE."""
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        heavy_hitters_gate,
+        misra_gries_summary,
+    )
+
+    # 3 heavy items + 200 singletons; n = 300+150+90+200 = 740, k=9 ->
+    # threshold 74: heavy = {a: 300, b: 150, c: 90}.
+    data = (
+        [("a",)] * 300 + [("b",)] * 150 + [("c",)] * 90
+        + [(f"x{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(data, "item string").repartition(8)
+    n, k = 740, 9
+    summ = {r["item"]: r["est"] for r in misra_gries_summary(df, "item", k).collect()}
+    assert len(summ) <= k
+    exact = {"a": 300, "b": 150, "c": 90}
+    for item, est in summ.items():
+        f = exact.get(item, 1)
+        assert est <= f, (item, est, f)
+        assert f - est <= n / (k + 1)
+
+    gate = heavy_hitters_gate(df, "item", k).collect()
+    assert [r["item"] for r in gate] == ["a", "b", "c"]
+    assert all(r["found_by_sketch"] and r["within_bound"] for r in gate)
+
+
+def test_misra_gries_skips_nulls(spark):
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        misra_gries_summary,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,), ("b",)], "item string"
+    )
+    summ = {r["item"]: r["est"] for r in misra_gries_summary(df, "item", 4).collect()}
+    assert None not in summ and summ["a"] == 2
