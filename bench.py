@@ -87,6 +87,14 @@ def main() -> None:
     spark.range(1).count()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     names = CORE + EXTENDED
+    # One untimed pass over the whole suite first: JIT/codegen warm-up is
+    # measured ~2x on a query's first execution, and with only 3 timed reps
+    # a cold rep drags the median. The timed reps then measure steady-state
+    # throughput (the 100 TB-relevant number); rep_totals still expose
+    # ambient spread.
+    entrymod.reset_bench_caches()
+    for name in names:
+        queries[name](spark, sf_dir).count()
     reps: list[dict[str, float]] = []
     for _ in range(N_REPS):
         # Each rep measures the real work: the V1 scratch-bundle write and
