@@ -3432,6 +3432,34 @@ def q_zonemap_pruning(spark, sf_dir):
     ).orderBy("zm_bucket")
 
 
+def q_text_inverted_index(spark, sf_dir):
+    """Retrieval-index construction: per term surviving the document-
+    frequency gates (2 ≤ df ≤ 10% of docs — the stopword-postings OOM
+    guard applied BEFORE lists assemble), the sorted posting list of doc
+    ids containing the word BIGRAM (phrase retrieval; the synthetic
+    unigram vocab is ~31 terms, bigrams give a real df spread, and both
+    gates bite). Deterministic via sort_array, so the oracle value-hash
+    covers the array payloads."""
+    from iatlas_cbioportal_export_spark.operators.text import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=2, max_df_ratio=0.1, ngram=2).orderBy(
+        "term"
+    )
+
+
+def q_text_quality_classifier(spark, sf_dir):
+    """Fixed-literal-linear-model quality gate (the fasttext-classifier
+    role, engine-portable): four interpretable features, literal weights,
+    sigmoid, keep decision — a 100% narrow plan that runs at scan speed
+    next to the other curation gates. Features are rounded before the
+    dot product so the oracle replays bit-equal doubles."""
+    from iatlas_cbioportal_export_spark.operators.text import quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_classifier(docs).orderBy("doc_id")
+
+
 def q_sketch_heavy_hitters(spark, sf_dir):
     """Misra-Gries heavy hitters over the corpus token stream (k=30): for
     every TRUE heavy token (exact frequency > n/31), the deterministic MG
@@ -3539,6 +3567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_roundtrip": q_xml_roundtrip,
         "zonemap_pruning": q_zonemap_pruning,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        "text_inverted_index": q_text_inverted_index,
+        "text_quality_classifier": q_text_quality_classifier,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -6217,6 +6247,60 @@ def oracle_sql() -> dict[str, str]:
                (NOT (zm_max < 600 OR zm_min > 2200)
                 OR qualifying_rows = 0) AS prune_safe
         FROM per ORDER BY zm_bucket
+    """
+    d["text_inverted_index"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform({_TOKS}, x -> lower(x)) AS toks
+            FROM documents
+        ),
+        pairs AS (
+            SELECT DISTINCT doc_id AS id,
+                   toks[i] || ' ' || toks[i + 1] AS term
+            FROM t, UNNEST(range(1, len(toks))) AS u(i)
+        ),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        dfreq AS (
+            SELECT term, COUNT(*) AS df FROM pairs GROUP BY term
+        )
+        SELECT p.term, d.df, list(p.id ORDER BY p.id) AS postings
+        FROM pairs p
+        JOIN dfreq d ON p.term = d.term
+        CROSS JOIN nd
+        WHERE d.df >= 2 AND d.df <= CAST(nd.n * 0.1 AS BIGINT)
+        GROUP BY p.term, d.df
+        ORDER BY p.term
+    """
+    d["text_quality_classifier"] = f"""
+        WITH f AS (
+            SELECT doc_id,
+                   {_TOKS} AS toks,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS n_alpha,
+                   greatest(length(text), 1) AS n_chars
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id,
+                   round(CAST(coalesce(list_sum(list_transform(toks,
+                              t -> length(t))), 0) AS DOUBLE)
+                         / greatest(len(toks), 1), 6) AS mean_word_len,
+                   round(CAST(len(list_filter(toks, t -> list_contains(
+                              ['the','of','and','to','a','in','is','for'],
+                              lower(t)))) AS DOUBLE)
+                         / greatest(len(toks), 1), 6) AS stopword_ratio,
+                   round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
+                   CASE WHEN len(toks) >= 50 THEN 1.0 ELSE 0.0 END AS long_doc
+            FROM f
+        )
+        SELECT doc_id, mean_word_len, stopword_ratio, alpha_ratio, long_doc,
+               round(1.0 / (1.0 + exp(-(-1.0 + 0.35 * mean_word_len
+                     + 2.0 * stopword_ratio + 1.5 * alpha_ratio
+                     + 0.5 * long_doc))), 6) AS quality_prob,
+               (round(1.0 / (1.0 + exp(-(-1.0 + 0.35 * mean_word_len
+                     + 2.0 * stopword_ratio + 1.5 * alpha_ratio
+                     + 0.5 * long_doc))), 6) >= 0.5) AS keep
+        FROM feats ORDER BY doc_id
     """
     d["sketch_heavy_hitters"] = f"""
         WITH t AS (SELECT unnest({_TOKS}) AS token FROM documents),

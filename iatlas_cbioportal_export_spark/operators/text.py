@@ -959,3 +959,152 @@ def vocabulary_growth(
         args=", ".join(f"{t}, d{t}, v{t}" for t in thresholds),
     )
     return docs_row.crossJoin(F.broadcast(vocab_row)).selectExpr(stack_expr)
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df_ratio: float = 0.5,
+    ngram: int = 1,
+) -> DataFrame:
+    """Inverted-index (postings-list) construction — the retrieval-index
+    build step of a corpus pipeline: per surviving term, its document
+    frequency and the SORTED posting list of doc ids containing it.
+
+    Document-frequency gates are load-bearing at scale: without
+    ``max_df_ratio``, stopword postings are |corpus|-sized rows (the classic
+    index-build OOM); terms in more than that fraction of documents carry no
+    retrieval signal (idf ≈ 0) and are dropped BEFORE their postings are
+    assembled — the df filter runs on combiner-reduced (term, df) counts, so
+    the giant lists are never materialized. ``min_df`` symmetrically drops
+    hapax noise when asked.
+
+    Plan: one explode → distinct (doc, term) pairs (map-side combined), df
+    counts per term, df-gate semi-join, then ONE groupBy(term) building
+    ``sort_array(collect_list(id))`` — deterministic postings regardless of
+    shuffle order. Shuffled payloads are (term, id) pairs and bounded
+    postings only. ``ngram > 1`` indexes space-joined word n-grams (phrase
+    retrieval — and the realistic df distribution when the unigram vocab is
+    tiny). Output: (term, df, postings).
+    """
+    # Token array materialized once per row (re-inlining trap): every
+    # n-gram position references it.
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(T.tokens(text_col), lambda t: F.lower(t)).alias("__toks"),
+    )
+    if ngram <= 1:
+        term_arr = F.col("__toks")
+    else:
+        term_arr = F.when(
+            F.size("__toks") >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - (ngram - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at("__toks", (i + k).cast("int"))
+                        for k in range(ngram)
+                    ],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    pairs = toked.select("id", F.explode(term_arr).alias("term")).distinct()
+    n_docs = df.count()  # decision scalar for the df gate
+    max_df = int(n_docs * max_df_ratio)
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = dfreq.filter(
+        (F.col("df") >= F.lit(int(min_df))) & (F.col("df") <= F.lit(max_df))
+    )
+    return (
+        pairs.join(kept, on="term")
+        .groupBy("term", "df")
+        .agg(F.sort_array(F.collect_list("id")).alias("postings"))
+        .select("term", "df", "postings")
+    )
+
+
+_QUALITY_WEIGHTS = {
+    # (feature expression name, weight) — a FIXED literal linear model in
+    # the fasttext-classifier role: the weights are part of the operator's
+    # identity (like the LSH planes / IVF centroids), so scores replay on
+    # any engine.
+    "bias": -1.0,
+    "mean_word_len": 0.35,
+    "stopword_ratio": 2.0,
+    "alpha_ratio": 1.5,
+    "long_doc": 0.5,
+}
+
+_QUALITY_STOPWORDS = ("the", "of", "and", "to", "a", "in", "is", "for")
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality scoring with a fixed literal linear model — the
+    fasttext-style "looks like reference text" gate of CCNet/GPT-3-era
+    curation pipelines, reduced to an engine-portable form: interpretable
+    features (mean word length, stopword ratio, alphabetic ratio, length
+    gate), a literal weight vector, a sigmoid, and a keep decision.
+
+    100% narrow plan — every feature is a JVM expression over the text
+    column, no shuffle, no UDF; at 100 TB this runs at scan speed next to
+    the other curation gates. Swapping the literal weights for a trained
+    model's keeps the plan identical (the weights are data, not structure).
+
+    Output: (id, mean_word_len, stopword_ratio, alpha_ratio, long_doc,
+    quality_prob, keep).
+    """
+    # Materialize the token array ONCE per row: referencing T.tokens(...)
+    # from every feature expression would re-run the tokenizer per feature
+    # (the documented re-inlining trap).
+    df = df.withColumn("__toks", T.tokens(text_col))
+    toks = F.col("__toks")
+    n_tok = F.size(toks)
+    safe_n = F.greatest(n_tok, F.lit(1)).cast("double")
+    mean_word_len = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).cast("double")
+        / safe_n,
+        6,
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _QUALITY_STOPWORDS])
+    stopword_ratio = F.round(
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+        .cast("double")
+        / safe_n,
+        6,
+    )
+    alpha_ratio = F.round(
+        (
+            F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+        ).cast("double")
+        / F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double"),
+        6,
+    )
+    long_doc = (n_tok >= F.lit(50)).cast("double")
+    w = _QUALITY_WEIGHTS
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["mean_word_len"]) * mean_word_len
+        + F.lit(w["stopword_ratio"]) * stopword_ratio
+        + F.lit(w["alpha_ratio"]) * alpha_ratio
+        + F.lit(w["long_doc"]) * long_doc
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return df.select(
+        F.col(id_col),
+        mean_word_len.alias("mean_word_len"),
+        stopword_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        long_doc.alias("long_doc"),
+        prob.alias("quality_prob"),
+        (prob >= F.lit(threshold)).alias("keep"),
+    )

@@ -475,3 +475,66 @@ def test_vocabulary_growth_matches_manual_membership(spark):
     ids = [i for i in range(50) if ((i * _KNUTH) % _MOD) % _BUCKETS < 5000]
     assert out[5000]["n_docs"] == len(ids)
     assert out[5000]["vocab_size"] == len({i % 7 for i in ids})
+
+
+def test_inverted_index_gates_and_postings(spark):
+    from iatlas_cbioportal_export_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "banana cherry date"),
+            (4, "unique1 unique2"),
+        ],
+        "doc_id long, text string",
+    )
+    # min_df=2 drops hapax (apple appears in 1 doc; date/uniques too);
+    # max_df_ratio=0.6 drops banana (df 3 > 2.4 -> max_df=2 ... int(4*0.6)=2)
+    out = {
+        r["term"]: (r["df"], r["postings"])
+        for r in inverted_index(docs, min_df=2, max_df_ratio=0.6).collect()
+    }
+    assert out == {"cherry": (2, [2, 3])}
+
+
+def test_inverted_index_bigrams(spark):
+    from iatlas_cbioportal_export_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["term"]: r["postings"]
+        for r in inverted_index(
+            docs, min_df=1, max_df_ratio=1.0, ngram=2
+        ).collect()
+    }
+    # doc 3 has a single token -> no bigrams (guard, not a crash)
+    assert out == {"a b": [1, 2], "b c": [1]}
+
+
+def test_quality_classifier_features_and_gate(spark):
+    import math
+
+    from iatlas_cbioportal_export_spark.operators.text import (
+        quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat in a hat for fun and profit " * 6),
+            (2, "@@@@ #### $$$$ %%%%"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_classifier(docs).collect()}
+    # doc 1: english-looking, long -> keep; doc 2: no alpha, no stopwords.
+    assert rows[1]["keep"] and rows[1]["quality_prob"] > rows[2]["quality_prob"]
+    assert rows[2]["alpha_ratio"] == 0.0 and rows[2]["stopword_ratio"] == 0.0
+    # doc 3 (empty): all features 0, prob = sigmoid(-1)
+    assert rows[3]["mean_word_len"] == 0.0
+    assert abs(rows[3]["quality_prob"] - round(1 / (1 + math.exp(1)), 6)) < 1e-9
+    assert not rows[3]["keep"]
