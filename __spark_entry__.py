@@ -3432,6 +3432,21 @@ def q_zonemap_pruning(spark, sf_dir):
     ).orderBy("zm_bucket")
 
 
+def q_sketch_bitmap_distinct(spark, sf_dir):
+    """Exact mergeable-bitmap distinct count of l_orderkey per return flag:
+    word = key div 64, OR-folded masks, sum(bit_count) — at most
+    keyspace/64 combiner-reduced longs shuffle per group regardless of
+    input rows, vs count(distinct)'s repartition of every occurrence. The
+    oracle is plain COUNT(DISTINCT) — the bitmap is exact, that's the
+    point."""
+    from iatlas_cbioportal_export_spark.operators.sketch import bitmap_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    return bitmap_distinct(li, "l_orderkey", ["l_returnflag"]).orderBy(
+        "l_returnflag"
+    )
+
+
 def q_text_inverted_index(spark, sf_dir):
     """Retrieval-index construction: per term surviving the document-
     frequency gates (2 ≤ df ≤ 10% of docs — the stopword-postings OOM
@@ -3569,6 +3584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "text_inverted_index": q_text_inverted_index,
         "text_quality_classifier": q_text_quality_classifier,
+        "sketch_bitmap_distinct": q_sketch_bitmap_distinct,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -6247,6 +6263,11 @@ def oracle_sql() -> dict[str, str]:
                (NOT (zm_max < 600 OR zm_min > 2200)
                 OR qualifying_rows = 0) AS prune_safe
         FROM per ORDER BY zm_bucket
+    """
+    d["sketch_bitmap_distinct"] = """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS distinct_exact
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """
     d["text_inverted_index"] = f"""
         WITH t AS (

@@ -628,3 +628,47 @@ def heavy_hitters_gate(
             & (F.col("exact_count") - F.col("est") <= F.lit(thresh))
         ).alias("within_bound"),
     ).orderBy(F.col("exact_count").desc(), F.col("item").asc())
+
+
+def bitmap_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """EXACT distinct count of a non-negative integer key via mergeable
+    64-bit bitmap words — the roaring-bitmap idea reduced to its
+    engine-portable core, and the exact counterpart of :func:`hll_distinct`
+    for dense integer domains (user ids, order keys, row numbers).
+
+    ``word = key div 64``, ``bit = key mod 64``; one map-side-combined
+    ``groupBy(group…, word)`` OR-folds the bit masks, then
+    ``sum(bit_count(mask))`` per group. Two aggregations, both combined
+    before the shuffle: at most ``keyspace/64`` rows move per group however
+    many input rows there are — for a 10⁹-key domain that is ~16M longs
+    (128 MB) TOTAL, vs count(distinct)'s full repartition of every distinct
+    key occurrence. Bitmap tables from disjoint shards merge by bucket-wise
+    ``bit_or`` (same tree-of-merges shape as the HLL registers) — and the
+    merge is EXACT, so incremental maintenance never re-scans history.
+
+    NULL and negative keys are excluded (count(distinct) parity for NULLs;
+    negatives have no bit position — callers rank/offset signed domains
+    first). Output: (group…, distinct_exact).
+    """
+    gcols = list(group_cols)
+    key = F.col(key_col).cast("long")
+    words = (
+        df.filter(key.isNotNull() & (key >= 0))
+        .select(
+            *gcols,
+            F.floor(key / F.lit(64)).cast("long").alias("__w"),
+            (key % 64).cast("int").alias("__b"),
+        )
+        # the pyspark shiftleft wrapper takes a literal bit count; the SQL
+        # function form accepts a column
+        .withColumn("__m", F.expr("shiftleft(cast(1 as bigint), __b)"))
+        .groupBy(*gcols, "__w")
+        .agg(F.bit_or("__m").alias("__mask"))
+    )
+    return words.groupBy(*gcols).agg(
+        F.sum(F.bit_count("__mask")).alias("distinct_exact")
+    )

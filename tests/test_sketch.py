@@ -242,3 +242,25 @@ def test_misra_gries_skips_nulls(spark):
     )
     summ = {r["item"]: r["est"] for r in misra_gries_summary(df, "item", 4).collect()}
     assert None not in summ and summ["a"] == 2
+
+
+def test_bitmap_distinct_exact_and_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        bitmap_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [(g, k) for g in ("a", "b") for k in [0, 1, 63, 64, 65, 1000, 1000]]
+        + [("a", None)],
+        "g string, k long",
+    )
+    out = {r["g"]: r["distinct_exact"] for r in bitmap_distinct(df, "k", ["g"]).collect()}
+    assert out == {"a": 6, "b": 6}
+
+    # shard merge: OR of word masks == whole-corpus bitmap
+    s1 = spark.range(0, 500).selectExpr("id AS k")
+    s2 = spark.range(250, 800).selectExpr("id AS k")
+    whole = bitmap_distinct(s1.union(s2), "k").collect()[0]["distinct_exact"]
+    assert whole == 800
