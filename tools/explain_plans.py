@@ -364,6 +364,47 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "BroadcastNestedLoopJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # --- round 4 ---
+    # XML scan + declared schema: a plain distributed scan, no joins
+    "xml_roundtrip": (
+        ["Scan"],
+        ["CartesianProduct", "SortMergeJoin", "Exchange hashpartitioning"],
+    ),
+    # one map-side-combined scan of the clustered table builds the whole
+    # report; no joins touch the data
+    "zonemap_pruning": (
+        ["HashAggregate", "codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    # MG partials via mapInPandas (k-bounded rows per task); the summary
+    # joins the heavy set broadcast — candidates never shuffle
+    "sketch_heavy_hitters": (
+        ["MapInPandas", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # (id, term) pairs and postings are the only shuffles; df gate joins the
+    # combiner-reduced term counts (broadcast or shuffled-hash, never a
+    # cartesian)
+    "text_inverted_index": (
+        ["HashAggregate", "codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # 100% narrow: one projection over the scan, zero exchanges
+    "text_quality_classifier": (
+        ["codegen id"],
+        [
+            "CartesianProduct",
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "Exchange hashpartitioning",
+        ],
+    ),
+    # two aggregations, both map-side combined; nothing but (group, word)
+    # masks ever shuffles
+    "sketch_bitmap_distinct": (
+        ["HashAggregate", "codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
