@@ -3458,9 +3458,17 @@ def q_text_inverted_index(spark, sf_dir):
     from iatlas_cbioportal_export_spark.operators.text import inverted_index
 
     docs = _t(spark, sf_dir, "documents")
-    return inverted_index(docs, min_df=2, max_df_ratio=0.1, ngram=2).orderBy(
-        "term"
-    )
+    idx = inverted_index(docs, min_df=2, max_df_ratio=0.1, ngram=2)
+    # postings rendered as a canonical CSV string: raw array columns
+    # stringify differently under Arrow vs row-based collection (numpy
+    # vs list repr), which breaks engine-agnostic value comparison
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(
+            F.transform("postings", lambda x: x.cast("string")), ","
+        ).alias("postings_csv"),
+    ).orderBy("term")
 
 
 def q_text_quality_classifier(spark, sf_dir):
@@ -6284,7 +6292,8 @@ def oracle_sql() -> dict[str, str]:
         dfreq AS (
             SELECT term, COUNT(*) AS df FROM pairs GROUP BY term
         )
-        SELECT p.term, d.df, list(p.id ORDER BY p.id) AS postings
+        SELECT p.term, d.df,
+               array_to_string(list(p.id ORDER BY p.id), ',') AS postings_csv
         FROM pairs p
         JOIN dfreq d ON p.term = d.term
         CROSS JOIN nd

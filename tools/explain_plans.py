@@ -195,12 +195,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
-    # the returned state is the round-4 localCheckpoint: the visible plan
-    # IS the truncation evidence (a bare LogicalRDD scan, no nested
-    # 4-round join DAG)
+    # K=4 rounds NESTED into one plan (checkpoint_interval=4, measured 2.6×
+    # vs per-round truncation): the visible tree carries the per-round
+    # equi-joins over the checkpointed edge/node state (Scan ExistingRDD) —
+    # equi-joins only, never a nested loop
     "graph_pagerank": (
-        ["Scan ExistingRDD"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin", "Join"],
+        ["Scan ExistingRDD", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     "text_bpe_train": (
         ["Scan ExistingRDD", "HashAggregate"],
