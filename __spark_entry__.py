@@ -3432,6 +3432,50 @@ def q_zonemap_pruning(spark, sf_dir):
     ).orderBy("zm_bucket")
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Table-version diff: orders vs a deterministically mutated successor
+    (keys ≡ 0 mod 97 deleted, keys ≡ 0 mod 101 repriced, keys < 100
+    re-appended at a +10M offset) → one row per changed key labeled added/removed/changed via
+    ONE full-outer join with null-safe column comparison (no hashing, so
+    any engine agrees; NULL↔NULL is not a change)."""
+    from iatlas_cbioportal_export_spark.operators.joins import snapshot_diff
+
+    old = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    mx = 10_000_000  # fresh-key offset, disjoint from every SF's keyspace
+    new = (
+        old.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") < 100).select(
+                (F.col("o_orderkey") + mx).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+def q_events_resample_ffill(spark, sf_dir):
+    """Hourly panel with forward fill over a 40-user slice: per (user,
+    hour-of-global-span) the last observed value at-or-before the hour
+    (struct-max tiebreak, engine-deterministic) and the hour's own event
+    count. One corpus shuffle (the per-bucket groupBy); the grid and fill
+    are panel-sized."""
+    from iatlas_cbioportal_export_spark.streaming.events import resample_ffill
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return resample_ffill(ev).orderBy("user_id", "bucket_ts")
+
+
 def q_sketch_bitmap_distinct(spark, sf_dir):
     """Exact mergeable-bitmap distinct count of l_orderkey per return flag:
     word = key div 64, OR-folded masks, sum(bit_count) — at most
@@ -3593,6 +3637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_inverted_index": q_text_inverted_index,
         "text_quality_classifier": q_text_quality_classifier,
         "sketch_bitmap_distinct": q_sketch_bitmap_distinct,
+        "snapshot_diff": q_snapshot_diff,
+        "events_resample_ffill": q_events_resample_ffill,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -6271,6 +6317,71 @@ def oracle_sql() -> dict[str, str]:
                (NOT (zm_max < 600 OR zm_min > 2200)
                 OR qualifying_rows = 0) AS prune_safe
         FROM per ORDER BY zm_bucket
+    """
+    d["snapshot_diff"] = """
+        WITH old AS (
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM orders
+        ),
+        new AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 101 = 0
+                        THEN o_totalprice + 1.0 ELSE o_totalprice
+                   END AS o_totalprice,
+                   o_orderstatus
+            FROM old WHERE o_orderkey % 97 <> 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+                   o_orderstatus
+            FROM old WHERE o_orderkey < 100
+        )
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+                      OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                      OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                    THEN 'changed'
+               END AS change_type
+        FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+        WHERE (o.o_orderkey IS NULL) OR (n.o_orderkey IS NULL)
+           OR (o.o_custkey IS DISTINCT FROM n.o_custkey)
+           OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+           OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+        ORDER BY o_orderkey
+    """
+    d["events_resample_ffill"] = """
+        WITH ev AS (
+            SELECT user_id, ts, value FROM events WHERE user_id < 40
+        ),
+        obs AS (
+            SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+                   max({'t': ts, 'v': value}).v AS v,
+                   COUNT(*) AS n_obs
+            FROM ev GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi
+            FROM ev
+        ),
+        grid AS (
+            SELECT u.user_id, g.bucket_ts
+            FROM (SELECT DISTINCT user_id FROM ev) u
+            CROSS JOIN span,
+            LATERAL (SELECT unnest(generate_series(span.lo, span.hi,
+                                   INTERVAL 1 HOUR)) AS bucket_ts) g
+        )
+        SELECT g.user_id, g.bucket_ts,
+               last_value(o.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_ffill,
+               COALESCE(o.n_obs, 0) AS n_obs
+        FROM grid g
+        LEFT JOIN obs o
+          ON g.user_id = o.user_id AND g.bucket_ts = o.bucket_ts
+        ORDER BY g.user_id, g.bucket_ts
     """
     d["sketch_bitmap_distinct"] = """
         SELECT l_returnflag,

@@ -391,3 +391,60 @@ def interval_self_overlap(
         )
         .distinct()
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Keyed diff of two table snapshots — the change-data audit between a
+    table version and its successor (what a lakehouse surface calls
+    "table diff"): one row per key whose state changed, labeled
+    ``added`` / ``removed`` / ``changed``.
+
+    ONE full-outer join on the keys decides everything: key only on the new
+    side → added; only on the old side → removed; both sides but any
+    non-key column NOT null-safe-equal (``<=>``) → changed; identical rows
+    produce nothing. Column comparison is a codegen'd conjunction — no
+    hashing, so engines with different hash functions agree, and NULL↔value
+    transitions are real changes while NULL↔NULL is not.
+
+    Scale: the join shuffles both snapshots once on the key (co-located /
+    bucketed layouts make it exchange-free); the output is |changes| rows.
+    The non-key columns must match by NAME — schema drift is a schema
+    change, not a row diff (``validation.required_columns_present`` is the
+    gate for that).
+    """
+    ks = list(keys)
+    val_cols = [c for c in old.columns if c not in ks]
+    if set(val_cols) != {c for c in new.columns if c not in ks}:
+        raise ValueError(
+            "snapshot_diff requires identical non-key columns; "
+            f"old={sorted(val_cols)} "
+            f"new={sorted(c for c in new.columns if c not in ks)}"
+        )
+    o = old.select(
+        *[F.col(k).alias(k) for k in ks],
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in val_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in ks],
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in val_cols],
+    )
+    joined = o.join(n, on=ks, how="full_outer")
+    same = F.lit(True)
+    for c in val_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*ks, "change_type")
+    )

@@ -861,3 +861,70 @@ def time_to_convert(
             )
         ).alias("p90_seconds"),
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Regular-grid resampling with forward fill — the panel-building step
+    of a time-series feature pipeline: per key, one row per hour of the
+    GLOBAL event span carrying the last observed value at-or-before that
+    hour (``value_ffill`` stays NULL until the key's first observation;
+    ``n_obs`` counts the hour's own events).
+
+    Deterministic pick inside a bucket: the per-bucket observation is
+    ``max(struct(ts, value))`` — last by timestamp, value-tiebroken, so
+    replays and engines agree even on ts collisions.
+
+    Scale shape: per-(key, hour) observations come from ONE map-side
+    combined groupBy of the raw events (the only corpus-sized shuffle).
+    The grid is |keys| × |hours| rows, generated narrowly from a 1-row
+    broadcast span via ``sequence``+``explode`` — never a shuffle. The
+    fill is one window per key ordered by hour over grid-sized (not
+    event-sized) data. At 100 TB: events shuffle once; everything after is
+    proportional to the PANEL, which is what the consumer reads anyway.
+    """
+    key, ts = F.col(key_col), F.col(ts_col)
+    obs = (
+        events.groupBy(
+            key.alias("key"), F.date_trunc("hour", ts).alias("bucket_ts")
+        )
+        .agg(
+            F.max(F.struct(ts.alias("t"), F.col(value_col).alias("v")))
+            .alias("__last"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select("key", "bucket_ts", F.col("__last.v").alias("__v"), "n_obs")
+    )
+    span = events.agg(
+        F.date_trunc("hour", F.min(ts)).alias("__lo"),
+        F.date_trunc("hour", F.max(ts)).alias("__hi"),
+    )
+    grid = (
+        events.select(key.alias("key"))
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "key",
+            F.explode(
+                F.expr("sequence(__lo, __hi, interval 1 hour)")
+            ).alias("bucket_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, on=["key", "bucket_ts"], how="left")
+        .select(
+            F.col("key").alias(key_col),
+            "bucket_ts",
+            F.last("__v", ignorenulls=True).over(w).alias("value_ffill"),
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        )
+    )

@@ -206,3 +206,34 @@ def test_interval_self_overlap_exact_pairs(spark):
         ).collect()
     }
     assert out2 == out
+
+
+def test_snapshot_diff_labels(spark):
+    from iatlas_cbioportal_export_spark.operators.joins import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 31.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 identical, 2 identical incl. NULL<=>NULL, 3 changed, 4 removed, 5 added
+    assert out == {3: "changed", 4: "removed", 5: "added"}
+
+
+def test_snapshot_diff_null_transitions_and_schema_guard(spark):
+    import pytest as _pytest
+
+    from iatlas_cbioportal_export_spark.operators.joins import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, 2.0)], "k long, v double")
+    new = spark.createDataFrame([(1, 1.0), (2, None)], "k long, v double")
+    out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "changed", 2: "changed"}  # NULL<->value is a change
+
+    other = spark.createDataFrame([(1, "x")], "k long, w string")
+    with _pytest.raises(ValueError, match="identical non-key columns"):
+        snapshot_diff(old, other, ["k"])

@@ -838,3 +838,31 @@ def test_hll_registers_stream_equals_batch(spark, tmp_path):
         for r in spark.sql("select * from hll_regs_stream").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    from iatlas_cbioportal_export_spark.streaming.events import resample_ffill
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 1.0),
+            (1, "2024-01-01 00:50:00", 2.0),   # same hour, later ts wins
+            (1, "2024-01-01 03:05:00", 9.0),
+            (2, "2024-01-01 02:30:00", 5.0),
+        ],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    rows = {
+        (r["user_id"], str(r["bucket_ts"])): (r["value_ffill"], r["n_obs"])
+        for r in resample_ffill(ev).collect()
+    }
+    # global span 00:00..03:00 -> 4 hourly buckets x 2 users
+    assert len(rows) == 8
+    assert rows[(1, "2024-01-01 00:00:00")] == (2.0, 2)
+    assert rows[(1, "2024-01-01 01:00:00")] == (2.0, 0)  # forward filled
+    assert rows[(1, "2024-01-01 02:00:00")] == (2.0, 0)
+    assert rows[(1, "2024-01-01 03:00:00")] == (9.0, 1)
+    # user 2: NULL until first observation
+    assert rows[(2, "2024-01-01 00:00:00")] == (None, 0)
+    assert rows[(2, "2024-01-01 02:00:00")] == (5.0, 1)
+    assert rows[(2, "2024-01-01 03:00:00")] == (5.0, 0)
