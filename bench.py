@@ -71,6 +71,15 @@ EXTENDED = [
     "sketch_hll_distinct",
     "sketch_bloom_prefilter",
     "sketch_hll_set_ops",
+    # round-4 promotions (zonemap_pruning stays correctness-only: its cost
+    # is the 300-directory commit protocol on a local fs, not plan work)
+    "xml_roundtrip",
+    "sketch_heavy_hitters",
+    "text_inverted_index",
+    "text_quality_classifier",
+    "sketch_bitmap_distinct",
+    "snapshot_diff",
+    "events_resample_ffill",
 ]
 
 N_REPS = 3
