@@ -62,6 +62,12 @@ DEFAULT_QUERIES = [
     "sketch_hll_distinct",
     "sketch_bloom_prefilter",
     "sketch_hll_set_ops",
+    "sketch_heavy_hitters",
+    "sketch_bitmap_distinct",
+    "text_inverted_index",
+    "text_quality_classifier",
+    "snapshot_diff",
+    "events_resample_ffill",
 ]
 
 
