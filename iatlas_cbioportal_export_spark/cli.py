@@ -334,14 +334,18 @@ def cmd_load(args: argparse.Namespace) -> int:
 
 def cmd_curate(args: argparse.Namespace) -> int:
     """LLM-corpus curation end-to-end over JSONL: normalize → quality gates
-    → language filter → PII redaction → exact dedup → JSONL out. Each stage
-    is the library operator; the CLI only wires them."""
+    → optional classifier gate → language filter → PII redaction → exact
+    dedup → JSONL out. Each stage is the library operator; the CLI only
+    wires them."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from iatlas_cbioportal_export_spark.operators import curation as cur
     from iatlas_cbioportal_export_spark.operators.dedup import exact_dedup_keep_min
-    from iatlas_cbioportal_export_spark.operators.text import language_id
+    from iatlas_cbioportal_export_spark.operators.text import (
+        language_id,
+        quality_classifier,
+    )
     from iatlas_cbioportal_export_spark.sources.readers import read_jsonl, write_jsonl
 
     spark = _spark()
@@ -358,6 +362,11 @@ def cmd_curate(args: argparse.Namespace) -> int:
     kept = normed.join(
         gates.filter(F.col("passes")).select("doc_id"), "doc_id", "left_semi"
     )
+    if args.min_quality is not None:
+        scored = quality_classifier(kept, threshold=args.min_quality)
+        kept = kept.join(
+            scored.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        )
     if args.lang:
         langs = language_id(kept)
         kept = kept.join(
@@ -428,6 +437,12 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--input", required=True, help="input JSONL path/dir")
     cu.add_argument("--output", required=True, help="output JSONL dir")
     cu.add_argument("--min-words", type=int, default=50)
+    cu.add_argument(
+        "--min-quality",
+        type=float,
+        default=None,
+        help="classifier-gate threshold on quality_prob (off when omitted)",
+    )
     cu.add_argument("--lang", help="keep only this predicted language (e.g. en)")
     cu.set_defaults(fn=cmd_curate)
     return p

@@ -269,3 +269,32 @@ def test_cli_validate_chunked_maf_numeric_position_order(spark, tmp_path):
     # Real violation whose string comparison would miss it.
     _rewrite_chunks("100", "99")
     assert main(["validate", "--bundle", bundle]) == 1
+
+
+def test_cli_curate_min_quality_gate(tmp_path, spark):
+    import json
+
+    from iatlas_cbioportal_export_spark.cli import main
+
+    # doc 1: english-looking, classifier prob high; doc 5: symbol soup long
+    # enough to pass the word gate but with zero stopword/alpha signal.
+    good = "the and of to " + " ".join(f"tok{i}" for i in range(60))
+    junk = " ".join("@@@" for _ in range(60))
+    docs = [
+        {"doc_id": 1, "text": good},
+        {"doc_id": 5, "text": junk},
+    ]
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join(json.dumps(d) for d in docs))
+    out_dir = str(tmp_path / "outq")
+    rc = main(
+        ["curate", "--input", str(src), "--output", out_dir,
+         "--min-words", "50", "--min-quality", "0.5"]
+    )
+    assert rc == 0
+    kept = {
+        json.loads(line)["doc_id"]
+        for p in __import__("pathlib").Path(out_dir).glob("part-*")
+        for line in p.read_text().splitlines()
+    }
+    assert kept == {1}
