@@ -2986,16 +2986,15 @@ def q_exact_quantiles(spark, sf_dir):
     IEEE arithmetic in both engines) makes the result value-hash exact; the
     oracle reads the k-th row off a window."""
     from iatlas_cbioportal_export_spark.operators.aggregates import (
-        exact_order_statistic,
+        exact_order_statistics,
     )
 
     li = _t(spark, sf_dir, "lineitem").select(
         F.floor(F.col("l_extendedprice") * 100).alias("c")
     )
-    rows = []
-    for q in (0.5, 0.9):
-        n, k, v = exact_order_statistic(li, "c", q)
-        rows.append((q, n, k, v))
+    qs = (0.5, 0.9)
+    n, results = exact_order_statistics(li, "c", qs)
+    rows = [(q, n, k, v) for q, (k, v) in zip(qs, results)]
     return spark.createDataFrame(
         rows, "q double, n long, k long, value long"
     )

@@ -437,6 +437,24 @@ def exact_order_statistic(
     Returns (n, k, value) as plain ints (driver decision values, like the
     k-means centroids / BPE argmax).
     """
+    n, results = exact_order_statistics(df, col, [q], n_buckets)
+    k, v = results[0]
+    return n, k, v
+
+
+def exact_order_statistics(
+    df: DataFrame,
+    col: str,
+    qs: Sequence[float],
+    n_buckets: int = 1024,
+) -> tuple[int, list[tuple[int, int]]]:
+    """Multi-quantile :func:`exact_order_statistic`: ALL requested
+    quantiles refine through the SAME histogram passes — each pass is one
+    scan emitting, per row, a (which-quantile, bucket) pair for every
+    still-active candidate range the value falls in (an exploded array of
+    ≤ |qs| structs, combiner-reduced to ≤ |qs|·n_buckets counter rows).
+    p50/p90/p99 of a 100 TB column therefore cost the same 2-3 scans as
+    one quantile, not 3×. Returns (n, [(k, value) per q])."""
     import math
 
     row = df.select(
@@ -444,36 +462,58 @@ def exact_order_statistic(
         F.min(col).alias("lo"),
         F.max(col).alias("hi"),
     ).collect()[0]
-    n, lo, hi = int(row["n"]), int(row["lo"]), int(row["hi"])
-    if n == 0:
+    if int(row["n"]) == 0:
         raise ValueError("exact_order_statistic over an empty column")
-    k = max(1, math.ceil(q * n))
-    rank = k  # rank within [lo, hi]
-    while lo < hi:
-        width = (hi - lo) // n_buckets + 1
-        c = F.col(col)
-        hist = {
-            int(r["b"]): int(r["cnt"])
-            for r in (
-                df.filter((c >= lo) & (c <= hi))
-                .groupBy(
-                    ((c - F.lit(lo)) / F.lit(width))
-                    .cast("long")
-                    .alias("b")
-                )
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .collect()
-            )
+    n, lo0, hi0 = int(row["n"]), int(row["lo"]), int(row["hi"])
+    ks = [max(1, math.ceil(q * n)) for q in qs]
+    # per-quantile state: (lo, hi, rank-within-range)
+    state = [[lo0, hi0, k] for k in ks]
+    c = F.col(col)
+    while True:
+        active = [i for i, (lo, hi, _) in enumerate(state) if lo < hi]
+        if not active:
+            break
+        widths = {
+            i: (state[i][1] - state[i][0]) // n_buckets + 1 for i in active
         }
-        acc = 0
-        for b in range(n_buckets + 1):
-            cnt = hist.get(b, 0)
-            if acc + cnt >= rank:
-                rank -= acc
-                lo, hi = lo + b * width, min(hi, lo + b * width + width - 1)
-                break
-            acc += cnt
-    return n, k, lo
+        probes = F.array(
+            *[
+                F.when(
+                    (c >= F.lit(state[i][0])) & (c <= F.lit(state[i][1])),
+                    F.struct(
+                        F.lit(i).alias("w"),
+                        ((c - F.lit(state[i][0])) / F.lit(widths[i]))
+                        .cast("long")
+                        .alias("b"),
+                    ),
+                )
+                for i in active
+            ]
+        )
+        hist: dict[int, dict[int, int]] = {i: {} for i in active}
+        for r in (
+            df.select(F.explode(probes).alias("s"))
+            .filter(F.col("s").isNotNull())
+            .groupBy(F.col("s.w").alias("w"), F.col("s.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        ):
+            hist[int(r["w"])][int(r["b"])] = int(r["cnt"])
+        for i in active:
+            lo, hi, rank = state[i]
+            width = widths[i]
+            acc = 0
+            for b in range(n_buckets + 1):
+                cnt = hist[i].get(b, 0)
+                if acc + cnt >= rank:
+                    state[i] = [
+                        lo + b * width,
+                        min(hi, lo + b * width + width - 1),
+                        rank - acc,
+                    ]
+                    break
+                acc += cnt
+    return n, [(k, st[0]) for k, st in zip(ks, state)]
 
 
 def equi_depth_buckets(
