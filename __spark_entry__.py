@@ -3431,6 +3431,33 @@ def q_zonemap_pruning(spark, sf_dir):
     ).orderBy("zm_bucket")
 
 
+def q_parquet_schema_evolution(spark, sf_dir):
+    """Schema-drift ingestion: two parquet generations of the documents
+    table — v1 without, v2 with a `quality` column — read as ONE dataset
+    via mergeSchema; v1 rows surface NULL quality (never a read error, and
+    v2's column order does not leak into v1). The oracle unions the two
+    generations with an explicit NULL. At 100 TB schema evolution is a
+    footer-merge decision, not a rewrite — exactly what this checks."""
+    import tempfile
+
+    gen_dir = tempfile.mkdtemp(prefix="schema_evo_")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    v1 = docs.filter(F.col("doc_id") % 2 == 0)
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", (F.col("n_chars") % 100).cast("long")
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(gen_dir, "g=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(gen_dir, "g=2"))
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(gen_dir, "g=1"), os.path.join(gen_dir, "g=2")
+    )
+    return merged.select(
+        "doc_id", "lang", "source", "n_chars", "quality"
+    ).orderBy("doc_id")
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Table-version diff: orders vs a deterministically mutated successor
     (keys ≡ 0 mod 97 deleted, keys ≡ 0 mod 101 repriced, keys < 100
@@ -3637,6 +3664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_classifier": q_text_quality_classifier,
         "sketch_bitmap_distinct": q_sketch_bitmap_distinct,
         "snapshot_diff": q_snapshot_diff,
+        "parquet_schema_evolution": q_parquet_schema_evolution,
         "events_resample_ffill": q_events_resample_ffill,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
@@ -6316,6 +6344,16 @@ def oracle_sql() -> dict[str, str]:
                (NOT (zm_max < 600 OR zm_min > 2200)
                 OR qualifying_rows = 0) AS prune_safe
         FROM per ORDER BY zm_bucket
+    """
+    d["parquet_schema_evolution"] = """
+        SELECT doc_id, lang, source, n_chars,
+               CAST(NULL AS BIGINT) AS quality
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, source, n_chars,
+               CAST(n_chars % 100 AS BIGINT) AS quality
+        FROM documents WHERE doc_id % 2 = 1
+        ORDER BY doc_id
     """
     d["snapshot_diff"] = """
         WITH old AS (
