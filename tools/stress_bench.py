@@ -226,6 +226,55 @@ def main() -> None:
         ).count(),
     }
 
+    # r4 additions: index build, heavy hitters, classifier (docs);
+    # bitmap distinct + snapshot diff (lineitem)
+    from iatlas_cbioportal_export_spark.operators.joins import snapshot_diff
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        bitmap_distinct,
+        heavy_hitters_gate,
+    )
+
+    cases.update(
+        {
+            "inverted_index_2gram": lambda d: text_ops.inverted_index(
+                d, min_df=2, max_df_ratio=0.5, ngram=2
+            ).count(),
+            "heavy_hitters_k30": lambda d: heavy_hitters_gate(
+                d.select(
+                    F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+                ),
+                "token",
+                k=30,
+            ).count(),
+            "quality_classifier": lambda d: text_ops.quality_classifier(
+                d
+            ).count(),
+        }
+    )
+
+    def _snapshot_pair(li):
+        old = li.select(
+            F.col("l_partkey").alias("k"), "l_extendedprice"
+        ).dropDuplicates(["k"])
+        new = old.filter(F.col("k") % 97 != 0).withColumn(
+            "l_extendedprice",
+            F.when(
+                F.col("k") % 101 == 0, F.col("l_extendedprice") + 1.0
+            ).otherwise(F.col("l_extendedprice")),
+        )
+        return old, new
+
+    li_cases.update(
+        {
+            "bitmap_distinct": lambda li: bitmap_distinct(
+                li, "l_partkey"
+            ).count(),
+            "snapshot_diff": lambda li: snapshot_diff(
+                *_snapshot_pair(li), ["k"]
+            ).count(),
+        }
+    )
+
     for name, fn in cases.items():
         t1 = _timed(lambda: fn(docs1))
         tN = _timed(lambda: fn(docsN))
