@@ -670,5 +670,9 @@ def bitmap_distinct(
         .agg(F.bit_or("__m").alias("__mask"))
     )
     return words.groupBy(*gcols).agg(
-        F.sum(F.bit_count("__mask")).alias("distinct_exact")
+        # COALESCE matches COUNT(DISTINCT)'s empty-input convention: the
+        # ungrouped aggregate of zero rows is ONE row counting 0, not NULL
+        F.coalesce(F.sum(F.bit_count("__mask")), F.lit(0).cast("long")).alias(
+            "distinct_exact"
+        )
     )

@@ -85,3 +85,41 @@ def test_preprocess_on_empty_clinical(spark):
     out = preprocess_clinical(clinical, oncotree)
     assert out.count() == 0
     assert "SAMPLE_ID" in out.columns and "ONCOTREE_CODE" in out.columns
+
+
+def test_round4_ops_on_empty(spark):
+    from iatlas_cbioportal_export_spark.operators.joins import snapshot_diff
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        bitmap_distinct,
+        heavy_hitters_gate,
+        misra_gries_summary,
+    )
+    from iatlas_cbioportal_export_spark.operators.text import (
+        inverted_index,
+        quality_classifier,
+    )
+    from iatlas_cbioportal_export_spark.streaming.events import resample_ffill
+
+    edocs = spark.createDataFrame([], "doc_id long, text string")
+    assert inverted_index(edocs, ngram=2).count() == 0
+    assert quality_classifier(edocs).count() == 0
+
+    eitems = spark.createDataFrame([], "item string")
+    assert misra_gries_summary(eitems, "item", 5).count() == 0
+    assert heavy_hitters_gate(eitems, "item", 5).count() == 0
+
+    ekeys = spark.createDataFrame([], "k long")
+    # ungrouped: one row counting 0 (COUNT(DISTINCT) convention); grouped:
+    # zero rows
+    assert bitmap_distinct(ekeys, "k").collect()[0]["distinct_exact"] == 0
+    assert bitmap_distinct(ekeys.withColumn("g", ekeys.k), "k", ["g"]).count() == 0
+
+    esnap = spark.createDataFrame([], "k long, v double")
+    assert snapshot_diff(esnap, esnap, ["k"]).count() == 0
+    # one empty side: everything labeled
+    one = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    out = {r["k"]: r["change_type"] for r in snapshot_diff(esnap, one, ["k"]).collect()}
+    assert out == {1: "added"}
+
+    eev = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    assert resample_ffill(eev).count() == 0
