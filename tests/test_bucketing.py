@@ -72,3 +72,39 @@ def test_unbucketed_join_does_exchange(spark, bucketed_tables, no_broadcast):
         .join(spark.table(right).repartition(8), on="o_custkey")
     )
     assert not plan_has_no_exchange(plain)
+
+
+def test_snapshot_diff_over_bucketed_snapshots_no_exchange(
+    spark, no_broadcast
+):
+    """snapshot_diff's full-outer join rides bucketing like any equi-join:
+    two snapshots bucketed on the key diff with ZERO exchanges (the claim
+    in the operator docstring, proven on the plan)."""
+    from pyspark.sql import functions as F
+
+    from iatlas_cbioportal_export_spark.operators.joins import snapshot_diff
+    from iatlas_cbioportal_export_spark.sources.bucketing import (
+        plan_has_no_exchange,
+        write_bucketed,
+    )
+
+    old = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 10).cast("double").alias("v")
+    )
+    new = old.filter(F.col("k") % 7 != 0).withColumn(
+        "v", F.when(F.col("k") % 11 == 0, F.col("v") + 1.0).otherwise(F.col("v"))
+    )
+    write_bucketed(old, "t_snap_old", ["k"], 4, ["k"])
+    write_bucketed(new, "t_snap_new", ["k"], 4, ["k"])
+    try:
+        diff = snapshot_diff(
+            spark.table("t_snap_old"), spark.table("t_snap_new"), ["k"]
+        )
+        assert plan_has_no_exchange(diff)
+        out = {r["k"]: r["change_type"] for r in diff.collect()}
+        assert all(k % 7 == 0 for k, c in out.items() if c == "removed")
+        assert sum(1 for c in out.values() if c == "removed") == 143
+        assert sum(1 for c in out.values() if c == "changed") == 78
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_snap_old")
+        spark.sql("DROP TABLE IF EXISTS t_snap_new")
