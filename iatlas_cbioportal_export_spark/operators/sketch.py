@@ -609,14 +609,18 @@ def heavy_hitters_gate(
     broadcast join of the ≤ k summary rows onto the heavy set.
     """
     summary = misra_gries_summary(df, item_col, k)
-    n = df.filter(F.col(item_col).isNotNull()).count()
-    thresh = n / (k + 1)
-    exact = (
+    counts = (
         df.filter(F.col(item_col).isNotNull())
         .groupBy(F.col(item_col).alias("item"))
         .agg(F.count(F.lit(1)).alias("exact_count"))
-        .filter(F.col("exact_count") > F.lit(thresh))
+        .localCheckpoint(eager=False)
     )
+    # n from the combiner-reduced term counts (KB aggregate) — not a third
+    # scan of the corpus; the checkpoint keeps the groupBy single-run
+    # across the two uses.
+    n = counts.agg(F.sum("exact_count")).collect()[0][0]
+    thresh = n / (k + 1)
+    exact = counts.filter(F.col("exact_count") > F.lit(thresh))
     joined = exact.join(F.broadcast(summary), on="item", how="left")
     return joined.select(
         "item",
