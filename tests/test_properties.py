@@ -482,3 +482,97 @@ def test_bfs_distances_match_reference(spark, edges, rounds):
                 want[v] = want[u] + 1
                 q.append(v)
     assert got == want
+
+
+@given(
+    items=st.lists(
+        st.sampled_from([f"i{j}" for j in range(12)]), min_size=1, max_size=120
+    ),
+    k=st.integers(min_value=2, max_value=8),
+)
+@settings(**_SETTINGS)
+def test_misra_gries_contract_random_streams(spark, items, k):
+    """Random streams, random k: summary ≤ k items, never overcounts,
+    undercounts ≤ n/(k+1); the gate finds every f > n/(k+1) item."""
+    from collections import Counter
+
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        heavy_hitters_gate,
+        misra_gries_summary,
+    )
+
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(3)
+    exact = Counter(items)
+    n = len(items)
+    summ = {
+        r["item"]: r["est"]
+        for r in misra_gries_summary(df, "item", k).collect()
+    }
+    assert len(summ) <= k
+    for item, est in summ.items():
+        assert 0 < est <= exact[item]
+        assert exact[item] - est <= n / (k + 1)
+    gate = heavy_hitters_gate(df, "item", k).collect()
+    want_items = sorted(
+        (i for i, c in exact.items() if c > n / (k + 1)),
+        key=lambda i: (-exact[i], i),
+    )
+    assert [r["item"] for r in gate] == want_items
+    assert all(r["found_by_sketch"] and r["within_bound"] for r in gate)
+
+
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=0, max_size=200
+    )
+)
+@settings(**_SETTINGS)
+def test_bitmap_distinct_equals_count_distinct(spark, keys):
+    from iatlas_cbioportal_export_spark.operators.sketch import bitmap_distinct
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = bitmap_distinct(df, "k").collect()[0]["distinct_exact"]
+    assert got == len(set(keys))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        ),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    rows2=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        ),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(**_SETTINGS)
+def test_snapshot_diff_matches_dict_reference(spark, rows, rows2):
+    """Random keyed snapshots incl. NULLs: labels match the dict diff;
+    diff(a, a) is empty."""
+    from iatlas_cbioportal_export_spark.operators.joins import snapshot_diff
+
+    schema = "k long, v long"
+    old = spark.createDataFrame(rows, schema)
+    new = spark.createDataFrame(rows2, schema)
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    do, dn = dict(rows), dict(rows2)
+    want = {}
+    for kk in set(do) | set(dn):
+        if kk not in do:
+            want[kk] = "added"
+        elif kk not in dn:
+            want[kk] = "removed"
+        elif do[kk] != dn[kk]:
+            want[kk] = "changed"
+    assert got == want
+    assert snapshot_diff(old, old, ["k"]).count() == 0
