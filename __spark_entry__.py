@@ -764,6 +764,7 @@ def reset_bench_caches() -> None:
     _V1_BUNDLE_CACHE.clear()
     _COMPACTION_CACHE.clear()
     _ZONEMAP_CACHE.clear()
+    _MM_INGEST_CACHE.clear()
 
 
 def q_v_validation_suite(spark, sf_dir):
@@ -3431,6 +3432,49 @@ def q_zonemap_pruning(spark, sf_dir):
     ).orderBy("zm_bucket")
 
 
+def q_multimodal_binary_ingest(spark, sf_dir):
+    """binaryFile-source ingestion: a 60-doc slice of the corpus is dumped
+    as one UTF-8 payload file per doc (the object-store media-dump shape),
+    re-ingested via the binaryFile source, ids parsed from filenames, and
+    checked content-exactly — (doc_id, n_bytes, text_match). The oracle
+    recomputes byte lengths from the table (encode → octet_length), so a
+    truncated or re-encoded payload breaks the hash."""
+    import tempfile
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        ingest_binary_files,
+    )
+
+    dump = _MM_INGEST_CACHE.get(sf_dir)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    if dump is None:
+        dump = tempfile.mkdtemp(prefix="mm_ingest_")
+        for r in docs.select("doc_id", "text").collect():  # 60 driver writes
+            with open(os.path.join(dump, f"doc_{r['doc_id']}.txt"), "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+        _MM_INGEST_CACHE[sf_dir] = dump
+    files = ingest_binary_files(spark, dump, "*.txt")
+    parsed = files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.col("content").cast("string").alias("__decoded"),
+    )
+    return (
+        parsed.join(docs.select("doc_id", "text"), on="doc_id")
+        .select(
+            "doc_id",
+            "n_bytes",
+            (F.col("__decoded") == F.col("text")).alias("text_match"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MM_INGEST_CACHE: dict[str, str] = {}
+
+
 def q_parquet_schema_evolution(spark, sf_dir):
     """Schema-drift ingestion: two parquet generations of the documents
     table — v1 without, v2 with a `quality` column — read as ONE dataset
@@ -3665,6 +3709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bitmap_distinct": q_sketch_bitmap_distinct,
         "snapshot_diff": q_snapshot_diff,
         "parquet_schema_evolution": q_parquet_schema_evolution,
+        "multimodal_binary_ingest": q_multimodal_binary_ingest,
         "events_resample_ffill": q_events_resample_ffill,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
@@ -6344,6 +6389,11 @@ def oracle_sql() -> dict[str, str]:
                (NOT (zm_max < 600 OR zm_min > 2200)
                 OR qualifying_rows = 0) AS prune_safe
         FROM per ORDER BY zm_bucket
+    """
+    d["multimodal_binary_ingest"] = """
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               TRUE AS text_match
+        FROM documents WHERE doc_id < 60 ORDER BY doc_id
     """
     d["parquet_schema_evolution"] = """
         SELECT doc_id, lang, source, n_chars,

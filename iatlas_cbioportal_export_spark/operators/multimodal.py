@@ -120,3 +120,29 @@ def sample_frames(
             )
         ).alias("frame_index"),
     )
+
+
+def ingest_binary_files(
+    spark,
+    path: str,
+    pattern: str = "*",
+) -> DataFrame:
+    """Raw-file ingestion via Spark's ``binaryFile`` source — the first hop
+    of any multimodal pipeline: a directory of opaque media files becomes
+    (path, modificationTime, length, content) rows, one per file, read in
+    parallel by the tasks that own each file split. Downstream: parse ids
+    out of filenames, attach typed metadata, and hand ``content`` to the
+    Arrow feature-extract path (:func:`extract_features`).
+
+    Scale notes: binaryFile loads each file WHOLE into one row — it is the
+    ingest format for object-store media dumps (one row per image/audio
+    clip), not for huge containers; size file batches with
+    ``spark.sql.files.maxPartitionBytes`` and convert to parquet with the
+    payload as a binary column at the boundary (same economics as the XML
+    reader). Zero-byte files produce NO row (source behavior) — presence
+    checks belong to a directory listing, not this scan."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )

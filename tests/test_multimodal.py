@@ -51,3 +51,22 @@ def test_sample_frames(spark):
     video = spark.createDataFrame([(9, 65)], "media_id long, n_frames long")
     frames = [r["frame_index"] for r in sample_frames(video, every_n=30).collect()]
     assert frames == [0, 30, 60]
+
+
+def test_binary_file_ingest_roundtrip(spark, tmp_path):
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        ingest_binary_files,
+    )
+
+    payloads = {"a.bin": b"\x00\x01\xffpayload", "b.bin": b"\x7f",
+                "empty.bin": b"", "skip.txt": b"x"}
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+    rows = {
+        r["path"].rsplit("/", 1)[-1]: (r["length"], bytes(r["content"]))
+        for r in ingest_binary_files(spark, str(tmp_path), "*.bin").collect()
+    }
+    # glob honored; zero-byte files produce no row (source behavior)
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert rows["a.bin"] == (10, b"\x00\x01\xffpayload")
+    assert rows["b.bin"] == (1, b"\x7f")
