@@ -3291,6 +3291,74 @@ def _pagerank_oracle(iterations: int = 4, scale: int = 10**12) -> str:
     return "".join(parts)
 
 
+_PPR_SEEDS = [1, 2, 3, 4, 5]
+
+
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank (random walk with restart) from 5 part-node
+    seeds over the same symmetrized part↔supplier graph as graph_pagerank:
+    all teleport mass returns to the seeds, so rank orders nodes by
+    proximity to the seed set. Exact integer micro-units; the oracle
+    replays the seeded rounds as chained CTEs. Top-200 by (rank desc,
+    node) keeps the surface small while covering seeds, their neighbors,
+    and zero-rank tail cutoff."""
+    from iatlas_cbioportal_export_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    ).distinct()
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = personalized_pagerank(edges, _PPR_SEEDS, iterations=4)
+    return ranks.orderBy(F.col("rank_int").desc(), F.col("node").asc()).limit(
+        200
+    )
+
+
+def _ppr_oracle(iterations: int = 4, scale: int = 10**12) -> str:
+    """Seeded chained-CTE twin of q_graph_ppr: the r0 CASE plants scale on
+    seeds, the per-round teleport CASE restricts restart mass to seeds."""
+    teleport = scale * 15 // 100
+    seeds = ", ".join(str(s) for s in _PPR_SEEDS)
+    parts = [
+        f"""
+        WITH e0 AS (SELECT DISTINCT l_partkey AS src,
+                           l_suppkey + 1000000 AS dst FROM lineitem),
+        e AS (SELECT src, dst FROM e0
+              UNION SELECT dst AS src, src AS dst FROM e0),
+        deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        n AS (SELECT DISTINCT src AS node FROM e),
+        r0 AS (SELECT node,
+                      CAST(CASE WHEN node IN ({seeds}) THEN {scale}
+                           ELSE 0 END AS BIGINT) AS rank_int FROM n)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        r{i} AS (
+            SELECT n.node,
+                   CAST(CASE WHEN n.node IN ({seeds}) THEN {teleport}
+                        ELSE 0 END + coalesce(s.m, 0) AS BIGINT) AS rank_int
+            FROM n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum((r.rank_int * 85) // (100 * deg.od)) AS m
+                FROM e JOIN r{i - 1} r ON e.src = r.node
+                       JOIN deg ON deg.src = e.src
+                GROUP BY e.dst) s ON n.node = s.node)"""
+        )
+    parts.append(
+        f"""
+        SELECT node, rank_int FROM r{iterations}
+        ORDER BY rank_int DESC, node ASC LIMIT 200"""
+    )
+    return "".join(parts)
+
+
 def q_fuzzy_join_names(spark, sf_dir):
     """Fuzzy entity-resolution join (symmetric-delete blocking): customer
     names vs a deterministically perturbed twin list (substitute / delete /
@@ -6080,6 +6148,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE abs(length(ln) - length(rn)) <= 1 AND levenshtein(ln, rn) <= 1
     """
     d["graph_pagerank"] = _pagerank_oracle(iterations=4)
+    d["graph_ppr"] = _ppr_oracle(iterations=4)
     d["text_bpe_train"] = _bpe_oracle(4)
     d["events_retention"] = """
         WITH a AS (

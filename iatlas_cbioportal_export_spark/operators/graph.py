@@ -347,6 +347,82 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: Sequence[int],
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """Personalized PageRank: identical exact-integer iteration to
+    :func:`pagerank`, but ALL teleport mass returns to the ``seeds``
+    (rank₀ = scale on seeds, 0 elsewhere; per-round teleport only on
+    seeds) — the random-walk-with-restart relevance score that powers
+    "similar to these items" retrieval and seed-expansion labeling.
+    Non-seed ranks decay toward pure propagated mass, so the scores ORDER
+    nodes by proximity to the seed set.
+
+    The seed set is a query parameter (KB literal, like the IVF centroid
+    tables); plan shape, partitioning-reuse hints and checkpoint-interval
+    economics are exactly :func:`pagerank`'s. Output: (node, rank_int).
+    """
+    seed_list = sorted(int(s) for s in seeds)
+    if not seed_list:
+        raise ValueError("personalized_pagerank requires at least one seed")
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    edeg = e.join(deg, on="src").repartition("src").localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition("node")
+        .localCheckpoint(eager=False)
+    )
+    teleport = scale * (damping_den - damping_num) // damping_den
+    is_seed = F.col("node").isin(seed_list)
+    ranks = nodes.select(
+        "node",
+        F.when(is_seed, F.lit(scale)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_int"),
+    )
+    for i in range(iterations):
+        contribs = (
+            edeg.join(ranks, edeg["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(rank_int * {damping_num}) div ({damping_den} * od)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = nodes.join(contribs, on="node", how="left").select(
+            "node",
+            (
+                F.when(is_seed, F.lit(teleport)).otherwise(F.lit(0))
+                + F.coalesce("m", F.lit(0))
+            )
+            .cast("long")
+            .alias("rank_int"),
+        )
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
 def count_triangles(
     pairs: DataFrame,
     left_col: str = "src",

@@ -261,3 +261,47 @@ def test_label_propagation_matches_python_reference(spark):
 
 def df_from(spark, edges):
     return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    """Two disconnected components; seeding in one leaves the other at
+    exactly zero, seeds outrank their neighbors, and the integer iteration
+    matches a driver-side reference."""
+    from pyspark.sql import functions as F
+
+    from iatlas_cbioportal_export_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (10, 11), (11, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {
+        r["node"]: r["rank_int"]
+        for r in personalized_pagerank(df, [1], iterations=4).collect()
+    }
+    # other component gets nothing
+    assert ranks[10] == 0 and ranks[11] == 0
+    assert ranks[1] > ranks[2] > 0 and ranks[3] > 0
+
+    # driver-side integer replay
+    scale, tele = 10**12, 10**12 * 15 // 100
+    out_deg = {}
+    adj = {}
+    for s, d in set(edges):
+        out_deg[s] = out_deg.get(s, 0) + 1
+        adj.setdefault(s, []).append(d)
+    nodes = {n for e in edges for n in e}
+    r = {n: (scale if n == 1 else 0) for n in nodes}
+    for _ in range(4):
+        m = {n: 0 for n in nodes}
+        for s, ds in adj.items():
+            c = (r[s] * 85) // (100 * out_deg[s])
+            for d in ds:
+                m[d] += c
+        r = {n: (tele if n == 1 else 0) + m[n] for n in nodes}
+    assert ranks == r
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one seed"):
+        personalized_pagerank(df, [])
