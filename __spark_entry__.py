@@ -3779,6 +3779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_schema_evolution": q_parquet_schema_evolution,
         "multimodal_binary_ingest": q_multimodal_binary_ingest,
         "events_resample_ffill": q_events_resample_ffill,
+        "graph_ppr": q_graph_ppr,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,

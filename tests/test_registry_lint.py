@@ -54,3 +54,11 @@ _QUERIES = entrymod.queries()
 def test_registry_query_plan_is_scale_safe(spark, name):
     df = _QUERIES[name](spark, SF_DIR)
     assert_scale_safe(df, allow_nested_loop=name in ALLOW_NESTED_LOOP)
+
+
+def test_every_oracle_has_a_registered_query():
+    """An oracle_sql() entry without a queries() twin is dead weight the
+    driver never compares — catches forgotten registrations (graph_ppr
+    slipped through exactly this way in round 4)."""
+    orphans = set(entrymod.oracle_sql()) - set(_QUERIES)
+    assert not orphans, f"oracle_sql keys with no queries() entry: {sorted(orphans)}"

@@ -406,6 +406,33 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "codegen id"],
         ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
     ),
+    # ONE full-outer equi-join decides every label; no nested loop
+    "snapshot_diff": (
+        ["FullOuter", "codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # grid from a 1-row broadcast span (bounded BNLJ by construction);
+    # obs groupBy map-side combined; fill window over panel-sized data
+    "events_resample_ffill": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # two generations as one mergeSchema scan — a plain union of file
+    # splits, no joins
+    "parquet_schema_evolution": (
+        ["Scan parquet"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    # whole-file binary rows joined to the 60-row doc slice (broadcast)
+    "multimodal_binary_ingest": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    # same nested shape as graph_pagerank + the top-200 TakeOrdered
+    "graph_ppr": (
+        ["Scan ExistingRDD", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
