@@ -3359,6 +3359,104 @@ def _ppr_oracle(iterations: int = 4, scale: int = 10**12) -> str:
     return "".join(parts)
 
 
+def q_sketch_rank_quantile(spark, sf_dir):
+    """Custom mergeable rank-sample quantile sketch (KLL level-0 uniform
+    compaction) over floor-cent lineitem prices, reduced to its
+    deterministic tie-safe contract: rank_hi(est) ≥ target AND
+    rank_lo(est) < target + slack for p50/p90/p99. The raw samples are
+    partitioning-defined, so
+    the oracle checks the engine-portable gate rows (the
+    sketch_accuracy_gate pattern) — a broken sketch flips within_bound."""
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        rank_sample_quantile_gate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).alias("c")
+    )
+    return rank_sample_quantile_gate(li, "c").orderBy("quantile")
+
+
+def q_graph_hits(spark, sf_dir):
+    """HITS hubs/authorities over the DIRECTED part→supplier graph (no
+    symmetrization — the mutual hub↔authority recursion needs the
+    bipartite direction): parts score as hubs, suppliers as authorities.
+    Exact integer L1-normalized rounds; the oracle replays them as chained
+    CTEs with HUGEINT products. Top-200 by greatest(hub, auth) covers the
+    head of both sides with a deterministic (…, node) tiebreak."""
+    from iatlas_cbioportal_export_spark.operators.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    ).distinct()
+    out = hits(edges, iterations=2)
+    return out.orderBy(
+        F.greatest("hub_int", "auth_int").desc(), F.col("node").asc()
+    ).limit(200)
+
+
+def q_text_cosine_pairs(spark, sf_dir):
+    """EXACT all-pairs cosine ≥ 0.95 over tf vectors via inverted-index
+    postings join — the no-recall-loss counterpart to dedup_minhash_lsh.
+    Integer-exact threshold gate (num²·400 ≥ 361·na·nb in DECIMAL(38,0)),
+    so the pair SET matches the oracle bit-for-bit; the reported cosine is
+    one correctly-rounded double. doc_id < 2000 bounds the slice because
+    this corpus's 31-term dense vocabulary is the worst case for postings
+    pruning (Σ df² ~ all-pairs); at real-corpus sparsity the df cap +
+    df≥2 prune carry the 100 TB story (operator docstring)."""
+    from iatlas_cbioportal_export_spark.operators.text import (
+        cosine_similarity_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return cosine_similarity_pairs(docs, threshold=0.95).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _hits_oracle(iterations: int = 2, scale: int = 10**6) -> str:
+    """Chained-CTE twin of q_graph_hits: each half-round is one join-sum +
+    one HUGEINT L1 rescale (DuckDB ``//`` floors = Spark decimal ``div``
+    truncation on these non-negative values)."""
+    parts = [
+        f"""
+        WITH e AS (SELECT DISTINCT l_partkey AS src,
+                          l_suppkey + 1000000 AS dst FROM lineitem),
+        n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT node, CAST({scale} AS BIGINT) AS h FROM n)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        a{i}r AS (SELECT e.dst AS node, sum(h.h) AS r
+                  FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY 1),
+        a{i} AS (SELECT n.node,
+                        CAST(CASE WHEN t.s > 0 THEN
+                             (CAST(coalesce(r, 0) AS HUGEINT) * {scale}) // t.s
+                             ELSE 0 END AS BIGINT) AS a
+                 FROM n LEFT JOIN a{i}r USING (node)
+                 CROSS JOIN (SELECT sum(CAST(r AS HUGEINT)) AS s FROM a{i}r) t),
+        h{i}r AS (SELECT e.src AS node, sum(a.a) AS r
+                  FROM e JOIN a{i} a ON e.dst = a.node GROUP BY 1),
+        h{i} AS (SELECT n.node,
+                        CAST(CASE WHEN t.s > 0 THEN
+                             (CAST(coalesce(r, 0) AS HUGEINT) * {scale}) // t.s
+                             ELSE 0 END AS BIGINT) AS h
+                 FROM n LEFT JOIN h{i}r USING (node)
+                 CROSS JOIN (SELECT sum(CAST(r AS HUGEINT)) AS s FROM h{i}r) t)"""
+        )
+    parts.append(
+        f"""
+        SELECT n.node, h{iterations}.h AS hub_int, a{iterations}.a AS auth_int
+        FROM n JOIN h{iterations} USING (node) JOIN a{iterations} USING (node)
+        ORDER BY greatest(h{iterations}.h, a{iterations}.a) DESC, n.node ASC
+        LIMIT 200"""
+    )
+    return "".join(parts)
+
+
 def q_fuzzy_join_names(spark, sf_dir):
     """Fuzzy entity-resolution join (symmetric-delete blocking): customer
     names vs a deterministically perturbed twin list (substitute / delete /
@@ -3780,6 +3878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_ingest": q_multimodal_binary_ingest,
         "events_resample_ffill": q_events_resample_ffill,
         "graph_ppr": q_graph_ppr,
+        "text_cosine_pairs": q_text_cosine_pairs,
+        "graph_hits": q_graph_hits,
+        "sketch_rank_quantile": q_sketch_rank_quantile,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -5408,6 +5509,32 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
         WHERE rank <= 5
     """
+    d["text_cosine_pairs"] = f"""
+        WITH toks AS (
+            SELECT doc_id, lower(t) AS term
+            FROM (SELECT doc_id, {_TOKS} AS ts FROM documents
+                  WHERE doc_id < 2000), unnest(ts) AS u(t)
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        p AS (SELECT doc_id, term, tf FROM tf
+              JOIN (SELECT term FROM dfreq WHERE df >= 2) k USING (term)),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+            FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, dot,
+               round(dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cosine
+        FROM pairs
+        JOIN norms na ON na.doc_id = pairs.doc_a
+        JOIN norms nb ON nb.doc_id = pairs.doc_b
+        WHERE CAST(dot AS HUGEINT) * dot * 400
+              >= 361 * CAST(na.n2 AS HUGEINT) * nb.n2
+        ORDER BY doc_a, doc_b
+    """
     # The curation composite nests the quality/language oracles verbatim,
     # re-pointed at the planted-copy corpus — the composition is checked, the
     # stage formulas stay single-sourced.
@@ -6150,6 +6277,15 @@ def oracle_sql() -> dict[str, str]:
     """
     d["graph_pagerank"] = _pagerank_oracle(iterations=4)
     d["graph_ppr"] = _ppr_oracle(iterations=4)
+    d["graph_hits"] = _hits_oracle(iterations=2)
+    d["sketch_rank_quantile"] = """
+        SELECT CAST(q AS DOUBLE) AS quantile,
+               count(*) AS n,
+               CAST(ceil(q * count(*)) AS BIGINT) AS target_rank,
+               TRUE AS within_bound
+        FROM lineitem CROSS JOIN (VALUES (0.5), (0.9), (0.99)) v(q)
+        GROUP BY q ORDER BY quantile
+    """
     d["text_bpe_train"] = _bpe_oracle(4)
     d["events_retention"] = """
         WITH a AS (

@@ -658,3 +658,113 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 10**6,
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed edge list
+    in EXACT integer units — the link-analysis dual of :func:`pagerank`
+    (good hubs point at good authorities and vice versa; on a bipartite
+    buyer→item graph it ranks "broad, well-sourced" versus
+    "widely-pointed-at" nodes, which plain degree or PageRank conflate).
+
+    Per round (the standard mutual recursion, L1-normalized):
+    ``a_raw(v) = Σ_{u→v} h(u)``, then ``a = (a_raw·scale) div Σ a_raw``;
+    ``h_raw(u) = Σ_{u→v} a(v)``, then ``h = (h_raw·scale) div Σ h_raw``.
+    The float formulation L2-normalizes — unusable for cross-engine
+    value-hash checks (sqrt + reduction-order drift); integer L1 keeps the
+    same fixed point ORDERING with every quantity an exactly-representable
+    integer. The ``a_raw·scale`` products run in DECIMAL(38,0): with 1e9+
+    edges ``Σ a_raw`` alone passes 1e15, and BIGINT·scale would overflow
+    (Spark ``div`` on decimals returns the BIGINT quotient, which here is
+    ≤ scale by construction). Σ-totals are one-row aggregates broadcast
+    back with a crossJoin — the text_tfidf scalar pattern, 2 per round.
+
+    Plan shape is :func:`pagerank`'s: the edge list is laid out once
+    (repartition + localCheckpoint), each half-round is one equi-join
+    moving (node, score) pairs + one map-side-combined groupBy, rounds
+    nest into a single plan with lineage truncated every
+    ``checkpoint_interval`` rounds. Output: ``(node, hub_int, auth_int)``
+    — on bipartite graphs source nodes carry auth 0 and sink nodes hub 0
+    after round 1, matching the definition.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition("node")
+        .localCheckpoint(eager=False)
+    )
+    dec = "decimal(38,0)"
+
+    def _l1_rescale(raw: DataFrame, col: str) -> DataFrame:
+        """(node, raw) → (node, (raw·scale) div Σraw), 0-total-safe."""
+        total = raw.agg(F.sum(F.col(col).cast(dec)).alias("__total"))
+        return raw.crossJoin(F.broadcast(total)).select(
+            "node",
+            F.when(
+                F.col("__total") > 0,
+                F.expr(
+                    f"(CAST({col} AS {dec}) * CAST({scale} AS {dec}))"
+                    " div __total"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(col),
+        )
+
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("h"))
+    auth = None
+    for i in range(iterations):
+        a_raw = (
+            e.join(hub, e["src"] == hub["node"])
+            .select(F.col("dst").alias("node"), F.col("h").alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("a"))
+        )
+        auth = _l1_rescale(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("a", F.lit(0)).alias("a")
+            ),
+            "a",
+        )
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .select(F.col("src").alias("node"), F.col("a").alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("h"))
+        )
+        hub = _l1_rescale(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("h", F.lit(0)).alias("h")
+            ),
+            "h",
+        )
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            hub = hub.localCheckpoint(eager=False)
+            auth = auth.localCheckpoint(eager=False)
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0)).alias("hub_int"),
+            F.coalesce("a", F.lit(0)).alias("auth_int"),
+        )
+    )

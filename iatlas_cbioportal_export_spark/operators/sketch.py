@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from iatlas_cbioportal_export_spark.functions import text as T
@@ -679,4 +679,145 @@ def bitmap_distinct(
         F.coalesce(F.sum(F.bit_count("__mask")), F.lit(0).cast("long")).alias(
             "distinct_exact"
         )
+    )
+
+
+def rank_sample_quantile_gate(
+    df: DataFrame,
+    value_col: str,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    samples_per_batch: int = 256,
+) -> DataFrame:
+    """Custom MERGEABLE quantile sketch (one-level uniform compaction, the
+    KLL level-0 idea) + its deterministic rank-error contract, reduced to
+    oracle-checkable gate rows.
+
+    Sketch: every Arrow batch sorts its n values and keeps B evenly-spaced
+    block maxima — block j covers sorted ranks [⌊(j−1)n/B⌋, ⌊jn/B⌋), its
+    REPRESENTATIVE is the block max, its WEIGHT the block size. Partials
+    from any number of batches/shards merge by concatenation (the
+    mergeable-summary property: 100 TB = a union of KB partials, never a
+    re-sort), and the estimate for quantile q is the smallest
+    representative whose merged cumulative weight reaches
+    ``target = ⌈q·N⌉``.
+
+    Proof of the gate, tie-safe (an exact quantile value v satisfies
+    ``rank_lo(v) < target ≤ rank_hi(v)`` with ``rank_lo = count(<v)``,
+    ``rank_hi = count(≤v)`` — with duplicated values no algorithm can pin
+    ``count(≤v)`` itself near target). Per batch, elements ≤ v form a
+    rank-prefix whose fully-covered blocks all have representative ≤ v, so
+    ``cumwt(v) ≤ rank_hi(v)``; elements < v* in blocks whose rep ≥ v* are
+    confined to ONE partially-covered block per batch, so with
+    ``slack := Σ_batches max_block(batch)`` and v*'s predecessor rep p
+    (``cumwt(p) < target``): ``rank_lo(v*) < cumwt(p) + slack < target +
+    slack``. The chosen v* (min rep with ``cumwt ≥ target``) thus obeys
+    ``rank_lo(v*) < target + slack ≤ rank_hi(v*) + slack`` — i.e. the gate
+    ``rank_hi ≥ target AND rank_lo < target + slack``, which collapses to
+    a one-sided-slack exact-quantile test on distinct values and stays
+    meaningful under ties. That boolean next to (n, target_rank) is the
+    engine-portable shape for a sketch whose raw samples are
+    partitioning-defined (same pattern as ``sketch_accuracy_report`` /
+    ``heavy_hitters_gate``).
+
+    Plan: ONE narrow mapInPandas pass emits ≤ B+1 rows per batch (no
+    shuffle); the merged sample table is KB-bounded (batches·(B+1) rows),
+    so its global cumulative-weight window and the (N, slack, estimate)
+    reductions are driver-cheap; ONE more corpus scan computes the exact
+    ranks of the ≤ len(quantiles) literal estimates for the gate (the gate
+    is the only reason the corpus is read twice — production use stops at
+    the estimates). N, slack and the estimates are KB-bounded decision
+    values collected to the driver, like the CMS counter matrix above.
+
+    Output: one row per quantile — (quantile, n, target_rank,
+    within_bound) with ``within_bound ⇔ rank_hi(est) ≥ target AND
+    rank_lo(est) < target + slack``.
+    """
+    import pandas as pd
+
+    B = int(samples_per_batch)
+    spark = df.sparkSession
+
+    def _partials(batches):
+        import numpy as np
+
+        for pdf in batches:
+            a = pdf.iloc[:, 0].dropna().to_numpy()
+            n = len(a)
+            if n == 0:
+                continue
+            a = np.sort(a)
+            bounds = [(j * n) // B for j in range(B + 1)]
+            reps, weights = [], []
+            for j in range(1, B + 1):
+                lo, hi = bounds[j - 1], bounds[j]
+                if hi > lo:
+                    reps.append(int(a[hi - 1]))
+                    weights.append(hi - lo)
+            yield pd.DataFrame(
+                {
+                    "v": reps + [None],
+                    "w": weights + [max(weights)],
+                    "is_slack": [False] * len(reps) + [True],
+                }
+            )
+
+    partials = (
+        df.select(F.col(value_col).cast("long").alias("v"))
+        .mapInPandas(_partials, schema="v long, w long, is_slack boolean")
+        .localCheckpoint()  # one pass; reused by N/slack + estimate steps
+    )
+    totals = partials.groupBy("is_slack").agg(F.sum("w").alias("t")).collect()
+    n_total = sum(r["t"] for r in totals if not r["is_slack"])
+    slack = sum(r["t"] for r in totals if r["is_slack"])
+    qs = [float(q) for q in quantiles]
+    if n_total == 0:
+        return spark.createDataFrame(
+            [(q, 0, 0, True) for q in qs],
+            "quantile double, n long, target_rank long, within_bound boolean",
+        )
+
+    import math
+
+    targets = {q: math.ceil(q * n_total) for q in qs}
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    samples = partials.filter(~F.col("is_slack")).withColumn(
+        "cum", F.sum("w").over(w)
+    )
+    est_row = samples.agg(
+        *[
+            F.min(F.when(F.col("cum") >= targets[q], F.col("v"))).alias(
+                f"e{i}"
+            )
+            for i, q in enumerate(qs)
+        ]
+    ).collect()[0]
+    ests = {q: est_row[f"e{i}"] for i, q in enumerate(qs)}
+    rank_row = df.agg(
+        *[
+            agg
+            for i, q in enumerate(qs)
+            for agg in (
+                F.sum(
+                    (F.col(value_col).cast("long") <= F.lit(ests[q])).cast(
+                        "long"
+                    )
+                ).alias(f"hi{i}"),
+                F.sum(
+                    (F.col(value_col).cast("long") < F.lit(ests[q])).cast(
+                        "long"
+                    )
+                ).alias(f"lo{i}"),
+            )
+        ]
+    ).collect()[0]
+    rows = []
+    for i, q in enumerate(qs):
+        ok = (
+            rank_row[f"hi{i}"] >= targets[q]
+            and rank_row[f"lo{i}"] < targets[q] + slack
+        )
+        rows.append((q, n_total, targets[q], bool(ok)))
+    return spark.createDataFrame(
+        rows,
+        "quantile double, n long, target_rank long, within_bound boolean",
     )

@@ -1108,3 +1108,100 @@ def quality_classifier(
         prob.alias("quality_prob"),
         (prob >= F.lit(threshold)).alias("keep"),
     )
+
+
+def cosine_similarity_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs cosine similarity ≥ ``threshold`` over integer
+    term-frequency vectors, via an inverted-index (postings) join — the
+    exact counterpart to MinHash-LSH (``dedup.minhash_lsh_pairs``): no
+    recall loss, candidate volume paid in full.
+
+    Integer-exact thresholding: with tf counts the dot product ``num`` and
+    the squared norms ``na``/``nb`` are exact integers, so the gate
+    ``cos ≥ t`` is evaluated as ``num² · t_den ≥ t_num · na · nb`` with
+    ``t² = t_num/t_den`` (``Fraction(str(threshold))²``) — no float
+    boundary flips between engines. Products are computed in
+    DECIMAL(38,0): at 100 TB a document can carry tf ~1e5 ⇒ ``na·nb``
+    ~1e20, past BIGINT. The reported ``cosine`` is the one correctly-
+    rounded double ``round(num/sqrt(na·nb), 6)``.
+
+    Plan shape / 100 TB story: shuffles touch only combiner-reduced count
+    rows — (doc, term, tf), per-term df, per-doc norms, and the (a, b)
+    partial-product aggregation; raw text never shuffles. Per-term pair
+    fan-out is Σ df_t², so high-df terms dominate cost while contributing
+    least discrimination — ``max_df`` drops postings lists longer than the
+    cap (df-capped semantics: a surviving pair must share ≥1 kept term;
+    norms stay full-vector). Terms with df=1 can never form a pair and are
+    pruned before the postings self-join. The synthetic corpus is the
+    worst case (31-term dense vocabulary ⇒ effectively all-pairs); real
+    web/text corpora are Zipf-sparse where prefix/df pruning bites.
+    Reference scope: the reference has no similarity operators at all —
+    this extends §2's dedup tier (SURVEY.md §7 ext).
+
+    Output: (doc_a, doc_b, dot, cosine) with doc_a < doc_b.
+    """
+    from fractions import Fraction
+
+    t2 = Fraction(str(threshold)) ** 2
+    t_num, t_den = t2.numerator, t2.denominator
+
+    toks = df.select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("__tok")
+    ).select(F.col(id_col), F.lower("__tok").alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    norms = tf.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    kept = dfreq.filter(F.col("__df") >= 2)
+    if max_df is not None:
+        kept = kept.filter(F.col("__df") <= max_df)
+    postings = tf.join(kept.select("term"), "term")
+
+    a = postings.select(
+        F.col("term"),
+        F.col(id_col).alias("doc_a"),
+        F.col("tf").alias("__tfa"),
+    )
+    b = postings.select(
+        F.col("term"),
+        F.col(id_col).alias("doc_b"),
+        F.col("tf").alias("__tfb"),
+    )
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("__tfa") * F.col("__tfb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col(id_col).alias("doc_a"), F.col("n2").alias("__na")
+    )
+    nb = norms.select(
+        F.col(id_col).alias("doc_b"), F.col("n2").alias("__nb")
+    )
+    dec = "decimal(38,0)"
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.col("dot").cast(dec) * F.col("dot").cast(dec) * F.lit(t_den).cast(dec)
+            >= F.lit(t_num).cast(dec) * F.col("__na").cast(dec) * F.col("__nb").cast(dec)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            F.round(
+                F.col("dot")
+                / F.sqrt((F.col("__na") * F.col("__nb")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )

@@ -305,3 +305,28 @@ def test_personalized_pagerank_seed_locality(spark):
 
     with _pytest.raises(ValueError, match="at least one seed"):
         personalized_pagerank(df, [])
+
+
+def test_hits_tiny_bipartite_exact_rounds(spark):
+    """Hand-replayed integer L1 rounds: hub 1 covers both authorities so it
+    must out-rank hub 2; authority 10 (indegree 2) out-ranks 11. Values are
+    the exact 2-round fixed-point integers."""
+    from iatlas_cbioportal_export_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in hits(edges, iterations=2).collect()}
+    # round 1: a=(10:666666, 11:333333), h=(1:600000, 2:400000)
+    # round 2: a_raw=(10:1000000, 11:600000) → a=(625000, 375000)
+    #          h_raw=(1:1000000, 2:625000)  → h=(615384, 384615)
+    assert out[1]["hub_int"] == 615384 and out[2]["hub_int"] == 384615
+    assert out[10]["auth_int"] == 625000 and out[11]["auth_int"] == 375000
+    assert out[1]["auth_int"] == 0 and out[10]["hub_int"] == 0
+
+
+def test_hits_empty_edges(spark):
+    from iatlas_cbioportal_export_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert hits(edges, iterations=1).count() == 0

@@ -45,6 +45,7 @@ ALLOW_NESTED_LOOP = {
     "sim_mips_topk",           # scoring vs broadcast query set (= bruteforce)
     "text_vocab_growth",       # two 1-row aggregates crossed (curve assembly)
     "sketch_hll_set_ops",      # 1-row est x 1-row exact crossed (report row)
+    "graph_hits",              # L1-norm totals: one-row broadcast crosses
 }
 
 _QUERIES = entrymod.queries()

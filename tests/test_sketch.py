@@ -264,3 +264,48 @@ def test_bitmap_distinct_exact_and_mergeable(spark):
     s2 = spark.range(250, 800).selectExpr("id AS k")
     whole = bitmap_distinct(s1.union(s2), "k").collect()[0]["distinct_exact"]
     assert whole == 800
+
+
+def test_rank_quantile_gate_contract_and_exactness(spark):
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        rank_sample_quantile_gate,
+    )
+    from pyspark.sql import functions as F
+
+    # 0..9999 shuffled across partitions: the estimate's exact rank must
+    # land in [target, target + 2·slack) for every quantile.
+    df = spark.range(10000).select(
+        ((F.col("id") * 7919) % 10000).alias("x")
+    ).repartition(8)
+    out = rank_sample_quantile_gate(df, "x", quantiles=(0.1, 0.5, 0.99))
+    rows = {r["quantile"]: r for r in out.collect()}
+    assert all(r["within_bound"] for r in rows.values())
+    assert rows[0.5]["n"] == 10000 and rows[0.5]["target_rank"] == 5000
+    assert rows[0.99]["target_rank"] == 9900
+
+
+def test_rank_quantile_gate_small_and_degenerate(spark):
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        rank_sample_quantile_gate,
+    )
+    from pyspark.sql import functions as F
+
+    # n < B: every element is its own block, slack = #batches, exact result
+    tiny = spark.createDataFrame([(v,) for v in range(10)], "x long")
+    rows = rank_sample_quantile_gate(tiny, "x").collect()
+    assert all(r["within_bound"] and r["n"] == 10 for r in rows)
+    # all-equal values: any estimate has full rank n ≥ target
+    const = spark.range(5000).select(F.lit(42).alias("x"))
+    rows = rank_sample_quantile_gate(const, "x").collect()
+    assert all(r["within_bound"] for r in rows)
+
+
+def test_rank_quantile_gate_empty(spark):
+    from iatlas_cbioportal_export_spark.operators.sketch import (
+        rank_sample_quantile_gate,
+    )
+
+    empty = spark.createDataFrame([], "x long")
+    rows = rank_sample_quantile_gate(empty, "x").collect()
+    assert [r["within_bound"] for r in rows] == [True, True, True]
+    assert all(r["n"] == 0 for r in rows)

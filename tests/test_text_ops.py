@@ -538,3 +538,69 @@ def test_quality_classifier_features_and_gate(spark):
     assert rows[3]["mean_word_len"] == 0.0
     assert abs(rows[3]["quality_prob"] - round(1 / (1 + math.exp(1)), 6)) < 1e-9
     assert not rows[3]["keep"]
+
+
+def test_cosine_pairs_exact_duplicates_and_threshold(spark):
+    from iatlas_cbioportal_export_spark.operators.text import (
+        cosine_similarity_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "alpha beta gamma alpha"),      # exact dup of 1 → cos 1.0
+            (3, "alpha alpha beta beta gamma"), # high overlap with 1/2
+            (4, "delta epsilon zeta"),          # disjoint vocabulary
+            (5, "unique_token_only"),           # df=1 terms only → no pairs
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in cosine_similarity_pairs(df, threshold=0.9).collect()
+    }
+    assert (1, 2) in rows and rows[(1, 2)]["cosine"] == 1.0
+    # tf1=(2,1,1), tf3=(2,2,1): dot=2*2+1*2+1*1=7, na=6, nb=9 → 7/sqrt(54)=.952579
+    assert rows[(1, 3)]["dot"] == 7 and rows[(1, 3)]["cosine"] == 0.952579
+    assert all(a != 4 and b != 4 for a, b in rows)
+    assert all(a != 5 and b != 5 for a, b in rows)
+
+
+def test_cosine_pairs_integer_gate_boundary(spark):
+    from iatlas_cbioportal_export_spark.operators.text import (
+        cosine_similarity_pairs,
+    )
+
+    # cos(1,2) is exactly 7/sqrt(54) ≈ 0.9525793...; a threshold a hair
+    # above/below must flip membership via the INTEGER gate, not a float
+    # compare: t=0.9526 → 49·t_den < t_num·54 drops it, t=0.9525 keeps it.
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "alpha alpha beta beta gamma")],
+        "doc_id long, text string",
+    )
+    keep = cosine_similarity_pairs(df, threshold=0.9525).collect()
+    drop = cosine_similarity_pairs(df, threshold=0.9526).collect()
+    assert len(keep) == 1 and len(drop) == 0
+
+
+def test_cosine_pairs_max_df_cap_drops_hot_terms(spark):
+    from iatlas_cbioportal_export_spark.operators.text import (
+        cosine_similarity_pairs,
+    )
+
+    # "common" appears in all 4 docs; with max_df=3 it can no longer link
+    # pairs, so only the docs sharing a rare term survive. Norms stay
+    # full-vector: the (1,2) cosine still counts "common" in the lengths.
+    df = spark.createDataFrame(
+        [
+            (1, "common rare"),
+            (2, "common rare"),
+            (3, "common other"),
+            (4, "common more"),
+        ],
+        "doc_id long, text string",
+    )
+    capped = cosine_similarity_pairs(df, threshold=0.5, max_df=3).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(1, 2)}
+    uncapped = cosine_similarity_pairs(df, threshold=0.5).collect()
+    assert len(uncapped) == 6  # all pairs share "common" at cos ≥ 0.5

@@ -433,6 +433,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan ExistingRDD", "TakeOrderedAndProject"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # postings equi-join on term + combiner-reduced (a,b) aggregate;
+    # exactness comes from integer math, not a nested loop
+    "text_cosine_pairs": (
+        ["HashAggregate", "codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # nested integer rounds like pagerank; the only nested loops are the
+    # one-row L1-total broadcasts, and the big node-state equi-joins may
+    # legitimately sort-merge (both sides grow with the graph)
+    "graph_hits": (
+        ["Scan ExistingRDD", "TakeOrderedAndProject"],
+        ["CartesianProduct"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
