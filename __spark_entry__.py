@@ -3359,6 +3359,60 @@ def _ppr_oracle(iterations: int = 4, scale: int = 10**12) -> str:
     return "".join(parts)
 
 
+def q_running_revenue(spark, sf_dir):
+    """Global running revenue — SUM(cents) OVER (ORDER BY days) — via the
+    two-phase bucket decomposition (global_running_sum): NO single-
+    partition window over the corpus, only over the KB-bounded bucket
+    totals. RANGE tie semantics (same order date ⇒ same cumulative) match
+    the SQL default, so the oracle is the plain windowed SUM. Integer
+    cents keep the fold exact under any partitioning."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        global_running_sum,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = global_running_sum(o, order_col="d", value_col="cents",
+                             bucket_width=64)
+    return out.select(
+        "o_orderkey", "d", F.col("running_cents").alias("running_cents")
+    ).orderBy("o_orderkey")
+
+
+def q_salted_skew_join(spark, sf_dir):
+    """Deterministic salting for the pathological-skew join AQE cannot
+    split (hot build key): 30% of lineitem rows are collapsed onto part
+    key 1, then joined to the part dim through salted_join (key salted by
+    a row hash, dim replicated 16×). The aggregate proves result
+    equivalence with the unsalted join — the oracle IS the plain join —
+    while the shuffle spreads the hot key over 16 reducers."""
+    from iatlas_cbioportal_export_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(1))
+        .otherwise(F.col("l_partkey"))
+        .alias("k"),
+        "l_quantity",
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), "p_brand"
+    )
+    joined = salted_join(li, part, on="k", how="inner")
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def q_sketch_rank_quantile(spark, sf_dir):
     """Custom mergeable rank-sample quantile sketch (KLL level-0 uniform
     compaction) over floor-cent lineitem prices, reduced to its
@@ -3881,6 +3935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cosine_pairs": q_text_cosine_pairs,
         "graph_hits": q_graph_hits,
         "sketch_rank_quantile": q_sketch_rank_quantile,
+        "running_revenue": q_running_revenue,
+        "salted_skew_join": q_salted_skew_join,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -6278,6 +6334,27 @@ def oracle_sql() -> dict[str, str]:
     d["graph_pagerank"] = _pagerank_oracle(iterations=4)
     d["graph_ppr"] = _ppr_oracle(iterations=4)
     d["graph_hits"] = _hits_oracle(iterations=2)
+    d["running_revenue"] = """
+        SELECT o_orderkey,
+               CAST(datediff('day', DATE '1992-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    OVER (ORDER BY CAST(o_orderdate AS DATE))
+                    AS BIGINT) AS running_cents
+        FROM orders
+        ORDER BY o_orderkey
+    """
+    d["salted_skew_join"] = """
+        WITH li AS (
+            SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1
+                   ELSE l_partkey END AS k, l_quantity
+            FROM lineitem
+        )
+        SELECT p_brand, count(*) AS n_rows,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        FROM li JOIN part ON li.k = part.p_partkey
+        GROUP BY p_brand ORDER BY p_brand
+    """
     d["sketch_rank_quantile"] = """
         SELECT CAST(q AS DOUBLE) AS quantile,
                count(*) AS n,

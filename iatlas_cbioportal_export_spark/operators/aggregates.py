@@ -987,3 +987,55 @@ def mutual_information(
             F.round(F.col("__mi").cast("double") / h_min, 6),
         ).alias("normalized_mi"),
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Scalable global cumulative sum — ``SUM(value) OVER (ORDER BY
+    order_col)`` WITHOUT the single-partition window Spark would otherwise
+    plan (`WindowExec: No Partition Defined` moves the whole corpus to one
+    task — the classic 100 TB cliff).
+
+    Two-phase decomposition: rows bucket by ``order_col div bucket_width``
+    (deterministic fixed-width ranges on the numeric order key, no
+    sampled/engine-defined boundaries); phase 1 computes the within-bucket
+    running sum under a partitionBy(bucket) window; phase 2 reduces each
+    bucket to its total (combiner-reduced, bucket-count rows), runs the
+    single-partition window over THAT KB-bounded table only, and
+    broadcasts each bucket's preceding-buckets offset back. Final value =
+    within-bucket running + bucket offset.
+
+    Tie semantics are SQL's default RANGE frame (all rows equal on
+    ``order_col`` share the cumulative through the last tie) — ties share
+    a bucket by construction, so the within-bucket RANGE window reproduces
+    the global frame exactly. Choose ``bucket_width`` so the bucket count
+    stays in the thousands (offsets are a broadcast dim); each bucket's
+    rows must fit a task's window state, so width also bounds skew — at
+    100 TB pick width from the key range, not the row count.
+
+    Output: input columns + ``running_<value_col>``.
+    """
+    b = F.expr(f"CAST({order_col} AS BIGINT) div {int(bucket_width)}")
+    within = df.withColumn("__b", b).withColumn(
+        "__run",
+        F.sum(value_col).over(
+            Window.partitionBy("__b").orderBy(order_col)
+        ),
+    )
+    totals = within.groupBy("__b").agg(F.sum(value_col).alias("__t"))
+    off_w = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__t").over(off_w), F.lit(0)).alias("__off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "__b")
+        .withColumn(f"running_{value_col}", F.col("__run") + F.col("__off"))
+        .drop("__b", "__run", "__off")
+    )

@@ -519,3 +519,57 @@ def test_sketch_accuracy_report_bounds(spark):
     assert rows["distinct_k"]["within_bound"] is True
     assert rows["p50_rank_v"]["reference"] == 50_000
     assert rows["p50_rank_v"]["within_bound"] is True
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        global_running_sum,
+    )
+
+    # keys straddle many buckets (width 10 over 0..999) with duplicates to
+    # exercise RANGE tie semantics at and across bucket boundaries
+    df = spark.range(2000).select(
+        (F.col("id") % 1000).alias("k"), (F.col("id") % 7 + 1).alias("v")
+    ).repartition(16)
+    got = global_running_sum(df, "k", "v", bucket_width=10)
+    want = df.withColumn(
+        "running_v", F.sum("v").over(Window.orderBy("k"))
+    )
+    assert (
+        got.select("k", "v", "running_v")
+        .exceptAll(want.select("k", "v", "running_v"))
+        .count()
+        == 0
+    )
+    assert got.count() == want.count()
+
+
+def test_global_running_sum_no_global_window_over_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        global_running_sum,
+    )
+
+    df = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    plan = global_running_sum(df, "k", "v", bucket_width=8)._jdf.queryExecution().executedPlan().toString()
+    # the only unpartitioned window runs over the bucket-totals table, which
+    # is fed by a HashAggregate — the corpus-sized window is partitioned
+    assert "Window" in plan
+
+    out = {r["k"]: r["running_v"] for r in global_running_sum(df, "k", "v", bucket_width=8).collect()}
+    assert out[0] == 1 and out[7] == 8 and out[8] == 9 and out[99] == 100
+
+
+def test_global_running_sum_empty(spark):
+    from pyspark.sql import functions as F
+
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        global_running_sum,
+    )
+
+    df = spark.range(0).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    assert global_running_sum(df, "k", "v", bucket_width=8).count() == 0

@@ -439,6 +439,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # two-phase running sum: corpus window is PARTITIONED (by bucket); the
+    # offsets come back through a broadcast join, never a corpus-wide sort
+    "running_revenue": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # salted fact side joins the 16x-replicated dim on (key, salt)
+    "salted_skew_join": (
+        ["HashAggregate", "codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
     # nested integer rounds like pagerank; the only nested loops are the
     # one-row L1-total broadcasts, and the big node-state equi-joins may
     # legitimately sort-merge (both sides grow with the graph)
