@@ -3359,6 +3359,39 @@ def _ppr_oracle(iterations: int = 4, scale: int = 10**12) -> str:
     return "".join(parts)
 
 
+def q_constraint_suite(spark, sf_dir):
+    """Declarative data-quality rules (Deequ-surface) compiled to ONE fused
+    aggregate pass + one FK anti-join over lineitem — deliberately mixing
+    passing and failing rules so both statuses (and real violation counts)
+    reach the oracle comparison."""
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        constraint_suite,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rules = [
+        {"kind": "not_null", "col": "l_orderkey"},
+        {"kind": "range", "col": "l_quantity", "min": 1, "max": 50},
+        {"kind": "range", "col": "l_discount", "min": 0.0, "max": 0.05,
+         "name": "range_discount_tight"},
+        {"kind": "in_set", "col": "l_returnflag", "values": ["R", "A", "N"]},
+        {"kind": "in_set", "col": "l_linestatus", "values": ["O"],
+         "name": "in_set_linestatus_open_only"},
+        {"kind": "regex", "col": "l_returnflag", "pattern": "^[A-Z]$"},
+        {"kind": "custom", "expr": "l_extendedprice > 0",
+         "name": "price_positive"},
+        {"kind": "custom", "expr": "l_tax < 0.05", "name": "tax_below_5pct"},
+        {"kind": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+        {"kind": "min_rows", "threshold": 100},
+        {"kind": "min_rows", "threshold": 10**9,
+         "name": "min_rows_billion"},
+        {"kind": "foreign_key", "col": "l_orderkey", "ref": o,
+         "ref_col": "o_orderkey"},
+    ]
+    return constraint_suite(li, rules).orderBy("rule")
+
+
 def q_running_revenue(spark, sf_dir):
     """Global running revenue — SUM(cents) OVER (ORDER BY days) — via the
     two-phase bucket decomposition (global_running_sum): NO single-
@@ -3937,6 +3970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rank_quantile": q_sketch_rank_quantile,
         "running_revenue": q_running_revenue,
         "salted_skew_join": q_salted_skew_join,
+        "constraint_suite": q_constraint_suite,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -6334,6 +6368,60 @@ def oracle_sql() -> dict[str, str]:
     d["graph_pagerank"] = _pagerank_oracle(iterations=4)
     d["graph_ppr"] = _ppr_oracle(iterations=4)
     d["graph_hits"] = _hits_oracle(iterations=2)
+    d["constraint_suite"] = """
+        WITH n AS (SELECT count(*) AS n FROM lineitem),
+        u AS (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                     AS v FROM lineitem),
+        agg AS (
+          SELECT
+            sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+            sum(CASE WHEN l_quantity IS NOT NULL
+                      AND (l_quantity < 1 OR l_quantity > 50)
+                     THEN 1 ELSE 0 END) AS v_rq,
+            sum(CASE WHEN l_discount IS NOT NULL
+                      AND (l_discount < 0.0 OR l_discount > 0.05)
+                     THEN 1 ELSE 0 END) AS v_rd,
+            sum(CASE WHEN l_returnflag IS NOT NULL
+                      AND l_returnflag NOT IN ('R','A','N')
+                     THEN 1 ELSE 0 END) AS v_rf,
+            sum(CASE WHEN l_linestatus IS NOT NULL
+                      AND l_linestatus NOT IN ('O')
+                     THEN 1 ELSE 0 END) AS v_ls,
+            sum(CASE WHEN l_returnflag IS NOT NULL
+                      AND NOT regexp_matches(l_returnflag, '^[A-Z]$')
+                     THEN 1 ELSE 0 END) AS v_sm,
+            sum(CASE WHEN (l_extendedprice > 0) = FALSE
+                     THEN 1 ELSE 0 END) AS v_sr,
+            sum(CASE WHEN (l_tax < 0.05) = FALSE THEN 1 ELSE 0 END) AS v_tx
+          FROM lineitem),
+        fk AS (SELECT count(*) AS v FROM lineitem
+               WHERE l_orderkey IS NOT NULL
+                 AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        SELECT rule, kind, CAST(violations AS BIGINT) AS violations,
+               CAST(n.n AS BIGINT) AS total,
+               CASE WHEN violations > 0 THEN 'ERROR' ELSE 'OK' END AS status
+        FROM n, (
+          SELECT 'not_null_l_orderkey' AS rule, 'not_null' AS kind,
+                 v_nn AS violations FROM agg
+          UNION ALL SELECT 'range_l_quantity', 'range', v_rq FROM agg
+          UNION ALL SELECT 'range_discount_tight', 'range', v_rd FROM agg
+          UNION ALL SELECT 'in_set_l_returnflag', 'in_set', v_rf FROM agg
+          UNION ALL SELECT 'in_set_linestatus_open_only', 'in_set', v_ls
+                    FROM agg
+          UNION ALL SELECT 'regex_l_returnflag', 'regex', v_sm FROM agg
+          UNION ALL SELECT 'price_positive', 'custom', v_sr FROM agg
+          UNION ALL SELECT 'tax_below_5pct', 'custom', v_tx FROM agg
+          UNION ALL SELECT 'unique_l_orderkey_l_linenumber', 'unique', v
+                    FROM u
+          UNION ALL SELECT 'min_rows', 'min_rows',
+                    CASE WHEN n < 100 THEN 100 - n ELSE 0 END FROM n
+          UNION ALL SELECT 'min_rows_billion', 'min_rows',
+                    CASE WHEN n < 1000000000 THEN 1000000000 - n
+                         ELSE 0 END FROM n
+          UNION ALL SELECT 'fk_l_orderkey', 'foreign_key', v FROM fk
+        ) r
+        ORDER BY rule
+    """
     d["running_revenue"] = """
         SELECT o_orderkey,
                CAST(datediff('day', DATE '1992-01-01',

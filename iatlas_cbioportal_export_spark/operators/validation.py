@@ -440,3 +440,169 @@ def has_errors(findings: DataFrame) -> bool:
     """ErrorFlagHandler semantics: any ERROR row ⇒ failed study
     (reference ``utils.py:52-58``, checked at ``clinical.py:949-950``)."""
     return findings.filter(F.col("status") == "ERROR").limit(1).count() > 0
+
+
+def constraint_suite(
+    df: DataFrame,
+    rules: Sequence[dict],
+) -> DataFrame:
+    """Declarative data-quality constraints (the Deequ/GreatExpectations
+    surface) compiled to ONE fused aggregate scan — the generalization of
+    :func:`table_profile_checks` from fixed check kinds to a user rule
+    list. At 100 TB the compilation is the feature: N rules = N aggregate
+    expressions in one map-side-combined pass, never N table scans;
+    ``foreign_key`` rules add one anti-join each (distinct keys only on
+    the probe side).
+
+    Rule kinds (each a dict with ``kind`` and an optional ``name``):
+
+    - ``not_null``  {col}                 — NULLs are the violations
+    - ``range``     {col, min?, max?}     — non-null values outside
+      [min, max]; NULLs don't violate (pair with not_null if they should)
+    - ``in_set``    {col, values}         — non-null values not in the set
+    - ``regex``     {col, pattern}        — non-null values not rlike
+    - ``custom``    {expr}                — SQL predicate; violation ⟺ the
+      predicate evaluates FALSE (NULL = unknown = no violation, the SQL
+      convention)
+    - ``unique``    {cols}                — rows beyond the first per
+      distinct combination (n − countDistinct(struct))
+    - ``min_rows``  {threshold}           — table-level row-count floor
+    - ``foreign_key`` {col, ref, ref_col} — non-null values absent from
+      the ``ref`` DataFrame's ``ref_col`` (referential integrity)
+
+    Output: (rule, kind, violations, total, status) — one row per rule,
+    deterministic order-insensitive content; status ERROR ⟺ violations>0
+    (min_rows: observed<threshold).
+    """
+    agg_exprs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    agg_rules: list[tuple[str, str, Column]] = []  # (name, kind, viol col)
+    fk_frames: list[DataFrame] = []
+
+    for r in rules:
+        kind = r["kind"]
+        name = r.get("name")
+        if kind == "not_null":
+            c = r["col"]
+            name = name or f"not_null_{c}"
+            slot = f"__v{len(agg_exprs)}"
+            agg_exprs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(slot)
+            )
+            agg_rules.append((name, kind, F.coalesce(F.col(slot), F.lit(0))))
+        elif kind == "range":
+            c = F.col(r["col"])
+            bounds = []
+            if "min" in r:
+                bounds.append(c < F.lit(r["min"]))
+            if "max" in r:
+                bounds.append(c > F.lit(r["max"]))
+            bad = reduce(lambda a, b: a | b, bounds)
+            name = name or f"range_{r['col']}"
+            slot = f"__v{len(agg_exprs)}"
+            agg_exprs.append(
+                F.sum((c.isNotNull() & bad).cast("long")).alias(slot)
+            )
+            agg_rules.append((name, kind, F.coalesce(F.col(slot), F.lit(0))))
+        elif kind == "in_set":
+            c = F.col(r["col"])
+            name = name or f"in_set_{r['col']}"
+            slot = f"__v{len(agg_exprs)}"
+            agg_exprs.append(
+                F.sum(
+                    (c.isNotNull() & ~c.isin(list(r["values"]))).cast("long")
+                ).alias(slot)
+            )
+            agg_rules.append((name, kind, F.coalesce(F.col(slot), F.lit(0))))
+        elif kind == "regex":
+            c = F.col(r["col"])
+            name = name or f"regex_{r['col']}"
+            slot = f"__v{len(agg_exprs)}"
+            agg_exprs.append(
+                F.sum(
+                    (c.isNotNull() & ~c.rlike(r["pattern"])).cast("long")
+                ).alias(slot)
+            )
+            agg_rules.append((name, kind, F.coalesce(F.col(slot), F.lit(0))))
+        elif kind == "custom":
+            name = name or "custom"
+            slot = f"__v{len(agg_exprs)}"
+            agg_exprs.append(
+                F.sum(
+                    (F.expr(r["expr"]) == F.lit(False)).cast("long")
+                ).alias(slot)
+            )
+            agg_rules.append((name, kind, F.coalesce(F.col(slot), F.lit(0))))
+        elif kind == "unique":
+            cols = list(r["cols"])
+            name = name or "unique_" + "_".join(cols)
+            slot = f"__v{len(agg_exprs)}"
+            agg_exprs.append(
+                F.countDistinct(F.struct(*[F.col(c) for c in cols])).alias(
+                    slot
+                )
+            )
+            agg_rules.append(
+                (name, kind, F.col("__n") - F.coalesce(F.col(slot), F.lit(0)))
+            )
+        elif kind == "min_rows":
+            name = name or "min_rows"
+            agg_rules.append(
+                (
+                    name,
+                    kind,
+                    F.when(
+                        F.col("__n") < F.lit(int(r["threshold"])),
+                        F.lit(int(r["threshold"])) - F.col("__n"),
+                    ).otherwise(F.lit(0)),
+                )
+            )
+        elif kind == "foreign_key":
+            c, ref, ref_col = r["col"], r["ref"], r["ref_col"]
+            name = name or f"fk_{c}"
+            fk_viol = (
+                df.select(F.col(c).alias("__k"))
+                .filter(F.col("__k").isNotNull())
+                .join(
+                    ref.select(F.col(ref_col).alias("__k")).distinct(),
+                    "__k",
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).alias("__viol"))
+            )
+            total = df.agg(F.count(F.lit(1)).alias("__n"))
+            fk_frames.append(
+                fk_viol.crossJoin(F.broadcast(total)).select(
+                    F.lit(name).alias("rule"),
+                    F.lit(kind).alias("kind"),
+                    F.col("__viol").cast("long").alias("violations"),
+                    F.col("__n").cast("long").alias("total"),
+                    F.when(F.col("__viol") > 0, F.lit("ERROR"))
+                    .otherwise(F.lit("OK"))
+                    .alias("status"),
+                )
+            )
+        else:
+            raise ValueError(f"unknown constraint kind: {kind!r}")
+
+    frames: list[DataFrame] = []
+    if agg_rules:
+        agg = df.agg(*agg_exprs)
+        rows = [
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.lit(kind).alias("kind"),
+                viol.cast("long").alias("violations"),
+                F.col("__n").cast("long").alias("total"),
+                F.when(viol > 0, F.lit("ERROR"))
+                .otherwise(F.lit("OK"))
+                .alias("status"),
+            )
+            for name, kind, viol in agg_rules
+        ]
+        frames.append(
+            agg.select(F.explode(F.array(*rows)).alias("f")).select("f.*")
+        )
+    frames.extend(fk_frames)
+    if not frames:
+        raise ValueError("constraint_suite needs at least one rule")
+    return reduce(lambda a, b: a.unionByName(b), frames)

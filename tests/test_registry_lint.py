@@ -46,6 +46,7 @@ ALLOW_NESTED_LOOP = {
     "text_vocab_growth",       # two 1-row aggregates crossed (curve assembly)
     "sketch_hll_set_ops",      # 1-row est x 1-row exact crossed (report row)
     "graph_hits",              # L1-norm totals: one-row broadcast crosses
+    "constraint_suite",        # FK finding row: 1-row count x 1-row total
 }
 
 _QUERIES = entrymod.queries()

@@ -148,3 +148,73 @@ def test_keyed_dup_and_distinct_checks(spark):
     assert out["distinct_k_preserved"]["status"] == "OK"
     assert out["no_dup_k"]["observed"] == 1
     assert out["no_dup_k"]["status"] == "ERROR"
+
+
+def test_constraint_suite_all_kinds(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        constraint_suite,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 5, "A", "aa", 1),
+            (2, 60, "Z", "bb", 1),     # range violation (60 > 50)
+            (None, 5, "A", "cc", 2),   # not_null violation
+            (4, None, "Q", "d!", 2),   # in_set + regex violations
+            (4, 5, "A", "ee", 99),     # fk violation (99 not in ref)
+            (4, 5, "A", "ee", 1),      # duplicate (k, s) with row above? no: unique on (k,txt)
+        ],
+        "k long, q long, flag string, txt string, ref_id long",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "rid long")
+    rules = [
+        {"kind": "not_null", "col": "k"},
+        {"kind": "range", "col": "q", "min": 1, "max": 50},
+        {"kind": "in_set", "col": "flag", "values": ["A", "Z"]},
+        {"kind": "regex", "col": "txt", "pattern": "^[a-z]+$"},
+        {"kind": "custom", "expr": "q < 100", "name": "q_lt_100"},
+        {"kind": "unique", "cols": ["k", "txt"]},
+        {"kind": "min_rows", "threshold": 10},
+        {"kind": "foreign_key", "col": "ref_id", "ref": ref,
+         "ref_col": "rid"},
+    ]
+    out = {r["rule"]: r for r in constraint_suite(df, rules).collect()}
+    assert out["not_null_k"]["violations"] == 1
+    assert out["range_q"]["violations"] == 1          # null q doesn't violate
+    assert out["in_set_flag"]["violations"] == 1
+    assert out["regex_txt"]["violations"] == 1
+    assert out["q_lt_100"]["violations"] == 0         # null q is unknown, not false
+    assert out["unique_k_txt"]["violations"] == 1     # (4, ee) appears twice
+    assert out["min_rows"]["violations"] == 4 and out["min_rows"]["status"] == "ERROR"
+    assert out["fk_ref_id"]["violations"] == 1
+    assert out["fk_ref_id"]["total"] == 6
+    assert all(r["total"] == 6 for r in out.values())
+    statuses = {r["rule"]: r["status"] for r in out.values()}
+    assert statuses["q_lt_100"] == "OK" and statuses["regex_txt"] == "ERROR"
+
+
+def test_constraint_suite_empty_table_and_bad_kind(spark):
+    import pytest
+
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        constraint_suite,
+    )
+
+    df = spark.createDataFrame([], "k long")
+    out = {
+        r["rule"]: r
+        for r in constraint_suite(
+            df,
+            [
+                {"kind": "not_null", "col": "k"},
+                {"kind": "min_rows", "threshold": 3},
+            ],
+        ).collect()
+    }
+    # empty table: no null rows (sum over nothing = 0), min_rows trips
+    assert out["not_null_k"]["violations"] == 0
+    assert out["min_rows"]["violations"] == 3
+    with pytest.raises(ValueError, match="unknown constraint kind"):
+        constraint_suite(df, [{"kind": "nope"}])
+    with pytest.raises(ValueError, match="at least one rule"):
+        constraint_suite(df, [])
