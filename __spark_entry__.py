@@ -3359,6 +3359,22 @@ def _ppr_oracle(iterations: int = 4, scale: int = 10**12) -> str:
     return "".join(parts)
 
 
+def q_events_sliding_distinct(spark, sf_dir):
+    """Rolling 6h/1h distinct-user counts (sliding MAU/DAU): distinct
+    (hour, user) pairs first, 6-way map-side fan-out, re-distinct per
+    window — the exact decomposition COUNT(DISTINCT) needs over
+    overlapping windows. Integer epoch labels keep the comparison
+    timezone-free."""
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        sliding_distinct_users,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_distinct_users(ev, window_hours=6, slide_hours=1).orderBy(
+        "window_end_epoch"
+    )
+
+
 def q_constraint_suite(spark, sf_dir):
     """Declarative data-quality rules (Deequ-surface) compiled to ONE fused
     aggregate pass + one FK anti-join over lineitem — deliberately mixing
@@ -3971,6 +3987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_revenue": q_running_revenue,
         "salted_skew_join": q_salted_skew_join,
         "constraint_suite": q_constraint_suite,
+        "events_sliding_distinct": q_events_sliding_distinct,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -6368,6 +6385,20 @@ def oracle_sql() -> dict[str, str]:
     d["graph_pagerank"] = _pagerank_oracle(iterations=4)
     d["graph_ppr"] = _ppr_oracle(iterations=4)
     d["graph_hits"] = _hits_oracle(iterations=2)
+    d["events_sliding_distinct"] = """
+        WITH pairs AS (
+            SELECT DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+                   user_id
+            FROM events
+        ),
+        fan AS (
+            SELECT b + i AS w, user_id
+            FROM pairs CROSS JOIN (SELECT unnest(range(0, 6)) AS i) s
+        )
+        SELECT CAST(w * 3600 AS BIGINT) AS window_end_epoch,
+               count(DISTINCT user_id) AS n_users
+        FROM fan GROUP BY 1 ORDER BY window_end_epoch
+    """
     d["constraint_suite"] = """
         WITH n AS (SELECT count(*) AS n FROM lineitem),
         u AS (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber))

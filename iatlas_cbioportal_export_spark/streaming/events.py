@@ -928,3 +928,56 @@ def resample_ffill(
             F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
         )
     )
+
+
+def sliding_distinct_users(
+    events: DataFrame,
+    window_hours: int = 6,
+    slide_hours: int = 1,
+) -> DataFrame:
+    """EXACT distinct-user counts over sliding hour windows (the rolling
+    MAU/DAU shape). COUNT(DISTINCT) does not decompose over overlapping
+    windows — :func:`sliding_event_counts`'s plain counts can sum window
+    slices, distincts cannot — so the scalable exact form is:
+
+    1. collapse to distinct (hour-bucket, user) pairs FIRST — one
+       combiner-reduced aggregate shrinks the corpus to activity pairs
+       (bounded by users x hours, not by events);
+    2. fan each pair out to the ``window_hours / slide_hours`` windows it
+       belongs to (map-side explode of a tiny literal range — the same
+       expansion Spark's ``window()`` does internally);
+    3. distinct again on (window, user) — a user active in several hours
+       of one window must count once — then count per window.
+
+    Shuffles carry only (bucket, user) / (window, user) id pairs. The
+    approximate alternative at extreme cardinality is per-hour HLL
+    registers OR-merged across the window (``sketch.hll_fold_registers``);
+    this operator is the exact path. Output: (window_end_epoch, n_users) —
+    the label is the epoch second of the window's LAST slide boundary
+    (windows are trailing: bucket range [end−window+slide, end]); an
+    integer label sidesteps engine-dependent timestamptz rendering.
+    """
+    steps = window_hours // slide_hours
+    pairs = events.select(
+        (F.floor(F.unix_timestamp("ts") / (3600 * slide_hours))).alias(
+            "__b"
+        ),
+        F.col("user_id"),
+    ).distinct()
+    fanned = pairs.select(
+        F.explode(
+            F.array(*[F.lit(i) for i in range(steps)])
+        ).alias("__i"),
+        (F.col("__b")).alias("__b"),
+        "user_id",
+    ).select((F.col("__b") + F.col("__i")).alias("__w"), "user_id")
+    return (
+        fanned.groupBy("__w")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            (F.col("__w") * 3600 * slide_hours)
+            .cast("long")
+            .alias("window_end_epoch"),
+            "n_users",
+        )
+    )

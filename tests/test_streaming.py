@@ -866,3 +866,37 @@ def test_resample_ffill_grid_and_fill(spark):
     assert rows[(2, "2024-01-01 00:00:00")] == (None, 0)
     assert rows[(2, "2024-01-01 02:00:00")] == (5.0, 1)
     assert rows[(2, "2024-01-01 03:00:00")] == (5.0, 0)
+
+
+def test_sliding_distinct_users_manual(spark):
+    """3 users across 3 hours; window=3h slide=1h. A user active twice in
+    one window counts once; each trailing window covers its last 3 buckets."""
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        sliding_distinct_users,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-01 00:50:00"),   # same (hour, user) — collapses
+        (2, "2024-01-01 01:10:00"),
+        (1, "2024-01-01 02:10:00"),   # user 1 again 2 hours later
+        (3, "2024-01-01 02:20:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    out = {
+        r["window_end_epoch"]: r["n_users"]
+        for r in sliding_distinct_users(ev, 3, 1).collect()
+    }
+    base = 1704067200  # 2024-01-01 00:00 UTC epoch
+    # window ending hour0 covers hour0 only (users {1}); hour1: {1,2};
+    # hour2: {1,2,3}; hour3: {2,1,3}-hour0 → {1,2,3} minus none... buckets
+    # 1..3 = {2,1,3}; hour4: buckets 2..4 = {1,3}
+    assert out[base + 0 * 3600] == 1
+    assert out[base + 1 * 3600] == 2
+    assert out[base + 2 * 3600] == 3
+    assert out[base + 3 * 3600] == 3
+    assert out[base + 4 * 3600] == 2
+    # trailing windows extend steps-1 past the last bucket, no further
+    assert base + 5 * 3600 not in out or out[base + 5 * 3600] == 2
