@@ -3359,6 +3359,20 @@ def _ppr_oracle(iterations: int = 4, scale: int = 10**12) -> str:
     return "".join(parts)
 
 
+def q_events_variant_extract(spark, sf_dir):
+    """Semi-structured extraction through Spark 4 VARIANT (parse_json +
+    try_variant_get): one parse into the binary variant encoding, typed
+    null-safe access without a declared schema — the third path next to
+    get_json_object (events_json_extract) and from_json."""
+    from iatlas_cbioportal_export_spark.functions.json import (
+        variant_field_stats,
+    )
+
+    return variant_field_stats(_t(spark, sf_dir, "events")).orderBy(
+        "event_type"
+    )
+
+
 def q_events_sliding_distinct(spark, sf_dir):
     """Rolling 6h/1h distinct-user counts (sliding MAU/DAU): distinct
     (hour, user) pairs first, 6-way map-side fan-out, re-distinct per
@@ -3988,6 +4002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_join": q_salted_skew_join,
         "constraint_suite": q_constraint_suite,
         "events_sliding_distinct": q_events_sliding_distinct,
+        "events_variant_extract": q_events_variant_extract,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -6385,6 +6400,19 @@ def oracle_sql() -> dict[str, str]:
     d["graph_pagerank"] = _pagerank_oracle(iterations=4)
     d["graph_ppr"] = _ppr_oracle(iterations=4)
     d["graph_hits"] = _hits_oracle(iterations=2)
+    d["events_variant_extract"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS n_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum,
+               CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_min,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_max
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
     d["events_sliding_distinct"] = """
         WITH pairs AS (
             SELECT DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,

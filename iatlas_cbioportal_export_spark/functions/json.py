@@ -47,3 +47,32 @@ def json_field_stats(events: DataFrame) -> DataFrame:
             F.round(F.sum("k").cast("double") / F.count("k"), 6).alias("k_avg"),
         )
     )
+
+
+def variant_field_stats(events: DataFrame) -> DataFrame:
+    """Per-event-type stats over ``props`` through Spark 4's VARIANT type —
+    the third extraction path: ``parse_json`` converts the text payload
+    ONCE into the binary variant encoding (typed access without a declared
+    schema — ``from_json``'s single-parse economics with
+    ``get_json_object``'s schema freedom). At scale the variant column can
+    be written to parquet shredded, so re-reads skip text parsing
+    entirely; ``try_parse_json`` + ``try_variant_get`` are the null-safe
+    parse/access pair (malformed payload, missing path or type mismatch →
+    NULL, never an error row — plain ``parse_json`` is FAILFAST).
+
+    Output: (event_type, n_events, n_k, k_sum, k_min, k_max) — exact
+    longs, hash-stable on any engine.
+    """
+    v = F.try_parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )

@@ -75,3 +75,27 @@ def test_xml_roundtrip_escaping(spark, tmp_path):
     )
     back = read_xml(spark, path, row_tag="rec", schema=schema)
     assert sorted((r["id"], r["text"]) for r in back.collect()) == sorted(rows)
+
+
+def test_variant_field_stats_null_safety(spark):
+    """Malformed JSON, missing path, and wrong-typed values all land as
+    NULL k (counted in n_events, absent from n_k) — try_variant_get never
+    errors a row."""
+    from pyspark.sql import functions as F
+
+    from iatlas_cbioportal_export_spark.functions.json import (
+        variant_field_stats,
+    )
+
+    rows = [
+        ("a", '{"k": 5}'),
+        ("a", '{"k": 7}'),
+        ("a", '{"other": 1}'),   # path missing
+        ("b", '{"k": "txt"}'),   # not castable to long
+        ("b", "not json"),       # malformed
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, props string")
+    out = {r["event_type"]: r for r in variant_field_stats(ev).collect()}
+    assert out["a"]["n_events"] == 3 and out["a"]["n_k"] == 2
+    assert out["a"]["k_sum"] == 12 and out["a"]["k_min"] == 5
+    assert out["b"]["n_k"] == 0 and out["b"]["k_sum"] is None
