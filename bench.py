@@ -80,6 +80,17 @@ EXTENDED = [
     "sketch_bitmap_distinct",
     "snapshot_diff",
     "events_resample_ffill",
+    # round-4 second-batch promotions: the exact-similarity, link-analysis,
+    # running-sum, skew-salting, rules-validation, sliding-distinct and
+    # quantile-sketch scale paths
+    "text_cosine_pairs",
+    "graph_hits",
+    "running_revenue",
+    "salted_skew_join",
+    "constraint_suite",
+    "events_sliding_distinct",
+    "sketch_rank_quantile",
+    "events_variant_extract",
 ]
 
 N_REPS = 3
