@@ -3533,6 +3533,21 @@ def q_text_cosine_pairs(spark, sf_dir):
     )
 
 
+def q_text_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes trained on the doc_id%5!=0 split of the
+    corpus (per-lang Laplace-smoothed token log-likelihoods) and applied
+    to the held-out split — the TRAINED classifier counterpart to the
+    fixed-literal text_quality_classifier. Likelihoods flow through the
+    DECIMAL(28,12) lane before tf-multiply and summation so the argmax
+    replays exactly; the oracle re-derives the whole model in SQL."""
+    from iatlas_cbioportal_export_spark.operators.text import (
+        naive_bayes_train_apply,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return naive_bayes_train_apply(docs).orderBy("doc_id")
+
+
 def _hits_oracle(iterations: int = 2, scale: int = 10**6) -> str:
     """Chained-CTE twin of q_graph_hits: each half-round is one join-sum +
     one HUGEINT L1 rescale (DuckDB ``//`` floors = Spark decimal ``div``
@@ -4003,6 +4018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_suite": q_constraint_suite,
         "events_sliding_distinct": q_events_sliding_distinct,
         "events_variant_extract": q_events_variant_extract,
+        "text_naive_bayes": q_text_naive_bayes,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -5656,6 +5672,78 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(dot AS HUGEINT) * dot * 400
               >= 361 * CAST(na.n2 AS HUGEINT) * nb.n2
         ORDER BY doc_a, doc_b
+    """
+    # Naive Bayes: the oracle re-derives the WHOLE model (priors,
+    # Laplace-smoothed likelihoods, OOV default) from the same train split
+    # and replays the decimal-lane scoring — not a canned answer key.
+    d["text_naive_bayes"] = f"""
+        WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        train_toks AS (
+            SELECT lang AS label, u.tok
+            FROM (SELECT lang, {_TOKS} AS t FROM train), unnest(t) AS u(tok)
+        ),
+        class_tok AS (
+            SELECT label, tok, count(*) AS cnt FROM train_toks GROUP BY 1, 2
+        ),
+        vocab AS (SELECT count(DISTINCT tok) AS v FROM class_tok),
+        class_tot AS (SELECT label, sum(cnt) AS tot FROM class_tok GROUP BY 1),
+        n_train AS (SELECT count(*) AS n FROM train),
+        classes AS (
+            SELECT p.label,
+                   CAST(log10(p.n_docs / CAST(n.n AS DOUBLE))
+                        AS DECIMAL(28,12)) AS prior_dec,
+                   CAST(log10(1.0 / CAST(t.tot + v.v AS DOUBLE))
+                        AS DECIMAL(28,12)) AS default_dec
+            FROM (SELECT lang AS label, count(*) AS n_docs
+                  FROM train GROUP BY 1) p
+            JOIN class_tot t USING (label)
+            CROSS JOIN vocab v CROSS JOIN n_train n
+        ),
+        trained AS (
+            SELECT label, tok,
+                   CAST(log10(CAST(cnt + 1 AS DOUBLE)
+                              / CAST(tot + v.v AS DOUBLE))
+                        AS DECIMAL(28,12)) AS lp_dec
+            FROM class_tok JOIN class_tot USING (label) CROSS JOIN vocab v
+        ),
+        tf AS (
+            SELECT id, tok, count(*) AS tf FROM (
+                SELECT doc_id AS id, u.tok
+                FROM (SELECT doc_id, {_TOKS} AS t FROM test),
+                     unnest(t) AS u(tok)
+            ) GROUP BY 1, 2
+        ),
+        contrib AS (
+            SELECT tf.id, c.label,
+                   CAST(tf.tf AS DECIMAL(10,0))
+                       * coalesce(tr.lp_dec, c.default_dec) AS c_dec
+            FROM tf
+            CROSS JOIN (SELECT label, default_dec FROM classes) c
+            LEFT JOIN trained tr ON tr.tok = tf.tok AND tr.label = c.label
+        ),
+        contrib_sum AS (
+            SELECT id, label, sum(c_dec) AS s_dec FROM contrib GROUP BY 1, 2
+        ),
+        scores AS (
+            SELECT d.id, d.true_label, c.label,
+                   c.prior_dec + coalesce(cs.s_dec,
+                       CAST(0 AS DECIMAL(28,12))) AS score_dec
+            FROM (SELECT doc_id AS id, lang AS true_label FROM test) d
+            CROSS JOIN classes c
+            LEFT JOIN contrib_sum cs
+                ON cs.id = d.id AND cs.label = c.label
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY id ORDER BY score_dec DESC, label ASC) AS rn
+            FROM scores
+        )
+        SELECT id AS doc_id, true_label, label AS pred_label,
+               CAST(round(score_dec, 6) AS DOUBLE) AS score_pred,
+               label = true_label AS correct
+        FROM ranked WHERE rn = 1
+        ORDER BY doc_id
     """
     # The curation composite nests the quality/language oracles verbatim,
     # re-pointed at the planted-copy corpus — the composition is checked, the

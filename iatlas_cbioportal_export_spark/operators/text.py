@@ -1110,6 +1110,132 @@ def quality_classifier(
     )
 
 
+def naive_bayes_train_apply(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_mod: int = 5,
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained and applied inside
+    one logical plan — the TRAINED counterpart to the fixed-literal
+    :func:`quality_classifier` (fasttext-role): per-class token
+    log-likelihoods with Laplace smoothing are ESTIMATED from a
+    deterministic train split (``id % train_mod != 0``) and applied to the
+    held-out split. The workhorse shape for language-ID / quality / topic
+    gates over a 100 TB corpus when a learned-but-cheap model is wanted.
+
+    Scale design:
+    - the trained likelihood table is (vocab × k) rows — vocabulary-sized,
+      NOT broadcast; the apply side joins test (doc, token, tf) against it
+      on (token, label) — a plain shuffled equi-join AQE can re-plan;
+    - the class table (priors, totals, OOV default) is k rows — broadcast;
+    - two corpus-shuffles total (train token counts, per-doc score sum);
+      the argmax window partitions by doc over k rows each.
+
+    Determinism: every log-likelihood double is cast to DECIMAL(28,12)
+    before multiplication by the term frequency and summation (the
+    ``unigram_logprob_score`` decimal lane — a double sum over a shuffled
+    join merges in nondeterministic order). The argmax compares exact
+    decimals with a label tiebreak, so predictions replay on any engine.
+
+    Output: (id, true label, pred label, score_pred double(6dp), correct).
+    """
+    lbl, txt, did = F.col(label_col), F.col(text_col), F.col(id_col)
+    train = df.filter(did % train_mod != 0)
+    test = df.filter(did % train_mod == 0)
+
+    train_toks = train.select(
+        lbl.alias("label"), F.explode(T.tokens(txt)).alias("tok")
+    )
+    class_tok = train_toks.groupBy("label", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # Decision scalars (KB-bounded): vocabulary size for Laplace smoothing.
+    vocab_size = class_tok.select("tok").distinct().count()
+    class_tot = class_tok.groupBy("label").agg(F.sum("cnt").alias("tot"))
+    n_train = train.count()
+    priors = train.groupBy(lbl.alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # k-row class table: prior + OOV default, decimal-exact.
+    classes = (
+        priors.join(class_tot, on="label")
+        .select(
+            "label",
+            F.log10(F.col("n_docs") / F.lit(n_train).cast("double"))
+            .cast("decimal(28,12)")
+            .alias("prior_dec"),
+            F.log10(
+                F.lit(1.0)
+                / (F.col("tot") + F.lit(vocab_size)).cast("double")
+            )
+            .cast("decimal(28,12)")
+            .alias("default_dec"),
+            "tot",
+        )
+    )
+    trained = class_tok.join(F.broadcast(class_tot), on="label").select(
+        "label",
+        "tok",
+        F.log10(
+            (F.col("cnt") + F.lit(1)).cast("double")
+            / (F.col("tot") + F.lit(vocab_size)).cast("double")
+        )
+        .cast("decimal(28,12)")
+        .alias("lp_dec"),
+    )
+
+    test_docs = test.select(did.alias("id"), lbl.alias("true_label"))
+    tf = (
+        test.select(did.alias("id"), F.explode(T.tokens(txt)).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    contrib = (
+        tf.crossJoin(F.broadcast(classes.select("label", "default_dec")))
+        .join(trained, on=["tok", "label"], how="left")
+        .select(
+            "id",
+            "label",
+            (
+                F.col("tf").cast("decimal(10,0)")
+                * F.coalesce(F.col("lp_dec"), F.col("default_dec"))
+            ).alias("c_dec"),
+        )
+    )
+    contrib_sum = contrib.groupBy("id", "label").agg(
+        F.sum("c_dec").alias("s_dec")
+    )
+    scores = (
+        test_docs.crossJoin(F.broadcast(classes.select("label", "prior_dec")))
+        .join(contrib_sum, on=["id", "label"], how="left")
+        .select(
+            "id",
+            "true_label",
+            "label",
+            (
+                F.col("prior_dec")
+                + F.coalesce(F.col("s_dec"), F.lit(0).cast("decimal(28,12)"))
+            ).alias("score_dec"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score_dec").desc(), F.col("label").asc()
+    )
+    return (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            "true_label",
+            F.col("label").alias("pred_label"),
+            F.round(F.col("score_dec"), 6).cast("double").alias("score_pred"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
 def cosine_similarity_pairs(
     df: DataFrame,
     threshold: float,

@@ -604,3 +604,57 @@ def test_cosine_pairs_max_df_cap_drops_hot_terms(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(1, 2)}
     uncapped = cosine_similarity_pairs(df, threshold=0.5).collect()
     assert len(uncapped) == 6  # all pairs share "common" at cos ≥ 0.5
+
+
+def test_naive_bayes_separable_classes(spark):
+    from iatlas_cbioportal_export_spark.operators.text import (
+        naive_bayes_train_apply,
+    )
+
+    # Train docs (id%2!=0) carry disjoint vocabularies per class; test docs
+    # (id%2==0) reuse them, so a correct NB must classify all perfectly.
+    rows = []
+    for i in (1, 3, 5, 7):
+        rows.append((i, "aaa bbb aaa ccc", "en"))
+    for i in (9, 11, 13, 15):
+        rows.append((i, "xxx yyy xxx zzz", "de"))
+    rows.append((2, "aaa ccc bbb", "en"))
+    rows.append((4, "yyy zzz xxx", "de"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r
+        for r in naive_bayes_train_apply(df, train_mod=2).collect()
+    }
+    assert set(out) == {2, 4}
+    assert out[2]["pred_label"] == "en" and out[2]["correct"]
+    assert out[4]["pred_label"] == "de" and out[4]["correct"]
+
+
+def test_naive_bayes_oov_and_empty_fall_back_to_prior(spark):
+    from iatlas_cbioportal_export_spark.operators.text import (
+        naive_bayes_train_apply,
+    )
+
+    # 3 "en" train docs vs 1 "de": an all-OOV test doc and an EMPTY test
+    # doc must both argmax the prior-dominant class. The OOV doc's tokens
+    # hit the per-class default likelihood; with equal totals the prior
+    # decides. The empty doc scores prior-only.
+    rows = [
+        (1, "aaa bbb", "en"),
+        (3, "aaa bbb", "en"),
+        (5, "aaa bbb", "en"),
+        (7, "xxx yyy", "de"),
+        (2, "qqq rrr", "en"),   # all-OOV
+        (4, "", "en"),          # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r
+        for r in naive_bayes_train_apply(df, train_mod=2).collect()
+    }
+    assert set(out) == {2, 4}
+    assert out[2]["pred_label"] == "en"
+    assert out[4]["pred_label"] == "en"
+    import math
+
+    assert abs(out[4]["score_pred"] - math.log10(3 / 4)) < 1e-6
