@@ -3548,6 +3548,24 @@ def q_text_naive_bayes(spark, sf_dir):
     return naive_bayes_train_apply(docs).orderBy("doc_id")
 
 
+def q_profile_table(spark, sf_dir):
+    """One-pass whole-table column profile of orders: per column null /
+    exact-distinct counts, numeric min/max/mean (decimal-sum lane), string
+    min/max and mean length — the single-scan reconnaissance that sizes
+    broadcast/salting/bucketing decisions. The multi-count(distinct) rides
+    ONE Expand+shuffle; the at-scale flag (exact_distinct=False) swaps in
+    HLL with no Expand. o_orderdate is pre-cast to date so its string
+    surface is ISO in any engine."""
+    from iatlas_cbioportal_export_spark.operators.profiling import (
+        table_profile,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date")
+    )
+    return table_profile(orders)
+
+
 def _hits_oracle(iterations: int = 2, scale: int = 10**6) -> str:
     """Chained-CTE twin of q_graph_hits: each half-round is one join-sum +
     one HUGEINT L1 rescale (DuckDB ``//`` floors = Spark decimal ``div``
@@ -4019,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_distinct": q_events_sliding_distinct,
         "events_variant_extract": q_events_variant_extract,
         "text_naive_bayes": q_text_naive_bayes,
+        "profile_table": q_profile_table,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -5744,6 +5763,50 @@ def oracle_sql() -> dict[str, str]:
                label = true_label AS correct
         FROM ranked WHERE rn = 1
         ORDER BY doc_id
+    """
+    # table_profile: one UNION ALL branch per column, mirroring the
+    # exploded one-row aggregate. NULL type anchors keep the branch
+    # schemas aligned.
+    num_branch = """
+        SELECT '{c}' AS col_name,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS DOUBLE) AS num_min,
+               CAST(max({c}) AS DOUBLE) AS num_max,
+               CASE WHEN count({c}) > 0 THEN round(
+                   CAST(sum(CAST({c} AS DECIMAL(38,6))) AS DOUBLE)
+                   / count({c}), 6) END AS num_avg,
+               CAST(NULL AS VARCHAR) AS str_min,
+               CAST(NULL AS VARCHAR) AS str_max,
+               CAST(NULL AS DOUBLE) AS len_avg
+        FROM o"""
+    str_branch = """
+        SELECT '{c}' AS col_name,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(NULL AS DOUBLE) AS num_min,
+               CAST(NULL AS DOUBLE) AS num_max,
+               CAST(NULL AS DOUBLE) AS num_avg,
+               min(CAST({c} AS VARCHAR)) AS str_min,
+               max(CAST({c} AS VARCHAR)) AS str_max,
+               CASE WHEN count({c}) > 0 THEN round(
+                   CAST(sum(CAST(length(CAST({c} AS VARCHAR))
+                                 AS DECIMAL(28,6))) AS DOUBLE)
+                   / count({c}), 6) END AS len_avg
+        FROM o"""
+    branches = " UNION ALL ".join(
+        [num_branch.format(c=c) for c in
+         ("o_orderkey", "o_custkey", "o_totalprice")]
+        + [str_branch.format(c=c) for c in
+           ("o_orderstatus", "o_orderdate", "o_orderpriority")]
+    )
+    d["profile_table"] = f"""
+        WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                          o_totalprice, CAST(o_orderdate AS DATE)
+                              AS o_orderdate, o_orderpriority
+                   FROM orders)
+        {branches}
+        ORDER BY col_name
     """
     # The curation composite nests the quality/language oracles verbatim,
     # re-pointed at the planted-copy corpus — the composition is checked, the

@@ -83,3 +83,116 @@ def key_skew_report(
         .limit(top_k)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def table_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Whole-table column profile in ONE pass over the data: per column —
+    null count, distinct count, numeric min/max/mean, string/date min/max
+    and mean length. The "what am I about to shuffle" reconnaissance step
+    that sizes every downstream decision (broadcast eligibility, salt
+    factors, bucketing counts) without N per-column scans.
+
+    Plan shape: a single global ``agg`` carrying every statistic, then the
+    one result row is exploded into the per-column long format — the table
+    is read once. With ``exact_distinct=True`` Spark plans the multi-
+    ``count(distinct)`` via one Expand (input replicated ×|columns| into
+    the SAME shuffle — still one pass over storage); at 100 TB flip to
+    ``exact_distinct=False`` for HyperLogLog ``approx_count_distinct``
+    (no Expand, partial-aggregated, ±2% — not oracle-comparable, which is
+    why the checked query keeps the exact path).
+
+    Determinism: means ride the DECIMAL(38,6)/(28,6) lane (a double sum
+    over a shuffle merges in nondeterministic order), rounded to 6dp
+    doubles at the surface. Numeric min/max are exact (double compare is
+    order-free); string min/max are binary collation in both engines.
+
+    Output: (col_name, n_nulls, n_distinct, num_min, num_max, num_avg,
+    str_min, str_max, len_avg) — one row per profiled column, ordered by
+    col_name.
+    """
+    cols = columns or df.columns
+    numeric = {"int", "bigint", "double", "float", "smallint", "tinyint",
+               "decimal", "long", "short"}
+    aggs = []
+    for c in cols:
+        dt = dict(df.dtypes)[c].split("(")[0]
+        is_num = dt in numeric
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nn_{c}"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(col).alias(f"__nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(col).alias(f"__nd_{c}"))
+        if is_num:
+            aggs.append(F.min(col).cast("double").alias(f"__mn_{c}"))
+            aggs.append(F.max(col).cast("double").alias(f"__mx_{c}"))
+            aggs.append(
+                F.sum(col.cast("decimal(38,6)")).alias(f"__sm_{c}")
+            )
+            aggs.append(F.count(col).alias(f"__ct_{c}"))
+        else:
+            aggs.append(F.min(col.cast("string")).alias(f"__smn_{c}"))
+            aggs.append(F.max(col.cast("string")).alias(f"__smx_{c}"))
+            aggs.append(
+                F.sum(F.length(col.cast("string")).cast("decimal(28,6)"))
+                .alias(f"__sl_{c}")
+            )
+            aggs.append(F.count(col).alias(f"__ct_{c}"))
+    wide = df.agg(*aggs)
+    structs = []
+    for c in cols:
+        dt = dict(df.dtypes)[c].split("(")[0]
+        is_num = dt in numeric
+        nul = F.lit(None)
+        safe_ct = F.greatest(F.col(f"__ct_{c}"), F.lit(1))
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__nn_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+                (F.col(f"__mn_{c}") if is_num else nul.cast("double")).alias(
+                    "num_min"
+                ),
+                (F.col(f"__mx_{c}") if is_num else nul.cast("double")).alias(
+                    "num_max"
+                ),
+                # exact decimal SUM, then one double divide + round: decimal
+                # DIVISION scale rules differ across engines, double divide
+                # of an exactly-determined numerator does not
+                (
+                    F.when(
+                        F.col(f"__ct_{c}") > 0,
+                        F.round(
+                            F.col(f"__sm_{c}").cast("double") / safe_ct, 6
+                        ),
+                    )
+                    if is_num
+                    else nul.cast("double")
+                ).alias("num_avg"),
+                (nul.cast("string") if is_num else F.col(f"__smn_{c}")).alias(
+                    "str_min"
+                ),
+                (nul.cast("string") if is_num else F.col(f"__smx_{c}")).alias(
+                    "str_max"
+                ),
+                (
+                    nul.cast("double")
+                    if is_num
+                    else F.when(
+                        F.col(f"__ct_{c}") > 0,
+                        F.round(
+                            F.col(f"__sl_{c}").cast("double") / safe_ct, 6
+                        ),
+                    )
+                ).alias("len_avg"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )

@@ -103,3 +103,50 @@ def test_skew_report_decimal_products_no_overflow(spark):
     out = {r["key_value"]: r for r in key_skew_report(df, "k", top_k=2).collect()}
     assert out["a"]["skew_x1000"] == 6 * 2 * 1000 // 8
     assert out["a"]["share_ppm"] == 750000
+
+
+def test_table_profile_stats_and_single_pass(spark):
+    from iatlas_cbioportal_export_spark.operators.profiling import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "aa"),
+            (2, 20.0, "bbbb"),
+            (3, None, "aa"),
+            (None, 30.0, None),
+        ],
+        "k long, v double, s string",
+    )
+    out = {r["col_name"]: r for r in table_profile(df).collect()}
+    assert set(out) == {"k", "v", "s"}
+    assert out["k"]["n_nulls"] == 1 and out["k"]["n_distinct"] == 3
+    assert out["v"]["num_min"] == 10.0 and out["v"]["num_max"] == 30.0
+    assert out["v"]["num_avg"] == 20.0
+    assert out["s"]["str_min"] == "aa" and out["s"]["str_max"] == "bbbb"
+    assert out["s"]["len_avg"] == round((2 + 4 + 2) / 3, 6)
+    assert out["s"]["num_min"] is None and out["k"]["str_min"] is None
+    # single pass: exactly one scan of the source in the plan
+    plan = table_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_table_profile_approx_path_no_expand(spark):
+    from iatlas_cbioportal_export_spark.operators.profiling import (
+        table_profile,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("a"), (F.col("id") % 3).alias("b")
+    )
+    exact = table_profile(df)
+    approx = table_profile(df, exact_distinct=False)
+    ex = {r["col_name"]: r["n_distinct"] for r in exact.collect()}
+    ap = {r["col_name"]: r["n_distinct"] for r in approx.collect()}
+    assert ex == {"a": 7, "b": 3}
+    # HLL at this cardinality is exact too, and the plan drops the Expand
+    assert ap == ex
+    ep = exact._jdf.queryExecution().executedPlan().toString()
+    pp = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in ep and "Expand" not in pp
