@@ -3566,6 +3566,59 @@ def q_profile_table(spark, sf_dir):
     return table_profile(orders)
 
 
+def q_graph_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths (4 Bellman-Ford rounds) from
+    part 1 over the part↔supplier bipartite graph, edge weight =
+    min(l_quantity) — frontier-optimized min-plus relaxation with integer-
+    exact distances; the oracle replays the rounds as chained CTEs."""
+    from iatlas_cbioportal_export_spark.operators.graph import sssp_distances
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.groupBy(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    ).agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    return sssp_distances(edges, source=1, rounds=4).orderBy("node")
+
+
+def _sssp_oracle(source: int = 1, rounds: int = 4) -> str:
+    """Generated chained-CTE twin of q_graph_sssp: one min-plus relaxation
+    per CTE over the full distance table (equivalent to the operator's
+    frontier-optimized rounds — delta-relaxation changes cost, not
+    results)."""
+    sql = [
+        """
+        WITH e0 AS MATERIALIZED (
+            SELECT l_partkey AS s, l_suppkey + 1000000 AS t,
+                   CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1, 2
+        ),
+        e AS MATERIALIZED (
+            SELECT s, t, min(w) AS w FROM (
+                SELECT s, t, w FROM e0
+                UNION ALL SELECT t, s, w FROM e0
+            ) GROUP BY 1, 2
+        ),"""
+        + f"""
+        d0 AS (SELECT CAST({source} AS BIGINT) AS node,
+                      CAST(0 AS BIGINT) AS dist)"""
+    ]
+    for r in range(1, rounds + 1):
+        sql.append(
+            f""",
+        d{r} AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{r - 1}
+                UNION ALL
+                SELECT e.t AS node, d{r - 1}.dist + e.w AS dist
+                FROM d{r - 1} JOIN e ON e.s = d{r - 1}.node
+            ) GROUP BY node
+        )"""
+        )
+    sql.append(f"\n        SELECT node, dist FROM d{rounds} ORDER BY node")
+    return "".join(sql)
+
+
 def _hits_oracle(iterations: int = 2, scale: int = 10**6) -> str:
     """Chained-CTE twin of q_graph_hits: each half-round is one join-sum +
     one HUGEINT L1 rescale (DuckDB ``//`` floors = Spark decimal ``div``
@@ -4038,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_variant_extract": q_events_variant_extract,
         "text_naive_bayes": q_text_naive_bayes,
         "profile_table": q_profile_table,
+        "graph_sssp": q_graph_sssp,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -5764,6 +5818,7 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rn = 1
         ORDER BY doc_id
     """
+    d["graph_sssp"] = _sssp_oracle(source=1, rounds=4)
     # table_profile: one UNION ALL branch per column, mirroring the
     # exploded one-row aggregate. NULL type anchors keep the branch
     # schemas aligned.

@@ -768,3 +768,77 @@ def hits(
             F.coalesce("a", F.lit(0)).alias("auth_int"),
         )
     )
+
+
+def sssp_distances(
+    pairs: DataFrame,
+    source: int,
+    rounds: int = 4,
+    left_col: str = "src",
+    right_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted single-source shortest paths, bounded-round Bellman-Ford —
+    the weighted upgrade of :func:`bfs_distances` (min-plus semiring
+    instead of hop counting). Integer weights keep every distance exact,
+    so rounds replay bit-identically in any engine.
+
+    Frontier-optimized relaxation: only nodes whose distance IMPROVED last
+    round join the edge table next round (classic delta-relaxation — the
+    result is identical to relaxing everything, rounds just get cheaper as
+    the frontier shrinks). Per round:
+
+    1. frontier ⋈ edges (keyed on node ids, AQE re-plannable) →
+       map-side-combined ``min(dist + w)`` per destination;
+    2. one node-table-sized full-outer merge stamps improved distances;
+    3. ``localCheckpoint(eager=False)`` truncates lineage (the iterative-
+       join discipline shared with pagerank/bfs).
+
+    Edges are symmetrized and parallel edges collapsed to their min weight
+    first. A fixed round bound is the honest distributed contract (it is
+    the graph diameter cap); convergence-detection would add a count()
+    action per round for no result change within the bound.
+
+    Output: (node, dist) for every node reachable within ``rounds``
+    relaxation rounds, dist = exact min path weight.
+    """
+    spark = pairs.sparkSession
+    half = pairs.select(
+        F.col(left_col).cast("long").alias("s"),
+        F.col(right_col).cast("long").alias("t"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    e = (
+        half.union(
+            pairs.select(
+                F.col(right_col).cast("long"),
+                F.col(left_col).cast("long"),
+                F.col(weight_col).cast("long"),
+            )
+        )
+        .groupBy("s", "t")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    dist = spark.createDataFrame([(int(source), 0)], "node long, dist long")
+    frontier = dist
+    for _ in range(rounds):
+        cand = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+        )
+        merged = dist.join(cand, on="node", how="full_outer").select(
+            "node",
+            F.least(F.col("dist"), F.col("nd")).alias("dist"),
+            (
+                F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
+            ).alias("__improved"),
+        )
+        dist = merged.select("node", "dist").localCheckpoint(eager=False)
+        frontier = (
+            merged.filter("__improved")
+            .select("node", "dist")
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -330,3 +330,40 @@ def test_hits_empty_edges(spark):
 
     edges = spark.createDataFrame([], "src long, dst long")
     assert hits(edges, iterations=1).count() == 0
+
+
+def test_sssp_weighted_beats_hop_count(spark):
+    from iatlas_cbioportal_export_spark.operators.graph import sssp_distances
+
+    # 0-1 costs 10 direct, but 0-2-1 costs 1+2=3: SSSP must take the
+    # 2-hop cheaper path where BFS would stop at the direct edge.
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 1, 2), (1, 3, 5)],
+        "src long, dst long, w long",
+    )
+    out = {r["node"]: r["dist"] for r in sssp_distances(edges, 0, rounds=4).collect()}
+    assert out == {0: 0, 1: 3, 2: 1, 3: 8}
+
+
+def test_sssp_parallel_edges_and_symmetry(spark):
+    from iatlas_cbioportal_export_spark.operators.graph import sssp_distances
+
+    # parallel edges collapse to min weight; traversal is undirected
+    edges = spark.createDataFrame(
+        [(1, 0, 7), (0, 1, 4), (2, 1, 6)],
+        "src long, dst long, w long",
+    )
+    out = {r["node"]: r["dist"] for r in sssp_distances(edges, 0, rounds=3).collect()}
+    assert out == {0: 0, 1: 4, 2: 10}
+
+
+def test_sssp_round_bound_limits_reach(spark):
+    from iatlas_cbioportal_export_spark.operators.graph import sssp_distances
+
+    # chain 0-1-2-3: rounds=2 must not reach node 3
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1)],
+        "src long, dst long, w long",
+    )
+    out = {r["node"]: r["dist"] for r in sssp_distances(edges, 0, rounds=2).collect()}
+    assert out == {0: 0, 1: 1, 2: 2}
