@@ -3581,6 +3581,54 @@ def q_graph_sssp(spark, sf_dir):
     return sssp_distances(edges, source=1, rounds=4).orderBy("node")
 
 
+def q_entity_fs_linkage(spark, sf_dir):
+    """Fellegi-Sunter probabilistic linkage of customers against a
+    deterministically perturbed planted copy (custkey%4 picks which field
+    is damaged): u-probabilities estimated from the right table's exact
+    value-frequency squares, literal m=0.95, log2 likelihood-ratio
+    weights through the decimal lane, link/possible/non_link decisions.
+    Blocking on (nationkey, custkey%50) yields true pairs plus incidental
+    block collisions, so every decision branch is exercised."""
+    from iatlas_cbioportal_export_spark.operators.entity import (
+        fellegi_sunter_linkage,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.select(
+        F.col("c_custkey").alias("lid"),
+        "c_nationkey",
+        (F.col("c_custkey") % 50).alias("blk"),
+        "c_name",
+        F.col("c_acctbal").cast("string").alias("c_acctbal_s"),
+        "c_mktsegment",
+    )
+    right = cust.select(
+        (F.col("c_custkey") + 1_000_000).alias("rid"),
+        "c_nationkey",
+        (F.col("c_custkey") % 50).alias("blk"),
+        F.when(F.col("c_custkey") % 4 == 0, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.when(
+            F.col("c_custkey") % 4 == 1,
+            (F.col("c_acctbal") + 1).cast("string"),
+        )
+        .otherwise(F.col("c_acctbal").cast("string"))
+        .alias("c_acctbal_s"),
+        F.when(F.col("c_custkey") % 4 == 2, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    return fellegi_sunter_linkage(
+        left,
+        right,
+        "lid",
+        "rid",
+        block_cols=["c_nationkey", "blk"],
+        compare_cols=["c_name", "c_acctbal_s", "c_mktsegment"],
+    ).orderBy("l_id", "r_id")
+
+
 def _sssp_oracle(source: int = 1, rounds: int = 4) -> str:
     """Generated chained-CTE twin of q_graph_sssp: one min-plus relaxation
     per CTE over the full distance table (equivalent to the operator's
@@ -4092,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_naive_bayes": q_text_naive_bayes,
         "profile_table": q_profile_table,
         "graph_sssp": q_graph_sssp,
+        "entity_fs_linkage": q_entity_fs_linkage,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -5819,6 +5868,88 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_id
     """
     d["graph_sssp"] = _sssp_oracle(source=1, rounds=4)
+    # Fellegi-Sunter: the oracle re-estimates every u-probability from the
+    # same right-table frequency squares and rebuilds the log2 weights with
+    # explicit DOUBLE casts ((1.0 - CAST(0.95 AS DOUBLE)) reproduces the
+    # Python 1-m double exactly; a DECIMAL 0.05 literal would not).
+    d["entity_fs_linkage"] = """
+        WITH lt AS (
+            SELECT c_custkey AS lid, c_nationkey, c_custkey % 50 AS blk,
+                   coalesce(c_name, ' null ') AS f_name,
+                   coalesce(CAST(c_acctbal AS VARCHAR), ' null ') AS f_bal,
+                   coalesce(c_mktsegment, ' null ') AS f_seg
+            FROM customer
+        ),
+        rt AS (
+            SELECT c_custkey + 1000000 AS rid, c_nationkey,
+                   c_custkey % 50 AS blk,
+                   coalesce(CASE WHEN c_custkey % 4 = 0 THEN upper(c_name)
+                                 ELSE c_name END, ' null ') AS f_name,
+                   coalesce(CAST(CASE WHEN c_custkey % 4 = 1
+                                      THEN c_acctbal + 1
+                                      ELSE c_acctbal END AS VARCHAR),
+                            ' null ') AS f_bal,
+                   coalesce(CASE WHEN c_custkey % 4 = 2 THEN 'PERTURBED'
+                                 ELSE c_mktsegment END, ' null ') AS f_seg
+            FROM customer
+        ),
+        nn AS (SELECT count(*) AS n FROM rt),
+        uv AS (
+            SELECT
+                least(greatest(
+                    (SELECT CAST(sum(cnt * cnt) AS DOUBLE) FROM (
+                        SELECT count(*) AS cnt FROM rt GROUP BY f_name))
+                    / (nn.n * nn.n), 1e-9), 1 - 1e-9) AS u_name,
+                least(greatest(
+                    (SELECT CAST(sum(cnt * cnt) AS DOUBLE) FROM (
+                        SELECT count(*) AS cnt FROM rt GROUP BY f_bal))
+                    / (nn.n * nn.n), 1e-9), 1 - 1e-9) AS u_bal,
+                least(greatest(
+                    (SELECT CAST(sum(cnt * cnt) AS DOUBLE) FROM (
+                        SELECT count(*) AS cnt FROM rt GROUP BY f_seg))
+                    / (nn.n * nn.n), 1e-9), 1 - 1e-9) AS u_seg
+            FROM nn
+        ),
+        w AS (
+            SELECT
+                log2(CAST(0.95 AS DOUBLE) / u_name) AS wa_name,
+                log2((1.0 - CAST(0.95 AS DOUBLE)) / (1.0 - u_name))
+                    AS wd_name,
+                log2(CAST(0.95 AS DOUBLE) / u_bal) AS wa_bal,
+                log2((1.0 - CAST(0.95 AS DOUBLE)) / (1.0 - u_bal)) AS wd_bal,
+                log2(CAST(0.95 AS DOUBLE) / u_seg) AS wa_seg,
+                log2((1.0 - CAST(0.95 AS DOUBLE)) / (1.0 - u_seg)) AS wd_seg
+            FROM uv
+        ),
+        pairs AS (
+            SELECT l.lid, r.rid,
+                   l.f_name = r.f_name AS a_name,
+                   l.f_bal = r.f_bal AS a_bal,
+                   l.f_seg = r.f_seg AS a_seg
+            FROM lt l JOIN rt r USING (c_nationkey, blk)
+        ),
+        scored AS (
+            SELECT lid, rid, a_name, a_bal, a_seg,
+                   CAST(round(
+                       CAST(CASE WHEN a_name THEN w.wa_name
+                                 ELSE w.wd_name END AS DECIMAL(28,12))
+                       + CAST(CASE WHEN a_bal THEN w.wa_bal
+                                   ELSE w.wd_bal END AS DECIMAL(28,12))
+                       + CAST(CASE WHEN a_seg THEN w.wa_seg
+                                   ELSE w.wd_seg END AS DECIMAL(28,12)),
+                       6) AS DOUBLE) AS score
+            FROM pairs CROSS JOIN w
+        )
+        SELECT lid AS l_id, rid AS r_id,
+               a_name AS agree_c_name,
+               a_bal AS agree_c_acctbal_s,
+               a_seg AS agree_c_mktsegment,
+               score,
+               CASE WHEN score >= 3.0 THEN 'link'
+                    WHEN score > 0.0 THEN 'possible'
+                    ELSE 'non_link' END AS decision
+        FROM scored ORDER BY l_id, r_id
+    """
     # table_profile: one UNION ALL branch per column, mirroring the
     # exploded one-row aggregate. NULL type anchors keep the branch
     # schemas aligned.

@@ -139,3 +139,97 @@ def fuzzy_join_edit_distance(
         )
         .filter(F.col("edit_distance") >= 0)
     )
+
+
+def fellegi_sunter_linkage(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    block_cols: list[str],
+    compare_cols: list[str],
+    m: float = 0.95,
+    upper: float = 3.0,
+    lower: float = 0.0,
+) -> DataFrame:
+    """Probabilistic record linkage, Fellegi-Sunter (1969) model: blocked
+    candidate pairs are scored by per-field agreement log-likelihood
+    ratios and classified link / possible / non-link — the statistical
+    upgrade of :func:`fuzzy_join_edit_distance` when fields carry very
+    different evidential value (agreeing on a phone number means more
+    than agreeing on a market segment).
+
+    Model estimation is FROM THE DATA, in-plan: each field's
+    u-probability (chance two UNRELATED records agree) is the exact
+    value-frequency square sum ``sum(cnt^2)/n^2`` over the right table —
+    one map-side-combined groupBy per field over |values| rows, collected
+    as k decision scalars (KB-bounded) and baked back as literals, so the
+    pair-scoring stage stays a pure narrow projection over the blocked
+    join. m (chance truly-linked records agree) is the operator's literal
+    parameter, as in practice (estimating m needs labeled pairs or EM).
+
+    Weights: agree -> log2(m/u), disagree -> log2((1-m)/(1-u)), u clamped
+    to [1e-9, 1-1e-9] (a constant field would otherwise send the
+    disagreement weight to -inf). Per-pair score is the DECIMAL(28,12)
+    sum of field weights (engine-exact; the doubles themselves are
+    deterministic libm values), surfaced as a 6dp double.
+
+    Scale shape: blocking join is a plain equi-join on block_cols (AQE
+    re-plannable, salting-compatible); u-estimation never touches pairs.
+    NULL fields compare via a sentinel (NULL agrees with NULL).
+
+    Output: (left_id, right_id, agree_<field>..., score, decision).
+    """
+    import math
+
+    sent = " null "
+
+    def _norm(df: DataFrame, c: str) -> Column:
+        return F.coalesce(F.col(c).cast("string"), F.lit(sent))
+
+    n = right.count()
+    us = {}
+    for c in compare_cols:
+        freq = (
+            right.select(_norm(right, c).alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("s2"))
+            .collect()[0]["s2"]
+        )
+        u = freq / (n * n)
+        us[c] = min(max(u, 1e-9), 1 - 1e-9)
+    weights = {
+        c: (math.log2(m / us[c]), math.log2((1 - m) / (1 - us[c])))
+        for c in compare_cols
+    }
+    lsel = left.select(
+        F.col(left_id).alias("l_id"),
+        *[F.col(b).alias(f"__b_{b}") for b in block_cols],
+        *[_norm(left, c).alias(f"__l_{c}") for c in compare_cols],
+    )
+    rsel = right.select(
+        F.col(right_id).alias("r_id"),
+        *[F.col(b).alias(f"__b_{b}") for b in block_cols],
+        *[_norm(right, c).alias(f"__r_{c}") for c in compare_cols],
+    )
+    pairs = lsel.join(rsel, on=[f"__b_{b}" for b in block_cols])
+    agree = {c: (F.col(f"__l_{c}") == F.col(f"__r_{c}")) for c in compare_cols}
+    score_dec = None
+    for c in compare_cols:
+        wa, wd = weights[c]
+        term = (
+            F.when(agree[c], F.lit(wa)).otherwise(F.lit(wd))
+        ).cast("decimal(28,12)")
+        score_dec = term if score_dec is None else score_dec + term
+    score = F.round(score_dec, 6).cast("double")
+    return pairs.select(
+        "l_id",
+        "r_id",
+        *[agree[c].alias(f"agree_{c}") for c in compare_cols],
+        score.alias("score"),
+        F.when(score >= F.lit(upper), F.lit("link"))
+        .when(score > F.lit(lower), F.lit("possible"))
+        .otherwise(F.lit("non_link"))
+        .alias("decision"),
+    )

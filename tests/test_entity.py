@@ -104,3 +104,76 @@ def test_matches_brute_force_on_random_ish_corpus(spark):
         if lev(a, b) <= d
     }
     assert out == expect
+
+
+def test_fs_linkage_field_evidence_ordering(spark):
+    from iatlas_cbioportal_export_spark.operators.entity import (
+        fellegi_sunter_linkage,
+    )
+
+    # "phone" is unique (low u -> strong evidence), "seg" has 2 values
+    # (high u -> weak). Agreement on phone alone must outscore agreement
+    # on seg alone.
+    left = spark.createDataFrame(
+        [(1, 1, "p1", "A"), (2, 1, "p2", "B")],
+        "id long, blk long, phone string, seg string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, "p1", "X"),   # agrees with 1 on phone only
+            (11, 1, "zz", "A"),   # agrees with 1 on seg only
+            (12, 1, "p9", "A"),   # seg skewed: high u -> weak evidence
+            (13, 1, "p8", "A"),
+        ],
+        "id long, blk long, phone string, seg string",
+    )
+    out = fellegi_sunter_linkage(
+        left, right, "id", "id", ["blk"], ["phone", "seg"]
+    )
+    sc = {(r["l_id"], r["r_id"]): r["score"] for r in out.collect()}
+    assert sc[(1, 10)] > sc[(1, 11)]
+
+
+def test_fs_linkage_decisions_and_null_agreement(spark):
+    from iatlas_cbioportal_export_spark.operators.entity import (
+        fellegi_sunter_linkage,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 1, "alice", None)], "id long, blk long, a string, b string"
+    )
+    right = spark.createDataFrame(
+        [(10, 1, "alice", None), (11, 1, "bob", "x")],
+        "id long, blk long, a string, b string",
+    )
+    out = {
+        r["r_id"]: r
+        for r in fellegi_sunter_linkage(
+            left, right, "id", "id", ["blk"], ["a", "b"], upper=1.0
+        ).collect()
+    }
+    # NULL b agrees with NULL b; full agreement -> link
+    assert out[10]["agree_b"] and out[10]["decision"] == "link"
+    assert not out[11]["agree_a"] and out[11]["decision"] == "non_link"
+
+
+def test_fs_linkage_constant_field_clamped(spark):
+    from iatlas_cbioportal_export_spark.operators.entity import (
+        fellegi_sunter_linkage,
+    )
+
+    # a constant field has u = 1: without the clamp the disagreement
+    # weight is -inf and agreement weight log2(m) -> tiny; scores must
+    # stay finite
+    left = spark.createDataFrame(
+        [(1, 1, "k")], "id long, blk long, c string"
+    )
+    right = spark.createDataFrame(
+        [(10, 1, "k"), (11, 1, "k")], "id long, blk long, c string"
+    )
+    rows = fellegi_sunter_linkage(
+        left, right, "id", "id", ["blk"], ["c"]
+    ).collect()
+    import math
+
+    assert all(math.isfinite(r["score"]) for r in rows)
