@@ -3629,6 +3629,26 @@ def q_entity_fs_linkage(spark, sf_dir):
     ).orderBy("l_id", "r_id")
 
 
+def q_stats_ols_multi(spark, sf_dir):
+    """Two-feature closed-form OLS per return flag: floor-cents revenue
+    regressed on quantity and discount-percent — ten DECIMAL(38,0)-exact
+    normal-equation sums in ONE map-side-combined aggregate, then
+    Cramer's rule on doubles with an oracle-replayable parenthesization."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        grouped_multi_linear_fit,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100).alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100).alias("y"),
+    )
+    return grouped_multi_linear_fit(
+        li, "l_returnflag", "x1", "x2", "y"
+    ).orderBy("l_returnflag")
+
+
 def _sssp_oracle(source: int = 1, rounds: int = 4) -> str:
     """Generated chained-CTE twin of q_graph_sssp: one min-plus relaxation
     per CTE over the full distance table (equivalent to the operator's
@@ -4141,6 +4161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "graph_sssp": q_graph_sssp,
         "entity_fs_linkage": q_entity_fs_linkage,
+        "stats_ols_multi": q_stats_ols_multi,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -5868,6 +5889,58 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_id
     """
     d["graph_sssp"] = _sssp_oracle(source=1, rounds=4)
+    # OLS: sums are HUGEINT-exact (DuckDB sum(BIGINT)) = Spark's
+    # DECIMAL(38,0) lane; the Cramer algebra mirrors the operator's
+    # parenthesization token-for-token so double rounding replays.
+    d["stats_ols_multi"] = """
+        WITH v AS (
+            SELECT l_returnflag AS g,
+                   CAST(l_quantity AS BIGINT) AS x1,
+                   CAST(floor(l_discount * 100) AS BIGINT) AS x2,
+                   CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        s AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x1) AS DOUBLE) AS s1,
+                   CAST(sum(x2) AS DOUBLE) AS s2,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+                   CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+                   CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+                   CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+                   CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+                   CAST(sum(y * y) AS DOUBLE) AS syy
+            FROM v GROUP BY g
+        ),
+        dets AS (
+            SELECT *,
+                   nd * (s11 * s22 - s12 * s12)
+                       - s1 * (s1 * s22 - s12 * s2)
+                       + s2 * (s1 * s12 - s11 * s2) AS det,
+                   sy * (s11 * s22 - s12 * s12)
+                       - s1 * (s1y * s22 - s12 * s2y)
+                       + s2 * (s1y * s12 - s11 * s2y) AS det0,
+                   nd * (s1y * s22 - s12 * s2y)
+                       - sy * (s1 * s22 - s12 * s2)
+                       + s2 * (s1 * s2y - s1y * s2) AS det1,
+                   nd * (s11 * s2y - s1y * s12)
+                       - s1 * (s1 * s2y - s1y * s2)
+                       + sy * (s1 * s12 - s11 * s2) AS det2
+            FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM s)
+        )
+        SELECT g AS l_returnflag, n,
+               round(CASE WHEN det <> 0 THEN det0 / det END, 6) AS b0,
+               round(CASE WHEN det <> 0 THEN det1 / det END, 9) AS b1,
+               round(CASE WHEN det <> 0 THEN det2 / det END, 9) AS b2,
+               round(CASE WHEN det <> 0 AND syy - sy * sy / nd > 0
+                          THEN 1.0 - (syy - (det0 / det) * sy
+                                          - (det1 / det) * s1y
+                                          - (det2 / det) * s2y)
+                               / (syy - sy * sy / nd)
+                     END, 6) AS r2
+        FROM dets ORDER BY l_returnflag
+    """
     # Fellegi-Sunter: the oracle re-estimates every u-probability from the
     # same right-table frequency squares and rebuilds the log2 weights with
     # explicit DOUBLE casts ((1.0 - CAST(0.95 AS DOUBLE)) reproduces the

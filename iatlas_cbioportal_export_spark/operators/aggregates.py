@@ -633,6 +633,87 @@ def grouped_linear_fit(
     )
 
 
+def grouped_multi_linear_fit(
+    df: DataFrame,
+    group_col: str,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Closed-form TWO-feature least squares per group (y ~ b0 + b1·x1 +
+    b2·x2) — the multiple-regression upgrade of :func:`grouped_linear_fit`,
+    still ONE aggregate pass: the ten normal-equation sums (n, Σx1, Σx2,
+    Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y, Σy²) accumulate EXACTLY in
+    DECIMAL(38,0) for integral inputs, then the 3×3 system solves by
+    Cramer's rule on doubles derived from the exact sums — bit-stable
+    under any partitioning, replayable formula-for-formula in any engine.
+
+    Map-side combined single shuffle (one sums row per group per
+    partition); everything after the agg is per-group literal algebra.
+    Collinear / degenerate groups (singular X'X, |det| = 0) return NULL
+    coefficients. R² = 1 − SSE/SST from the same sums (no second pass).
+
+    Output: (group, n, b0, b1, b2, r2).
+    """
+    x1 = F.col(x1_col).cast("decimal(38,0)")
+    x2 = F.col(x2_col).cast("decimal(38,0)")
+    y = F.col(y_col).cast("decimal(38,0)")
+    sums = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, sy = (F.col(c).cast("double") for c in ("s1", "s2", "sy"))
+    s11, s22, s12 = (F.col(c).cast("double") for c in ("s11", "s22", "s12"))
+    s1y, s2y, syy = (F.col(c).cast("double") for c in ("s1y", "s2y", "syy"))
+    # Cramer's rule on [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] b = [sy,s1y,s2y].
+    # Expression shape is part of the contract: the oracle must write the
+    # SAME parenthesization so double rounding replays identically.
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    ok = det != F.lit(0.0)
+    b0 = F.when(ok, det0 / det)
+    b1 = F.when(ok, det1 / det)
+    b2 = F.when(ok, det2 / det)
+    sse = syy - (det0 / det) * sy - (det1 / det) * s1y - (det2 / det) * s2y
+    sst = syy - sy * sy / n
+    r2 = F.when(ok & (sst > 0), F.lit(1.0) - sse / sst)
+    return sums.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 9).alias("b1"),
+        F.round(b2, 9).alias("b2"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
 def psi_report(
     ref: DataFrame,
     cur: DataFrame,

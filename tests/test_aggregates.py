@@ -573,3 +573,35 @@ def test_global_running_sum_empty(spark):
 
     df = spark.range(0).select(F.col("id").alias("k"), F.lit(1).alias("v"))
     assert global_running_sum(df, "k", "v", bucket_width=8).count() == 0
+
+
+def test_multi_linear_fit_recovers_planted_plane(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        grouped_multi_linear_fit,
+    )
+
+    # exact plane y = 5 + 2*x1 - 3*x2 over a non-collinear integer grid
+    rows = [
+        ("g", x1, x2, 5 + 2 * x1 - 3 * x2)
+        for x1 in range(6)
+        for x2 in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, x1 long, x2 long, y long")
+    out = grouped_multi_linear_fit(df, "g", "x1", "x2", "y").collect()[0]
+    assert out["n"] == 30
+    assert abs(out["b0"] - 5) < 1e-6
+    assert abs(out["b1"] - 2) < 1e-9
+    assert abs(out["b2"] + 3) < 1e-9
+    assert out["r2"] == 1.0
+
+
+def test_multi_linear_fit_collinear_returns_null(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        grouped_multi_linear_fit,
+    )
+
+    # x2 = 2*x1 exactly -> singular normal matrix -> NULL coefficients
+    rows = [("g", x, 2 * x, 7 * x + 1) for x in range(10)]
+    df = spark.createDataFrame(rows, "g string, x1 long, x2 long, y long")
+    out = grouped_multi_linear_fit(df, "g", "x1", "x2", "y").collect()[0]
+    assert out["b0"] is None and out["b1"] is None and out["r2"] is None
