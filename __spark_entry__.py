@@ -3649,6 +3649,30 @@ def q_stats_ols_multi(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+def q_sim_grid_dbscan(spark, sf_dir):
+    """Grid-density (DBSCAN-cell) clustering over the first two embedding
+    coordinates: eps=0.05 cells, min_pts=4 dense gate, 8-neighbor dense-
+    cell merge via connected-components min-label, border attach by min
+    adjacent cluster — corpus touched once; everything else is cell-graph
+    sized. Oracle replays the merge as a recursive-CTE closure."""
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        grid_dbscan,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        grid_dbscan(emb, eps=0.05, min_pts=4)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("cx").alias("cell_x"),
+            F.col("cy").alias("cell_y"),
+            "role",
+            F.col("cluster").alias("cluster_id"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def _sssp_oracle(source: int = 1, rounds: int = 4) -> str:
     """Generated chained-CTE twin of q_graph_sssp: one min-plus relaxation
     per CTE over the full distance table (equivalent to the operator's
@@ -4162,6 +4186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": q_graph_sssp,
         "entity_fs_linkage": q_entity_fs_linkage,
         "stats_ols_multi": q_stats_ols_multi,
+        "sim_grid_dbscan": q_sim_grid_dbscan,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -5889,6 +5914,66 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_id
     """
     d["graph_sssp"] = _sssp_oracle(source=1, rounds=4)
+    # grid-DBSCAN: the dense-cell merge replays as a recursive-CTE
+    # transitive closure (cell graph is tiny); min(label) = the operator's
+    # min-label components.
+    d["sim_grid_dbscan"] = """
+        WITH pts AS (
+            SELECT vec_id AS id,
+                   CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05)
+                        AS BIGINT) AS cx,
+                   CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05)
+                        AS BIGINT) AS cy
+            FROM embeddings
+        ),
+        cells AS (SELECT cx, cy, count(*) AS n FROM pts GROUP BY 1, 2),
+        dense AS (
+            SELECT cx, cy, cx * 100000 + cy AS cid FROM cells WHERE n >= 4
+        ),
+        edges AS (
+            SELECT a.cid AS src, b.cid AS dst
+            FROM dense a JOIN dense b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+                 AND a.cid <> b.cid
+        ),
+        reach AS (
+            WITH RECURSIVE r(a, b) AS (
+                SELECT cid, cid FROM dense
+                UNION
+                SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b
+            )
+            SELECT a, min(b) AS comp FROM r GROUP BY a
+        ),
+        dense_lbl AS (
+            SELECT d.cx, d.cy, d.cid, reach.comp AS cluster
+            FROM dense d JOIN reach ON reach.a = d.cid
+        ),
+        core AS (
+            SELECT p.id, p.cx, p.cy, 'core' AS role, dl.cluster
+            FROM pts p JOIN dense_lbl dl USING (cx, cy)
+        ),
+        sparse AS (
+            SELECT p.id, p.cx, p.cy FROM pts p
+            LEFT JOIN dense_lbl dl USING (cx, cy) WHERE dl.cid IS NULL
+        ),
+        attach AS (
+            SELECT s.id, s.cx, s.cy, min(dl.cluster) AS cluster
+            FROM sparse s LEFT JOIN dense_lbl dl
+              ON abs(dl.cx - s.cx) <= 1 AND abs(dl.cy - s.cy) <= 1
+            GROUP BY 1, 2, 3
+        )
+        SELECT id AS vec_id, cx AS cell_x, cy AS cell_y, role,
+               cluster AS cluster_id
+        FROM (
+            SELECT id, cx, cy, role, cluster FROM core
+            UNION ALL
+            SELECT id, cx, cy,
+                   CASE WHEN cluster IS NOT NULL THEN 'border'
+                        ELSE 'noise' END, cluster
+            FROM attach
+        )
+        ORDER BY vec_id
+    """
     # OLS: sums are HUGEINT-exact (DuckDB sum(BIGINT)) = Spark's
     # DECIMAL(38,0) lane; the Cramer algebra mirrors the operator's
     # parenthesization token-for-token so double rounding replays.

@@ -1109,3 +1109,124 @@ def association_rules(
         .orderBy(F.desc("support"), "antecedent", "consequent")
         .limit(top_n)
     )
+
+
+def grid_dbscan(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 0.05,
+    min_pts: int = 4,
+    dims: tuple[int, int] = (0, 1),
+) -> DataFrame:
+    """Grid-density clustering (GriDBSCAN / DBSCAN's standard cell
+    approximation) over two embedding coordinates: points land in
+    eps-sized grid cells, cells holding >= ``min_pts`` points are DENSE,
+    touching dense cells (8-neighborhood) merge into one cluster, and
+    points in sparse cells attach to an adjacent dense cell's cluster as
+    BORDER points or stay NOISE. Density clustering without pairwise
+    distances — the shape that survives 100 TB where true eps-ball DBSCAN
+    (a distance self-join) cannot.
+
+    Scale design: the only corpus-sized step is ONE narrow cell
+    assignment + ONE map-side-combined groupBy(cell).count(); everything
+    after runs on the CELL graph (|dense cells| rows, orders of magnitude
+    smaller — the semantic-dedup cell trick). Cluster merging reuses
+    :func:`~iatlas_cbioportal_export_spark.operators.graph.
+    connected_components` min-label propagation over the 8-neighbor
+    edges; cluster ids are the component's minimum encoded cell id, so
+    labels are deterministic and engine-replayable (the oracle replays
+    the closure as a recursive CTE). Border attachment takes the MIN
+    cluster id among adjacent dense cells (deterministic tie-break).
+
+    Cell-granular semantics (documented approximation): core = "point in
+    a dense cell" rather than "eps-ball holds min_pts"; cells are
+    eps-sized so every true eps-core point is within one cell of its
+    neighbors. Exact DBSCAN verification per candidate cluster is the
+    refinement step at small scale.
+
+    Output: (id, cell_x, cell_y, role core|border|noise, cluster_id
+    nullable long).
+    """
+    from iatlas_cbioportal_export_spark.operators.graph import (
+        connected_components,
+    )
+
+    d1, d2 = dims
+    e = F.lit(float(eps))
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        F.floor(
+            F.element_at(vec_col, d1 + 1).cast("double") / e
+        ).alias("cx"),
+        F.floor(
+            F.element_at(vec_col, d2 + 1).cast("double") / e
+        ).alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    cid = (F.col("cx") * 100_000 + F.col("cy")).alias("cid")
+    dense = cells.filter(F.col("n") >= F.lit(int(min_pts))).select(
+        "cx", "cy", cid
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dx).cast("long").alias("dx"),
+                    F.lit(dy).cast("long").alias("dy"),
+                )
+                for dx, dy in offsets
+                if (dx, dy) != (0, 0)
+            ]
+        )
+    ).alias("o")
+    a = dense.select("cx", "cy", "cid", off).select(
+        F.col("cid").alias("src"),
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    b = dense.select(
+        F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+        F.col("cid").alias("dst"),
+    )
+    edges = a.join(b, on=["nx", "ny"]).select("src", "dst")
+    comp = connected_components(edges, "src", "dst")
+    # isolated dense cells are their own cluster
+    dense_lbl = (
+        dense.join(comp, dense["cid"] == comp["id"], "left")
+        .select(
+            "cx", "cy", "cid",
+            F.coalesce(F.col("component_id"), F.col("cid")).alias("cluster"),
+        )
+    )
+    core = pts.join(dense_lbl, on=["cx", "cy"]).select(
+        "id", "cx", "cy", F.lit("core").alias("role"), F.col("cluster")
+    )
+    sparse_pts = pts.join(dense_lbl.select("cx", "cy"), ["cx", "cy"], "left_anti")
+    nbr = dense_lbl.select("cx", "cy", "cluster").alias("d")
+    attach = None
+    sp = sparse_pts.select("id", "cx", "cy", off).select(
+        "id", "cx", "cy",
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    attach = (
+        sp.join(
+            nbr.select(
+                F.col("cx").alias("nx"), F.col("cy").alias("ny"), "cluster"
+            ),
+            on=["nx", "ny"],
+            how="left",
+        )
+        .groupBy("id", "cx", "cy")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    border_noise = attach.select(
+        "id", "cx", "cy",
+        F.when(F.col("cluster").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+        .alias("role"),
+        "cluster",
+    )
+    return core.unionByName(border_noise)

@@ -514,3 +514,38 @@ def test_mips_topk_query_cap_guard(spark):
     )
     with pytest.raises(ValueError, match="max_queries"):
         mips_topk(df, df, k=2, max_queries=5)
+
+
+def test_grid_dbscan_roles_and_merging(spark):
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        grid_dbscan,
+    )
+
+    # eps=1 unit cells. Cluster A: dense cells (0,0) and (1,1) touch
+    # diagonally -> ONE cluster. Cluster B: dense cell (5,5), separated.
+    # Border: point in sparse cell (2,2) adjacent to (1,1). Noise: point
+    # far away in (9,9).
+    def pt(i, x, y):
+        return (i, [float(x), float(y)])
+
+    rows = (
+        [pt(i, 0.1 + 0.01 * i, 0.1) for i in range(3)]        # cell (0,0)
+        + [pt(10 + i, 1.2 + 0.01 * i, 1.2) for i in range(3)]  # cell (1,1)
+        + [pt(20 + i, 5.5, 5.1 + 0.01 * i) for i in range(3)]  # cell (5,5)
+        + [pt(30, 2.5, 2.5), pt(31, 9.5, 9.5)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["id"]: r
+        for r in grid_dbscan(df, eps=1.0, min_pts=3).collect()
+    }
+    # all of A's points share one cluster (min cell id of (0,0),(1,1) = 0)
+    a_clusters = {out[i]["cluster"] for i in (0, 1, 2, 10, 11, 12)}
+    assert a_clusters == {0}
+    assert all(out[i]["role"] == "core" for i in (0, 1, 2, 10, 11, 12))
+    # B is its own cluster, not merged with A
+    b_clusters = {out[i]["cluster"] for i in (20, 21, 22)}
+    assert b_clusters == {5 * 100000 + 5}
+    # border point attaches to A via (1,1); noise has no cluster
+    assert out[30]["role"] == "border" and out[30]["cluster"] == 0
+    assert out[31]["role"] == "noise" and out[31]["cluster"] is None
