@@ -3673,6 +3673,33 @@ def q_sim_grid_dbscan(spark, sf_dir):
     )
 
 
+def q_sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ADC retrieval with exact-twin queries (vec_id<5 planted at
+    +1e6): the corpus pass emits only (id, cell, codes) — the 16-64x
+    memory story — and ADC top-10 must surface each twin's original at
+    its PQ quantization error. The oracle re-derives the codes from the
+    same seeded codebooks and replays the ADC double with the identical
+    per-subspace fold nesting."""
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    top = ivfpq_topk(emb, twins, k=10)
+    orig = F.col("vec_id") == F.col("query_id") - 1_000_000
+    return (
+        top.groupBy("query_id")
+        .agg(
+            F.max(orig).alias("found_original"),
+            F.max(F.when(orig, F.col("adc_d2"))).alias("adc_to_original"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _sssp_oracle(source: int = 1, rounds: int = 4) -> str:
     """Generated chained-CTE twin of q_graph_sssp: one min-plus relaxation
     per CTE over the full distance table (equivalent to the operator's
@@ -4187,6 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_fs_linkage": q_entity_fs_linkage,
         "stats_ols_multi": q_stats_ols_multi,
         "sim_grid_dbscan": q_sim_grid_dbscan,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -5914,6 +5942,49 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_id
     """
     d["graph_sssp"] = _sssp_oracle(source=1, rounds=4)
+    # IVF-PQ: codes re-derived from the same first-16-vector codebooks
+    # (the sim_pq_codes pipeline); the ADC double replays with matched
+    # fold nesting — inner: left fold over the 8 in-order subvector
+    # terms, outer: left fold over the per-subspace partials in j order.
+    d["sim_ivfpq_topk"] = """
+        WITH cb AS (
+            SELECT vec_id AS c,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings WHERE vec_id < 16
+        ),
+        v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+            FROM embeddings WHERE vec_id < 5
+        ),
+        sub AS (SELECT unnest(range(0, 8)) AS j),
+        dists AS (
+            SELECT v.vec_id, sub.j, cb.c,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 9),
+                           i -> (ev[j * 8 + i] - cv[j * 8 + i])
+                                * (ev[j * 8 + i] - cv[j * 8 + i]))),
+                       (a, b) -> a + b) AS d2
+            FROM v CROSS JOIN sub CROSS JOIN cb
+        ),
+        best AS (
+            SELECT vec_id, j, d2 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        adc AS (
+            SELECT vec_id,
+                   list_reduce(list_prepend(0.0, list(d2 ORDER BY j)),
+                               (a, b) -> a + b) AS t
+            FROM best GROUP BY vec_id
+        )
+        SELECT vec_id + 1000000 AS query_id,
+               TRUE AS found_original,
+               round(t, 6) AS adc_to_original
+        FROM adc ORDER BY query_id
+    """
     # grid-DBSCAN: the dense-cell merge replays as a recursive-CTE
     # transitive closure (cell graph is tiny); min(label) = the operator's
     # min-label components.

@@ -91,6 +91,15 @@ EXTENDED = [
     "events_sliding_distinct",
     "sketch_rank_quantile",
     "events_variant_extract",
+    # round-4 third-batch promotions: trained classification, one-pass
+    # profiling, weighted shortest paths, probabilistic linkage,
+    # multi-feature OLS, grid-density clustering
+    "text_naive_bayes",
+    "profile_table",
+    "graph_sssp",
+    "entity_fs_linkage",
+    "stats_ols_multi",
+    "sim_grid_dbscan",
 ]
 
 N_REPS = 3

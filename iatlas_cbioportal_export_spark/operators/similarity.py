@@ -1111,6 +1111,115 @@ def association_rules(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    kc: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbours — the billion-scale ANN
+    memory layout (Jégou et al. 2011): IVF coarse cells bound WHICH
+    vectors are scored, product-quantization codes bound WHAT is stored,
+    and ADC (asymmetric distance computation) scores query-vs-codes
+    without ever touching the original corpus vectors.
+
+    Composition of this package's primitives: seeded IVF centroids
+    (:func:`ivf_topk`'s rule) + seeded PQ codebooks
+    (:func:`pq_seed_codebooks`) — both literal plan constants, so the
+    corpus pass (cell assignment + PQ encode) is ONE narrow map emitting
+    (id, cell, codes): m small ints per vector instead of dim floats.
+    That projection is the whole point at 100 TB — the shuffled/joined
+    state is 16-64x smaller than the raw vectors, and raw vectors are
+    never needed again (no fetch-back join; contrast
+    :func:`embedding_near_dup`).
+
+    ADC: dist²(q, x) ≈ sum_j ||q_sub_j − codebook_j[codes_j]||², computed
+    per subspace and combined by an EXPLICIT left-to-right chain
+    (((0 + d₀) + d₁) …) so the double result replays in any engine that
+    writes the same fold. Candidates come from the n_probe nearest cells
+    (broadcast of the exploded query probes); top-k per query by
+    (adc_d2 asc, id asc).
+
+    Quantization granularity, not recall loss, is the trade: exact-twin
+    queries always probe their own cell and rank their original by its
+    quantization error. Output: (query_id, id, adc_d2 6dp, rank).
+    """
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"])
+    d = dim // m
+    centroids = [
+        (i, [float(x) for x in row[vec_col]])
+        for i, row in enumerate(
+            corpus.select(vec_col, id_col)
+            .orderBy(id_col)
+            .limit(n_cells)
+            .collect()
+        )
+    ]
+    books = pq_seed_codebooks(corpus, dim, m=m, k=kc, id_col=id_col, vec_col=vec_col)
+    assigned = corpus.select(
+        F.col(id_col),
+        F.array_max(_centroid_sims(F.col(vec_col), centroids))[
+            "cell_id"
+        ].alias("__cell"),
+        _pq_codes_expr(vec_col, books).alias("__codes"),
+    )
+    probes = F.slice(
+        F.reverse(F.array_sort(_centroid_sims(F.col(vec_col), centroids))),
+        1,
+        n_probe,
+    )
+    q_probed = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probes).alias("__probe"),
+    ).select(query_id_col, "__qvec", F.col("__probe.cell_id").alias("__cell"))
+    # per-subspace ADC partials, then an explicit left-to-right chain so
+    # the double fold nesting is part of the operator contract
+    subs = []
+    for j in range(m):
+        book_j = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{x!r}D" for x in cv) + ")"
+                for cv in books[j]
+            )
+            + ")"
+        )
+        subs.append(
+            "aggregate(zip_with("
+            f"transform(slice(__qvec, {j * d + 1}, {d}), x -> cast(x as double)), "
+            f"element_at({book_j}, __codes[{j}] + 1), "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b)"
+        )
+    chain = "0.0D"
+    for s in subs:
+        chain = f"({chain} + {s})"
+    cands = assigned.join(F.broadcast(q_probed), on="__cell").withColumn(
+        "__d2", F.expr(chain)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__d2").asc(), F.col(id_col).asc()
+    )
+    return (
+        cands.dropDuplicates([query_id_col, id_col])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(F.col("__d2"), 6).alias("adc_d2"),
+            "rank",
+        )
+    )
+
+
 def grid_dbscan(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -549,3 +549,60 @@ def test_grid_dbscan_roles_and_merging(spark):
     # border point attaches to A via (1,1); noise has no cluster
     assert out[30]["role"] == "border" and out[30]["cluster"] == 0
     assert out[31]["role"] == "noise" and out[31]["cluster"] is None
+
+
+def test_ivfpq_exact_twin_ranks_original_first(spark):
+    import random
+
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    corpus = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    twins = corpus.filter("vec_id < 3").selectExpr(
+        "vec_id + 1000000 AS vec_id", "embedding"
+    )
+    out = ivfpq_topk(corpus, twins, k=5, n_cells=8, n_probe=3, m=4, kc=8)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {1000000, 1000001, 1000002}
+    for qid, rs in by_q.items():
+        # exact twin must find its original, and at rank 1: its ADC
+        # distance is the original's own quantization error, minimal
+        top = min(rs, key=lambda r: r["rank"])
+        assert top["vec_id"] == qid - 1000000
+        assert len(rs) <= 5
+        assert all(rs_i["adc_d2"] >= top["adc_d2"] for rs_i in rs)
+
+
+def test_ivfpq_corpus_state_is_codes_not_vectors(spark):
+    import random
+
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    rng = random.Random(3)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    q = corpus.filter("vec_id = 0").selectExpr(
+        "vec_id + 500 AS vec_id", "embedding"
+    )
+    df = ivfpq_topk(corpus, q, k=3, n_cells=4, n_probe=2, m=2, kc=4)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the corpus side joins on (id, cell, codes) only: no embedding
+    # column survives past the narrow encode on the corpus branch
+    assert "__codes" in plan
+    assert df.collect()  # and it runs

@@ -457,6 +457,43 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan ExistingRDD", "TakeOrderedAndProject"],
         ["CartesianProduct"],
     ),
+    # train counts + tf are map-side combined; trained-likelihood join is
+    # a plain equi-join on (tok,label); the k-row class table broadcasts
+    "text_naive_bayes": (
+        ["HashAggregate", "BroadcastHashJoin", "Window"],
+        ["CartesianProduct"],
+    ),
+    # ONE scan: all statistics ride a single aggregate (the multi-distinct
+    # Expand shares that scan — a SortAggregate here: the first()-carried
+    # stats aren't hash-agg-supported); no joins at all
+    "profile_table": (
+        ["Expand", "Aggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    # frontier-optimized Bellman-Ford: per-round equi-joins over
+    # checkpointed state; no nested loops anywhere
+    "graph_sssp": (
+        ["Scan ExistingRDD"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # blocked equi-join on (nationkey, blk); scoring is a pure projection
+    # (u-probs baked as literals) — no per-pair aggregation
+    "entity_fs_linkage": (
+        ["codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # ten normal-equation sums in ONE map-side-combined aggregate; Cramer
+    # algebra is a literal projection
+    "stats_ols_multi": (
+        ["HashAggregate", "codegen id"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    # corpus touched once (cell assignment + count); cluster merge runs on
+    # the checkpointed cell graph; border attach joins cells, not points
+    "sim_grid_dbscan": (
+        ["HashAggregate", "Scan ExistingRDD"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
