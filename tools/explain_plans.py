@@ -494,6 +494,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "Scan ExistingRDD"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # corpus branch is ONE narrow encode to (id, cell, codes); probes
+    # broadcast; ADC scoring is a literal-codebook projection
+    "sim_ivfpq_topk": (
+        ["BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")

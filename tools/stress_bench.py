@@ -275,6 +275,81 @@ def main() -> None:
         }
     )
 
+    # r4 third batch: trained NB (docs), grid clustering + IVF-PQ
+    # (embeddings), weighted SSSP + one-pass profile (lineitem),
+    # FS linkage (customer)
+    from iatlas_cbioportal_export_spark.operators.entity import (
+        fellegi_sunter_linkage,
+    )
+    from iatlas_cbioportal_export_spark.operators.graph import sssp_distances
+    from iatlas_cbioportal_export_spark.operators.profiling import (
+        table_profile,
+    )
+
+    cases.update(
+        {
+            "naive_bayes": lambda d: text_ops.naive_bayes_train_apply(
+                d
+            ).count(),
+        }
+    )
+    emb_cases.update(
+        {
+            "grid_dbscan": lambda e: sim_ops.grid_dbscan(e).count(),
+            "ivfpq_topk": lambda e: sim_ops.ivfpq_topk(
+                e,
+                e.filter(F.col("vec_id") < 5).select(
+                    (F.col("vec_id") + 3_000_000_000).alias("vec_id"),
+                    "embedding",
+                ),
+                k=10,
+            ).count(),
+        }
+    )
+    li_cases.update(
+        {
+            "sssp_4r": lambda li: sssp_distances(
+                li.groupBy(
+                    F.col("l_partkey").alias("src"),
+                    (F.col("l_suppkey") + 1_000_000_000).alias("dst"),
+                ).agg(
+                    F.floor(F.col("l_extendedprice")).alias("w")
+                ),
+                source=1,
+                rounds=4,
+            ).count(),
+            "table_profile": lambda li: table_profile(li).count(),
+        }
+    )
+
+    def _fs_pair(c):
+        # block cardinality scales with |c| (mod 20000), so per-block pair
+        # volume stays bounded as the input amplifies -- the realistic ER
+        # regime; a fixed 50-block key would square into 450M pairs at 10x
+        left = c.select(
+            F.col("c_custkey").alias("lid"),
+            (F.col("c_custkey") % 20000).alias("blk"),
+            "c_name",
+        )
+        right = c.select(
+            (F.col("c_custkey") + 4_000_000_000).alias("rid"),
+            (F.col("c_custkey") % 20000).alias("blk"),
+            F.when(
+                F.col("c_custkey") % 4 == 0, F.upper("c_name")
+            )
+            .otherwise(F.col("c_name"))
+            .alias("c_name"),
+        )
+        return left, right
+
+    cust_cases.update(
+        {
+            "fs_linkage": lambda c: fellegi_sunter_linkage(
+                *_fs_pair(c), "lid", "rid", ["blk"], ["c_name"]
+            ).count(),
+        }
+    )
+
     for name, fn in cases.items():
         t1 = _timed(lambda: fn(docs1))
         tN = _timed(lambda: fn(docsN))
