@@ -619,7 +619,9 @@ def heavy_hitters_gate(
     # scan of the corpus; the checkpoint keeps the groupBy single-run
     # across the two uses.
     n = counts.agg(F.sum("exact_count")).collect()[0][0]
-    thresh = n / (k + 1)
+    # empty/all-NULL input: sum() is NULL — no items, no heavy hitters;
+    # thresh 0 keeps the (empty) filter well-typed
+    thresh = (n or 0) / (k + 1)
     exact = counts.filter(F.col("exact_count") > F.lit(thresh))
     joined = exact.join(F.broadcast(summary), on="item", how="left")
     return joined.select(

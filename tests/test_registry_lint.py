@@ -25,6 +25,7 @@ ALLOW_NESTED_LOOP = {
     "text_bm25",               # avg-doc-length scalar: one-row broadcast join
     "v_validation_suite",      # 1-row aggregate crossJoins (finding rows)
     "text_unigram_logprob",    # corpus-total scalar: one-row broadcast join
+    "text_naive_bayes",        # k-row class table (priors/defaults) broadcast cross
     "text_length_histogram",   # corpus-total scalar: one-row broadcast join
     "text_bigram_logprob",     # corpus-total scalar: one-row broadcast join
     "text_cooccurrence_pmi",   # pair/token totals: one-row broadcast join
