@@ -1242,8 +1242,10 @@ def grid_dbscan(
     after runs on the CELL graph (|dense cells| rows, orders of magnitude
     smaller — the semantic-dedup cell trick). Cluster merging reuses
     :func:`~iatlas_cbioportal_export_spark.operators.graph.
-    connected_components` min-label propagation over the 8-neighbor
-    edges; cluster ids are the component's minimum encoded cell id, so
+    connected_components_star` (O(log²n) rounds — dense-cell ridges are
+    long chains, so diameter-bound min-label does not survive scale-up)
+    over the 8-neighbor edges; cluster ids are the component's minimum
+    encoded cell id, so
     labels are deterministic and engine-replayable (the oracle replays
     the closure as a recursive CTE). Border attachment takes the MIN
     cluster id among adjacent dense cells (deterministic tie-break).
@@ -1258,7 +1260,7 @@ def grid_dbscan(
     nullable long).
     """
     from iatlas_cbioportal_export_spark.operators.graph import (
-        connected_components,
+        connected_components_star,
     )
 
     d1, d2 = dims
@@ -1300,7 +1302,11 @@ def grid_dbscan(
         F.col("cid").alias("dst"),
     )
     edges = a.join(b, on=["nx", "ny"]).select("src", "dst")
-    comp = connected_components(edges, "src", "dst")
+    # star variant, NOT min-label: dense-cell ridges are long CHAINS of
+    # touching cells (diameter grows with data), and min-label needs
+    # diameter rounds — the 10x scale-cliff probe blew its round budget;
+    # large/small-star converges in O(log^2 n) rounds regardless
+    comp = connected_components_star(edges, "src", "dst")
     # isolated dense cells are their own cluster
     dense_lbl = (
         dense.join(comp, dense["cid"] == comp["id"], "left")

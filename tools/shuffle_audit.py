@@ -68,6 +68,21 @@ DEFAULT_QUERIES = [
     "text_quality_classifier",
     "snapshot_diff",
     "events_resample_ffill",
+    # round-4 second/third batches
+    "text_cosine_pairs",
+    "graph_hits",
+    "running_revenue",
+    "salted_skew_join",
+    "constraint_suite",
+    "events_sliding_distinct",
+    "sketch_rank_quantile",
+    "text_naive_bayes",
+    "profile_table",
+    "graph_sssp",
+    "entity_fs_linkage",
+    "stats_ols_multi",
+    "sim_grid_dbscan",
+    "sim_ivfpq_topk",
 ]
 
 
