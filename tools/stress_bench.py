@@ -313,7 +313,7 @@ def main() -> None:
                     F.col("l_partkey").alias("src"),
                     (F.col("l_suppkey") + 1_000_000_000).alias("dst"),
                 ).agg(
-                    F.floor(F.col("l_extendedprice")).alias("w")
+                    F.min(F.floor(F.col("l_extendedprice"))).alias("w")
                 ),
                 source=1,
                 rounds=4,
