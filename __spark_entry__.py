@@ -3700,6 +3700,31 @@ def q_sim_ivfpq_topk(spark, sf_dir):
     )
 
 
+def q_eval_auc(spark, sf_dir):
+    """Per-language exact ROC-AUC of the quality classifier's probability
+    as a predictor of 'long document' (>= 500 chars) — the scorer-eval
+    readout, computed over distinct scores only (tie-corrected pair
+    counting; integer-exact numerator, one final double divide)."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        grouped_auc,
+    )
+    from iatlas_cbioportal_export_spark.operators.text import (
+        quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_classifier(docs).select("doc_id", "quality_prob")
+    labeled = scored.join(
+        docs.select(
+            "doc_id", "lang", (F.length("text") >= 500).alias("pos")
+        ),
+        on="doc_id",
+    )
+    return grouped_auc(labeled, "quality_prob", "pos", "lang").orderBy(
+        "lang"
+    )
+
+
 def _sssp_oracle(source: int = 1, rounds: int = 4) -> str:
     """Generated chained-CTE twin of q_graph_sssp: one min-plus relaxation
     per CTE over the full distance table (equivalent to the operator's
@@ -4215,6 +4240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ols_multi": q_stats_ols_multi,
         "sim_grid_dbscan": q_sim_grid_dbscan,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "eval_auc": q_eval_auc,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -7559,6 +7585,44 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         )
         WHERE rank <= 10
+    """
+    # eval_auc nests the quality-classifier oracle verbatim (single-sourced
+    # score formula) and applies the tie-corrected distinct-score pair
+    # counting identity: integer-exact numerator, one double divide.
+    d["eval_auc"] = f"""
+        WITH q AS ({d["text_quality_classifier"]}),
+        lab AS (
+            SELECT q.doc_id, d.lang, q.quality_prob AS s,
+                   length(d.text) >= 500 AS pos
+            FROM q JOIN documents d USING (doc_id)
+        ),
+        by_score AS (
+            SELECT lang, s,
+                   sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                   sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+            FROM lab GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT lang, s, np, nn,
+                   coalesce(sum(nn) OVER (
+                       PARTITION BY lang ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cnb
+            FROM by_score
+        ),
+        agg AS (
+            SELECT lang, sum(np * (2 * cnb + nn)) AS num2,
+                   CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(sum(nn) AS BIGINT) AS n_neg
+            FROM cum GROUP BY lang
+        )
+        SELECT lang, n_pos, n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0
+                    THEN round(CAST(num2 AS DOUBLE)
+                               / (2.0 * CAST(n_pos AS DOUBLE)
+                                      * CAST(n_neg AS DOUBLE)), 6)
+               END AS auc
+        FROM agg ORDER BY lang
     """
     d["text_vocab_growth"] = """
         WITH b AS MATERIALIZED (

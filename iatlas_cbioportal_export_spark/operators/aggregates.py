@@ -714,6 +714,71 @@ def grouped_multi_linear_fit(
     )
 
 
+def grouped_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str,
+) -> DataFrame:
+    """EXACT ROC-AUC per group — the standard eval readout for any scorer
+    this package trains (quality classifier, Naive Bayes, DSIR weights),
+    computed at corpus scale without ranking individual rows.
+
+    The textbook implementation ranks every row (a global sort). This one
+    uses the tie-corrected pair-counting identity over DISTINCT SCORES:
+
+        AUC · 2PN = Σ_s  n_pos(s) · (2 · cum_neg(<s) + n_neg(s))
+
+    (each positive at score s beats every negative strictly below it and
+    half-ties the negatives at s). So the only shuffled/windowed state is
+    the per-(group, score) count table — |distinct scores| rows, orders
+    of magnitude smaller than the input (a 6dp probability has ≤ 10⁶+1
+    values regardless of corpus size). The numerator is an exact integer;
+    the single double division is the last step, so the value replays in
+    any engine. Degenerate groups (no positives or no negatives) return
+    NULL auc.
+
+    Output: (group, n_pos, n_neg, auc 6dp).
+    """
+    pos = F.col(label_col).cast("boolean")
+    by_score = df.groupBy(
+        F.col(group_col).alias("g"), F.col(score_col).alias("s")
+    ).agg(
+        F.sum(F.when(pos, 1).otherwise(0)).alias("np"),
+        F.sum(F.when(pos, 0).otherwise(1)).alias("nn"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = by_score.withColumn(
+        "cnb", F.coalesce(F.sum("nn").over(w), F.lit(0))
+    )
+    agg = cum.groupBy("g").agg(
+        F.sum(
+            F.col("np") * (F.lit(2) * F.col("cnb") + F.col("nn"))
+        ).alias("num2"),
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            F.col("num2").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            6,
+        ),
+    )
+    return agg.select(
+        F.col("g").alias(group_col), "n_pos", "n_neg", auc.alias("auc")
+    )
+
+
 def psi_report(
     ref: DataFrame,
     cur: DataFrame,

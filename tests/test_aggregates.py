@@ -605,3 +605,47 @@ def test_multi_linear_fit_collinear_returns_null(spark):
     df = spark.createDataFrame(rows, "g string, x1 long, x2 long, y long")
     out = grouped_multi_linear_fit(df, "g", "x1", "x2", "y").collect()[0]
     assert out["b0"] is None and out["b1"] is None and out["r2"] is None
+
+
+def test_grouped_auc_hand_case_with_ties(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        grouped_auc,
+    )
+
+    # scores: pos at 0.9, 0.5; neg at 0.5, 0.1
+    # pairs: (0.9 vs 0.5)=1, (0.9 vs 0.1)=1, (0.5 vs 0.5)=0.5,
+    # (0.5 vs 0.1)=1 -> AUC = 3.5/4 = 0.875
+    df = spark.createDataFrame(
+        [
+            ("g", 0.9, True),
+            ("g", 0.5, True),
+            ("g", 0.5, False),
+            ("g", 0.1, False),
+        ],
+        "grp string, score double, label boolean",
+    )
+    out = grouped_auc(df, "score", "label", "grp").collect()[0]
+    assert out["n_pos"] == 2 and out["n_neg"] == 2
+    assert out["auc"] == 0.875
+
+
+def test_grouped_auc_perfect_and_degenerate(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        grouped_auc,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("perfect", 0.9, True),
+            ("perfect", 0.8, True),
+            ("perfect", 0.2, False),
+            ("inverted", 0.1, True),
+            ("inverted", 0.9, False),
+            ("allpos", 0.5, True),
+        ],
+        "grp string, score double, label boolean",
+    )
+    out = {r["grp"]: r for r in grouped_auc(df, "score", "label", "grp").collect()}
+    assert out["perfect"]["auc"] == 1.0
+    assert out["inverted"]["auc"] == 0.0
+    assert out["allpos"]["auc"] is None  # no negatives -> undefined
