@@ -3725,6 +3725,20 @@ def q_eval_auc(spark, sf_dir):
     )
 
 
+def q_stream_topk_snapshot(spark, sf_dir):
+    """Batch twin of streaming/sinks.topk_snapshot_stream: top-10 users
+    by event count, (cnt desc, key asc) tie-break — the incrementally-
+    maintained materialization's final snapshot must equal this (proven
+    stream≡batch over multi-micro-batch availableNow in pytest)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(10)
+    )
+
+
 def _sssp_oracle(source: int = 1, rounds: int = 4) -> str:
     """Generated chained-CTE twin of q_graph_sssp: one min-plus relaxation
     per CTE over the full distance table (equivalent to the operator's
@@ -4241,6 +4255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_grid_dbscan": q_sim_grid_dbscan,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "eval_auc": q_eval_auc,
+        "stream_topk_snapshot": q_stream_topk_snapshot,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -5968,6 +5983,11 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_id
     """
     d["graph_sssp"] = _sssp_oracle(source=1, rounds=4)
+    d["stream_topk_snapshot"] = """
+        SELECT user_id AS key, count(*) AS cnt
+        FROM events GROUP BY user_id
+        ORDER BY cnt DESC, key ASC LIMIT 10
+    """
     # IVF-PQ: codes re-derived from the same first-16-vector codebooks
     # (the sim_pq_codes pipeline); the ADC double replays with matched
     # fold nesting — inner: left fold over the 8 in-order subvector

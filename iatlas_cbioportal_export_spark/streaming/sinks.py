@@ -14,6 +14,7 @@ batch directories as one partitioned dataset.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -44,3 +45,86 @@ def read_stream_output(spark: SparkSession, path: str) -> DataFrame:
     """Read the idempotent sink's output back as one dataset (batch_id is a
     partition column; drop it unless auditing batch lineage)."""
     return spark.read.option("basePath", path).parquet(f"{path}/batch_id=*")
+
+
+def topk_snapshot_stream(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incrementally-maintained count materialization over a stream — the
+    materialized-view-maintenance pattern: a streaming ``groupBy(key)``
+    aggregation in UPDATE mode emits the new cumulative total for every
+    key touched by a micro-batch, and ``foreachBatch`` upserts those rows
+    into a versioned parquet snapshot (previous state anti-joined on the
+    changed keys + the changed rows, written to ``batch_id=N``).
+
+    Exactly-once without transactions: each batch writes a NEW state
+    version keyed by batch_id (idempotent under micro-batch replay — a
+    replayed batch rewrites its own version from the same previous
+    version), and readers take the highest committed version. The
+    anti-join is state-sized x changed-keys, never corpus-sized; the
+    streaming agg itself carries the running totals in the state store.
+
+    Local-fs listing suffices here; on a cluster the version listing goes
+    through the Hadoop FS API (same contract). Read the live snapshot
+    with :func:`read_topk_snapshot`.
+    """
+    import os
+
+    counts = stream.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev_versions = (
+            sorted(
+                int(d.split("=")[1])
+                for d in os.listdir(state_dir)
+                if d.startswith("batch_id=") and int(d.split("=")[1]) < batch_id
+            )
+            if os.path.isdir(state_dir)
+            else []
+        )
+        changed = batch_df.select("key", "cnt")
+        if prev_versions:
+            prev = spark.read.parquet(
+                f"{state_dir}/batch_id={prev_versions[-1]}"
+            )
+            merged = prev.join(changed, on="key", how="left_anti").unionByName(
+                changed
+            )
+        else:
+            merged = changed
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+
+    writer = (
+        counts.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_topk_snapshot(
+    spark: SparkSession, state_dir: str, k: int = 10
+) -> DataFrame:
+    """Top-k keys by count from the LATEST committed snapshot version of
+    :func:`topk_snapshot_stream` (deterministic (cnt desc, key asc)
+    tie-break; TakeOrderedAndProject, never a full sort)."""
+    import os
+
+    versions = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("batch_id=")
+    )
+    snap = spark.read.parquet(f"{state_dir}/batch_id={versions[-1]}")
+    return snap.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(k)

@@ -900,3 +900,45 @@ def test_sliding_distinct_users_manual(spark):
     assert out[base + 4 * 3600] == 2
     # trailing windows extend steps-1 past the last bucket, no further
     assert base + 5 * 3600 not in out or out[base + 5 * 3600] == 2
+
+
+def test_topk_snapshot_stream_equals_batch(spark, tmp_path):
+    from iatlas_cbioportal_export_spark.streaming.sinks import (
+        read_topk_snapshot,
+        topk_snapshot_stream,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    events = spark.range(0, 3000).select(
+        (F.col("id") % 37).alias("user_id")
+    )
+    events.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = topk_snapshot_stream(stream, state, ckpt, key_col="user_id")
+    q.awaitTermination()
+    got = [
+        (r["key"], r["cnt"])
+        for r in read_topk_snapshot(spark, state, k=10).collect()
+    ]
+    exp = [
+        (r["key"], r["cnt"])
+        for r in spark.read.parquet(src)
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(10)
+        .collect()
+    ]
+    assert got == exp
+    # and the snapshot was maintained INCREMENTALLY: several committed
+    # versions, not one terminal write
+    import os
+
+    versions = [d for d in os.listdir(state) if d.startswith("batch_id=")]
+    assert len(versions) >= 2
