@@ -3739,6 +3739,19 @@ def q_stream_topk_snapshot(spark, sf_dir):
     )
 
 
+def q_events_feature_matrix(spark, sf_dir):
+    """Per-user feature-store matrix: every feature a conditional
+    aggregate in ONE fused groupBy (one shuffle for the whole matrix) —
+    decimal-lane money, DATE-typed day bounds, integer-ppm rate."""
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        user_feature_matrix,
+    )
+
+    return user_feature_matrix(_t(spark, sf_dir, "events")).orderBy(
+        "user_id"
+    )
+
+
 def _sssp_oracle(source: int = 1, rounds: int = 4) -> str:
     """Generated chained-CTE twin of q_graph_sssp: one min-plus relaxation
     per CTE over the full distance table (equivalent to the operator's
@@ -4256,6 +4269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "eval_auc": q_eval_auc,
         "stream_topk_snapshot": q_stream_topk_snapshot,
+        "events_feature_matrix": q_events_feature_matrix,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -5983,6 +5997,35 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_id
     """
     d["graph_sssp"] = _sssp_oracle(source=1, rounds=4)
+    d["events_feature_matrix"] = """
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_error,
+               CAST(round(sum(CASE WHEN event_type = 'purchase'
+                                   THEN CAST(value AS DECIMAL(28,12))
+                                   ELSE CAST(0 AS DECIMAL(28,12)) END),
+                          6) AS DOUBLE) AS purchase_value_sum,
+               CAST(min(CAST(ts AS DATE)) AS VARCHAR) AS first_day,
+               CAST(max(CAST(ts AS DATE)) AS VARCHAR) AS last_day,
+               count(DISTINCT CAST(ts AS DATE)) AS active_days,
+               CAST((sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) * 1000000)
+                   // greatest(sum(CASE WHEN event_type = 'view'
+                                        THEN 1 ELSE 0 END), 1)
+                   AS BIGINT) AS purchase_per_view_ppm,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+                   AS converted
+        FROM events GROUP BY user_id ORDER BY user_id
+    """
     d["stream_topk_snapshot"] = """
         SELECT user_id AS key, count(*) AS cnt
         FROM events GROUP BY user_id

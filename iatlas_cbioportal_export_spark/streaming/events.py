@@ -981,3 +981,56 @@ def sliding_distinct_users(
             "n_users",
         )
     )
+
+
+def user_feature_matrix(events: DataFrame) -> DataFrame:
+    """Per-user training-feature matrix in ONE fused aggregate — the
+    feature-store materialization shape: every feature is a conditional
+    aggregate over the same groupBy(user), so the whole matrix costs one
+    map-side-combined shuffle however many features ride it (adding a
+    feature adds a column, not a pass).
+
+    Exactness choices: monetary sums ride the DECIMAL(28,12) lane
+    (shuffled double sums merge in nondeterministic order); the
+    purchases-per-view rate is an integer parts-per-million `div` (no
+    float divide to round differently); day boundaries are DATE-typed
+    (tz-free under any session timezone).
+
+    Output: (user_id, n_events, per-type counts, purchase_value_sum,
+    first_day, last_day, active_days, purchase_per_view_ppm, converted).
+    """
+    t = F.col("event_type")
+
+    def n_of(kind: str):
+        return F.sum(F.when(t == kind, 1).otherwise(0)).alias(f"n_{kind}")
+
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            n_of("click"),
+            n_of("view"),
+            n_of("purchase"),
+            n_of("signup"),
+            n_of("error"),
+            F.round(
+                F.sum(
+                    F.when(
+                        t == "purchase",
+                        F.col("value").cast("decimal(28,12)"),
+                    ).otherwise(F.lit(0).cast("decimal(28,12)"))
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("purchase_value_sum"),
+            F.min(F.col("ts").cast("date")).cast("string").alias("first_day"),
+            F.max(F.col("ts").cast("date")).cast("string").alias("last_day"),
+            F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+        )
+        .withColumn(
+            "purchase_per_view_ppm",
+            F.expr("n_purchase * 1000000 div greatest(n_view, 1)"),
+        )
+        .withColumn("converted", F.col("n_purchase") > 0)
+    )

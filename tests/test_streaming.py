@@ -942,3 +942,35 @@ def test_topk_snapshot_stream_equals_batch(spark, tmp_path):
 
     versions = [d for d in os.listdir(state) if d.startswith("batch_id=")]
     assert len(versions) >= 2
+
+
+def test_user_feature_matrix_single_shuffle_and_values(spark):
+    import datetime
+
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        user_feature_matrix,
+    )
+
+    ts = lambda d, h: datetime.datetime(2024, 1, d, h)  # noqa: E731
+    rows = [
+        (1, ts(1, 1), 7, "view", 0.0, ""),
+        (2, ts(1, 2), 7, "purchase", 10.5, ""),
+        (3, ts(2, 1), 7, "purchase", 2.25, ""),
+        (4, ts(2, 2), 8, "click", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {r["user_id"]: r for r in user_feature_matrix(df).collect()}
+    u7 = out[7]
+    assert u7["n_events"] == 3 and u7["n_purchase"] == 2
+    assert u7["purchase_value_sum"] == 12.75
+    assert u7["first_day"] == "2024-01-01" and u7["last_day"] == "2024-01-02"
+    assert u7["active_days"] == 2
+    assert u7["purchase_per_view_ppm"] == 2_000_000
+    assert u7["converted"] and not out[8]["converted"]
+    # one fused aggregate: a single exchange on user_id in the plan
+    plan = user_feature_matrix(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2  # partial+distinct-date phases
