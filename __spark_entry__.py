@@ -3752,6 +3752,52 @@ def q_events_feature_matrix(spark, sf_dir):
     )
 
 
+def q_stats_covariance_matrix(spark, sf_dir):
+    """Exact 8x8 covariance of the leading embedding coordinates in ONE
+    aggregate pass: decimal-lane moments (inputs quantized DECIMAL(18,9),
+    products exact DECIMAL(37,18)), covariance doubles derived from the
+    exact sums — partition-order-free, oracle replays the formula."""
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        covariance_matrix,
+    )
+
+    return covariance_matrix(_t(spark, sf_dir, "embeddings"), dims=8)
+
+
+def _cov_oracle(dims: int = 8) -> str:
+    """Generated twin of q_stats_covariance_matrix: the same decimal
+    moment sums in one aggregate, the same double formula per cell."""
+    cols = ", ".join(
+        f"CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(18,9)) AS e{i}"
+        for i in range(dims)
+    )
+    sums = [f"CAST(count(*) AS BIGINT) AS n"]
+    sums += [f"sum(e{i}) AS s_{i}" for i in range(dims)]
+    sums += [
+        f"sum(e{i} * e{j}) AS s_{i}_{j}"
+        for i in range(dims)
+        for j in range(i, dims)
+    ]
+    branches = []
+    for i in range(dims):
+        for j in range(i, dims):
+            branches.append(
+                f"""
+        SELECT {i} AS i, {j} AS j, n,
+               round((CAST(s_{i}_{j} AS DOUBLE)
+                      - CAST(s_{i} AS DOUBLE) * CAST(s_{j} AS DOUBLE) / nd)
+                     / (nd - 1.0), 9) AS cov
+        FROM s"""
+            )
+    return f"""
+        WITH v AS (SELECT {cols} FROM embeddings),
+        s AS (SELECT {", ".join(sums)},
+                     CAST(count(*) AS DOUBLE) AS nd FROM v)
+        {" UNION ALL ".join(branches)}
+        ORDER BY i, j
+    """
+
+
 def _sssp_oracle(source: int = 1, rounds: int = 4) -> str:
     """Generated chained-CTE twin of q_graph_sssp: one min-plus relaxation
     per CTE over the full distance table (equivalent to the operator's
@@ -4270,6 +4316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_auc": q_eval_auc,
         "stream_topk_snapshot": q_stream_topk_snapshot,
         "events_feature_matrix": q_events_feature_matrix,
+        "stats_covariance_matrix": q_stats_covariance_matrix,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -5997,6 +6044,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_id
     """
     d["graph_sssp"] = _sssp_oracle(source=1, rounds=4)
+    d["stats_covariance_matrix"] = _cov_oracle(dims=8)
     d["events_feature_matrix"] = """
         SELECT user_id,
                count(*) AS n_events,

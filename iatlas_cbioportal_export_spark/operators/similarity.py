@@ -1111,6 +1111,108 @@ def association_rules(
     )
 
 
+def covariance_matrix(
+    df: DataFrame,
+    dims: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact covariance matrix of the first ``dims`` embedding
+    coordinates in ONE aggregate pass — the PCA front half: every moment
+    (Σxᵢ, Σxᵢxⱼ) is a DECIMAL-lane sum (inputs quantized to
+    DECIMAL(18,9), products DECIMAL(37,18) — exact in any engine), so
+    the matrix replays bit-identically however the corpus is
+    partitioned. No explode: the dims·(dims+3)/2 sums ride one
+    map-side-combined aggregate, KB-sized however big the corpus.
+
+    cov(i,j) = (Sᵢⱼ − Sᵢ·Sⱼ/n) / (n−1), computed in doubles FROM the
+    exact sums (the grouped_linear_fit discipline). Feed the collected
+    matrix to :func:`pca_power_projection` for the eigen step.
+
+    Output: (i, j, n, cov 9dp) for i ≤ j, ordered.
+    """
+    x = lambda i: (  # noqa: E731
+        F.element_at(vec_col, i + 1).cast("double").cast("decimal(18,9)")
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(dims):
+        aggs.append(F.sum(x(i)).alias(f"s_{i}"))
+    for i in range(dims):
+        for j in range(i, dims):
+            aggs.append(F.sum(x(i) * x(j)).alias(f"s_{i}_{j}"))
+    wide = df.agg(*aggs)
+    nd = F.col("n").cast("double")
+    structs = []
+    for i in range(dims):
+        for j in range(i, dims):
+            cov = (
+                F.col(f"s_{i}_{j}").cast("double")
+                - F.col(f"s_{i}").cast("double")
+                * F.col(f"s_{j}").cast("double")
+                / nd
+            ) / (nd - F.lit(1.0))
+            structs.append(
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.lit(j).alias("j"),
+                    F.col("n").alias("n"),
+                    F.round(cov, 9).alias("cov"),
+                )
+            )
+    return (
+        wide.select(F.explode(F.array(*structs)).alias("c"))
+        .select("c.*")
+        .orderBy("i", "j")
+    )
+
+
+def pca_power_projection(
+    df: DataFrame,
+    dims: int = 8,
+    iterations: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top principal component by power iteration + per-row projection —
+    the PCA back half over :func:`covariance_matrix`: the KB-sized exact
+    covariance is collected to the driver, power-iterated there in plain
+    Python doubles (deterministic — no BLAS order variance), and the
+    resulting eigenvector is baked into the plan as literals, so the
+    projection is a NARROW map over the corpus (the IVF-centroid
+    discipline: model state is KB, data never moves).
+
+    Sign convention: the eigenvector's largest-|component| entry is made
+    positive (eigenvectors are sign-ambiguous). Output: (id, pc1 6dp,
+    eigenvalue 6dp).
+    """
+    rows = covariance_matrix(df, dims=dims, vec_col=vec_col).collect()
+    c = [[0.0] * dims for _ in range(dims)]
+    for r in rows:
+        c[r["i"]][r["j"]] = r["cov"]
+        c[r["j"]][r["i"]] = r["cov"]
+    v = [1.0] + [0.0] * (dims - 1)
+    for _ in range(iterations):
+        w = [sum(c[i][k] * v[k] for k in range(dims)) for i in range(dims)]
+        nrm = sum(t * t for t in w) ** 0.5
+        if nrm == 0:
+            break
+        v = [t / nrm for t in w]
+    # Rayleigh quotient = eigenvalue estimate
+    cv = [sum(c[i][k] * v[k] for k in range(dims)) for i in range(dims)]
+    eig = sum(v[i] * cv[i] for i in range(dims))
+    pivot = max(range(dims), key=lambda i: abs(v[i]))
+    if v[pivot] < 0:
+        v = [-t for t in v]
+    proj = None
+    for i in range(dims):
+        term = F.element_at(vec_col, i + 1).cast("double") * F.lit(v[i])
+        proj = term if proj is None else proj + term
+    return df.select(
+        F.col(id_col),
+        F.round(proj, 6).alias("pc1"),
+        F.lit(round(eig, 6)).alias("eigenvalue"),
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -606,3 +606,53 @@ def test_ivfpq_corpus_state_is_codes_not_vectors(spark):
     # column survives past the narrow encode on the corpus branch
     assert "__codes" in plan
     assert df.collect()  # and it runs
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    data = rng.normal(size=(60, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        covariance_matrix,
+    )
+
+    out = covariance_matrix(df, dims=8).collect()
+    ref = np.cov(data.astype(np.float64), rowvar=False)
+    for r in out:
+        assert abs(r["cov"] - ref[r["i"], r["j"]]) < 1e-6
+    assert len(out) == 36 and all(r["n"] == 60 for r in out)
+
+
+def test_pca_power_projection_matches_numpy_eig(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    # anisotropic data: dominant direction along a planted axis mix
+    base = rng.normal(size=(80, 8))
+    base[:, 2] *= 6.0  # dominant variance on dim 2
+    data = base.astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    from iatlas_cbioportal_export_spark.operators.similarity import (
+        pca_power_projection,
+    )
+
+    out = pca_power_projection(df, dims=8, iterations=20).collect()
+    d64 = data.astype(np.float64)
+    cov = np.cov(d64, rowvar=False)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    if top[np.argmax(np.abs(top))] < 0:
+        top = -top
+    expected = d64 @ top
+    got = {r["vec_id"]: r["pc1"] for r in out}
+    for i in range(80):
+        assert abs(got[i] - expected[i]) < 1e-3
+    assert abs(out[0]["eigenvalue"] - w[-1]) < 1e-3
