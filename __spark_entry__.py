@@ -1098,6 +1098,23 @@ def q_dedup_components_star(spark, sf_dir):
     )
 
 
+def q_dedup_cluster_report(spark, sf_dir):
+    """Per-cluster dedup audit over the planted-trio labeling: each base
+    0..9 trio must report size 3 / 2 dropped / its three ids; every other
+    corpus id is a singleton cluster. The report is one combiner-reduced
+    groupBy over the (id, component) longs."""
+    from iatlas_cbioportal_export_spark.operators.graph import (
+        dedup_cluster_report,
+        dedup_components,
+    )
+
+    pairs, corpus = _planted_trio_pairs(spark, sf_dir)
+    labeled = dedup_components(pairs, corpus.select("vec_id"), id_col="vec_id")
+    return dedup_cluster_report(labeled, id_col="id").orderBy(
+        "component_id"
+    )
+
+
 def q_text_top_ngrams(spark, sf_dir):
     """Corpus-level top-20 word bigrams (stop-gram / boilerplate detection).
     TakeOrderedAndProject plan — per-partition heaps, never a full sort of
@@ -3764,6 +3781,20 @@ def q_stats_covariance_matrix(spark, sf_dir):
     return covariance_matrix(_t(spark, sf_dir, "embeddings"), dims=8)
 
 
+def q_profile_join_cardinality(spark, sf_dir):
+    """Exact inner-join output size of the lineitem self-join on partkey,
+    WITHOUT running the join: two key histograms + a histogram-sized
+    join; products summed in DECIMAL(38,0). The pre-flight guardrail for
+    the quadratic-blow-up joins a 100 TB cluster cannot afford to
+    discover by running them."""
+    from iatlas_cbioportal_export_spark.operators.profiling import (
+        join_cardinality_report,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return join_cardinality_report(li, li, "l_partkey", "l_partkey")
+
+
 def _cov_oracle(dims: int = 8) -> str:
     """Generated twin of q_stats_covariance_matrix: the same decimal
     moment sums in one aggregate, the same double formula per cell."""
@@ -4317,6 +4348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk_snapshot": q_stream_topk_snapshot,
         "events_feature_matrix": q_events_feature_matrix,
         "stats_covariance_matrix": q_stats_covariance_matrix,
+        "profile_join_cardinality": q_profile_join_cardinality,
+        "dedup_cluster_report": q_dedup_cluster_report,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -6045,6 +6078,35 @@ def oracle_sql() -> dict[str, str]:
     """
     d["graph_sssp"] = _sssp_oracle(source=1, rounds=4)
     d["stats_covariance_matrix"] = _cov_oracle(dims=8)
+    d["profile_join_cardinality"] = """
+        WITH lc AS (
+            SELECT CAST(l_partkey AS VARCHAR) AS k, count(*) AS cl
+            FROM lineitem GROUP BY 1
+        ),
+        rc AS (
+            SELECT CAST(l_partkey AS VARCHAR) AS k, count(*) AS cr
+            FROM lineitem GROUP BY 1
+        ),
+        common AS (
+            SELECT lc.k, CAST(cl AS HUGEINT) * cr AS prod
+            FROM lc JOIN rc USING (k)
+        ),
+        hot AS (
+            SELECT prod, k FROM common ORDER BY prod DESC, k DESC LIMIT 1
+        )
+        SELECT
+            (SELECT CAST(sum(cl) AS BIGINT) FROM lc) AS n_left,
+            (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS n_right,
+            (SELECT count(*) FROM lc) AS n_keys_left,
+            (SELECT count(*) FROM rc) AS n_keys_right,
+            (SELECT count(*) FROM common) AS n_common_keys,
+            (SELECT CAST(CAST(coalesce(sum(prod), 0) AS DECIMAL(38,0))
+                         AS VARCHAR)
+             FROM common) AS est_inner_rows,
+            (SELECT CAST(CAST(prod AS DECIMAL(38,0)) AS VARCHAR) FROM hot)
+                AS max_key_product,
+            (SELECT k FROM hot) AS hottest_key
+    """
     d["events_feature_matrix"] = """
         SELECT user_id,
                count(*) AS n_events,
@@ -6400,6 +6462,27 @@ def oracle_sql() -> dict[str, str]:
     # identical planted-trio contract, different component algorithm —
     # one oracle pins both
     d["dedup_components_star"] = d["dedup_components"]
+    # cluster-level audit over the same planted labeling
+    d["dedup_cluster_report"] = """
+        WITH ids AS (
+            SELECT vec_id AS id FROM embeddings WHERE vec_id < 100
+            UNION ALL
+            SELECT vec_id + 1000000 FROM embeddings WHERE vec_id < 10
+            UNION ALL
+            SELECT vec_id + 2000000 FROM embeddings WHERE vec_id < 10
+        ),
+        lab AS (
+            SELECT id, CASE WHEN id >= 2000000 THEN id - 2000000
+                            WHEN id >= 1000000 THEN id - 1000000
+                            ELSE id END AS component_id
+            FROM ids
+        )
+        SELECT component_id, count(*) AS size,
+               count(*) - 1 AS n_dropped,
+               string_agg(CAST(id AS VARCHAR), ',' ORDER BY id)
+                   AS members_csv
+        FROM lab GROUP BY component_id ORDER BY component_id
+    """
     d["maf_annotate_by_variant"] = d["maf_annotation_wide"]
     d["emb_l2_normalize"] = """
         WITH v AS (

@@ -100,6 +100,12 @@ EXTENDED = [
     "entity_fs_linkage",
     "stats_ols_multi",
     "sim_grid_dbscan",
+    # round-4 fourth batch: scorer eval, stream-materialization twin,
+    # feature-store matrix, PCA covariance front half
+    "eval_auc",
+    "stream_topk_snapshot",
+    "events_feature_matrix",
+    "stats_covariance_matrix",
 ]
 
 N_REPS = 3

@@ -842,3 +842,33 @@ def sssp_distances(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def dedup_cluster_report(labeled: DataFrame, id_col: str = "id") -> DataFrame:
+    """Per-cluster summary of a components labeling — the audit artifact
+    every dedup run ships with: cluster size, canonical keeper, the
+    members themselves (CSV, sorted), and how many rows dedup drops.
+
+    One map-side-combined groupBy over (id, component_id) longs. The
+    member list is cluster-size-bounded — fine for near-dup clusters
+    (tens of members); for pathological mega-clusters cap upstream or
+    drop the members column (the counts never blow up).
+
+    Output: (component_id, size, n_dropped, members_csv), one row per
+    cluster including singletons.
+    """
+    return (
+        labeled.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.col(id_col))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members_csv"),
+        )
+        .select("component_id", "size", "n_dropped", "members_csv")
+    )

@@ -196,3 +196,71 @@ def table_profile(
         .select("p.*")
         .orderBy("col_name")
     )
+
+
+def join_cardinality_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """EXACT inner-join output cardinality — computed WITHOUT running the
+    join: est_inner_rows = sum over common keys of cnt_l(k) * cnt_r(k).
+    The guardrail that belongs in front of every ad-hoc join at 100 TB:
+    the report costs two map-side-combined key histograms plus a
+    histogram-sized join (|distinct keys| rows — orders of magnitude
+    smaller than the data), and tells you whether the real join emits a
+    quadratic blow-up BEFORE you pay for it. Pairs with
+    :func:`key_skew_report` (which key to salt) — this one says whether
+    to run the join at all.
+
+    Products and their sum accumulate in DECIMAL(38,0): per-key
+    cnt_l * cnt_r overflows BIGINT exactly in the hot-key regime the
+    report exists to catch.
+
+    Output, one row: (n_left, n_right, n_keys_left, n_keys_right,
+    n_common_keys, est_inner_rows, max_key_product, hottest_key).
+    """
+    lc = left.groupBy(F.col(left_key).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("cl")
+    )
+    rc = right.groupBy(F.col(right_key).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    common = lc.join(rc, on="k").select(
+        "k",
+        (
+            F.col("cl").cast("decimal(38,0)")
+            * F.col("cr").cast("decimal(38,0)")
+        ).alias("prod"),
+    )
+    ltot = lc.agg(
+        F.sum("cl").alias("n_left"), F.count(F.lit(1)).alias("n_keys_left")
+    )
+    rtot = rc.agg(
+        F.sum("cr").alias("n_right"), F.count(F.lit(1)).alias("n_keys_right")
+    )
+    ctot = common.agg(
+        F.count(F.lit(1)).alias("n_common_keys"),
+        F.coalesce(F.sum("prod"), F.lit(0).cast("decimal(38,0)")).alias(
+            "est_inner_rows"
+        ),
+        F.max(F.struct(F.col("prod"), F.col("k"))).alias("__hot"),
+    )
+    return (
+        ltot.crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "n_left",
+            "n_right",
+            "n_keys_left",
+            "n_keys_right",
+            "n_common_keys",
+            # exact DECIMAL(38,0) values surface as STRINGS: they can
+            # exceed BIGINT in exactly the blow-up regime this report
+            # exists to catch, and decimal render types differ per engine
+            F.col("est_inner_rows").cast("string").alias("est_inner_rows"),
+            F.col("__hot.prod").cast("string").alias("max_key_product"),
+            F.col("__hot.k").alias("hottest_key"),
+        )
+    )

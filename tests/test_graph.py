@@ -367,3 +367,25 @@ def test_sssp_round_bound_limits_reach(spark):
     )
     out = {r["node"]: r["dist"] for r in sssp_distances(edges, 0, rounds=2).collect()}
     assert out == {0: 0, 1: 1, 2: 2}
+
+
+def test_dedup_cluster_report_sizes_and_members(spark):
+    from iatlas_cbioportal_export_spark.operators.graph import (
+        dedup_cluster_report,
+        dedup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    universe = spark.createDataFrame([(i,) for i in range(1, 10)], "id long")
+    labeled = dedup_components(pairs, universe)
+    out = {
+        r["component_id"]: r
+        for r in dedup_cluster_report(labeled).collect()
+    }
+    assert out[1]["size"] == 3 and out[1]["n_dropped"] == 2
+    assert out[1]["members_csv"] == "1,2,3"
+    assert out[7]["members_csv"] == "7,8"
+    singles = [c for c, r in out.items() if r["size"] == 1]
+    assert sorted(singles) == [4, 5, 6, 9]

@@ -150,3 +150,37 @@ def test_table_profile_approx_path_no_expand(spark):
     ep = exact._jdf.queryExecution().executedPlan().toString()
     pp = approx._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in ep and "Expand" not in pp
+
+
+def test_join_cardinality_report_exact_without_join(spark):
+    from iatlas_cbioportal_export_spark.operators.profiling import (
+        join_cardinality_report,
+    )
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 3]], "k long"
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1, 1, 2, 2, 2, 9]], "k long"
+    )
+    r = join_cardinality_report(left, right, "k", "k").collect()[0]
+    assert r["n_left"] == 5 and r["n_right"] == 6
+    assert r["n_keys_left"] == 3 and r["n_keys_right"] == 3
+    assert r["n_common_keys"] == 2
+    # 3*2 (key 1) + 1*3 (key 2) = 9 — equals the real join size
+    assert r["est_inner_rows"] == "9"
+    real = left.join(right, on="k").count()
+    assert real == 9
+    assert r["max_key_product"] == "6" and r["hottest_key"] == "1"
+
+
+def test_join_cardinality_report_disjoint_keys(spark):
+    from iatlas_cbioportal_export_spark.operators.profiling import (
+        join_cardinality_report,
+    )
+
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    right = spark.createDataFrame([(3,)], "k long")
+    r = join_cardinality_report(left, right, "k", "k").collect()[0]
+    assert r["n_common_keys"] == 0 and r["est_inner_rows"] == "0"
+    assert r["max_key_product"] is None and r["hottest_key"] is None

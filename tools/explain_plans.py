@@ -500,6 +500,39 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastHashJoin", "Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    # distinct-score count table is the only windowed state; the corpus
+    # pass is the classifier's narrow projection + one groupBy
+    "eval_auc": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # one map-side-combined groupBy + TakeOrdered heap
+    "stream_topk_snapshot": (
+        ["HashAggregate", "TakeOrderedAndProject"],
+        ["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
+    # the whole matrix rides one fused aggregate on user_id
+    "events_feature_matrix": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    # all moments in ONE aggregate; the cell table is an exploded literal
+    "stats_covariance_matrix": (
+        ["Aggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+         "Exchange hashpartitioning"],
+    ),
+    # two key histograms + a histogram-sized equi-join; the one-row
+    # totals broadcast — never the data
+    "profile_join_cardinality": (
+        ["HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    # combiner-reduced groupBy over (id, component) longs
+    "dedup_cluster_report": (
+        ["HashAggregate", "Scan ExistingRDD"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
