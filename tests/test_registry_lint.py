@@ -26,6 +26,7 @@ ALLOW_NESTED_LOOP = {
     "v_validation_suite",      # 1-row aggregate crossJoins (finding rows)
     "text_unigram_logprob",    # corpus-total scalar: one-row broadcast join
     "text_naive_bayes",        # k-row class table (priors/defaults) broadcast cross
+    "profile_join_cardinality",  # three ONE-ROW totals frames broadcast-crossed
     "text_length_histogram",   # corpus-total scalar: one-row broadcast join
     "text_bigram_logprob",     # corpus-total scalar: one-row broadcast join
     "text_cooccurrence_pmi",   # pair/token totals: one-row broadcast join
