@@ -83,6 +83,12 @@ DEFAULT_QUERIES = [
     "stats_ols_multi",
     "sim_grid_dbscan",
     "sim_ivfpq_topk",
+    "eval_auc",
+    "stream_topk_snapshot",
+    "events_feature_matrix",
+    "stats_covariance_matrix",
+    "profile_join_cardinality",
+    "dedup_cluster_report",
 ]
 
 
