@@ -3795,6 +3795,36 @@ def q_profile_join_cardinality(spark, sf_dir):
     return join_cardinality_report(li, li, "l_partkey", "l_partkey")
 
 
+def q_sample_class_balanced(spark, sf_dir):
+    """Exact class balancing of documents by lang: every class keeps
+    exactly the minority class's count, members chosen by the portable
+    id-hash rank — deterministic under any partitioning; the oracle
+    replays the ranking."""
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        class_balanced_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return class_balanced_sample(docs, "doc_id", "lang").orderBy("doc_id")
+
+
+def q_sample_leakage_safe_splits(spark, sf_dir):
+    """Dedup-cluster-level train/val/test assignment over the planted-trio
+    labeling: every member of a duplicate cluster lands in the SAME split
+    (the benchmark-contamination guard); the split is the portable hash
+    of the component id."""
+    from iatlas_cbioportal_export_spark.operators.graph import (
+        dedup_components,
+    )
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+
+    pairs, corpus = _planted_trio_pairs(spark, sf_dir)
+    labeled = dedup_components(pairs, corpus.select("vec_id"), id_col="vec_id")
+    return leakage_safe_splits(labeled).orderBy("id")
+
+
 def _cov_oracle(dims: int = 8) -> str:
     """Generated twin of q_stats_covariance_matrix: the same decimal
     moment sums in one aggregate, the same double formula per cell."""
@@ -4350,6 +4380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_covariance_matrix": q_stats_covariance_matrix,
         "profile_join_cardinality": q_profile_join_cardinality,
         "dedup_cluster_report": q_dedup_cluster_report,
+        "sample_class_balanced": q_sample_class_balanced,
+        "sample_leakage_safe_splits": q_sample_leakage_safe_splits,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -6078,6 +6110,45 @@ def oracle_sql() -> dict[str, str]:
     """
     d["graph_sssp"] = _sssp_oracle(source=1, rounds=4)
     d["stats_covariance_matrix"] = _cov_oracle(dims=8)
+    # class balancing: replay the portable-hash ranking per class
+    d["sample_class_balanced"] = """
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        t AS (SELECT min(n) AS target FROM c),
+        r AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761 % 1000003) % 10000 ASC,
+                                doc_id ASC) AS rk
+            FROM documents
+        )
+        SELECT doc_id, lang FROM r CROSS JOIN t
+        WHERE rk <= target ORDER BY doc_id
+    """
+    # leakage-safe splits: the planted components labeling + the portable
+    # hash of the COMPONENT id (not the row id)
+    d["sample_leakage_safe_splits"] = """
+        WITH ids AS (
+            SELECT vec_id AS id FROM embeddings WHERE vec_id < 100
+            UNION ALL
+            SELECT vec_id + 1000000 FROM embeddings WHERE vec_id < 10
+            UNION ALL
+            SELECT vec_id + 2000000 FROM embeddings WHERE vec_id < 10
+        ),
+        lab AS (
+            SELECT id, CASE WHEN id >= 2000000 THEN id - 2000000
+                            WHEN id >= 1000000 THEN id - 1000000
+                            ELSE id END AS component_id
+            FROM ids
+        )
+        SELECT id, component_id, id = component_id AS is_keeper,
+               CASE WHEN (component_id * 2654435761 % 1000003) % 10000
+                         < 9000 THEN 'train'
+                    WHEN (component_id * 2654435761 % 1000003) % 10000
+                         < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM lab ORDER BY id
+    """
     d["profile_join_cardinality"] = """
         WITH lc AS (
             SELECT CAST(l_partkey AS VARCHAR) AS k, count(*) AS cl

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _KNUTH = 2654435761
@@ -149,3 +149,71 @@ def hash_split(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, out)
+
+
+def class_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    class_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Downsample every class to the MINORITY class's size — exact class
+    balancing for classifier training sets, deterministic across runs,
+    partitionings and engines: within each class rows are ranked by the
+    portable id hash (id tiebreak) and the first ``min_class_count`` kept.
+
+    Plan shape: one map-side-combined groupBy for the class histogram
+    (KB: |classes| rows, min taken via a 1-row aggregate broadcast back),
+    one per-class window for the hash ranking. The window shuffles the
+    corpus ONCE partitioned by class — at 100 TB prefer the approximate
+    variant (per-class `stratified_sample` with fraction = target/size:
+    no sort, narrow) unless exact counts are contractual; this operator
+    is the exact-count path.
+
+    Output: the kept rows (original columns), exactly min-class-count per
+    class.
+    """
+    counts = df.groupBy(F.col(class_col).alias("__c")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    target = counts.agg(F.min("__n").alias("__target"))
+    w = Window.partitionBy(class_col).orderBy(
+        _bucket(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(target))
+        .filter(F.col("__rk") <= F.col("__target"))
+        .drop("__rk", "__target")
+    )
+
+
+def leakage_safe_splits(
+    labeled: DataFrame,
+    component_col: str = "component_id",
+    weights: Mapping[str, float] | None = None,
+    salt: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment by DEDUP CLUSTER, not by row — the
+    leakage guard for near-duplicate corpora: hash-splitting documents
+    individually puts near-copies of one text on both sides of the
+    train/eval fence (the classic benchmark-contamination bug);
+    splitting on the component id keeps every member of a duplicate
+    cluster in the SAME split by construction.
+
+    Input is a components labeling ((id, component_id) — the output of
+    ``graph.dedup_components``); the split is :func:`hash_split` applied
+    to the component id, so it inherits its determinism and narrowness
+    (no extra shuffle beyond the labeling itself).
+
+    Output: input columns + split label; invariant (tested): one split
+    per component.
+    """
+    return hash_split(
+        labeled,
+        component_col,
+        weights=weights,
+        salt=salt,
+        split_col=split_col,
+    )

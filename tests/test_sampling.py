@@ -2,6 +2,7 @@
 contract: same rows selected under any partitioning)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from iatlas_cbioportal_export_spark.operators.sampling import (
     deterministic_sample,
@@ -115,3 +116,56 @@ def test_weighted_sample_excludes_nonpositive_and_caps_at_n(spark):
     assert got == {1, 5}
     with pytest.raises(ValueError, match="k must be positive"):
         weighted_sample(df, "doc_id", "w", 0)
+
+
+def test_class_balanced_sample_exact_counts(spark):
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        class_balanced_sample,
+    )
+
+    rows = (
+        [(i, "big") for i in range(50)]
+        + [(100 + i, "mid") for i in range(20)]
+        + [(200 + i, "small") for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "id long, cls string")
+    out = class_balanced_sample(df, "id", "cls")
+    counts = {
+        r["cls"]: r["n"]
+        for r in out.groupBy("cls").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"big": 7, "mid": 7, "small": 7}
+    # deterministic: same selection on re-run
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in class_balanced_sample(df, "id", "cls").collect())
+    assert a == b
+
+
+def test_leakage_safe_splits_cluster_invariant(spark):
+    from iatlas_cbioportal_export_spark.operators.graph import (
+        dedup_components,
+    )
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+
+    # clusters {1,2,3}, {10,11}, singletons 20..40
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    universe = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11] + list(range(20, 41))], "id long"
+    )
+    labeled = dedup_components(pairs, universe)
+    out = leakage_safe_splits(labeled)
+    # invariant: exactly one split per component
+    per_comp = (
+        out.groupBy("component_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in per_comp)
+    # and all members of each planted cluster share the split
+    by_id = {r["id"]: r["split"] for r in out.collect()}
+    assert by_id[1] == by_id[2] == by_id[3]
+    assert by_id[10] == by_id[11]

@@ -533,6 +533,17 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "Scan ExistingRDD"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # per-class hash-rank window + a one-row min-count broadcast
+    "sample_class_balanced": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # hash_split of the component id: pure narrow projection over the
+    # labeling (its own joins are the components plumbing)
+    "sample_leakage_safe_splits": (
+        ["Scan ExistingRDD"],
+        ["CartesianProduct", "Window"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
