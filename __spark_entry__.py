@@ -3825,6 +3825,60 @@ def q_sample_leakage_safe_splits(spark, sf_dir):
     return leakage_safe_splits(labeled).orderBy("id")
 
 
+def q_stats_winsorize(spark, sf_dir):
+    """Winsorize floor-cents order totals at the exact p05/p95 (histogram
+    refinement, no sort) and report clamp counts and exact before/after
+    sums — the heavy-tail taming step in front of the moment-based
+    stats tier."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        winsorize_report,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).alias("cents")
+    )
+    return winsorize_report(orders, "cents", q_low=0.05, q_high=0.95)
+
+
+def q_eval_calibration(spark, sf_dir):
+    """Decile reliability diagram for the quality classifier's
+    probability against the 'long document' label — the calibration
+    counterpart to eval_auc: per probability decile, exact counts, the
+    decimal-lane mean predicted probability, and the observed positive
+    rate as integer ppm."""
+    from iatlas_cbioportal_export_spark.operators.text import (
+        quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_classifier(docs).select("doc_id", "quality_prob")
+    labeled = scored.join(
+        docs.select("doc_id", (F.length("text") >= 500).alias("pos")),
+        on="doc_id",
+    )
+    bucket = F.least(
+        F.floor(F.col("quality_prob") * 10).cast("int"), F.lit(9)
+    )
+    return (
+        labeled.groupBy(bucket.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("pos").cast("long")).alias("n_pos"),
+            F.round(
+                F.sum(F.col("quality_prob").cast("decimal(18,9)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_prob"),
+            F.expr(
+                "CAST(sum(CAST(pos AS LONG)) AS DECIMAL(38,0)) * 1000000"
+                " div count(1)"
+            ).alias("pos_rate_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
 def _cov_oracle(dims: int = 8) -> str:
     """Generated twin of q_stats_covariance_matrix: the same decimal
     moment sums in one aggregate, the same double formula per cell."""
@@ -4382,6 +4436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_report": q_dedup_cluster_report,
         "sample_class_balanced": q_sample_class_balanced,
         "sample_leakage_safe_splits": q_sample_leakage_safe_splits,
+        "stats_winsorize": q_stats_winsorize,
+        "eval_calibration": q_eval_calibration,
         # --- driver-green in CORRECTNESS_r01/r02/r03 ---
         "text_bm25": q_text_bm25,
         "stream_dedup_keys": q_stream_dedup_keys,
@@ -6110,6 +6166,45 @@ def oracle_sql() -> dict[str, str]:
     """
     d["graph_sssp"] = _sssp_oracle(source=1, rounds=4)
     d["stats_covariance_matrix"] = _cov_oracle(dims=8)
+    # winsorize: rank-pick quantiles (k = max(1, ceil(q*n))), exact sums
+    d["stats_winsorize"] = """
+        WITH v AS MATERIALIZED (
+            SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders
+        ),
+        nn AS (SELECT count(*) AS n FROM v),
+        r AS MATERIALIZED (
+            SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v
+        ),
+        bounds AS (
+            SELECT
+                (SELECT CAST(greatest(ceil(0.05 * n), 1) AS BIGINT)
+                 FROM nn) AS k_lo,
+                (SELECT CAST(greatest(ceil(0.95 * n), 1) AS BIGINT)
+                 FROM nn) AS k_hi
+        ),
+        picked AS (
+            SELECT k_lo,
+                   (SELECT c FROM r WHERE rn = bounds.k_lo) AS lo,
+                   k_hi,
+                   (SELECT c FROM r WHERE rn = bounds.k_hi) AS hi
+            FROM bounds
+        )
+        SELECT nn.n AS n,
+               picked.k_lo AS k_low, picked.lo AS low_value,
+               picked.k_hi AS k_high, picked.hi AS high_value,
+               (SELECT count(*) FROM v WHERE c < picked.lo)
+                   AS n_clamped_low,
+               (SELECT count(*) FROM v WHERE c > picked.hi)
+                   AS n_clamped_high,
+               (SELECT CAST(CAST(sum(c) AS DECIMAL(38,0)) AS VARCHAR)
+                FROM v) AS sum_original,
+               (SELECT CAST(CAST(sum(least(greatest(c, picked.lo),
+                                           picked.hi)) AS DECIMAL(38,0))
+                            AS VARCHAR)
+                FROM v) AS sum_winsorized
+        FROM picked CROSS JOIN nn
+    """
     # class balancing: replay the portable-hash ranking per class
     d["sample_class_balanced"] = """
         WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
@@ -7888,6 +7983,27 @@ def oracle_sql() -> dict[str, str]:
                                       * CAST(n_neg AS DOUBLE)), 6)
                END AS auc
         FROM agg ORDER BY lang
+    """
+    # calibration: nests the classifier oracle like eval_auc; decimal-lane
+    # mean probability, integer-ppm observed rate
+    d["eval_calibration"] = f"""
+        WITH q AS ({d["text_quality_classifier"]}),
+        lab AS (
+            SELECT q.doc_id, q.quality_prob,
+                   length(d.text) >= 500 AS pos
+            FROM q JOIN documents d USING (doc_id)
+        )
+        SELECT least(CAST(floor(quality_prob * 10) AS INTEGER), 9)
+                   AS decile,
+               count(*) AS n,
+               CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+               round(CAST(sum(CAST(quality_prob AS DECIMAL(18,9)))
+                          AS DOUBLE) / count(*), 6) AS mean_prob,
+               CAST(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                         AS HUGEINT) * 1000000 // count(*)
+                    AS BIGINT) AS pos_rate_ppm
+        FROM lab GROUP BY 1 ORDER BY decile
     """
     d["text_vocab_growth"] = """
         WITH b AS MATERIALIZED (

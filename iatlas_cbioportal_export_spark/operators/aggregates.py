@@ -779,6 +779,46 @@ def grouped_auc(
     )
 
 
+def winsorize_report(
+    df: DataFrame,
+    col: str,
+    q_low: float = 0.05,
+    q_high: float = 0.95,
+) -> DataFrame:
+    """Winsorize an integral column at EXACT quantiles and report what
+    moved — the outlier-taming step before any mean/variance-based
+    statistic (OLS, z-scores, PSI bins) meets heavy-tailed data.
+
+    The clip bounds come from :func:`exact_order_statistics` (both
+    quantiles refine through the same histogram passes — never a sort,
+    never a collect of values); they return as driver decision scalars
+    and the clamp itself is a narrow map. All report values are exact
+    integers (DECIMAL(38,0) sums — clamped totals can exceed BIGINT at
+    scale).
+
+    Output, one row: (n, k_low, low_value, k_high, high_value,
+    n_clamped_low, n_clamped_high, sum_original, sum_winsorized) with
+    the sums surfaced as exact strings.
+    """
+    n, res = exact_order_statistics(df, col, [q_low, q_high])
+    (k_lo, lo), (k_hi, hi) = res
+    c = F.col(col)
+    clamped = F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(k_lo).cast("long").alias("k_low"),
+        F.lit(lo).cast("long").alias("low_value"),
+        F.lit(k_hi).cast("long").alias("k_high"),
+        F.lit(hi).cast("long").alias("high_value"),
+        F.sum((c < F.lit(lo)).cast("long")).alias("n_clamped_low"),
+        F.sum((c > F.lit(hi)).cast("long")).alias("n_clamped_high"),
+        F.sum(c.cast("decimal(38,0)")).cast("string").alias("sum_original"),
+        F.sum(clamped.cast("decimal(38,0)"))
+        .cast("string")
+        .alias("sum_winsorized"),
+    )
+
+
 def psi_report(
     ref: DataFrame,
     cur: DataFrame,

@@ -649,3 +649,19 @@ def test_grouped_auc_perfect_and_degenerate(spark):
     assert out["perfect"]["auc"] == 1.0
     assert out["inverted"]["auc"] == 0.0
     assert out["allpos"]["auc"] is None  # no negatives -> undefined
+
+
+def test_winsorize_report_exact_bounds_and_sums(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        winsorize_report,
+    )
+
+    # values 1..100: p05 -> k=5 -> 5, p95 -> k=95 -> 95
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "v long")
+    r = winsorize_report(df, "v", 0.05, 0.95).collect()[0]
+    assert (r["k_low"], r["low_value"]) == (5, 5)
+    assert (r["k_high"], r["high_value"]) == (95, 95)
+    assert r["n_clamped_low"] == 4 and r["n_clamped_high"] == 5
+    # original sum 5050; winsorized: 1..4 -> 5 (+10), 96..100 -> 95 (-15)
+    assert r["sum_original"] == "5050"
+    assert r["sum_winsorized"] == str(5050 + 10 - 15)

@@ -544,6 +544,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan ExistingRDD"],
         ["CartesianProduct", "Window"],
     ),
+    # clip bounds are literals from the histogram passes; the report is
+    # one aggregate — no sort, no window
+    "stats_winsorize": (
+        ["HashAggregate"],
+        ["CartesianProduct", "Window", "SortMergeJoin"],
+    ),
+    # decile buckets are a narrow projection; one combiner-reduced
+    # groupBy over ≤ 10 keys
+    "eval_calibration": (
+        ["HashAggregate"],
+        ["CartesianProduct", "Window", "SortMergeJoin"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
