@@ -27,6 +27,7 @@ ALLOW_NESTED_LOOP = {
     "text_unigram_logprob",    # corpus-total scalar: one-row broadcast join
     "text_naive_bayes",        # k-row class table (priors/defaults) broadcast cross
     "profile_join_cardinality",  # three ONE-ROW totals frames broadcast-crossed
+    "sample_class_balanced",   # one-row min-class-count broadcast cross
     "text_length_histogram",   # corpus-total scalar: one-row broadcast join
     "text_bigram_logprob",     # corpus-total scalar: one-row broadcast join
     "text_cooccurrence_pmi",   # pair/token totals: one-row broadcast join
