@@ -106,6 +106,13 @@ EXTENDED = [
     "stream_topk_snapshot",
     "events_feature_matrix",
     "stats_covariance_matrix",
+    # round-4 fifth/sixth/seventh batches
+    "profile_join_cardinality",
+    "dedup_cluster_report",
+    "sample_class_balanced",
+    "sample_leakage_safe_splits",
+    "stats_winsorize",
+    "eval_calibration",
 ]
 
 N_REPS = 3
