@@ -322,6 +322,78 @@ def main() -> None:
         }
     )
 
+    # r4 sixth/seventh batches: eval + sampling + profiling paths
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        grouped_auc,
+        winsorize_report,
+    )
+    from iatlas_cbioportal_export_spark.operators.profiling import (
+        join_cardinality_report,
+    )
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        class_balanced_sample,
+    )
+    from iatlas_cbioportal_export_spark.streaming.events import (
+        user_feature_matrix,
+    )
+
+    def _auc_case(d):
+        scored = text_ops.quality_classifier(d).select(
+            "doc_id", "quality_prob"
+        )
+        labeled = scored.join(
+            d.select("doc_id", "lang", (F.length("text") >= 500).alias("p")),
+            on="doc_id",
+        )
+        return grouped_auc(labeled, "quality_prob", "p", "lang").count()
+
+    cases.update(
+        {
+            "grouped_auc": _auc_case,
+            "class_balanced": lambda d: class_balanced_sample(
+                d, "doc_id", "lang"
+            ).count(),
+        }
+    )
+    li_cases.update(
+        {
+            "winsorize_p05_p95": lambda li: winsorize_report(
+                li.select(
+                    F.floor(F.col("l_extendedprice") * 100).alias("c")
+                ),
+                "c",
+            ).count(),
+            "join_cardinality": lambda li: join_cardinality_report(
+                li, li, "l_partkey", "l_partkey"
+            ).count(),
+        }
+    )
+
+    ev1 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_ev = ev1.count()
+    reps_ev = spark.range(factor).select(F.col("id").alias("__rep"))
+    evN = (
+        ev1.crossJoin(reps_ev)
+        .select(
+            (F.col("event_id") + F.col("__rep") * n_ev * 10).alias(
+                "event_id"
+            ),
+            "ts",
+            (F.col("user_id") + F.col("__rep") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .localCheckpoint(eager=True)
+    )
+    ev_cases = {
+        "feature_matrix": lambda e: user_feature_matrix(e).count(),
+    }
+    for name, fn in ev_cases.items():
+        t1 = _timed(lambda: fn(ev1))
+        tN = _timed(lambda: fn(evN))
+        print(f"{name:22s} 1x={t1:6.2f}s  {factor}x={tN:7.2f}s  ratio={tN / t1:5.1f}")
+
     def _fs_pair(c):
         # block cardinality scales with |c| (mod 20000), so per-block pair
         # volume stays bounded as the input amplifies -- the realistic ER
