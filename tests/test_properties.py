@@ -576,3 +576,105 @@ def test_snapshot_diff_matches_dict_reference(spark, rows, rows2):
             want[kk] = "changed"
     assert got == want
     assert snapshot_diff(old, old, ["k"]).count() == 0
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(st.floats(0, 1, width=16), st.booleans()),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_grouped_auc_matches_pair_counting_reference(spark, data):
+    from iatlas_cbioportal_export_spark.operators.aggregates import grouped_auc
+
+    df = spark.createDataFrame(
+        [("g", float(s), bool(l)) for s, l in data],
+        "grp string, s double, l boolean",
+    )
+    out = grouped_auc(df, "s", "l", "grp").collect()[0]
+    pos = [s for s, l in data if l]
+    neg = [s for s, l in data if not l]
+    assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
+    if not pos or not neg:
+        assert out["auc"] is None
+        return
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p in pos
+        for n in neg
+    )
+    ref = wins / (len(pos) * len(neg))
+    assert abs(out["auc"] - ref) < 1e-6
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(0, 8), st.integers(0, 8), st.integers(1, 9)
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_sssp_matches_dijkstra_reference(spark, edges):
+    import heapq
+
+    from iatlas_cbioportal_export_spark.operators.graph import sssp_distances
+
+    edges = [(a, b, w) for a, b, w in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    # rounds = node count bounds any shortest path's hop length
+    out = {
+        r["node"]: r["dist"]
+        for r in sssp_distances(df, source=0, rounds=9).collect()
+    }
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert out == dist
+
+
+@settings(**_SETTINGS)
+@given(
+    classes=st.lists(
+        st.integers(1, 12), min_size=2, max_size=5
+    )
+)
+def test_class_balanced_sample_invariants(spark, classes):
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        class_balanced_sample,
+    )
+
+    rows, nid = [], 0
+    for ci, n in enumerate(classes):
+        for _ in range(n):
+            rows.append((nid, f"c{ci}"))
+            nid += 1
+    df = spark.createDataFrame(rows, "id long, cls string")
+    out = class_balanced_sample(df, "id", "cls").collect()
+    target = min(classes)
+    per = {}
+    for r in out:
+        per[r["cls"]] = per.get(r["cls"], 0) + 1
+    assert set(per.values()) == {target}
+    assert len(per) == len(classes)
+    # kept rows are a subset of the input
+    ids = {r["id"] for r in out}
+    assert ids <= {i for i, _ in rows}
