@@ -13,6 +13,7 @@ what makes the result hash-comparable against the DuckDB oracle.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -324,6 +325,39 @@ def _centroid_sims(vec: Column, centroids: list[tuple[int, list[float]]]) -> Col
     )
 
 
+def _centroid_sims_expr(
+    vec_name: str, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """String-expression twin of :func:`_centroid_sims` for when the vector
+    is a plain column NAME: one ``F.expr`` parse instead of thousands of
+    py4j ``F.lit`` round-trips (16 cells x 64 dims of Column objects cost
+    ~3s of driver time; the equivalent SQL string parses in milliseconds).
+    Folds and cast placement replicate :func:`cosine` exactly; centroid
+    norms are pre-folded driver-side with the same left-to-right
+    accumulation, so every double is bit-identical."""
+    norm_vec = (
+        f"sqrt(aggregate({vec_name}, 0.0D, "
+        "(acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+    parts = []
+    for cid, cv in centroids:
+        arr = "array(" + ",".join(f"{x!r}D" for x in cv) + ")"
+        acc = 0.0
+        for v in cv:
+            acc = acc + v * v
+        nc = f"{math.sqrt(acc)!r}D"
+        dot = (
+            f"aggregate(zip_with({vec_name}, {arr}, "
+            "(x, y) -> cast(x as double) * cast(y as double)), "
+            "0.0D, (a, b) -> a + b)"
+        )
+        parts.append(
+            f"named_struct('sim', {dot} / ({norm_vec} * {nc}), "
+            f"'cell_id', {cid})"
+        )
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -358,10 +392,10 @@ def ivf_topk(
         )
     ]
     assigned = corpus.withColumn(
-        "__cell", F.array_max(_centroid_sims(F.col(vec_col), centroids))["cell_id"]
+        "__cell", F.array_max(_centroid_sims_expr(vec_col, centroids))["cell_id"]
     )
     probes = F.slice(
-        F.reverse(F.array_sort(_centroid_sims(F.col(vec_col), centroids))),
+        F.reverse(F.array_sort(_centroid_sims_expr(vec_col, centroids))),
         1,
         n_probe,
     )
@@ -414,7 +448,7 @@ def kmeans_centroids(
     for _ in range(iterations):
         assigned = corpus.withColumn(
             "__cell",
-            F.array_max(_centroid_sims(F.col(vec_col), centroids))["cell_id"],
+            F.array_max(_centroid_sims_expr(vec_col, centroids))["cell_id"],
         ).select("__cell", F.posexplode(F.col(vec_col)).alias("__pos", "__val"))
         means = (
             assigned.groupBy("__cell", "__pos")
@@ -455,10 +489,10 @@ def ivf_topk_trained(
         corpus, n_cells=n_cells, iterations=iterations, id_col=id_col, vec_col=vec_col
     )
     assigned = corpus.withColumn(
-        "__cell", F.array_max(_centroid_sims(F.col(vec_col), centroids))["cell_id"]
+        "__cell", F.array_max(_centroid_sims_expr(vec_col, centroids))["cell_id"]
     )
     probes = F.slice(
-        F.reverse(F.array_sort(_centroid_sims(F.col(vec_col), centroids))),
+        F.reverse(F.array_sort(_centroid_sims_expr(vec_col, centroids))),
         1,
         n_probe,
     )
@@ -825,7 +859,7 @@ def semantic_dedup_pairs(
     # whole query re-deriving assignment per branch at sf0.01).
     assigned = df.select(
         F.col(id_col).alias("id"),
-        F.array_max(_centroid_sims(F.col(vec_col), centroids))["cell_id"].alias(
+        F.array_max(_centroid_sims_expr(vec_col, centroids))["cell_id"].alias(
             "__cell"
         ),
     ).localCheckpoint(eager=False)
@@ -1248,10 +1282,27 @@ def ivfpq_topk(
     (broadcast of the exploded query probes); top-k per query by
     (adc_d2 asc, id asc).
 
+    Execution: the corpus pass (cell argmax + PQ-encode argmins) and the
+    ADC scorer run as Arrow-batched ``mapInPandas`` stages, NOT as literal
+    Catalyst expressions — the m·kc·(dim/m) codebook doubles embedded in a
+    SQL string made expression parse + codegen the dominant cost (~25s of
+    a 30s wall at sf0.1, constant in data size), which a 100 TB run
+    amortizes but a bench rep pays in full. The numpy kernels replay the
+    contract folds ACCUMULATION-BY-ACCUMULATION (explicit per-element
+    loops, never ``np.sum``'s pairwise summation), so every double —
+    cosine cell similarity, PQ d², ADC d² — is bit-identical to the
+    Catalyst/DuckDB fold and the oracle still hash-matches. Tie-breaks
+    replicated: cell argmax takes the LARGER cell on equal sim (struct
+    array_max), PQ argmin the SMALLER code on equal d² (struct array_min).
+
     Quantization granularity, not recall loss, is the trade: exact-twin
     queries always probe their own cell and rank their original by its
     quantization error. Output: (query_id, id, adc_d2 6dp, rank).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
     first = corpus.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"])
     d = dim // m
@@ -1265,15 +1316,73 @@ def ivfpq_topk(
         )
     ]
     books = pq_seed_codebooks(corpus, dim, m=m, k=kc, id_col=id_col, vec_col=vec_col)
-    assigned = corpus.select(
-        F.col(id_col),
-        F.array_max(_centroid_sims(F.col(vec_col), centroids))[
-            "cell_id"
-        ].alias("__cell"),
-        _pq_codes_expr(vec_col, books).alias("__codes"),
+
+    cent_norms = []
+    for _, cv in centroids:
+        acc = 0.0
+        for v in cv:
+            acc = acc + v * v
+        cent_norms.append(math.sqrt(acc))
+
+    id_type = corpus.schema[id_col].dataType
+    assigned_schema = ST.StructType(
+        [
+            ST.StructField(id_col, id_type),
+            ST.StructField("__cell", ST.IntegerType()),
+            ST.StructField("__codes", ST.ArrayType(ST.IntegerType())),
+        ]
     )
+
+    def _stack(col: pd.Series) -> "np.ndarray":
+        return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+    def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _stack(pdf[vec_col])
+            n = x.shape[0]
+            # ||x|| via the contract fold: acc = ((0 + x0²) + x1²) ...
+            acc = np.zeros(n)
+            for i in range(dim):
+                acc = acc + x[:, i] * x[:, i]
+            norm_x = np.sqrt(acc)
+            best_sim = np.full(n, -np.inf)
+            best_cell = np.zeros(n, dtype=np.int32)
+            for cid, cv in centroids:
+                dot = np.zeros(n)
+                for i in range(dim):
+                    dot = dot + x[:, i] * cv[i]
+                sim = dot / (norm_x * cent_norms[cid])
+                upd = sim >= best_sim  # ties → larger cid (ascending scan)
+                best_sim[upd] = sim[upd]
+                best_cell[upd] = cid
+            codes = np.zeros((n, m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * d : (j + 1) * d]
+                best_d2 = np.full(n, np.inf)
+                for c, cv in enumerate(books[j]):
+                    d2 = np.zeros(n)
+                    for i in range(d):
+                        diff = xs[:, i] - cv[i]
+                        d2 = d2 + diff * diff
+                    upd = d2 < best_d2  # ties → smaller c (strict <)
+                    best_d2[upd] = d2[upd]
+                    codes[upd, j] = c
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "__cell": best_cell,
+                    "__codes": list(codes),
+                }
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign_encode, schema=assigned_schema
+    )
+
     probes = F.slice(
-        F.reverse(F.array_sort(_centroid_sims(F.col(vec_col), centroids))),
+        F.reverse(F.array_sort(_centroid_sims_expr(vec_col, centroids))),
         1,
         n_probe,
     )
@@ -1282,29 +1391,57 @@ def ivfpq_topk(
         F.col(vec_col).alias("__qvec"),
         F.explode(probes).alias("__probe"),
     ).select(query_id_col, "__qvec", F.col("__probe.cell_id").alias("__cell"))
-    # per-subspace ADC partials, then an explicit left-to-right chain so
-    # the double fold nesting is part of the operator contract
-    subs = []
-    for j in range(m):
-        book_j = (
-            "array("
-            + ",".join(
-                "array(" + ",".join(f"{x!r}D" for x in cv) + ")"
-                for cv in books[j]
+
+    qid_type = queries.schema[id_col].dataType
+    scored_schema = ST.StructType(
+        [
+            ST.StructField(query_id_col, qid_type),
+            ST.StructField(id_col, id_type),
+            ST.StructField("__d2", ST.DoubleType()),
+        ]
+    )
+
+    def adc_tab(qvec: "np.ndarray") -> "np.ndarray":
+        # tab[j, c] = ((0 + (q0-c0)²) + (q1-c1)²) ... — scalar left fold
+        tab = np.empty((m, kc))
+        for j in range(m):
+            qs = qvec[j * d : (j + 1) * d]
+            for c, cv in enumerate(books[j]):
+                acc = 0.0
+                for i in range(d):
+                    diff = float(qs[i]) - cv[i]
+                    acc = acc + diff * diff
+                tab[j, c] = acc
+        return tab
+
+    def adc_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tabs: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids = pdf[query_id_col].values
+            for qid, qvec in zip(qids, pdf["__qvec"]):
+                if qid not in tabs:
+                    tabs[qid] = adc_tab(np.asarray(qvec, dtype=np.float64))
+            uq, inv = np.unique(qids, return_inverse=True)
+            tab3 = np.stack([tabs[q] for q in uq])
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["__codes"]]
             )
-            + ")"
-        )
-        subs.append(
-            "aggregate(zip_with("
-            f"transform(slice(__qvec, {j * d + 1}, {d}), x -> cast(x as double)), "
-            f"element_at({book_j}, __codes[{j}] + 1), "
-            "(x, y) -> (x - y) * (x - y)), 0.0D, (a, b) -> a + b)"
-        )
-    chain = "0.0D"
-    for s in subs:
-        chain = f"({chain} + {s})"
-    cands = assigned.join(F.broadcast(q_probed), on="__cell").withColumn(
-        "__d2", F.expr(chain)
+            # total = (((0 + s0) + s1) + …) — the contract chain over j
+            acc = np.zeros(len(pdf))
+            for j in range(m):
+                acc = acc + tab3[inv, j, codes[:, j]]
+            yield pd.DataFrame(
+                {
+                    query_id_col: qids,
+                    id_col: pdf[id_col].values,
+                    "__d2": acc,
+                }
+            )
+
+    cands = assigned.join(F.broadcast(q_probed), on="__cell").mapInPandas(
+        adc_score, schema=scored_schema
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__d2").asc(), F.col(id_col).asc()

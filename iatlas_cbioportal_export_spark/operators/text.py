@@ -7,10 +7,14 @@ derivations) except where noted.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from iatlas_cbioportal_export_spark.functions import text as T
+
+_LOG = logging.getLogger(__name__)
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -1242,6 +1246,8 @@ def cosine_similarity_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    max_df_frac: float = 0.5,
+    exact: bool = False,
 ) -> DataFrame:
     """EXACT all-pairs cosine similarity ≥ ``threshold`` over integer
     term-frequency vectors, via an inverted-index (postings) join — the
@@ -1261,9 +1267,19 @@ def cosine_similarity_pairs(
     rows — (doc, term, tf), per-term df, per-doc norms, and the (a, b)
     partial-product aggregation; raw text never shuffles. Per-term pair
     fan-out is Σ df_t², so high-df terms dominate cost while contributing
-    least discrimination — ``max_df`` drops postings lists longer than the
-    cap (df-capped semantics: a surviving pair must share ≥1 kept term;
-    norms stay full-vector). Terms with df=1 can never form a pair and are
+    least discrimination — by DEFAULT terms appearing in more than
+    ``max_df_frac`` of the corpus (or more than ``max_df`` documents, when
+    given) are dropped from the postings self-join so an accidentally
+    dense vocabulary can never go quadratic (df-capped semantics: a
+    surviving pair must share ≥1 kept term; each candidate is then
+    VERIFIED against the full tf vectors, so the dot, the threshold gate
+    and the reported cosine of every surviving pair are exact — the cap
+    costs recall only for pairs whose entire overlap is hot terms). The
+    number of dropped hot terms is logged. ``exact=True`` disables the guard — the explicit
+    opt-in for bounded slices where full recall is required. Resolving the
+    fractional cap costs one count of ``df`` plus one combiner-reduced
+    aggregate over the per-term df table — negligible next to the pairs
+    join it bounds. Terms with df=1 can never form a pair and are always
     pruned before the postings self-join. The synthetic corpus is the
     worst case (31-term dense vocabulary ⇒ effectively all-pairs); real
     web/text corpora are Zipf-sparse where prefix/df pruning bites.
@@ -1286,7 +1302,20 @@ def cosine_similarity_pairs(
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     kept = dfreq.filter(F.col("__df") >= 2)
-    if max_df is not None:
+    if not exact:
+        if max_df is None:
+            import math as _math
+
+            n_docs = df.select(id_col).count()
+            max_df = max(2, int(_math.ceil(max_df_frac * n_docs)))
+        dropped = kept.filter(F.col("__df") > max_df).count()
+        if dropped:
+            _LOG.warning(
+                "cosine_similarity_pairs: df-cap %d dropped %d hot term(s) "
+                "from the postings join (pass exact=True for full recall)",
+                max_df,
+                dropped,
+            )
         kept = kept.filter(F.col("__df") <= max_df)
     postings = tf.join(kept.select("term"), "term")
 
@@ -1300,12 +1329,45 @@ def cosine_similarity_pairs(
         F.col(id_col).alias("doc_b"),
         F.col("tf").alias("__tfb"),
     )
-    pairs = (
-        a.join(b, "term")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("__tfa") * F.col("__tfb")).alias("dot"))
-    )
+    if exact:
+        # All terms kept ⇒ the postings join already sees the full
+        # vectors; the dot falls out of the candidate aggregation.
+        pairs = (
+            a.join(b, "term")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("__tfa") * F.col("__tfb")).alias("dot"))
+        )
+    else:
+        # Candidate-generate on the df-capped postings, then VERIFY each
+        # candidate against the FULL tf vectors so the dot (and therefore
+        # the threshold gate and the reported cosine) stays exact for
+        # every surviving pair — recall is lost only for pairs whose
+        # overlap consists entirely of capped hot terms. The verify join
+        # touches |candidates| x doc-length rows, bounded by the cap.
+        cand = (
+            a.select("term", "doc_a")
+            .join(b.select("term", "doc_b"), "term")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        full_a = tf.select(
+            F.col(id_col).alias("doc_a"),
+            F.col("term"),
+            F.col("tf").alias("__tfa"),
+        )
+        full_b = tf.select(
+            F.col(id_col).alias("doc_b"),
+            F.col("term"),
+            F.col("tf").alias("__tfb"),
+        )
+        pairs = (
+            cand.join(full_a, "doc_a")
+            .join(full_b, ["doc_b", "term"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("__tfa") * F.col("__tfb")).alias("dot"))
+        )
     na = norms.select(
         F.col(id_col).alias("doc_a"), F.col("n2").alias("__na")
     )

@@ -246,6 +246,21 @@ def required_columns_present(
 
 _CHROMOSOME_RE = r"^(chr)?([1-9]|1[0-9]|2[0-2]|X|Y|M|MT)$"
 _ALLELE_RE = r"^[ACGTN-]+$"
+_BARCODE_RE = r"^[A-Za-z0-9._-]+$"
+# Exact spellings accepted by cBioPortal validateData.py's checkNCBIbuild
+# for the two supported reference genomes.
+_NCBI_BUILDS = ("37", "GRCh37", "hg19", "38", "GRCh38", "hg38")
+_VARIANT_TYPES = ("SNP", "DNP", "TNP", "ONP", "INS", "DEL")
+# checkMutationStatus's accepted vocabulary (compared case-insensitively).
+_MUTATION_STATUSES = (
+    "somatic",
+    "germline",
+    "loh",
+    "post-transcriptional modification",
+    "unknown",
+    "wildtype",
+    "none",
+)
 
 
 def maf_value_conformance(
@@ -257,14 +272,26 @@ def maf_value_conformance(
     end_col: str = "End_Position",
     t_ref_col: str = "t_ref_count",
     t_alt_col: str = "t_alt_count",
+    build_col: str = "NCBI_Build",
+    vt_col: str = "Variant_Type",
+    barcode_col: str = "Tumor_Sample_Barcode",
+    mstatus_col: str = "Mutation_Status",
 ) -> DataFrame:
     """Per-field MAF value checks — the native subset of cBioPortal
     ``validateData.py --strict_maf_checks`` the reference shells out to
-    (``validate.py:211-216``): chromosome vocabulary, allele alphabet,
-    ref==alt "silent non-variant", position ordering, and allele-count
-    sanity. ONE aggregate pass (map-side combined sums of violation
-    predicates), one finding row per rule; NULL field values are skipped by
-    each rule (presence is V5/V6/V11's job, not a value check).
+    (``validate.py:211-216``). Tier 1: chromosome vocabulary, allele
+    alphabet, ref==alt "silent non-variant", position ordering, and
+    allele-count sanity. Tier 2 (the strict-mode consistency checks,
+    emitted only when the column is present in the frame): NCBI_Build
+    spelling (checkNCBIbuild), Variant_Type vocabulary, allele content vs
+    variant type (checkAllelesPositionsAndLength: SNP/DNP/TNP lengths, ONP
+    equal-length >3, INS needs ref='-' or longer alt, DEL needs alt='-' or
+    longer ref), position span vs allele length (SNP ⇒ end=start, DEL ⇒
+    end−start+1 = len(ref)), Tumor_Sample_Barcode charset, and
+    Mutation_Status vocabulary (case-insensitive). ONE aggregate pass
+    (map-side combined sums of violation predicates), one finding row per
+    rule; NULL field values are skipped by each rule (presence is
+    V5/V6/V11's job, not a value check).
     """
     chrom = F.col(chrom_col)
     ref, alt = F.col(ref_col), F.col(alt_col)
@@ -291,6 +318,61 @@ def maf_value_conformance(
         & (start > end),
         "maf_negative_allele_counts": (t_ref < 0) | (t_alt < 0),
     }
+    cols = set(maf.columns)
+    if build_col in cols:
+        build = F.col(build_col)
+        rules["maf_ncbi_build"] = build.isNotNull() & ~build.isin(
+            *_NCBI_BUILDS
+        )
+    if vt_col in cols:
+        vt = F.col(vt_col)
+        rules["maf_variant_type_vocabulary"] = vt.isNotNull() & ~vt.isin(
+            *_VARIANT_TYPES
+        )
+        lr, la = F.length(ref), F.length(alt)
+        rules["maf_allele_vs_variant_type"] = (
+            vt.isNotNull()
+            & ref.isNotNull()
+            & alt.isNotNull()
+            & (
+                (
+                    (vt == "SNP")
+                    & ~(
+                        (lr == 1)
+                        & (la == 1)
+                        & (ref != "-")
+                        & (alt != "-")
+                    )
+                )
+                | ((vt == "DNP") & ~((lr == 2) & (la == 2)))
+                | ((vt == "TNP") & ~((lr == 3) & (la == 3)))
+                | ((vt == "ONP") & ~((lr == la) & (lr > 3)))
+                | ((vt == "INS") & ~((ref == "-") | (la > lr)))
+                | ((vt == "DEL") & ~((alt == "-") | (lr > la)))
+            )
+        )
+        rules["maf_position_allele_span"] = (
+            vt.isNotNull()
+            & start.isNotNull()
+            & end.isNotNull()
+            & (
+                ((vt == "SNP") & (end != start))
+                | (
+                    (vt == "DEL")
+                    & ref.isNotNull()
+                    & (ref != "-")
+                    & (end - start + 1 != F.length(ref))
+                )
+            )
+        )
+    if barcode_col in cols:
+        bc = F.col(barcode_col)
+        rules["maf_barcode_format"] = bc.isNotNull() & ~bc.rlike(_BARCODE_RE)
+    if mstatus_col in cols:
+        ms = F.lower(F.col(mstatus_col))
+        rules["maf_mutation_status_vocabulary"] = F.col(
+            mstatus_col
+        ).isNotNull() & ~ms.isin(*_MUTATION_STATUSES)
     agg = maf.agg(
         *[_violations(cond).alias(f"__v_{name}") for name, cond in rules.items()]
     )

@@ -602,8 +602,39 @@ def test_cosine_pairs_max_df_cap_drops_hot_terms(spark):
     )
     capped = cosine_similarity_pairs(df, threshold=0.5, max_df=3).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(1, 2)}
-    uncapped = cosine_similarity_pairs(df, threshold=0.5).collect()
+    uncapped = cosine_similarity_pairs(df, threshold=0.5, exact=True).collect()
     assert len(uncapped) == 6  # all pairs share "common" at cos ≥ 0.5
+    # the DEFAULT path applies the fractional cap: "common" has df=4 over a
+    # 4-doc corpus > ceil(0.5*4)=2, so it can no longer link pairs — the
+    # dense-vocabulary quadratic blowup is fenced off unless exact=True.
+    default = cosine_similarity_pairs(df, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in default} == {(1, 2)}
+
+
+def test_cosine_pairs_default_cap_fences_dense_vocabulary(spark):
+    from iatlas_cbioportal_export_spark.operators.text import (
+        cosine_similarity_pairs,
+    )
+
+    # Planted dense vocabulary: 200 docs all sharing the same 5 hot terms
+    # (df=200 each) would form 200*199/2 = 19900 candidate pairs under the
+    # exact path. The default df-cap (ceil(0.5*200)=100) drops all five hot
+    # terms, so only the two docs sharing a rare term pair up — candidate
+    # volume collapses from ~20k to 1 without any explicit parameter.
+    rows = [(i, "hot1 hot2 hot3 hot4 hot5") for i in range(200)]
+    rows[7] = (7, "hot1 hot2 hot3 hot4 hot5 rareterm")
+    rows[13] = (13, "hot1 hot2 hot3 hot4 hot5 rareterm")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = cosine_similarity_pairs(df, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == {(7, 13)}
+    # full-vector norms: cosine of the surviving pair is exact —
+    # identical 6-term docs → 1.0.
+    assert got[0]["cosine"] == 1.0
+    # exact path still finds everything (spot-check the count only).
+    n_exact = cosine_similarity_pairs(
+        df.filter("doc_id < 30"), threshold=0.5, exact=True
+    ).count()
+    assert n_exact == 30 * 29 / 2
 
 
 def test_naive_bayes_separable_classes(spark):

@@ -85,6 +85,64 @@ def test_maf_value_conformance_rules(spark):
     assert out["maf_negative_allele_counts"] == ("ERROR", 1)
 
 
+def test_maf_value_conformance_tier2_rules(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        maf_value_conformance,
+    )
+
+    base = ("chr1", 10, 10, "A", "C", 5, 3)
+    rows = [
+        # (..., build, vt, barcode, mstatus)
+        base + ("GRCh37", "SNP", "TCGA-01", "Somatic"),        # clean
+        base + ("hg20", None, "TCGA-02", "Somatic"),           # bad build
+        base + ("hg19", "SNV", "TCGA-03", "Somatic"),          # bad vt vocab
+        # INS whose alleles contradict it (ref not '-', alt not longer)
+        base + ("38", "INS", "TCGA-04", "Somatic"),
+        # DEL with equal-length alleles (alt not '-', ref not longer)
+        base + ("38", "DEL", "TCGA-05", "Somatic"),
+        # SNP with end != start → span rule, alleles themselves fine
+        ("chr1", 10, 12, "A", "C", 5, 3, "37", "SNP", "TCGA-06", "Somatic"),
+        # DEL span: end-start+1=3 but len(ref)=2
+        ("chr1", 10, 12, "AC", "-", 5, 3, "37", "DEL", "TCGA-07", "Somatic"),
+        base + ("GRCh38", "SNP", "TCGA 08", "Somatic"),        # space in barcode
+        base + ("GRCh38", "SNP", "TCGA-09", "Speculative"),    # bad status
+        base + ("GRCh38", "SNP", "TCGA-10", "SOMATIC"),        # case-insensitive OK
+        # NULL tier-2 fields are skipped by every tier-2 rule
+        base + (None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "Chromosome string, Start_Position long, End_Position long, "
+        "Reference_Allele string, Tumor_Seq_Allele2 string, "
+        "t_ref_count long, t_alt_count long, NCBI_Build string, "
+        "Variant_Type string, Tumor_Sample_Barcode string, "
+        "Mutation_Status string",
+    )
+    out = {r["check"]: (r["status"], r["observed"])
+           for r in maf_value_conformance(df).collect()}
+    assert out["maf_ncbi_build"] == ("ERROR", 1)
+    assert out["maf_variant_type_vocabulary"] == ("ERROR", 1)
+    assert out["maf_allele_vs_variant_type"] == ("ERROR", 2)
+    assert out["maf_position_allele_span"] == ("ERROR", 2)
+    assert out["maf_barcode_format"] == ("ERROR", 1)
+    assert out["maf_mutation_status_vocabulary"] == ("ERROR", 1)
+    assert len(out) == 11
+
+
+def test_maf_value_conformance_tier2_skipped_without_columns(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        maf_value_conformance,
+    )
+
+    df = spark.createDataFrame(
+        [("chr1", "A", "C", 10, 20, 5, 3)],
+        "Chromosome string, Reference_Allele string, Tumor_Seq_Allele2 string, "
+        "Start_Position long, End_Position long, t_ref_count long, t_alt_count long",
+    )
+    out = [r["check"] for r in maf_value_conformance(df).collect()]
+    assert len(out) == 5  # tier-2 rules only emitted when columns exist
+
+
 def test_maf_value_conformance_all_ok(spark):
     from iatlas_cbioportal_export_spark.operators.validation import (
         maf_value_conformance,
