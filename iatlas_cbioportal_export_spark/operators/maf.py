@@ -187,6 +187,150 @@ def http_annotator(
     return annotator
 
 
+# annotation_summary.transcriptConsequenceSummary field → MAF annotation
+# column, per Genome Nexus's VariantAnnotation response shape (the JSON the
+# reference's dockerized annotationPipeline.jar consumes from the same
+# endpoints, reference ``maf.py:113-121``).
+_GN_SUMMARY_FIELD_MAP = {
+    "hugoGeneSymbol": "SYMBOL",
+    "hgvsc": "HGVSc",
+    "hgvsp": "HGVSp",
+    "hgvspShort": "HGVSp_Short",
+    "transcriptId": "Transcript_ID",
+    "refSeq": "RefSeq",
+    "consequenceTerms": "Consequence",
+    "variantClassification": "Variant_Classification",
+    "exon": "Exon_Number",
+    "codonChange": "Codons",
+    "entrezGeneId": "Gene",
+}
+
+
+def genome_nexus_annotator(
+    base_url: str,
+    transport: Callable[[str, bytes], bytes] | None = None,
+    timeout_s: float = 60.0,
+    isoform_override: str = "mskcc",
+) -> Annotator:
+    """The real Genome Nexus REST annotator, against the service's public
+    ``POST /annotation`` contract (the same GRCh38 endpoints the reference's
+    docker ``annotationPipeline.jar`` hits with ``--isoform-override mskcc``,
+    reference ``maf.py:113-121``; ``GENOMENEXUS_BASE`` env in
+    ``Dockerfile``).
+
+    Wire shape: each Arrow batch posts ONE JSON array of genomic-location
+    strings ``"chrom,start,end,ref,alt"`` (leading ``chr`` stripped, as the
+    annotation pipeline does) to
+    ``{base}/annotation?isoformOverrideSource=...&fields=annotation_summary``
+    and maps each response object's
+    ``annotation_summary.transcriptConsequenceSummary`` onto the MAF
+    annotation columns via :data:`_GN_SUMMARY_FIELD_MAP`. Responses are
+    matched back to rows by ``originalVariantQuery`` — NOT by position —
+    because Genome Nexus omits or reorders variants it cannot annotate.
+
+    Error routing is PER-ROW where the service allows it: a variant missing
+    from the response (or flagged ``successfully_annotated: false``) gets
+    ``Annotation_Status = 'FAILED: unmatched'`` / ``'FAILED: annotation'``
+    with NULL annotation columns, while the rest of the batch stays SUCCESS
+    — finer than the reference's whole-chunk error report
+    (``maf.py:160-177``). Transport-level failures (HTTP error, bad JSON)
+    mark the whole batch ``FAILED: <ExceptionName>``, same as
+    :func:`http_annotator`.
+
+    ``transport(url, payload) -> bytes`` abstracts the wire call for tests;
+    the default uses stdlib ``urllib`` (executor-side, no extra deps).
+    """
+    import json
+
+    url = (
+        f"{base_url.rstrip('/')}/annotation"
+        f"?isoformOverrideSource={isoform_override}&fields=annotation_summary"
+    )
+
+    def default_transport(u: str, payload: bytes) -> bytes:
+        from urllib.request import Request, urlopen
+
+        req = Request(
+            u, data=payload, headers={"Content-Type": "application/json"}
+        )
+        with urlopen(req, timeout=timeout_s) as resp:  # noqa: S310
+            return resp.read()
+
+    send = transport or default_transport
+
+    def _query_key(row: pd.Series) -> str | None:
+        vals = [
+            row.get("Chromosome"),
+            row.get("Start_Position"),
+            row.get("End_Position"),
+            row.get("Reference_Allele"),
+            row.get("Tumor_Seq_Allele2"),
+        ]
+        if any(pd.isna(v) for v in vals):
+            return None
+        chrom = str(vals[0])
+        if chrom.startswith("chr"):
+            chrom = chrom[3:]
+        start, end = int(vals[1]), int(vals[2])
+        return f"{chrom},{start},{end},{vals[3]},{vals[4]}"
+
+    def annotator(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        keys = [_query_key(row) for _, row in batch.iterrows()]
+        queries = [k for k in keys if k is not None]
+        try:
+            records = json.loads(send(url, json.dumps(queries).encode()))
+            by_query: dict[str, dict] = {}
+            for rec in records:
+                q = rec.get("originalVariantQuery") or rec.get("variant")
+                if q is not None:
+                    by_query[str(q)] = rec
+            col_vals: dict[str, list] = {
+                name: [] for name, _ in ANNOTATION_COLS
+            }
+            status: list[str] = []
+            for k in keys:
+                rec = by_query.get(k) if k is not None else None
+                if k is None:
+                    st = "FAILED: null variant key"
+                elif rec is None:
+                    st = "FAILED: unmatched"
+                elif rec.get("successfully_annotated") is False:
+                    st = "FAILED: annotation"
+                else:
+                    st = "SUCCESS"
+                summary = (
+                    (rec or {})
+                    .get("annotation_summary", {})
+                    .get("transcriptConsequenceSummary", {})
+                    if st == "SUCCESS"
+                    else {}
+                )
+                for name, _typ in ANNOTATION_COLS:
+                    if name == "Annotation_Status":
+                        continue
+                    col_vals[name].append(None)
+                for gn_field, col in _GN_SUMMARY_FIELD_MAP.items():
+                    v = summary.get(gn_field)
+                    if isinstance(v, list):
+                        v = ";".join(str(x) for x in v)
+                    elif v is not None:
+                        v = str(v)
+                    col_vals[col][-1] = v
+                status.append(st)
+            for name, _typ in ANNOTATION_COLS:
+                if name != "Annotation_Status":
+                    out[name] = col_vals[name]
+            out["Annotation_Status"] = status
+        except Exception as exc:  # transport/parse failure → error side-band
+            for name, _typ in ANNOTATION_COLS:
+                out[name] = None
+            out["Annotation_Status"] = f"FAILED: {type(exc).__name__}"
+        return out
+
+    return annotator
+
+
 def annotate(
     maf: DataFrame,
     annotator: Annotator = fake_annotator,
