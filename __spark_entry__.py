@@ -4369,6 +4369,80 @@ def q_text_vocab_growth(spark, sf_dir):
     return text_ops.vocabulary_growth(docs, fractions=(0.25, 0.5, 0.75, 1.0))
 
 
+def q_sample_mixture_weights(spark, sf_dir):
+    """Corpus mixture weights per (source, lang) — the data-mixing step of
+    a training pipeline: temperature-2 sampling weights (∝ sqrt(tokens),
+    the one engine-portable temperature: sqrt is IEEE-correctly-rounded,
+    pow is libm-dependent), quantized to integer micro-weights and
+    normalized with exact integral DIV into ppm shares and a 10^12-token
+    budget split. One combiner-reduced groupBy + a broadcast 1-row total;
+    every output value is integer-exact."""
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_weights(
+        docs, ["source", "lang"], "n_chars", target_tokens=10**12
+    ).orderBy("source", "lang")
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics per document (Rae et al. 2021
+    §A1.1): character mass of the most-repeated word 2-gram and of all
+    duplicated word 3-grams, integer-ppm exact, top-gram tie-broken by
+    (count desc, gram asc) via one min-struct. Token arrays bind once per
+    n; only combiner-reduced (doc, gram, count) rows shuffle."""
+    from iatlas_cbioportal_export_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_metrics(docs).orderBy("doc_id")
+
+
+def q_eval_confusion(spark, sf_dir):
+    """Per-class confusion-matrix report (precision/recall/F1, integer-ppm
+    via division-free integral forms) of the stopword-vote language
+    identifier against the documents table's lang labels — the
+    classification-eval leg next to eval_auc (ranking) and
+    eval_calibration (probability quality). Classes are the union of
+    predicted and actual labels; never-predicted classes surface with NULL
+    precision rather than vanishing."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        confusion_matrix_report,
+    )
+    from iatlas_cbioportal_export_spark.operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = language_id(docs)
+    joined = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    return confusion_matrix_report(joined, "predicted_lang", "lang").orderBy(
+        "class"
+    )
+
+
+def q_dedup_containment(spark, sf_dir):
+    """EXACT directed containment join over word 5-gram shingle sets —
+    the decontamination shape Jaccard misses: 80-char excerpts planted as
+    'benchmark items' (doc_id+1e6, every 50th doc) must surface inside
+    their source documents at containment ≈ 1 while Jaccard against the
+    full doc is tiny. Prefix filter on the a-side rarest shingles bounds
+    candidates; verification is exact array_intersect with an integer
+    micro-unit gate."""
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        containment_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.substring("text", 1, 80).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(bench)
+    return containment_join(corpus, threshold=0.9).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
     checks the FIRST 50 entries only. Round-5 rotation: entries 1-36 are
@@ -4419,8 +4493,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_leakage_safe_splits": q_sample_leakage_safe_splits,
         "stats_winsorize": q_stats_winsorize,
         "eval_calibration": q_eval_calibration,
-        # --- window 37-50: re-checks of round-5-changed code paths +
-        # slots for new round-5 queries (inserted above this line as built)
+        # --- window 37-50: new round-5 queries first, then re-checks of
+        # round-5-changed code paths
+        "sample_mixture_weights": q_sample_mixture_weights,
+        "text_repetition": q_text_repetition,
+        "eval_confusion": q_eval_confusion,
+        "dedup_containment": q_dedup_containment,
         "maf_field_conformance": q_maf_field_conformance,
         "maf_annotate_pipeline": q_maf_annotate_pipeline,
         "v_validation_suite": q_v_validation_suite,
@@ -4693,6 +4771,185 @@ def _mm_lane_sql(j: int) -> str:
 def oracle_sql() -> dict[str, str]:
     d = {
         "flagship_case_lists": _FLAGSHIP_ORACLE,
+        "sample_mixture_weights": """
+            WITH g AS (
+                SELECT source, lang, count(*) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS tokens
+                FROM documents GROUP BY source, lang
+            ),
+            w AS (
+                SELECT *,
+                       CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0)
+                            AS BIGINT) AS weight_micro
+                FROM g
+            ),
+            t AS (SELECT sum(weight_micro) AS total FROM w)
+            SELECT source, lang, n_docs, tokens, weight_micro,
+                   CAST(CAST(weight_micro AS HUGEINT) * 1000000
+                        // CAST(total AS HUGEINT) AS BIGINT) AS share_ppm,
+                   CAST(CAST(weight_micro AS HUGEINT) * 1000000000000
+                        // CAST(total AS HUGEINT) AS BIGINT) AS budget_tokens
+            FROM w, t
+        """,
+        "text_repetition": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '') AS arr
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, len(arr) AS n_words,
+                       CAST(coalesce(list_aggregate(
+                           list_transform(arr, x -> length(x)), 'sum'), 0)
+                           AS BIGINT) AS word_chars,
+                       arr
+                FROM toks
+            ),
+            g2 AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(arr, i, i + 1), ' ') AS gram
+                FROM base,
+                     unnest(range(1, greatest(len(arr) - 1, 1) + 1)) AS t(i)
+            ),
+            c2 AS (
+                SELECT doc_id, gram, count(*) AS cnt FROM g2
+                GROUP BY doc_id, gram
+            ),
+            top2 AS (
+                SELECT doc_id, gram AS top_2gram, cnt AS top_2gram_count
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY doc_id
+                          ORDER BY cnt DESC, gram ASC) AS rn
+                      FROM c2)
+                WHERE rn = 1
+            ),
+            g3 AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(arr, i, i + 2), ' ') AS gram
+                FROM base,
+                     unnest(range(1, greatest(len(arr) - 2, 1) + 1)) AS t(i)
+            ),
+            c3 AS (
+                SELECT doc_id, gram, count(*) AS cnt FROM g3
+                GROUP BY doc_id, gram
+            ),
+            dup3 AS (
+                SELECT doc_id,
+                       sum(CASE WHEN cnt >= 2
+                           THEN cnt * (length(gram) - 2) ELSE 0 END)
+                           AS dup_chars,
+                       sum(cnt * (length(gram) - 2)) AS all_chars
+                FROM c3 GROUP BY doc_id
+            )
+            SELECT b.doc_id, CAST(b.n_words AS INT) AS n_words, b.word_chars,
+                   t2.top_2gram,
+                   CAST(t2.top_2gram_count AS BIGINT) AS top_2gram_count,
+                   CAST(CASE WHEN b.word_chars > 0
+                        THEN t2.top_2gram_count
+                             * (length(t2.top_2gram) - 1) * 1000000
+                             // b.word_chars
+                        ELSE 0 END AS BIGINT) AS top_2gram_char_ppm,
+                   CAST(CASE WHEN d.all_chars > 0
+                        THEN d.dup_chars * 1000000 // d.all_chars
+                        ELSE 0 END AS BIGINT) AS dup_3gram_char_ppm
+            FROM base b
+            LEFT JOIN top2 t2 USING (doc_id)
+            LEFT JOIN dup3 d USING (doc_id)
+        """,
+        "eval_confusion": """
+            WITH hits AS (
+                SELECT doc_id,
+                    len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''), t -> list_contains(
+                        ['der','die','das','und','ist','nicht','ein','mit','zu','den'],
+                        lower(t)))) AS hits_de,
+                    len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''), t -> list_contains(
+                        ['the','and','of','to','a','in','is','it','that','for'],
+                        lower(t)))) AS hits_en,
+                    len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''), t -> list_contains(
+                        ['el','la','los','y','es','no','un','una','por','para'],
+                        lower(t)))) AS hits_es,
+                    len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''), t -> list_contains(
+                        ['le','la','les','et','est','pas','un','une','pour','dans'],
+                        lower(t)))) AS hits_fr
+                FROM documents
+            ),
+            pred AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0
+                            THEN 'und'
+                            WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr)
+                            THEN 'de'
+                            WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr)
+                            THEN 'en'
+                            WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr)
+                            THEN 'es'
+                            ELSE 'fr' END AS predicted_lang
+                FROM hits
+            ),
+            j AS (
+                SELECT p.predicted_lang AS pr, d.lang AS lb
+                FROM pred p JOIN documents d USING (doc_id)
+            ),
+            cells AS (SELECT pr, lb, count(*) AS n FROM j GROUP BY pr, lb),
+            pt AS (SELECT pr AS class, sum(n) AS n_pred FROM cells GROUP BY pr),
+            lt AS (SELECT lb AS class, sum(n) AS n_label FROM cells GROUP BY lb),
+            tpx AS (SELECT pr AS class, n AS tp FROM cells WHERE pr = lb),
+            base AS (
+                SELECT coalesce(pt.class, lt.class) AS class,
+                       coalesce(tpx.tp, 0) AS tp,
+                       coalesce(pt.n_pred, 0) - coalesce(tpx.tp, 0) AS fp,
+                       coalesce(lt.n_label, 0) - coalesce(tpx.tp, 0) AS fn
+                FROM pt
+                FULL OUTER JOIN lt ON pt.class = lt.class
+                LEFT JOIN tpx ON coalesce(pt.class, lt.class) = tpx.class
+            )
+            SELECT class, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn,
+                   CASE WHEN tp + fp > 0
+                        THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+                   END AS precision_ppm,
+                   CASE WHEN tp + fn > 0
+                        THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+                   END AS recall_ppm,
+                   CASE WHEN 2 * tp + fp + fn > 0
+                        THEN CAST(2 * tp * 1000000 // (2 * tp + fp + fn)
+                                  AS BIGINT)
+                   END AS f1_ppm
+            FROM base
+        """,
+        "dedup_containment": """
+            WITH src AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, substring(text, 1, 80)
+                FROM documents WHERE doc_id % 50 = 0
+            ),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '') AS arr
+                FROM src
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_sort(list_distinct(list(
+                           array_to_string(list_slice(arr, i, i + 4), ' ')
+                       ))) AS ts
+                FROM toks,
+                     unnest(range(1, greatest(len(arr) - 4, 1) + 1)) AS t(i)
+                GROUP BY doc_id
+            ),
+            ne AS (SELECT * FROM sh WHERE len(ts) > 0)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(a.ts) AS BIGINT) AS n_a,
+                   CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+                   CAST(len(list_intersect(a.ts, b.ts)) * 1000000
+                        // len(a.ts) AS BIGINT) AS containment_ppm
+            FROM ne a JOIN ne b ON a.doc_id <> b.doc_id
+            WHERE len(list_intersect(a.ts, b.ts)) * 1000000
+                  >= 900000 * len(a.ts)
+        """,
         "p1_regex_filter_scoped": """
             SELECT p_partkey, p_name, p_brand FROM part
             WHERE (NOT coalesce(regexp_matches(p_name, 'a.*a'), false)

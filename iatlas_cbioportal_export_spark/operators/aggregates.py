@@ -1225,3 +1225,85 @@ def global_running_sum(
         .withColumn(f"running_{value_col}", F.col("__run") + F.col("__off"))
         .drop("__b", "__run", "__off")
     )
+
+
+def confusion_matrix_report(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-class confusion-matrix readout (precision / recall / F1) for any
+    categorical predictor this package produces (quality keep-gate, Naive
+    Bayes language, threshold-binned scores) — the third leg of the eval
+    tier next to :func:`grouped_auc` (ranking) and the calibration deciles
+    (probability quality).
+
+    Integer-exact: tp/fp/fn are exact counts from ONE map-side-combined
+    (``[group,] pred, label``) aggregation of the scored frame, and the
+    rates are integer-ppm via the division-free forms
+    ``precision_ppm = tp·1e6 // (tp+fp)``, ``recall_ppm = tp·1e6 //
+    (tp+fn)`` and ``f1_ppm = 2·tp·1e6 // (2·tp+fp+fn)`` (the harmonic mean
+    collapses to one integer division), so every value replays in any
+    engine. Classes are the union of predicted and actual labels; a class
+    never predicted gets precision 0/0 → NULL (reported, not hidden).
+
+    Plan shape: the only shuffle is the combiner-reduced cell count
+    aggregation (≤ |classes|² rows per group); per-class totals derive from
+    the cells, never from a second scan of the fact table.
+    """
+    gcols = [group_col] if group_col else []
+    cells = df.groupBy(
+        *gcols, F.col(pred_col).alias("__pred"), F.col(label_col).alias("__label")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    tp = cells.filter(F.col("__pred") == F.col("__label")).select(
+        *gcols, F.col("__pred").alias("class"), F.col("__n").alias("tp")
+    )
+    pred_tot = cells.groupBy(*gcols, "__pred").agg(
+        F.sum("__n").alias("__n_pred")
+    ).select(*gcols, F.col("__pred").alias("class"), "__n_pred")
+    label_tot = cells.groupBy(*gcols, "__label").agg(
+        F.sum("__n").alias("__n_label")
+    ).select(*gcols, F.col("__label").alias("class"), "__n_label")
+    keys = [*gcols, "class"]
+    out = (
+        pred_tot.join(label_tot, keys, "outer")
+        .join(tp, keys, "left")
+        .select(
+            *keys,
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce(F.col("__n_pred"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.coalesce(F.col("__n_label"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    # integral DIV (exact floor in Spark and DuckDB //), never
+    # floor(double division) whose correctly-rounded quotient can land one
+    # off at integer boundaries.
+    return out.select(
+        *keys,
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("tp * 1000000 DIV (tp + fp)"),
+        )
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("tp * 1000000 DIV (tp + fn)"),
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.expr("2 * tp * 1000000 DIV (2 * tp + fp + fn)"),
+        )
+        .cast("long")
+        .alias("f1_ppm"),
+    )

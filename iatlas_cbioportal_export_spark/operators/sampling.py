@@ -217,3 +217,73 @@ def leakage_safe_splits(
         salt=salt,
         split_col=split_col,
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_cols: list[str],
+    size_col: str,
+    target_tokens: int,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Per-source corpus mixture weights — the data-mixing step of a
+    training pipeline: how much of each (source, language, …) group goes
+    into the next training run. Temperature sampling (multilingual-scaling
+    practice, e.g. the T-weighting in mC4/PaLM data mixes) flattens group
+    mass: sampling weight ∝ tokens^(1/T), so T=1 keeps natural proportions
+    and larger T up-weights the tail.
+
+    Engine-portable exactness: only T=2 (the common default) uses a
+    transcendental-free path — ``sqrt`` is IEEE-correctly-rounded in every
+    engine, while ``pow(x, 1/T)`` for general T is libm-dependent and can
+    flip last bits between JVM and C. So T=2 is the only supported
+    temperature here, and the weight is quantized to an INTEGER
+    micro-weight ``floor(sqrt(tokens) * 1e6)`` before normalization: the
+    group sum, the ppm share, and the per-group token budget are then
+    exact integer arithmetic that any engine (and the DuckDB oracle)
+    reproduces bit-for-bit.
+
+    Plan shape: one map-side-combined groupBy over (group_cols) — rows
+    shuffled are one per group — then a broadcast of the 1-row total for
+    the normalization. No window, no second scan of the fact table.
+
+    Output: group_cols + n_docs, tokens, weight_micro, share_ppm
+    (integer-div ppm of the mixture), budget_tokens (integer share of
+    ``target_tokens``).
+    """
+    if temperature != 2.0:
+        raise ValueError(
+            "only temperature=2.0 (sqrt weighting) is engine-portable; "
+            f"got {temperature}"
+        )
+    groups = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(size_col).cast("long")).alias("tokens"),
+    )
+    w = F.floor(F.sqrt(F.col("tokens").cast("double")) * F.lit(1_000_000.0)).cast(
+        "long"
+    )
+    weighted = groups.withColumn("weight_micro", w)
+    total = weighted.agg(
+        F.sum("weight_micro").cast("decimal(38,0)").alias("__total")
+    )
+    # Integral DIV on exact DECIMAL(38,0) products — floor(decimal/decimal)
+    # would round to the result scale (HALF_UP) BEFORE the floor and can be
+    # off by one at quotient boundaries; DIV is the exact floor in both
+    # Spark and DuckDB (//).
+    share = "CAST(weight_micro AS DECIMAL(38,0)) * 1000000 DIV __total"
+    budget = (
+        f"CAST(weight_micro AS DECIMAL(38,0)) * {int(target_tokens)}"
+        " DIV __total"
+    )
+    return (
+        weighted.join(F.broadcast(total))
+        .select(
+            *group_cols,
+            "n_docs",
+            "tokens",
+            "weight_micro",
+            F.expr(share).cast("long").alias("share_ppm"),
+            F.expr(budget).cast("long").alias("budget_tokens"),
+        )
+    )

@@ -1393,3 +1393,109 @@ def cosine_similarity_pairs(
             ).alias("cosine"),
         )
     )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021 §A1.1, the
+    repetition half of the quality suite — :func:`curation.gopher_quality`
+    covers the word-count/ratio half): per document, the character mass of
+    the most-repeated word 2-gram and of all duplicated word 3-grams.
+    High-repetition documents (boilerplate, keyword stuffing, degenerate
+    generations) are the canonical pre-training removal targets.
+
+    Integer-exact readout: character counts are word characters only
+    (gram length minus its separator spaces), fractions are integer-ppm
+    (``floor(chars·1e6 / total_chars)``), and the top 2-gram tie-breaks on
+    (count desc, gram asc) via a single min-struct — every value replays
+    bit-for-bit in the DuckDB oracle.
+
+    Plan shape / 100 TB story: the token array binds ONCE per n (the
+    O(tokens²) inlining trap — see :func:`word_ngrams_of_tokens`); each
+    n-gram pass shuffles only combiner-reduced (doc, gram, count) rows and
+    immediately re-aggregates to one row per doc, so the join graph is
+    three doc-keyed one-row-per-doc frames. Raw text shuffles nowhere.
+
+    Output: (id, n_words, word_chars, top_2gram, top_2gram_count,
+    top_2gram_char_ppm, dup_3gram_char_ppm).
+    """
+    base = df.select(
+        F.col(id_col), T.tokens(text_col).alias("__toks")
+    ).select(
+        id_col,
+        F.col("__toks"),
+        F.size("__toks").alias("n_words"),
+        F.aggregate(
+            F.col("__toks"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).alias("word_chars"),
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        return (
+            base.select(
+                id_col,
+                F.explode(
+                    T.word_ngrams_of_tokens(F.col("__toks"), n)
+                ).alias("gram"),
+            )
+            .groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    top2 = (
+        gram_counts(2)
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg"), F.col("gram"))
+            ).alias("__top")
+        )
+        .select(
+            id_col,
+            F.col("__top.gram").alias("top_2gram"),
+            (-F.col("__top.neg")).cast("long").alias("top_2gram_count"),
+        )
+    )
+    g3 = gram_counts(3)
+    # word chars of one gram occurrence = length minus the n-1 separator
+    # spaces baked in by concat_ws
+    chars3 = F.col("cnt") * (F.length("gram") - 2)
+    dup3 = g3.groupBy(id_col).agg(
+        F.sum(F.when(F.col("cnt") >= 2, chars3).otherwise(0)).alias(
+            "__dup_chars"
+        ),
+        F.sum(chars3).alias("__all_chars"),
+    )
+    out = (
+        base.drop("__toks")
+        .join(top2, id_col, "left")
+        .join(dup3, id_col, "left")
+    )
+    top2_chars = F.col("top_2gram_count") * (F.length("top_2gram") - 1)
+    # integral DIV, not floor(double division): the double quotient is
+    # correctly rounded, and floor() of it can land one off at integer
+    # boundaries; DIV replays exactly as DuckDB's //.
+    return out.withColumn("__top2_chars", top2_chars).select(
+        id_col,
+        "n_words",
+        "word_chars",
+        "top_2gram",
+        "top_2gram_count",
+        F.when(
+            F.col("word_chars") > 0,
+            F.expr("__top2_chars * 1000000 DIV word_chars"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("top_2gram_char_ppm"),
+        F.when(
+            F.col("__all_chars") > 0,
+            F.expr("__dup_chars * 1000000 DIV __all_chars"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_3gram_char_ppm"),
+    )

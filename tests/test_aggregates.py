@@ -665,3 +665,35 @@ def test_winsorize_report_exact_bounds_and_sums(spark):
     # original sum 5050; winsorized: 1..4 -> 5 (+10), 96..100 -> 95 (-15)
     assert r["sum_original"] == "5050"
     assert r["sum_winsorized"] == str(5050 + 10 - 15)
+
+
+def test_confusion_matrix_report_exact_counts(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        confusion_matrix_report,
+    )
+
+    rows = (
+        [("en", "en")] * 6
+        + [("en", "fr")] * 2      # fp for en, fn for fr
+        + [("fr", "fr")] * 3
+        + [("und", "de")] * 1     # 'de' never predicted, 'und' never actual
+    )
+    df = spark.createDataFrame(rows, "pred string, label string")
+    out = {
+        r["class"]: r
+        for r in confusion_matrix_report(df, "pred", "label").collect()
+    }
+    en = out["en"]
+    assert (en["tp"], en["fp"], en["fn"]) == (6, 2, 0)
+    assert en["precision_ppm"] == 6 * 1_000_000 // 8
+    assert en["recall_ppm"] == 1_000_000
+    assert en["f1_ppm"] == 12 * 1_000_000 // 14
+    fr = out["fr"]
+    assert (fr["tp"], fr["fp"], fr["fn"]) == (3, 0, 2)
+    de = out["de"]
+    assert (de["tp"], de["fp"], de["fn"]) == (0, 0, 1)
+    assert de["precision_ppm"] is None  # never predicted: 0/0 reported NULL
+    assert de["recall_ppm"] == 0
+    und = out["und"]
+    assert (und["tp"], und["fp"], und["fn"]) == (0, 1, 0)
+    assert und["recall_ppm"] is None

@@ -333,3 +333,45 @@ def test_jaccard_auto_avoids_deletion_on_huge_sets(spark):
         for r in jaccard_prefix_join(df, threshold=0.999, blocking="auto").collect()
     }
     assert got == {(0, 1): round(1999 / 2000, 6)}
+
+
+def test_containment_join_finds_planted_excerpt(spark):
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        containment_join,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "alpha beta gamma delta epsilon zeta"),  # prefix excerpt
+            (3, "completely different words here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_join(df, threshold=0.9).collect()
+    }
+    # doc2's 5-gram shingles (2 of them) are all inside doc1 → C(2→1)=1;
+    # the reverse direction has C(1→2)=2/6 < 0.9; doc3 matches nothing.
+    assert set(got) == {(2, 1)}
+    assert got[(2, 1)]["containment_ppm"] == 1_000_000
+    assert got[(2, 1)]["inter"] == got[(2, 1)]["n_a"] == 2
+
+
+def test_containment_join_word_mode_asymmetry(spark):
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        containment_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment_ppm"]
+        for r in containment_join(df, threshold=0.5, ngram_n=None).collect()
+    }
+    # C(2→1) = 3/3 = 1; C(1→2) = 3/10 < 0.5 → direction matters
+    assert got == {(2, 1): 1_000_000}

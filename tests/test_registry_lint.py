@@ -29,6 +29,7 @@ ALLOW_NESTED_LOOP = {
     "profile_join_cardinality",  # three ONE-ROW totals frames broadcast-crossed
     "sample_class_balanced",   # one-row min-class-count broadcast cross
     "text_length_histogram",   # corpus-total scalar: one-row broadcast join
+    "sample_mixture_weights",  # one-row weight-total broadcast cross
     "text_bigram_logprob",     # corpus-total scalar: one-row broadcast join
     "text_cooccurrence_pmi",   # pair/token totals: one-row broadcast join
     "stats_chi_square",        # r x c marginal grid: categorical-sized broadcast cross

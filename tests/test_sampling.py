@@ -169,3 +169,35 @@ def test_leakage_safe_splits_cluster_invariant(spark):
     by_id = {r["id"]: r["split"] for r in out.collect()}
     assert by_id[1] == by_id[2] == by_id[3]
     assert by_id[10] == by_id[11]
+
+
+def test_mixture_weights_sqrt_temperature_and_integer_exactness(spark):
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 100, i) for i in range(4)]
+        + [("b", 400, i) for i in range(2)]
+        + [("c", 0, 0)],
+        "source string, n_tok long, i long",
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_weights(
+            df, ["source"], "n_tok", target_tokens=1_000_000
+        ).collect()
+    }
+    # tokens: a=400, b=800, c=0 → micro-weights 20e6, floor(sqrt(800)*1e6), 0
+    import math
+
+    wa, wb = 20_000_000, math.floor(math.sqrt(800.0) * 1_000_000)
+    total = wa + wb
+    assert out["a"]["tokens"] == 400 and out["a"]["weight_micro"] == wa
+    assert out["b"]["weight_micro"] == wb and out["c"]["weight_micro"] == 0
+    assert out["a"]["share_ppm"] == wa * 1_000_000 // total
+    assert out["b"]["budget_tokens"] == wb * 1_000_000 // total
+    # shares cover the whole mixture up to integer-floor slack (< n groups)
+    assert 1_000_000 - sum(r["share_ppm"] for r in out.values()) < 3
+    with __import__("pytest").raises(ValueError):
+        mixture_weights(df, ["source"], "n_tok", 1, temperature=3.0)

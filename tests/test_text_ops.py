@@ -689,3 +689,34 @@ def test_naive_bayes_oov_and_empty_fall_back_to_prior(spark):
     import math
 
     assert abs(out[4]["score_pred"] - math.log10(3 / 4)) < 1e-6
+
+
+def test_repetition_metrics_gopher_readout(spark):
+    from iatlas_cbioportal_export_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # "ab cd" appears 3x as a 2-gram; "ab cd ab" 3-gram twice
+            (1, "ab cd ab cd ab cd"),
+            (2, "x y z w"),          # no repeated grams
+            (3, "solo"),             # single word: whole-seq shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 6 and r1["word_chars"] == 12
+    assert r1["top_2gram"] == "ab cd" and r1["top_2gram_count"] == 3
+    # top-2gram chars = 3 occurrences * 4 word chars = 12 of 12 → 1e6 ppm
+    assert r1["top_2gram_char_ppm"] == 1_000_000
+    # 3-grams: "ab cd ab" x2, "cd ab cd" x2, total occurrence chars 4*6=24,
+    # dup chars 24 → 1e6 ppm
+    assert r1["dup_3gram_char_ppm"] == 1_000_000
+    r2 = out[2]
+    assert r2["top_2gram_count"] == 1 and r2["dup_3gram_char_ppm"] == 0
+    # tie on count=1 → lexicographically smallest 2-gram
+    assert r2["top_2gram"] == "x y"
+    r3 = out[3]
+    assert r3["n_words"] == 1 and r3["top_2gram"] == "solo"
