@@ -649,7 +649,11 @@ def q_maf_field_conformance(spark, sf_dir):
     every 59th a DEL with equal-length alleles), barcode charset breaks
     (every 57th has a space), and a Mutation_Status outside the accepted
     vocabulary (every 41st 'Speculative'; every 37th 'SOMATIC' proves the
-    compare is case-insensitive)."""
+    compare is case-insensitive). Tier 3: planted negative Entrez ids
+    (every 31st), Validation/Verification status outside vocabulary (every
+    29th/23rd), a '*' strand (every 19th) and a non-'p.' HGVSp_Short
+    (every 13th; every 11th empty string is skipped, not flagged);
+    maf_positive_start stays green by construction (all starts ≥ 1)."""
     k = F.col("o_orderkey")
     bases = F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T"))
     ref = F.element_at(bases, (k % 4 + 1).cast("int"))
@@ -692,6 +696,22 @@ def q_maf_field_conformance(spark, sf_dir):
         .when(k % 37 == 0, F.lit("SOMATIC"))
         .otherwise(F.lit("Somatic"))
         .alias("Mutation_Status"),
+        F.when(k % 31 == 0, F.lit("-1"))
+        .otherwise((k % 30000).cast("string"))
+        .alias("Entrez_Gene_Id"),
+        F.when(k % 29 == 0, F.lit("Sketchy"))
+        .otherwise(F.lit("Unknown"))
+        .alias("Validation_Status"),
+        F.when(k % 23 == 0, F.lit("Maybe"))
+        .otherwise(F.lit("Verified"))
+        .alias("Verification_Status"),
+        F.when(k % 19 == 0, F.lit("*"))
+        .otherwise(F.lit("+"))
+        .alias("Strand"),
+        F.when(k % 13 == 0, F.lit("X123Y"))
+        .when(k % 11 == 0, F.lit(""))
+        .otherwise(F.lit("p.V600E"))
+        .alias("HGVSp_Short"),
     )
     return val_ops.maf_value_conformance(maf)
 
@@ -5284,7 +5304,19 @@ def oracle_sql() -> dict[str, str]:
                        END AS barcode,
                        CASE WHEN o_orderkey % 41 = 0 THEN 'Speculative'
                             WHEN o_orderkey % 37 = 0 THEN 'SOMATIC'
-                            ELSE 'Somatic' END AS mstatus
+                            ELSE 'Somatic' END AS mstatus,
+                       CASE WHEN o_orderkey % 31 = 0 THEN '-1'
+                            ELSE CAST(o_orderkey % 30000 AS VARCHAR)
+                       END AS entrez,
+                       CASE WHEN o_orderkey % 29 = 0 THEN 'Sketchy'
+                            ELSE 'Unknown' END AS valstatus,
+                       CASE WHEN o_orderkey % 23 = 0 THEN 'Maybe'
+                            ELSE 'Verified' END AS verstatus,
+                       CASE WHEN o_orderkey % 19 = 0 THEN '*'
+                            ELSE '+' END AS strand,
+                       CASE WHEN o_orderkey % 13 = 0 THEN 'X123Y'
+                            WHEN o_orderkey % 11 = 0 THEN ''
+                            ELSE 'p.V600E' END AS hgvsp
                 FROM orders
             ),
             counts AS (
@@ -5327,7 +5359,24 @@ def oracle_sql() -> dict[str, str]:
                         ('somatic','germline','loh',
                          'post-transcriptional modification',
                          'unknown','wildtype','none')
-                      THEN 1 ELSE 0 END) AS v_mstatus
+                      THEN 1 ELSE 0 END) AS v_mstatus,
+                  sum(CASE WHEN entrez IS NOT NULL
+                        AND NOT regexp_matches(entrez, '^[0-9]+$')
+                      THEN 1 ELSE 0 END) AS v_entrez,
+                  sum(CASE WHEN valstatus IS NOT NULL AND lower(valstatus)
+                        NOT IN ('valid','invalid','untested','inconclusive',
+                                'redacted','unknown','na')
+                      THEN 1 ELSE 0 END) AS v_valstatus,
+                  sum(CASE WHEN verstatus IS NOT NULL AND lower(verstatus)
+                        NOT IN ('verified','unknown','na')
+                      THEN 1 ELSE 0 END) AS v_verstatus,
+                  sum(CASE WHEN startp < 1 THEN 1 ELSE 0 END) AS v_start,
+                  sum(CASE WHEN strand IS NOT NULL
+                        AND strand NOT IN ('+','-')
+                      THEN 1 ELSE 0 END) AS v_strand,
+                  sum(CASE WHEN hgvsp IS NOT NULL AND hgvsp <> ''
+                        AND hgvsp NOT LIKE 'p.%'
+                      THEN 1 ELSE 0 END) AS v_hgvsp
                 FROM maf
             ),
             rules AS (
@@ -5342,6 +5391,12 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 'maf_position_allele_span', v_span FROM counts
                 UNION ALL SELECT 'maf_barcode_format', v_barcode FROM counts
                 UNION ALL SELECT 'maf_mutation_status_vocabulary', v_mstatus FROM counts
+                UNION ALL SELECT 'maf_entrez_gene_id_format', v_entrez FROM counts
+                UNION ALL SELECT 'maf_validation_status_vocabulary', v_valstatus FROM counts
+                UNION ALL SELECT 'maf_verification_status_vocabulary', v_verstatus FROM counts
+                UNION ALL SELECT 'maf_positive_start', v_start FROM counts
+                UNION ALL SELECT 'maf_strand_symbol', v_strand FROM counts
+                UNION ALL SELECT 'maf_hgvsp_prefix', v_hgvsp FROM counts
             )
             SELECT "check",
                    CASE WHEN n = 0 THEN 'OK' ELSE 'ERROR' END AS status,

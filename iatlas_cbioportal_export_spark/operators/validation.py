@@ -261,6 +261,18 @@ _MUTATION_STATUSES = (
     "wildtype",
     "none",
 )
+# checkValidationStatus / checkVerificationStatus vocabularies
+# (case-insensitive).
+_VALIDATION_STATUSES = (
+    "valid",
+    "invalid",
+    "untested",
+    "inconclusive",
+    "redacted",
+    "unknown",
+    "na",
+)
+_VERIFICATION_STATUSES = ("verified", "unknown", "na")
 
 
 def maf_value_conformance(
@@ -276,6 +288,11 @@ def maf_value_conformance(
     vt_col: str = "Variant_Type",
     barcode_col: str = "Tumor_Sample_Barcode",
     mstatus_col: str = "Mutation_Status",
+    entrez_col: str = "Entrez_Gene_Id",
+    valstatus_col: str = "Validation_Status",
+    verstatus_col: str = "Verification_Status",
+    strand_col: str = "Strand",
+    hgvsp_col: str = "HGVSp_Short",
 ) -> DataFrame:
     """Per-field MAF value checks — the native subset of cBioPortal
     ``validateData.py --strict_maf_checks`` the reference shells out to
@@ -288,10 +305,14 @@ def maf_value_conformance(
     equal-length >3, INS needs ref='-' or longer alt, DEL needs alt='-' or
     longer ref), position span vs allele length (SNP ⇒ end=start, DEL ⇒
     end−start+1 = len(ref)), Tumor_Sample_Barcode charset, and
-    Mutation_Status vocabulary (case-insensitive). ONE aggregate pass
-    (map-side combined sums of violation predicates), one finding row per
-    rule; NULL field values are skipped by each rule (presence is
-    V5/V6/V11's job, not a value check).
+    Mutation_Status vocabulary (case-insensitive). Tier 3 (the remaining
+    per-field checks of MutationsExtendedValidator, same column-presence
+    gating): Entrez_Gene_Id non-negative integer (checkEntrezGeneId),
+    Validation_Status and Verification_Status vocabularies, positive
+    Start_Position, Strand ∈ {+,-} and ``p.``-prefixed HGVSp_Short
+    (checkAminoAcidChange). ONE aggregate pass (map-side combined sums of
+    violation predicates), one finding row per rule; NULL field values are
+    skipped by each rule (presence is V5/V6/V11's job, not a value check).
     """
     chrom = F.col(chrom_col)
     ref, alt = F.col(ref_col), F.col(alt_col)
@@ -316,9 +337,12 @@ def maf_value_conformance(
         "maf_position_order": start.isNotNull()
         & end.isNotNull()
         & (start > end),
-        "maf_negative_allele_counts": (t_ref < 0) | (t_alt < 0),
     }
     cols = set(maf.columns)
+    # t_ref/t_alt_count are OPTIONAL MAF columns (unlike the coordinate and
+    # allele fields) — emit the count-sanity rule only when both exist.
+    if t_ref_col in cols and t_alt_col in cols:
+        rules["maf_negative_allele_counts"] = (t_ref < 0) | (t_alt < 0)
     if build_col in cols:
         build = F.col(build_col)
         rules["maf_ncbi_build"] = build.isNotNull() & ~build.isin(
@@ -373,6 +397,30 @@ def maf_value_conformance(
         rules["maf_mutation_status_vocabulary"] = F.col(
             mstatus_col
         ).isNotNull() & ~ms.isin(*_MUTATION_STATUSES)
+    if entrez_col in cols:
+        ez = F.col(entrez_col).cast("string")
+        rules["maf_entrez_gene_id_format"] = ez.isNotNull() & ~ez.rlike(
+            r"^[0-9]+$"
+        )
+    if valstatus_col in cols:
+        vs = F.col(valstatus_col)
+        rules["maf_validation_status_vocabulary"] = vs.isNotNull() & ~F.lower(
+            vs
+        ).isin(*_VALIDATION_STATUSES)
+    if verstatus_col in cols:
+        vrs = F.col(verstatus_col)
+        rules["maf_verification_status_vocabulary"] = vrs.isNotNull() & ~F.lower(
+            vrs
+        ).isin(*_VERIFICATION_STATUSES)
+    rules["maf_positive_start"] = start.isNotNull() & (start < 1)
+    if strand_col in cols:
+        st = F.col(strand_col)
+        rules["maf_strand_symbol"] = st.isNotNull() & ~st.isin("+", "-")
+    if hgvsp_col in cols:
+        hp = F.col(hgvsp_col)
+        rules["maf_hgvsp_prefix"] = (
+            hp.isNotNull() & (hp != "") & ~hp.startswith("p.")
+        )
     agg = maf.agg(
         *[_violations(cond).alias(f"__v_{name}") for name, cond in rules.items()]
     )

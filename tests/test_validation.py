@@ -126,7 +126,8 @@ def test_maf_value_conformance_tier2_rules(spark):
     assert out["maf_position_allele_span"] == ("ERROR", 2)
     assert out["maf_barcode_format"] == ("ERROR", 1)
     assert out["maf_mutation_status_vocabulary"] == ("ERROR", 1)
-    assert len(out) == 11
+    assert out["maf_positive_start"] == ("OK", 0)  # unconditional tier-3 rule
+    assert len(out) == 12
 
 
 def test_maf_value_conformance_tier2_skipped_without_columns(spark):
@@ -140,7 +141,42 @@ def test_maf_value_conformance_tier2_skipped_without_columns(spark):
         "Start_Position long, End_Position long, t_ref_count long, t_alt_count long",
     )
     out = [r["check"] for r in maf_value_conformance(df).collect()]
-    assert len(out) == 5  # tier-2 rules only emitted when columns exist
+    # column-gated tier-2/3 rules absent; only the 5 tier-1 rules plus the
+    # unconditional positive-start rule remain
+    assert len(out) == 6
+
+
+def test_maf_value_conformance_tier3_rules(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        maf_value_conformance,
+    )
+
+    base = ("chr1", 10, 10, "A", "C")
+    rows = [
+        # (..., entrez, valstatus, verstatus, strand, hgvsp)
+        base + ("7157", "Valid", "Verified", "+", "p.V600E"),   # clean
+        base + ("-1", "Valid", "Verified", "-", "p.V600E"),     # bad entrez
+        base + ("12x", "INVALID", "unknown", "+", ""),          # bad entrez;
+        #  case-insensitive statuses OK; empty HGVSp skipped
+        base + ("5", "Sketchy", "Maybe", "*", "V600E"),         # bad status,
+        #  verification, strand, and missing p. prefix
+        base + (None, None, None, None, None),                  # nulls skipped
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "Chromosome string, Start_Position long, End_Position long, "
+        "Reference_Allele string, Tumor_Seq_Allele2 string, "
+        "Entrez_Gene_Id string, Validation_Status string, "
+        "Verification_Status string, Strand string, HGVSp_Short string",
+    )
+    out = {r["check"]: (r["status"], r["observed"])
+           for r in maf_value_conformance(df).collect()}
+    assert out["maf_entrez_gene_id_format"] == ("ERROR", 2)
+    assert out["maf_validation_status_vocabulary"] == ("ERROR", 1)
+    assert out["maf_verification_status_vocabulary"] == ("ERROR", 1)
+    assert out["maf_positive_start"] == ("OK", 0)
+    assert out["maf_strand_symbol"] == ("ERROR", 1)
+    assert out["maf_hgvsp_prefix"] == ("ERROR", 1)
 
 
 def test_maf_value_conformance_all_ok(spark):
