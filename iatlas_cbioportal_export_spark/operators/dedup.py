@@ -1068,8 +1068,16 @@ def containment_join(
             )
             .filter(F.size("ts") > 0)
         )
+    # Candidate generation runs on xxhash64 of the elements, not the
+    # element STRINGS: a 5-gram shingle is ~30 chars, its hash 8 bytes, so
+    # the posting/df/prefix shuffles shrink ~4x (measured 12.4MB -> 3MB at
+    # sf0.1). Hash collisions can only ADD candidates, which the exact
+    # string-array verification removes — the standard one-sided-error
+    # blocking contract used by every hash-blocked scheme here.
     posting = doc_toks.select(
-        "id", F.size("ts").alias("n"), F.explode("ts").alias("tok")
+        "id",
+        F.size("ts").alias("n"),
+        F.explode(F.transform("ts", lambda x: F.xxhash64(x))).alias("tok"),
     )
     df_tbl = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     pref_len = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")

@@ -494,10 +494,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "Scan ExistingRDD"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
-    # corpus branch is ONE narrow encode to (id, cell, codes); probes
-    # broadcast; ADC scoring is a literal-codebook projection
+    # corpus branch is ONE narrow Arrow encode to (id, cell, codes) —
+    # mapInPandas kernels replaced the literal-codebook Catalyst
+    # expressions (round 5: expression compile dominated the wall); probes
+    # still broadcast into an equi-join, ADC scoring is the second Arrow
+    # stage
     "sim_ivfpq_topk": (
-        ["BroadcastHashJoin", "Window"],
+        ["BroadcastHashJoin", "Window", "MapInPandas"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
     # distinct-score count table is the only windowed state; the corpus
@@ -555,6 +558,31 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     "eval_calibration": (
         ["HashAggregate"],
         ["CartesianProduct", "Window", "SortMergeJoin"],
+    ),
+    # round 5: one combiner-reduced groupBy; the 1-row weight total is the
+    # standard broadcast cross (the only nested loop); everything after is
+    # integral DIV projections
+    "sample_mixture_weights": (
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
+    # token arrays bind once per n; gram aggregations are combiner-reduced
+    # (doc, gram) counts re-aggregated to one row per doc before the joins
+    "text_repetition": (
+        ["HashAggregate", "codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
+    # one cell-count aggregation; per-class totals derive from the cells
+    # (broadcast-joined back), never a second corpus scan
+    "eval_confusion": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # rarest-prefix candidate equi-join on shingle + id-keyed array fetch;
+    # verification is array_intersect in codegen, no nested loop
+    "dedup_containment": (
+        ["HashAggregate", "codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
 }
 

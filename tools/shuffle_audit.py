@@ -89,6 +89,11 @@ DEFAULT_QUERIES = [
     "stats_covariance_matrix",
     "profile_join_cardinality",
     "dedup_cluster_report",
+    # round-5 additions
+    "sample_mixture_weights",
+    "text_repetition",
+    "eval_confusion",
+    "dedup_containment",
 ]
 
 

@@ -355,6 +355,38 @@ def main() -> None:
             ).count(),
         }
     )
+
+    # r5 additions: mixture weights, repetition metrics, confusion matrix,
+    # shingle containment (all docs-table paths)
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        confusion_matrix_report,
+    )
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    def _confusion_case(d):
+        pred = text_ops.language_id(d)
+        return confusion_matrix_report(
+            pred.join(d.select("doc_id", "lang"), "doc_id"),
+            "predicted_lang",
+            "lang",
+        ).count()
+
+    cases.update(
+        {
+            "mixture_weights": lambda d: mixture_weights(
+                d, ["source", "lang"], "n_chars", target_tokens=10**12
+            ).count(),
+            "repetition_metrics": lambda d: text_ops.repetition_metrics(
+                d
+            ).count(),
+            "confusion_matrix": _confusion_case,
+            "containment_09": lambda d: dedup_ops.containment_join(
+                d, threshold=0.9
+            ).count(),
+        }
+    )
     li_cases.update(
         {
             "winsorize_p05_p95": lambda li: winsorize_report(
