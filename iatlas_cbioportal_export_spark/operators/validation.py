@@ -736,3 +736,109 @@ def constraint_suite(
     if not frames:
         raise ValueError("constraint_suite needs at least one rule")
     return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+# cBioPortal clinical status vocabularies (validateData.py clinical
+# validator; the reference maps raw {0,1} into these at clinical.py:418-422
+# and a value left unmapped fails the study validator).
+_OS_STATUSES = ("0:living", "1:deceased")
+_PFS_STATUSES = ("0:censored", "1:progression")
+
+
+def clinical_value_conformance(
+    clinical: DataFrame,
+    number_cols: Sequence[str] = (),
+    boolean_cols: Sequence[str] = (),
+    patient_col: str = "PATIENT_ID",
+    sample_col: str = "SAMPLE_ID",
+    os_status_col: str = "OS_STATUS",
+    pfs_status_col: str = "PFS_STATUS",
+) -> DataFrame:
+    """Per-field CLINICAL value checks — the clinical-file half of
+    cBioPortal ``validateData.py`` (the MAF half is
+    :func:`maf_value_conformance`): the reference shells the whole bundle
+    out to the validator (``validate.py:211-216``) whose clinical
+    validator enforces id charsets, declared-datatype conformance and the
+    survival-status vocabularies the reference's own remap produces
+    (``clinical.py:403-422``).
+
+    Rules (each column-presence gated, NULLs skipped — presence is the
+    validation suite's job):
+    - ``clinical_patient_id_format`` / ``clinical_sample_id_format``:
+      cBioPortal id charset ``[A-Za-z0-9._-]``.
+    - ``clinical_number_<col>``: a NUMBER-typed attribute must parse as a
+      number or be the literal ``NA`` (validateData's datatype check —
+      the meta-header DATATYPE line drives which columns are NUMBER).
+    - ``clinical_boolean_<col>``: BOOLEAN attribute ∈ {TRUE, FALSE, NA}.
+    - ``clinical_os_status_vocabulary`` / ``clinical_pfs_status_vocabulary``:
+      ``0:LIVING / 1:DECEASED`` and ``0:CENSORED / 1:PROGRESSION``
+      (case-insensitive; an un-remapped raw 0/1 is exactly what this
+      catches — the reference errors on it post-remap).
+
+    ONE aggregate pass, same findings schema as every validator here.
+    """
+    cols = set(clinical.columns)
+
+    def _violations(cond: Column) -> Column:
+        return F.sum(F.when(F.coalesce(cond, F.lit(False)), 1).otherwise(0))
+
+    id_re = r"^[A-Za-z0-9._-]+$"
+    num_re = r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+    rules: dict[str, Column] = {}
+    if patient_col in cols:
+        pid = F.col(patient_col)
+        rules["clinical_patient_id_format"] = pid.isNotNull() & ~pid.rlike(
+            id_re
+        )
+    if sample_col in cols:
+        sid = F.col(sample_col)
+        rules["clinical_sample_id_format"] = sid.isNotNull() & ~sid.rlike(
+            id_re
+        )
+    for c in number_cols:
+        if c not in cols:
+            continue
+        v = F.col(c).cast("string")
+        rules[f"clinical_number_{c.lower()}"] = (
+            v.isNotNull() & (v != "NA") & ~v.rlike(num_re)
+        )
+    for c in boolean_cols:
+        if c not in cols:
+            continue
+        v = F.upper(F.col(c).cast("string"))
+        rules[f"clinical_boolean_{c.lower()}"] = F.col(c).isNotNull() & ~v.isin(
+            "TRUE", "FALSE", "NA"
+        )
+    if os_status_col in cols:
+        osv = F.lower(F.col(os_status_col))
+        rules["clinical_os_status_vocabulary"] = F.col(
+            os_status_col
+        ).isNotNull() & ~osv.isin(*_OS_STATUSES)
+    if pfs_status_col in cols:
+        pfv = F.lower(F.col(pfs_status_col))
+        rules["clinical_pfs_status_vocabulary"] = F.col(
+            pfs_status_col
+        ).isNotNull() & ~pfv.isin(*_PFS_STATUSES)
+
+    agg = clinical.agg(
+        *[_violations(cond).alias(f"__v_{name}") for name, cond in rules.items()]
+    )
+    per_rule = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__v_{name}").alias("n_bad"),
+            )
+            for name in rules
+        ]
+    )
+    exploded = agg.select(F.explode(per_rule).alias("f"))
+    return exploded.select(
+        F.col("f.rule").alias("check"),
+        F.when(F.col("f.n_bad") == 0, F.lit("OK"))
+        .otherwise(F.lit("ERROR"))
+        .alias("status"),
+        F.col("f.n_bad").cast("long").alias("observed"),
+        F.lit(0).cast("long").alias("expected"),
+        F.lit("violating rows").alias("detail"),
+    )

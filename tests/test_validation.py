@@ -312,3 +312,48 @@ def test_constraint_suite_empty_table_and_bad_kind(spark):
         constraint_suite(df, [{"kind": "nope"}])
     with pytest.raises(ValueError, match="at least one rule"):
         constraint_suite(df, [])
+
+
+def test_clinical_value_conformance_rules(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        clinical_value_conformance,
+    )
+
+    rows = [
+        ("P-1", "S-1", "62.5", "TRUE", "0:LIVING", "1:PROGRESSION"),   # clean
+        ("P 2", "S-2", "NA", "false", "1:deceased", "0:censored"),    # bad pid;
+        #  NA number legal; booleans/status case-insensitive
+        ("P-3", "S 3", "-1e3", "na", "0:LIVING", "0:CENSORED"),       # bad sid;
+        #  scientific number legal; 'na' boolean legal
+        ("P-4", "S-4", "abc", "yes", "1", "progression"),             # bad age,
+        #  boolean, raw unmapped OS, prefixless PFS
+        (None, None, None, None, None, None),                          # skipped
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "PATIENT_ID string, SAMPLE_ID string, AGE string, "
+        "MSI_STATUS string, OS_STATUS string, PFS_STATUS string",
+    )
+    out = {r["check"]: (r["status"], r["observed"])
+           for r in clinical_value_conformance(
+               df, number_cols=["AGE"], boolean_cols=["MSI_STATUS"]
+           ).collect()}
+    assert out["clinical_patient_id_format"] == ("ERROR", 1)
+    assert out["clinical_sample_id_format"] == ("ERROR", 1)
+    assert out["clinical_number_age"] == ("ERROR", 1)
+    assert out["clinical_boolean_msi_status"] == ("ERROR", 1)
+    assert out["clinical_os_status_vocabulary"] == ("ERROR", 1)
+    assert out["clinical_pfs_status_vocabulary"] == ("ERROR", 1)
+    assert len(out) == 6
+
+
+def test_clinical_value_conformance_column_gating(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        clinical_value_conformance,
+    )
+
+    df = spark.createDataFrame([("P-1",)], "PATIENT_ID string")
+    out = [r["check"] for r in clinical_value_conformance(
+        df, number_cols=["AGE"], boolean_cols=["B"]
+    ).collect()]
+    assert out == ["clinical_patient_id_format"]

@@ -584,6 +584,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # ONE aggregate pass over the clinical frame; findings explode from a
+    # 1-row aggregate — no joins at all
+    "clinical_field_conformance": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Window"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")

@@ -375,8 +375,12 @@ def main() -> None:
 
     cases.update(
         {
+            # amplify_docs drops n_chars; recompute so 1x and Nx agree
             "mixture_weights": lambda d: mixture_weights(
-                d, ["source", "lang"], "n_chars", target_tokens=10**12
+                d.withColumn("n_chars", F.length("text")),
+                ["source", "lang"],
+                "n_chars",
+                target_tokens=10**12,
             ).count(),
             "repetition_metrics": lambda d: text_ops.repetition_metrics(
                 d
