@@ -4463,6 +4463,31 @@ def q_dedup_containment(spark, sf_dir):
     return containment_join(corpus, threshold=0.9).orderBy("id_a", "id_b")
 
 
+def q_text_cosine_capped(spark, sf_dir):
+    """The DEFAULT df-capped path of cosine_similarity_pairs under the
+    driver gate (the exact path is text_cosine_pairs): planted near-dup
+    pairs share a rare 'zzz<k>' token, the 31-word dense base vocabulary
+    exceeds the 50% df cap and is dropped from candidate generation, and
+    every surviving pair's dot/cosine is verified against the FULL tf
+    vectors — the oracle replays the capped candidate semantics and the
+    integer threshold gate (t²=81/100) bit-for-bit."""
+    from iatlas_cbioportal_export_spark.operators.text import (
+        cosine_similarity_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 40 == 0)
+    zzz = F.concat(F.col("text"), F.lit(" zzz"), F.col("doc_id").cast("string"))
+    corpus = docs.unionByName(
+        planted.select((F.col("doc_id") + 1_000_000).alias("doc_id"), zzz.alias("text"))
+    ).unionByName(
+        planted.select((F.col("doc_id") + 2_000_000).alias("doc_id"), zzz.alias("text"))
+    )
+    return cosine_similarity_pairs(corpus, threshold=0.9).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def q_clinical_field_conformance(spark, sf_dir):
     """Per-field CLINICAL value checks — the clinical-file half of
     cBioPortal validateData.py next to maf_field_conformance's 17 MAF
@@ -4560,6 +4585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_confusion": q_eval_confusion,
         "dedup_containment": q_dedup_containment,
         "clinical_field_conformance": q_clinical_field_conformance,
+        "text_cosine_capped": q_text_cosine_capped,
         "maf_field_conformance": q_maf_field_conformance,
         "maf_annotate_pipeline": q_maf_annotate_pipeline,
         "v_validation_suite": q_v_validation_suite,
@@ -4832,6 +4858,62 @@ def _mm_lane_sql(j: int) -> str:
 def oracle_sql() -> dict[str, str]:
     d = {
         "flagship_case_lists": _FLAGSHIP_ORACLE,
+        "text_cosine_capped": """
+            WITH src AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       text || ' zzz' || CAST(doc_id AS VARCHAR)
+                FROM documents WHERE doc_id % 40 = 0
+                UNION ALL
+                SELECT doc_id + 2000000,
+                       text || ' zzz' || CAST(doc_id AS VARCHAR)
+                FROM documents WHERE doc_id % 40 = 0
+            ),
+            toks AS (
+                SELECT doc_id, lower(t) AS term
+                FROM src,
+                     unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS u(t)
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                GROUP BY doc_id, term
+            ),
+            norms AS (
+                SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY doc_id
+            ),
+            nd AS (SELECT count(*) AS n_docs FROM src),
+            dfreq AS (
+                SELECT term, count(*) AS dfv FROM tf GROUP BY term
+            ),
+            kept AS (
+                SELECT term FROM dfreq, nd
+                WHERE dfv >= 2
+                  AND dfv <= greatest(2, CAST(ceil(0.5 * n_docs) AS BIGINT))
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM tf a
+                JOIN kept k ON a.term = k.term
+                JOIN tf b ON b.term = a.term AND a.doc_id < b.doc_id
+            ),
+            dots AS (
+                SELECT c.doc_a, c.doc_b, sum(fa.tf * fb.tf) AS dot
+                FROM cand c
+                JOIN tf fa ON fa.doc_id = c.doc_a
+                JOIN tf fb ON fb.doc_id = c.doc_b AND fb.term = fa.term
+                GROUP BY c.doc_a, c.doc_b
+            )
+            SELECT dots.doc_a, dots.doc_b, CAST(dot AS BIGINT) AS dot,
+                   round(dot / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6)
+                       AS cosine
+            FROM dots
+            JOIN norms na ON na.doc_id = dots.doc_a
+            JOIN norms nb ON nb.doc_id = dots.doc_b
+            WHERE CAST(dot AS HUGEINT) * dot * 100
+                  >= 81 * CAST(na.n2 AS HUGEINT) * nb.n2
+        """,
         "clinical_field_conformance": """
             WITH cli AS (
                 SELECT

@@ -584,6 +584,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # capped path: candidate equi-join on kept terms + full-vector verify
+    # joins — all hash joins, integer gate in codegen
+    "text_cosine_capped": (
+        ["HashAggregate", "codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # ONE aggregate pass over the clinical frame; findings explode from a
     # 1-row aggregate — no joins at all
     "clinical_field_conformance": (
