@@ -4463,6 +4463,47 @@ def q_dedup_containment(spark, sf_dir):
     return containment_join(corpus, threshold=0.9).orderBy("id_a", "id_b")
 
 
+def q_entity_golden_record(spark, sf_dir):
+    """ER survivorship: each customer cluster (the original + two
+    deterministically damaged copies — every 3rd mktsegment blanked, every
+    5th name case-mangled on copy 1; every 4th balance digit-bumped on
+    copy 2) collapses to ONE canonical record by per-field majority vote, ties
+    to the smallest value. With 3 members per cluster the mode provably
+    recovers the undamaged value wherever at most one copy is damaged."""
+    from iatlas_cbioportal_export_spark.operators.entity import golden_record
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    base = c.select(
+        k.alias("cluster_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("string").alias("balance"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    copy1 = c.select(
+        k.alias("cluster_id"),
+        F.when(k % 5 == 0, F.upper("c_name")).otherwise(F.col("c_name")).alias("name"),
+        F.col("c_acctbal").cast("string").alias("balance"),
+        F.when(k % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    copy2 = c.select(
+        k.alias("cluster_id"),
+        F.col("c_name").alias("name"),
+        F.when(
+            k % 4 == 0, F.concat(F.col("c_acctbal").cast("string"), F.lit("9"))
+        )
+        .otherwise(F.col("c_acctbal").cast("string"))
+        .alias("balance"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    records = base.unionByName(copy1).unionByName(copy2)
+    return golden_record(
+        records, "cluster_id", ["name", "balance", "segment"]
+    ).orderBy("cluster_id")
+
+
 def q_text_cosine_capped(spark, sf_dir):
     """The DEFAULT df-capped path of cosine_similarity_pairs under the
     driver gate (the exact path is text_cosine_pairs): planted near-dup
@@ -4586,6 +4627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "clinical_field_conformance": q_clinical_field_conformance,
         "text_cosine_capped": q_text_cosine_capped,
+        "entity_golden_record": q_entity_golden_record,
         "maf_field_conformance": q_maf_field_conformance,
         "maf_annotate_pipeline": q_maf_annotate_pipeline,
         "v_validation_suite": q_v_validation_suite,
@@ -4858,6 +4900,59 @@ def _mm_lane_sql(j: int) -> str:
 def oracle_sql() -> dict[str, str]:
     d = {
         "flagship_case_lists": _FLAGSHIP_ORACLE,
+        "entity_golden_record": """
+            WITH records AS (
+                SELECT c_custkey AS cluster_id, c_name AS name,
+                       CAST(c_acctbal AS VARCHAR) AS balance,
+                       c_mktsegment AS segment
+                FROM customer
+                UNION ALL
+                SELECT c_custkey,
+                       CASE WHEN c_custkey % 5 = 0 THEN upper(c_name)
+                            ELSE c_name END,
+                       CAST(c_acctbal AS VARCHAR),
+                       CASE WHEN c_custkey % 3 = 0 THEN NULL
+                            ELSE c_mktsegment END
+                FROM customer
+                UNION ALL
+                SELECT c_custkey, c_name,
+                       CASE WHEN c_custkey % 4 = 0
+                            THEN CAST(c_acctbal AS VARCHAR) || '9'
+                            ELSE CAST(c_acctbal AS VARCHAR) END,
+                       c_mktsegment
+                FROM customer
+            ),
+            melted AS (
+                SELECT cluster_id, 'name' AS field, name AS value FROM records
+                UNION ALL
+                SELECT cluster_id, 'balance', balance FROM records
+                UNION ALL
+                SELECT cluster_id, 'segment', segment FROM records
+            ),
+            counts AS (
+                SELECT cluster_id, field, value, count(*) AS cnt
+                FROM melted WHERE value IS NOT NULL
+                GROUP BY cluster_id, field, value
+            ),
+            best AS (
+                SELECT cluster_id, field, value
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY cluster_id, field
+                          ORDER BY cnt DESC, value ASC) AS rn
+                      FROM counts)
+                WHERE rn = 1
+            ),
+            members AS (
+                SELECT cluster_id, count(*) AS n_members FROM records
+                GROUP BY cluster_id
+            )
+            SELECT m.cluster_id, m.n_members,
+                   nm.value AS name, ph.value AS balance, sg.value AS segment
+            FROM members m
+            LEFT JOIN best nm ON nm.cluster_id = m.cluster_id AND nm.field = 'name'
+            LEFT JOIN best ph ON ph.cluster_id = m.cluster_id AND ph.field = 'balance'
+            LEFT JOIN best sg ON sg.cluster_id = m.cluster_id AND sg.field = 'segment'
+        """,
         "text_cosine_capped": """
             WITH src AS (
                 SELECT doc_id, text FROM documents

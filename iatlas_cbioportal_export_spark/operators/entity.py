@@ -233,3 +233,71 @@ def fellegi_sunter_linkage(
         .otherwise(F.lit("non_link"))
         .alias("decision"),
     )
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    fields: list[str],
+) -> DataFrame:
+    """Survivorship: collapse each entity cluster to ONE canonical record —
+    the last stage of the ER pipeline after :func:`fellegi_sunter_linkage`
+    (pairs) and ``graph.dedup_components`` (clusters). Per field the
+    surviving value is the cluster MODE over non-null values (majority
+    vote absorbs per-copy damage), ties broken by the smallest value —
+    fully deterministic, so the canonical record is reproducible on any
+    engine and partitioning.
+
+    Plan shape: the fields MELT into (cluster, field, value) rows in one
+    narrow projection, ONE map-side-combined count aggregation + one
+    min-struct argmax per (cluster, field), then a map-assembly groupBy —
+    shuffled rows are combiner-reduced counts, never the source records;
+    adding fields widens the melt, not the number of passes. Clusters
+    where a field is entirely null surface it as NULL (reported, not
+    dropped).
+
+    Output: (cluster_col, n_members, <field> for each field) —
+    one row per cluster. Values are returned as strings (the melt casts
+    for a uniform value column; callers re-cast typed fields).
+    """
+    melted = df.select(
+        F.col(cluster_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("field"),
+                        F.col(f).cast("string").alias("value"),
+                    )
+                    for f in fields
+                ]
+            )
+        ).alias("fv"),
+    ).select(cluster_col, "fv.field", "fv.value")
+    counts = (
+        melted.filter(F.col("value").isNotNull())
+        .groupBy(cluster_col, "field", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = (
+        counts.groupBy(cluster_col, "field")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg"), F.col("value"))
+            ).alias("__b")
+        )
+        .select(cluster_col, "field", F.col("__b.value").alias("value"))
+    )
+    members = df.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    assembled = best.groupBy(cluster_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("field", "value"))
+        ).alias("__m")
+    )
+    return members.join(assembled, cluster_col, "left").select(
+        cluster_col,
+        "n_members",
+        *[F.col("__m").getItem(f).alias(f) for f in fields],
+    )

@@ -177,3 +177,29 @@ def test_fs_linkage_constant_field_clamped(spark):
     import math
 
     assert all(math.isfinite(r["score"]) for r in rows)
+
+
+def test_golden_record_mode_and_ties(spark):
+    from iatlas_cbioportal_export_spark.operators.entity import golden_record
+
+    rows = [
+        # cluster 1: majority recovers 'Anna' and '555'; seg all-null
+        (1, "Anna", "555", None),
+        (1, "ANNA", "555", None),
+        (1, "Anna", "556", None),
+        # cluster 2: full tie on name → smallest value wins
+        (2, "bob", "1", "A"),
+        (2, "Bob", "1", "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster_id long, name string, code string, seg string"
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in golden_record(df, "cluster_id", ["name", "code", "seg"]).collect()
+    }
+    assert out[1]["n_members"] == 3
+    assert out[1]["name"] == "Anna" and out[1]["code"] == "555"
+    assert out[1]["seg"] is None          # all-null field surfaces as NULL
+    assert out[2]["name"] == "Bob"        # tie: 'Bob' < 'bob' (ASCII)
+    assert out[2]["code"] == "1"

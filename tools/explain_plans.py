@@ -590,6 +590,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # melt + ONE combiner-reduced count agg + min-struct argmax; shuffled
+    # rows are counts, never the source records
+    "entity_golden_record": (
+        ["HashAggregate", "codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
     # ONE aggregate pass over the clinical frame; findings explode from a
     # 1-row aggregate — no joins at all
     "clinical_field_conformance": (
