@@ -4855,6 +4855,10 @@ def _maf_wide_oracle() -> str:
 
     cols = []
     for name in _STR_ANNOTATION_COLS:
+        if name == "Variant_Type":
+            # vocabulary-constrained: the fake leaves it NULL (maf.py)
+            cols.append(f"CAST(NULL AS VARCHAR) AS \"{name}\"")
+            continue
         prefix = "p." if name == "HGVSp_Short" else f"{name}="
         cols.append(f"'{prefix}' || key AS \"{name}\"")
     for i, name in enumerate(_DBL_ANNOTATION_COLS):

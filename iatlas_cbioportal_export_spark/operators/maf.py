@@ -119,6 +119,16 @@ def fake_annotator(batch: pd.DataFrame) -> pd.DataFrame:
     # propagates missing values to NaN (→ Arrow null) without masking
     key_obj = key.astype(object)
     for name in _STR_ANNOTATION_COLS:
+        if name == "Variant_Type":
+            # Vocabulary-constrained field (validateData strict checks:
+            # SNP/DNP/TNP/ONP/INS/DEL + allele/position consistency) — a
+            # generic "<name>=<key>" marker would make every fake-annotated
+            # MAF fail its own validator, and no single valid code is
+            # consistent with arbitrary fixture alleles/positions. The fake
+            # leaves it NULL (rules skip missing); the HTTP annotator fills
+            # it for real.
+            cols[name] = pd.Series([None] * len(batch), index=batch.index)
+            continue
         prefix = "p." if name == "HGVSp_Short" else f"{name}="
         cols[name] = prefix + key_obj
     key_len = key.str.len().astype("Int64")

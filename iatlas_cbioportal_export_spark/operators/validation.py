@@ -328,12 +328,19 @@ def maf_value_conformance(
     def _violations(cond: Column) -> Column:
         return F.sum(F.when(F.coalesce(cond, F.lit(False)), 1).otherwise(0))
 
+    def _present(c: Column) -> Column:
+        # TSV-borne MAFs carry missing values as EMPTY STRINGS, not NULLs
+        # (the 118-col fixture and real exports alike); a blank field is
+        # "missing" to every value rule, exactly like NULL — presence
+        # enforcement stays the validation suite's job.
+        return c.isNotNull() & (c != "")
+
     rules = {
-        "maf_chromosome_vocabulary": chrom.isNotNull()
+        "maf_chromosome_vocabulary": _present(chrom)
         & ~chrom.rlike(_CHROMOSOME_RE),
-        "maf_allele_alphabet": (ref.isNotNull() & ~ref.rlike(_ALLELE_RE))
-        | (alt.isNotNull() & ~alt.rlike(_ALLELE_RE)),
-        "maf_ref_equals_alt": ref.isNotNull() & alt.isNotNull() & (ref == alt),
+        "maf_allele_alphabet": (_present(ref) & ~ref.rlike(_ALLELE_RE))
+        | (_present(alt) & ~alt.rlike(_ALLELE_RE)),
+        "maf_ref_equals_alt": _present(ref) & _present(alt) & (ref == alt),
         "maf_position_order": start.isNotNull()
         & end.isNotNull()
         & (start > end),
@@ -345,19 +352,19 @@ def maf_value_conformance(
         rules["maf_negative_allele_counts"] = (t_ref < 0) | (t_alt < 0)
     if build_col in cols:
         build = F.col(build_col)
-        rules["maf_ncbi_build"] = build.isNotNull() & ~build.isin(
+        rules["maf_ncbi_build"] = _present(build) & ~build.isin(
             *_NCBI_BUILDS
         )
     if vt_col in cols:
         vt = F.col(vt_col)
-        rules["maf_variant_type_vocabulary"] = vt.isNotNull() & ~vt.isin(
+        rules["maf_variant_type_vocabulary"] = _present(vt) & ~vt.isin(
             *_VARIANT_TYPES
         )
         lr, la = F.length(ref), F.length(alt)
         rules["maf_allele_vs_variant_type"] = (
-            vt.isNotNull()
-            & ref.isNotNull()
-            & alt.isNotNull()
+            _present(vt)
+            & _present(ref)
+            & _present(alt)
             & (
                 (
                     (vt == "SNP")
@@ -376,7 +383,7 @@ def maf_value_conformance(
             )
         )
         rules["maf_position_allele_span"] = (
-            vt.isNotNull()
+            _present(vt)
             & start.isNotNull()
             & end.isNotNull()
             & (
@@ -391,31 +398,31 @@ def maf_value_conformance(
         )
     if barcode_col in cols:
         bc = F.col(barcode_col)
-        rules["maf_barcode_format"] = bc.isNotNull() & ~bc.rlike(_BARCODE_RE)
+        rules["maf_barcode_format"] = _present(bc) & ~bc.rlike(_BARCODE_RE)
     if mstatus_col in cols:
         ms = F.lower(F.col(mstatus_col))
-        rules["maf_mutation_status_vocabulary"] = F.col(
-            mstatus_col
-        ).isNotNull() & ~ms.isin(*_MUTATION_STATUSES)
+        rules["maf_mutation_status_vocabulary"] = _present(
+            F.col(mstatus_col)
+        ) & ~ms.isin(*_MUTATION_STATUSES)
     if entrez_col in cols:
         ez = F.col(entrez_col).cast("string")
-        rules["maf_entrez_gene_id_format"] = ez.isNotNull() & ~ez.rlike(
+        rules["maf_entrez_gene_id_format"] = _present(ez) & ~ez.rlike(
             r"^[0-9]+$"
         )
     if valstatus_col in cols:
         vs = F.col(valstatus_col)
-        rules["maf_validation_status_vocabulary"] = vs.isNotNull() & ~F.lower(
+        rules["maf_validation_status_vocabulary"] = _present(vs) & ~F.lower(
             vs
         ).isin(*_VALIDATION_STATUSES)
     if verstatus_col in cols:
         vrs = F.col(verstatus_col)
-        rules["maf_verification_status_vocabulary"] = vrs.isNotNull() & ~F.lower(
+        rules["maf_verification_status_vocabulary"] = _present(
             vrs
-        ).isin(*_VERIFICATION_STATUSES)
+        ) & ~F.lower(vrs).isin(*_VERIFICATION_STATUSES)
     rules["maf_positive_start"] = start.isNotNull() & (start < 1)
     if strand_col in cols:
         st = F.col(strand_col)
-        rules["maf_strand_symbol"] = st.isNotNull() & ~st.isin("+", "-")
+        rules["maf_strand_symbol"] = _present(st) & ~st.isin("+", "-")
     if hgvsp_col in cols:
         hp = F.col(hgvsp_col)
         rules["maf_hgvsp_prefix"] = (
@@ -787,38 +794,42 @@ def clinical_value_conformance(
     rules: dict[str, Column] = {}
     if patient_col in cols:
         pid = F.col(patient_col)
-        rules["clinical_patient_id_format"] = pid.isNotNull() & ~pid.rlike(
-            id_re
+        rules["clinical_patient_id_format"] = (
+            pid.isNotNull() & (pid != "") & ~pid.rlike(id_re)
         )
     if sample_col in cols:
         sid = F.col(sample_col)
-        rules["clinical_sample_id_format"] = sid.isNotNull() & ~sid.rlike(
-            id_re
+        rules["clinical_sample_id_format"] = (
+            sid.isNotNull() & (sid != "") & ~sid.rlike(id_re)
         )
     for c in number_cols:
         if c not in cols:
             continue
         v = F.col(c).cast("string")
         rules[f"clinical_number_{c.lower()}"] = (
-            v.isNotNull() & (v != "NA") & ~v.rlike(num_re)
+            v.isNotNull() & (v != "NA") & (v != "") & ~v.rlike(num_re)
         )
     for c in boolean_cols:
         if c not in cols:
             continue
         v = F.upper(F.col(c).cast("string"))
-        rules[f"clinical_boolean_{c.lower()}"] = F.col(c).isNotNull() & ~v.isin(
-            "TRUE", "FALSE", "NA"
+        rules[f"clinical_boolean_{c.lower()}"] = (
+            F.col(c).isNotNull() & (v != "") & ~v.isin("TRUE", "FALSE", "NA")
         )
     if os_status_col in cols:
         osv = F.lower(F.col(os_status_col))
-        rules["clinical_os_status_vocabulary"] = F.col(
-            os_status_col
-        ).isNotNull() & ~osv.isin(*_OS_STATUSES)
+        rules["clinical_os_status_vocabulary"] = (
+            F.col(os_status_col).isNotNull()
+            & (F.col(os_status_col) != "")
+            & ~osv.isin(*_OS_STATUSES)
+        )
     if pfs_status_col in cols:
         pfv = F.lower(F.col(pfs_status_col))
-        rules["clinical_pfs_status_vocabulary"] = F.col(
-            pfs_status_col
-        ).isNotNull() & ~pfv.isin(*_PFS_STATUSES)
+        rules["clinical_pfs_status_vocabulary"] = (
+            F.col(pfs_status_col).isNotNull()
+            & (F.col(pfs_status_col) != "")
+            & ~pfv.isin(*_PFS_STATUSES)
+        )
 
     agg = clinical.agg(
         *[_violations(cond).alias(f"__v_{name}") for name, cond in rules.items()]
