@@ -651,7 +651,8 @@ def q_maf_field_conformance(spark, sf_dir):
     vocabulary (every 41st 'Speculative'; every 37th 'SOMATIC' proves the
     compare is case-insensitive). Tier 3: planted negative Entrez ids
     (every 31st), Validation/Verification status outside vocabulary (every
-    29th/23rd), a '*' strand (every 19th) and a non-'p.' HGVSp_Short
+    29th/23rd), a Variant_Classification outside the vocabulary (every
+    53rd 'Bad_Class'), a '*' strand (every 19th) and a non-'p.' HGVSp_Short
     (every 13th; every 11th empty string is skipped, not flagged);
     maf_positive_start stays green by construction (all starts ≥ 1)."""
     k = F.col("o_orderkey")
@@ -696,6 +697,9 @@ def q_maf_field_conformance(spark, sf_dir):
         .when(k % 37 == 0, F.lit("SOMATIC"))
         .otherwise(F.lit("Somatic"))
         .alias("Mutation_Status"),
+        F.when(k % 53 == 0, F.lit("Bad_Class"))
+        .otherwise(F.lit("Silent"))
+        .alias("Variant_Classification"),
         F.when(k % 31 == 0, F.lit("-1"))
         .otherwise((k % 30000).cast("string"))
         .alias("Entrez_Gene_Id"),
@@ -4859,6 +4863,12 @@ def _maf_wide_oracle() -> str:
             # vocabulary-constrained: the fake leaves it NULL (maf.py)
             cols.append(f"CAST(NULL AS VARCHAR) AS \"{name}\"")
             continue
+        if name == "Variant_Classification":
+            cols.append(
+                "CASE WHEN key IS NOT NULL THEN 'Missense_Mutation' END"
+                f" AS \"{name}\""
+            )
+            continue
         prefix = "p." if name == "HGVSp_Short" else f"{name}="
         cols.append(f"'{prefix}' || key AS \"{name}\"")
     for i, name in enumerate(_DBL_ANNOTATION_COLS):
@@ -5593,6 +5603,8 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN o_orderkey % 41 = 0 THEN 'Speculative'
                             WHEN o_orderkey % 37 = 0 THEN 'SOMATIC'
                             ELSE 'Somatic' END AS mstatus,
+                       CASE WHEN o_orderkey % 53 = 0 THEN 'Bad_Class'
+                            ELSE 'Silent' END AS vclass,
                        CASE WHEN o_orderkey % 31 = 0 THEN '-1'
                             ELSE CAST(o_orderkey % 30000 AS VARCHAR)
                        END AS entrez,
@@ -5648,6 +5660,17 @@ def oracle_sql() -> dict[str, str]:
                          'post-transcriptional modification',
                          'unknown','wildtype','none')
                       THEN 1 ELSE 0 END) AS v_mstatus,
+                  sum(CASE WHEN vclass IS NOT NULL AND vclass <> ''
+                        AND vclass NOT IN
+                        ('Missense_Mutation','Nonsense_Mutation',
+                         'Nonstop_Mutation','Silent','Splice_Site',
+                         'Splice_Region','Frame_Shift_Del','Frame_Shift_Ins',
+                         'In_Frame_Del','In_Frame_Ins',
+                         'Translation_Start_Site','3''UTR','5''UTR',
+                         '3''Flank','5''Flank','Intron','RNA','IGR',
+                         'Targeted_Region','De_novo_Start_InFrame',
+                         'De_novo_Start_OutOfFrame','Fusion','Unknown')
+                      THEN 1 ELSE 0 END) AS v_vclass,
                   sum(CASE WHEN entrez IS NOT NULL
                         AND NOT regexp_matches(entrez, '^[0-9]+$')
                       THEN 1 ELSE 0 END) AS v_entrez,
@@ -5679,6 +5702,7 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 'maf_position_allele_span', v_span FROM counts
                 UNION ALL SELECT 'maf_barcode_format', v_barcode FROM counts
                 UNION ALL SELECT 'maf_mutation_status_vocabulary', v_mstatus FROM counts
+                UNION ALL SELECT 'maf_variant_classification_vocabulary', v_vclass FROM counts
                 UNION ALL SELECT 'maf_entrez_gene_id_format', v_entrez FROM counts
                 UNION ALL SELECT 'maf_validation_status_vocabulary', v_valstatus FROM counts
                 UNION ALL SELECT 'maf_verification_status_vocabulary', v_verstatus FROM counts

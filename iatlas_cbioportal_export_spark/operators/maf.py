@@ -119,6 +119,15 @@ def fake_annotator(batch: pd.DataFrame) -> pd.DataFrame:
     # propagates missing values to NaN (→ Arrow null) without masking
     key_obj = key.astype(object)
     for name in _STR_ANNOTATION_COLS:
+        if name == "Variant_Classification":
+            # Vocabulary-constrained like Variant_Type, but position/allele
+            # independent — a constant valid code keeps fake-annotated MAFs
+            # green under their own validator while still exercising the
+            # column's Arrow plumbing.
+            cols[name] = key.notna().map(
+                {True: "Missense_Mutation", False: None}
+            ).astype(object)
+            continue
         if name == "Variant_Type":
             # Vocabulary-constrained field (validateData strict checks:
             # SNP/DNP/TNP/ONP/INS/DEL + allele/position consistency) — a

@@ -273,6 +273,33 @@ _VALIDATION_STATUSES = (
     "na",
 )
 _VERIFICATION_STATUSES = ("verified", "unknown", "na")
+# validateData.py's accepted Variant_Classification vocabulary
+# (MutationsExtendedValidator; case-sensitive upstream).
+_VARIANT_CLASSIFICATIONS = (
+    "Missense_Mutation",
+    "Nonsense_Mutation",
+    "Nonstop_Mutation",
+    "Silent",
+    "Splice_Site",
+    "Splice_Region",
+    "Frame_Shift_Del",
+    "Frame_Shift_Ins",
+    "In_Frame_Del",
+    "In_Frame_Ins",
+    "Translation_Start_Site",
+    "3'UTR",
+    "5'UTR",
+    "3'Flank",
+    "5'Flank",
+    "Intron",
+    "RNA",
+    "IGR",
+    "Targeted_Region",
+    "De_novo_Start_InFrame",
+    "De_novo_Start_OutOfFrame",
+    "Fusion",
+    "Unknown",
+)
 
 
 def maf_value_conformance(
@@ -289,6 +316,7 @@ def maf_value_conformance(
     barcode_col: str = "Tumor_Sample_Barcode",
     mstatus_col: str = "Mutation_Status",
     entrez_col: str = "Entrez_Gene_Id",
+    vc_col: str = "Variant_Classification",
     valstatus_col: str = "Validation_Status",
     verstatus_col: str = "Verification_Status",
     strand_col: str = "Strand",
@@ -404,6 +432,11 @@ def maf_value_conformance(
         rules["maf_mutation_status_vocabulary"] = _present(
             F.col(mstatus_col)
         ) & ~ms.isin(*_MUTATION_STATUSES)
+    if vc_col in cols:
+        vc = F.col(vc_col)
+        rules["maf_variant_classification_vocabulary"] = _present(
+            vc
+        ) & ~vc.isin(*_VARIANT_CLASSIFICATIONS)
     if entrez_col in cols:
         ez = F.col(entrez_col).cast("string")
         rules["maf_entrez_gene_id_format"] = _present(ez) & ~ez.rlike(

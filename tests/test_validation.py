@@ -179,6 +179,28 @@ def test_maf_value_conformance_tier3_rules(spark):
     assert out["maf_hgvsp_prefix"] == ("ERROR", 1)
 
 
+def test_maf_variant_classification_vocabulary(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        maf_value_conformance,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("chr1", 10, 10, "A", "C", "Missense_Mutation"),
+            ("chr1", 10, 10, "A", "C", "3'UTR"),        # apostrophe class OK
+            ("chr1", 10, 10, "A", "C", "Bad_Class"),    # out of vocabulary
+            ("chr1", 10, 10, "A", "C", ""),             # blank skipped
+            ("chr1", 10, 10, "A", "C", None),           # null skipped
+        ],
+        "Chromosome string, Start_Position long, End_Position long, "
+        "Reference_Allele string, Tumor_Seq_Allele2 string, "
+        "Variant_Classification string",
+    )
+    out = {r["check"]: (r["status"], r["observed"])
+           for r in maf_value_conformance(df).collect()}
+    assert out["maf_variant_classification_vocabulary"] == ("ERROR", 1)
+
+
 def test_maf_value_conformance_all_ok(spark):
     from iatlas_cbioportal_export_spark.operators.validation import (
         maf_value_conformance,
