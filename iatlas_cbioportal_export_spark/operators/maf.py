@@ -277,25 +277,34 @@ def genome_nexus_annotator(
 
     send = transport or default_transport
 
-    def _query_key(row: pd.Series) -> str | None:
-        vals = [
-            row.get("Chromosome"),
-            row.get("Start_Position"),
-            row.get("End_Position"),
-            row.get("Reference_Allele"),
-            row.get("Tumor_Seq_Allele2"),
-        ]
-        if any(pd.isna(v) for v in vals):
-            return None
-        chrom = str(vals[0])
-        if chrom.startswith("chr"):
-            chrom = chrom[3:]
-        start, end = int(vals[1]), int(vals[2])
-        return f"{chrom},{start},{end},{vals[3]},{vals[4]}"
+    _KEY_COLS = (
+        "Chromosome",
+        "Start_Position",
+        "End_Position",
+        "Reference_Allele",
+        "Tumor_Seq_Allele2",
+    )
+
+    def _query_keys(batch: pd.DataFrame) -> list:
+        # Vectorized genomic-location strings; string-NA propagates, so a
+        # row with ANY missing key field gets None (never posted).
+        if not set(_KEY_COLS).issubset(batch.columns):
+            return [None] * len(batch)
+        chrom = (
+            batch["Chromosome"]
+            .astype("string")
+            .str.replace("^chr", "", regex=True)
+        )
+        start = batch["Start_Position"].astype("Int64").astype("string")
+        end = batch["End_Position"].astype("Int64").astype("string")
+        ref = batch["Reference_Allele"].astype("string")
+        alt = batch["Tumor_Seq_Allele2"].astype("string")
+        keys = chrom + "," + start + "," + end + "," + ref + "," + alt
+        return [None if pd.isna(k) else str(k) for k in keys]
 
     def annotator(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
-        keys = [_query_key(row) for _, row in batch.iterrows()]
+        keys = _query_keys(batch)
         queries = [k for k in keys if k is not None]
         try:
             records = json.loads(send(url, json.dumps(queries).encode()))

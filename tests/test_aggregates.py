@@ -697,3 +697,28 @@ def test_confusion_matrix_report_exact_counts(spark):
     und = out["und"]
     assert (und["tp"], und["fp"], und["fn"]) == (0, 1, 0)
     assert und["recall_ppm"] is None
+
+
+def test_confusion_matrix_report_grouped(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        confusion_matrix_report,
+    )
+
+    rows = [
+        ("g1", "a", "a"), ("g1", "a", "b"), ("g1", "b", "b"),
+        ("g2", "b", "a"),
+    ]
+    df = spark.createDataFrame(rows, "g string, pred string, label string")
+    out = {
+        (r["g"], r["class"]): r
+        for r in confusion_matrix_report(df, "pred", "label", group_col="g").collect()
+    }
+    a1 = out[("g1", "a")]
+    assert (a1["tp"], a1["fp"], a1["fn"]) == (1, 1, 0)
+    b1 = out[("g1", "b")]
+    assert (b1["tp"], b1["fp"], b1["fn"]) == (1, 0, 1)
+    # g2: 'b' predicted but actual 'a' — both classes appear, zero tp
+    assert (out[("g2", "a")]["tp"], out[("g2", "a")]["fn"]) == (0, 1)
+    assert (out[("g2", "b")]["tp"], out[("g2", "b")]["fp"]) == (0, 1)
+    # groups never mix: g1's classes don't absorb g2's counts
+    assert out[("g1", "a")]["fn"] == 0
