@@ -94,6 +94,9 @@ DEFAULT_QUERIES = [
     "text_repetition",
     "eval_confusion",
     "dedup_containment",
+    "clinical_field_conformance",
+    "text_cosine_capped",
+    "entity_golden_record",
 ]
 
 
