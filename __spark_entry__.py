@@ -4533,6 +4533,84 @@ def q_text_cosine_capped(spark, sf_dir):
     )
 
 
+def q_multimodal_wav_roundtrip(spark, sf_dir):
+    """REAL audio decode under the driver gate — not the fake extractor:
+    deterministic PCM (s_i = ((media_id·31 + i·7) % 256) − 128, 256
+    samples) is RIFF/WAV-encoded in one Arrow stage, then decoded by the
+    stdlib ``wave`` parser inside extract_features(stdlib_decoder), with
+    per-bucket integer mean-abs-amplitude ppm exploded to rows. The oracle
+    computes the same envelope from the closed-form signal, so the
+    encode→decode round trip (44-byte header + 512 PCM bytes, bucket
+    arithmetic) is value-hash checked end to end. mp3/jpeg remain behind
+    the honest NotImplementedError stub."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_features,
+        stdlib_decoder,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 200)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for batch in batches:
+            payloads = []
+            for mid in batch["media_id"]:
+                mid = int(mid)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(
+                        b"".join(
+                            struct.pack("<h", ((mid * 31 + i * 7) % 256) - 128)
+                            for i in range(256)
+                        )
+                    )
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": "audio",
+                    "mime_type": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    feats = extract_features(media, extractor=stdlib_decoder)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("feature").alias("bucket", "amp_ppm"),
+    )
+
+
 def q_clinical_field_conformance(spark, sf_dir):
     """Per-field CLINICAL value checks — the clinical-file half of
     cBioPortal validateData.py next to maf_field_conformance's 17 MAF
@@ -4632,6 +4710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clinical_field_conformance": q_clinical_field_conformance,
         "text_cosine_capped": q_text_cosine_capped,
         "entity_golden_record": q_entity_golden_record,
+        "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
         "maf_field_conformance": q_maf_field_conformance,
         "maf_annotate_pipeline": q_maf_annotate_pipeline,
         "v_validation_suite": q_v_validation_suite,
@@ -4914,6 +4993,24 @@ def _mm_lane_sql(j: int) -> str:
 def oracle_sql() -> dict[str, str]:
     d = {
         "flagship_case_lists": _FLAGSHIP_ORACLE,
+        "multimodal_wav_roundtrip": """
+            WITH ids AS (
+                SELECT doc_id AS media_id FROM documents WHERE doc_id < 200
+            ),
+            samples AS (
+                SELECT media_id, i,
+                       abs(((media_id * 31 + i * 7) % 256) - 128) AS a
+                FROM ids, unnest(range(0, 256)) AS t(i)
+            ),
+            b AS (
+                SELECT media_id, CAST(i // 32 AS INT) AS bucket,
+                       sum(a) AS s, count(*) AS n
+                FROM samples GROUP BY media_id, CAST(i // 32 AS INT)
+            )
+            SELECT media_id, CAST(556 AS BIGINT) AS n_bytes, bucket,
+                   CAST(s * 1000000 // n AS DOUBLE) AS amp_ppm
+            FROM b
+        """,
         "entity_golden_record": """
             WITH records AS (
                 SELECT c_custkey AS cluster_id, c_name AS name,

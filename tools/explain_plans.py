@@ -590,6 +590,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # two Arrow stages (RIFF encode, wave decode) over narrow id rows;
+    # payload never shuffles — features explode after the decode
+    "multimodal_wav_roundtrip": (
+        ["MapInPandas", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Exchange hashpartitioning"],
+    ),
     # melt + ONE combiner-reduced count agg + min-struct argmax; shuffled
     # rows are counts, never the source records
     "entity_golden_record": (
