@@ -4611,6 +4611,75 @@ def q_multimodal_wav_roundtrip(spark, sf_dir):
     )
 
 
+def q_multimodal_image_resize(spark, sf_dir):
+    """REAL image pipeline under the driver gate: deterministic 16x12 P5
+    greyscale images (pixel(x,y) = (media_id*7 + y*16 + x*3) % 256) are
+    netpbm-encoded in one Arrow stage, nearest-neighbour resized to 8x6 by
+    resize_images (src = (2x, 2y) — integer sampling any engine replays),
+    then decoded by the stdlib netpbm parser. The oracle computes the
+    sampled-pixel mean from the closed-form image, so encode→resize→decode
+    is value-hash checked end to end."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        stdlib_decoder,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 200)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for batch in batches:
+            payloads = []
+            for mid in batch["media_id"]:
+                mid = int(mid)
+                pix = bytes(
+                    (mid * 7 + y * 16 + x * 3) % 256
+                    for y in range(12)
+                    for x in range(16)
+                )
+                payloads.append(b"P5\n16 12\n255\n" + pix)
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": "image",
+                    "mime_type": "image/x-portable-graymap",
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    small = resize_images(media, 8, 6)
+    feats = extract_features(small, extractor=stdlib_decoder)
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).cast("long").alias("width"),
+        F.element_at("feature", 2).cast("long").alias("height"),
+        F.element_at("feature", 3).alias("mean_ppm"),
+    )
+
+
 def q_clinical_field_conformance(spark, sf_dir):
     """Per-field CLINICAL value checks — the clinical-file half of
     cBioPortal validateData.py next to maf_field_conformance's 17 MAF
@@ -4711,6 +4780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cosine_capped": q_text_cosine_capped,
         "entity_golden_record": q_entity_golden_record,
         "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
+        "multimodal_image_resize": q_multimodal_image_resize,
         "maf_field_conformance": q_maf_field_conformance,
         "maf_annotate_pipeline": q_maf_annotate_pipeline,
         "v_validation_suite": q_v_validation_suite,
@@ -4993,6 +5063,22 @@ def _mm_lane_sql(j: int) -> str:
 def oracle_sql() -> dict[str, str]:
     d = {
         "flagship_case_lists": _FLAGSHIP_ORACLE,
+        "multimodal_image_resize": """
+            WITH ids AS (
+                SELECT doc_id AS media_id FROM documents WHERE doc_id < 200
+            ),
+            sampled AS (
+                SELECT media_id,
+                       (media_id * 7 + (2 * y) * 16 + (2 * x) * 3) % 256 AS v
+                FROM ids,
+                     unnest(range(0, 8)) AS tx(x),
+                     unnest(range(0, 6)) AS ty(y)
+            )
+            SELECT media_id, CAST(8 AS BIGINT) AS width,
+                   CAST(6 AS BIGINT) AS height,
+                   CAST(sum(v) * 1000000 // count(*) AS DOUBLE) AS mean_ppm
+            FROM sampled GROUP BY media_id
+        """,
         "multimodal_wav_roundtrip": """
             WITH ids AS (
                 SELECT doc_id AS media_id FROM documents WHERE doc_id < 200

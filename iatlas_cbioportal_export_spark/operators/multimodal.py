@@ -191,13 +191,11 @@ def wav_feature_extractor(
     return feats
 
 
-def netpbm_feature_extractor(payload: bytes, mime_type: str) -> list[float]:
-    """REAL image decode for binary netpbm (P5 greyscale / P6 RGB) —
-    stdlib-only header parse + raw pixel bytes. Feature: [width, height,
-    per-channel mean-intensity ppm] (``sum·1e6 // n`` integer-exact).
-    JPEG/PNG stay behind the stub (zlib/DCT codecs)."""
+def _netpbm_parse(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """Parse a binary netpbm header (P5/P6, comments allowed) →
+    (channels, width, height, maxval, pixel bytes)."""
     if not payload.startswith((b"P5", b"P6")):
-        raise NotImplementedError("netpbm_feature_extractor handles P5/P6 only")
+        raise NotImplementedError("netpbm decode handles P5/P6 only")
     fields: list[bytes] = []
     i = 2
     while len(fields) < 3:
@@ -218,12 +216,43 @@ def netpbm_feature_extractor(payload: bytes, mime_type: str) -> list[float]:
         raise NotImplementedError("16-bit netpbm not supported")
     channels = 3 if payload.startswith(b"P6") else 1
     pix = payload[i : i + width * height * channels]
+    return channels, width, height, maxval, pix
+
+
+def netpbm_feature_extractor(payload: bytes, mime_type: str) -> list[float]:
+    """REAL image decode for binary netpbm (P5 greyscale / P6 RGB) —
+    stdlib-only header parse + raw pixel bytes. Feature: [width, height,
+    per-channel mean-intensity ppm] (``sum·1e6 // n`` integer-exact).
+    JPEG/PNG stay behind the stub (zlib/DCT codecs)."""
+    channels, width, height, _maxval, pix = _netpbm_parse(payload)
     n = width * height
     means = []
     for c in range(channels):
         total = sum(pix[k] for k in range(c, len(pix), channels))
         means.append(float(total * 1_000_000 // n))
     return [float(width), float(height), *means]
+
+
+def netpbm_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL image resize for binary netpbm — nearest-neighbour sampling
+    (``src_x = x·W // out_w``, ``src_y = y·H // out_h``: pure integer
+    arithmetic, so any engine can replay which source pixels survive),
+    re-encoded as the same P5/P6 format. This is the standard
+    thumbnail/downscale stage of an image-training pipeline, runnable here
+    without codec libraries; interpolating resizes for jpeg/png belong to
+    the stubbed codec path."""
+    channels, width, height, maxval, pix = _netpbm_parse(payload)
+    out = bytearray()
+    for y in range(out_h):
+        sy = y * height // out_h
+        row = sy * width * channels
+        for x in range(out_w):
+            sx = x * width // out_w
+            k = row + sx * channels
+            out += pix[k : k + channels]
+    magic = b"P6" if channels == 3 else b"P5"
+    header = magic + b"\n%d %d\n%d\n" % (out_w, out_h, maxval)
+    return bytes(header) + bytes(out)
 
 
 def stdlib_decoder(payload: bytes, mime_type: str) -> list[float]:
@@ -237,3 +266,27 @@ def stdlib_decoder(payload: bytes, mime_type: str) -> list[float]:
     if mt in ("image/x-portable-graymap", "image/x-portable-pixmap"):
         return netpbm_feature_extractor(payload, mime_type)
     return real_decode_stub(payload, mime_type)  # type: ignore[return-value]
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    resizer: Callable[[bytes, int, int], bytes] = netpbm_resize,
+) -> DataFrame:
+    """Image resize as an Arrow ``mapInPandas`` stage: payload in → resized
+    payload out, schema preserved — the standard thumbnail/normalize hop
+    before feature extraction. The payload stays within the stage's tasks
+    (narrow; nothing shuffles); ``resizer`` plugs real codec resizes in on
+    a cluster image, :func:`netpbm_resize` is the stdlib-real default."""
+    schema = media.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = batch.copy()
+            out["payload"] = [
+                resizer(bytes(p), out_w, out_h) for p in batch["payload"]
+            ]
+            yield out
+
+    return media.mapInPandas(run, schema=schema)

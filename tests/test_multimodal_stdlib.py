@@ -101,3 +101,38 @@ def test_extract_features_with_real_wav_decoder(spark):
     assert out[1]["feature"] == [100 * 1_000_000.0] * 8
     assert out[2]["feature"] == [50 * 1_000_000.0] * 8
     assert out[1]["n_bytes"] == 44 + 32  # minimal RIFF header + 16x2 bytes
+
+
+def test_netpbm_resize_nearest_neighbour():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        netpbm_feature_extractor,
+        netpbm_resize,
+    )
+
+    # 4x2 grey ramp → 2x1 picks (0,0) and (2,0)
+    p5 = b"P5\n4 2\n255\n" + bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    small = netpbm_resize(p5, 2, 1)
+    assert small == b"P5\n2 1\n255\n" + bytes([10, 30])
+    w, h, mean = netpbm_feature_extractor(small, "image/x-portable-graymap")
+    assert (w, h, mean) == (2.0, 1.0, 20_000_000.0)
+    # P6 keeps whole pixels together
+    p6 = b"P6\n2 1\n255\n" + bytes([1, 2, 3, 200, 201, 202])
+    assert netpbm_resize(p6, 1, 1) == b"P6\n1 1\n255\n" + bytes([1, 2, 3])
+
+
+def test_resize_images_stage(spark):
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        stdlib_decoder,
+    )
+
+    p5 = b"P5\n4 2\n255\n" + bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    df = spark.createDataFrame(
+        [(1, "image", "image/x-portable-graymap", p5)],
+        "media_id long, modality string, mime_type string, payload binary",
+    )
+    out = extract_features(
+        resize_images(df, 2, 1), extractor=stdlib_decoder
+    ).collect()
+    assert out[0]["feature"] == [2.0, 1.0, 20_000_000.0]

@@ -590,6 +590,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # three Arrow stages (netpbm encode, nearest-neighbour resize, decode)
+    # over narrow id rows; payload never shuffles
+    "multimodal_image_resize": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Exchange hashpartitioning"],
+    ),
     # two Arrow stages (RIFF encode, wave decode) over narrow id rows;
     # payload never shuffles — features explode after the decode
     "multimodal_wav_roundtrip": (
