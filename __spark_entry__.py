@@ -4733,7 +4733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         # --- window 1-36: round-5 rotation — the final never-driver-checked
         # backlog (every other registry entry has a driver-green row in
-        # CORRECTNESS_r01-r04). After this round, 216/216 driver-green.
+        # CORRECTNESS_r01-r04). After this round, all entries driver-green.
         "xml_roundtrip": q_xml_roundtrip,
         "zonemap_pruning": q_zonemap_pruning,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -4770,8 +4770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_leakage_safe_splits": q_sample_leakage_safe_splits,
         "stats_winsorize": q_stats_winsorize,
         "eval_calibration": q_eval_calibration,
-        # --- window 37-50: new round-5 queries first, then re-checks of
-        # round-5-changed code paths
+        # --- window 37-45: new round-5 queries; 46-50 re-check round-5-
+        # changed code paths (MAF conformance tiers, annotator contract,
+        # validation suite, centroid-expression rewrite)
         "sample_mixture_weights": q_sample_mixture_weights,
         "text_repetition": q_text_repetition,
         "eval_confusion": q_eval_confusion,
@@ -4784,9 +4785,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maf_field_conformance": q_maf_field_conformance,
         "maf_annotate_pipeline": q_maf_annotate_pipeline,
         "v_validation_suite": q_v_validation_suite,
-        "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "maf_annotation_wide": q_maf_annotation_wide,
+        # --- past the 50-entry driver window: all driver-green r1-r4 ---
         "sim_semantic_dedup": q_sim_semantic_dedup,
+        "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "text_tfidf": q_text_tfidf,
         "curation_pipeline": q_curation_pipeline,
@@ -4795,7 +4798,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_counts": q_stream_hourly_counts,
         "events_sessionize": q_events_sessionize,
         "events_attribution_outer": q_events_attribution_outer,
-        # --- past the 50-entry driver window: all driver-green r1-r4 ---
         "flagship_case_lists": flagship_case_lists,
         "window_rank_suite": q_window_rank_suite,
         "equi_depth_bins": q_equi_depth_bins,
@@ -4892,7 +4894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ivf_topk": q_sim_ivf_topk,
         "sim_ivf_trained": q_sim_ivf_trained,
         "embedding_near_dup": q_embedding_near_dup,
         "tpch_q2_min_cost_supplier": q_tpch_q2,

@@ -97,6 +97,8 @@ DEFAULT_QUERIES = [
     "clinical_field_conformance",
     "text_cosine_capped",
     "entity_golden_record",
+    "multimodal_wav_roundtrip",
+    "multimodal_image_resize",
 ]
 
 
