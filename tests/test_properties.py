@@ -678,3 +678,133 @@ def test_class_balanced_sample_invariants(spark, classes):
     # kept rows are a subset of the input
     ids = {r["id"] for r in out}
     assert ids <= {i for i, _ in rows}
+
+
+@settings(**_SETTINGS)
+@given(docs=texts, t=st.sampled_from([0.5, 0.75, 1.0]))
+def test_containment_join_matches_bruteforce(spark, docs, t):
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        containment_join,
+    )
+
+    sets = {
+        i: set(x for x in re.split(r"\s+", d) if x) for i, d in enumerate(docs)
+    }
+    t_micro = int(round(t * 1_000_000))
+    expected = {}
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter * 1_000_000 >= t_micro * len(sa):
+                expected[(a, b)] = (len(sa), inter, inter * 1_000_000 // len(sa))
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_a"], r["inter"], r["containment_ppm"])
+        for r in containment_join(
+            _df(spark, docs), threshold=t, ngram_n=None
+        ).collect()
+    }
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(docs=texts)
+def test_repetition_metrics_match_python_reference(spark, docs):
+    from iatlas_cbioportal_export_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    out = {r["doc_id"]: r for r in repetition_metrics(_df(spark, docs)).collect()}
+    for i, doc in enumerate(docs):
+        toks = [x for x in re.split(r"\s+", doc) if x]
+        r = out[i]
+        assert r["n_words"] == len(toks)
+        assert r["word_chars"] == sum(len(x) for x in toks)
+
+        def grams(n):
+            n_sh = max(len(toks) - n + 1, 1)
+            return [" ".join(toks[j : j + n]) for j in range(n_sh)]
+
+        from collections import Counter
+
+        c2 = Counter(grams(2))
+        # min-struct tie-break: (count desc, gram asc)
+        top_gram, top_cnt = min(c2.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (r["top_2gram"], r["top_2gram_count"]) == (top_gram, top_cnt)
+        wc = sum(len(x) for x in toks)
+        exp_top_ppm = (
+            top_cnt * (len(top_gram) - 1) * 1_000_000 // wc if wc > 0 else 0
+        )
+        assert r["top_2gram_char_ppm"] == exp_top_ppm
+        c3 = Counter(grams(3))
+        all3 = sum(cnt * (len(g) - 2) for g, cnt in c3.items())
+        dup3 = sum(cnt * (len(g) - 2) for g, cnt in c3.items() if cnt >= 2)
+        exp_dup = dup3 * 1_000_000 // all3 if all3 > 0 else 0
+        assert r["dup_3gram_char_ppm"] == exp_dup
+
+
+@settings(**_SETTINGS)
+@given(
+    sizes=st.lists(st.integers(0, 10_000), min_size=1, max_size=6),
+    target=st.sampled_from([10**6, 10**9, 10**12]),
+)
+def test_mixture_weights_invariants(spark, sizes, target):
+    import math
+
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    rows = [(f"s{i}", n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "source string, n_tok long")
+    out = mixture_weights(df, ["source"], "n_tok", target_tokens=target).collect()
+    total_micro = sum(
+        math.floor(math.sqrt(float(n)) * 1_000_000) for n in sizes
+    )
+    for r in out:
+        n = sizes[int(r["source"][1:])]
+        w = math.floor(math.sqrt(float(n)) * 1_000_000)
+        assert r["weight_micro"] == w
+        if total_micro > 0:
+            assert r["share_ppm"] == w * 1_000_000 // total_micro
+            assert r["budget_tokens"] == w * target // total_micro
+    if total_micro > 0:
+        share_sum = sum(r["share_ppm"] for r in out)
+        budget_sum = sum(r["budget_tokens"] for r in out)
+        assert 1_000_000 - len(sizes) < share_sum <= 1_000_000
+        assert target - len(sizes) < budget_sum <= target
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # cluster
+            st.sampled_from(["x", "y", "z", None]),  # field value
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_golden_record_is_mode_with_min_tiebreak(spark, data):
+    from collections import Counter
+
+    from iatlas_cbioportal_export_spark.operators.entity import golden_record
+
+    df = spark.createDataFrame(data, "cluster_id long, f string")
+    out = {r["cluster_id"]: r for r in golden_record(df, "cluster_id", ["f"]).collect()}
+    by_cluster: dict = {}
+    for c, v in data:
+        by_cluster.setdefault(c, []).append(v)
+    for c, vals in by_cluster.items():
+        nn = [v for v in vals if v is not None]
+        assert out[c]["n_members"] == len(vals)
+        if not nn:
+            assert out[c]["f"] is None
+        else:
+            cnt = Counter(nn)
+            expect = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            assert out[c]["f"] == expect
