@@ -4533,6 +4533,42 @@ def q_text_cosine_capped(spark, sf_dir):
     )
 
 
+def q_curation_pii_pseudonyms(spark, sf_dir):
+    """Key-preserving PII pseudonymization map (the GDPR-shaped complement
+    to redaction): planted emails (every 7th doc, key doc_id%50 so values
+    REPEAT across docs and exercise n_docs), IPv4s (every 11th) and phone
+    numbers (every 13th) are extracted per kind, reduced to the distinct
+    (kind, value) dictionary with doc/occurrence counts, and assigned the
+    portable Horner-fingerprint pseudonym — same value, same token, any
+    engine, any partitioning. The oracle replays the regexes, the counts
+    and the fingerprint fold."""
+    from iatlas_cbioportal_export_spark.operators.curation import (
+        pii_pseudonym_map,
+    )
+
+    k = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                k % 7 == 0,
+                F.concat(
+                    F.lit(" user"),
+                    (k % 50).cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                k % 11 == 0,
+                F.concat(F.lit(" 10.0.0."), (k % 250).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(k % 13 == 0, F.lit(" 555-123-4567")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_pseudonym_map(docs).orderBy("kind", "value")
+
+
 def q_multimodal_wav_roundtrip(spark, sf_dir):
     """REAL audio decode under the driver gate — not the fake extractor:
     deterministic PCM (s_i = ((media_id·31 + i·7) % 256) − 128, 256
@@ -4780,6 +4816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clinical_field_conformance": q_clinical_field_conformance,
         "text_cosine_capped": q_text_cosine_capped,
         "entity_golden_record": q_entity_golden_record,
+        "curation_pii_pseudonyms": q_curation_pii_pseudonyms,
         "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
         "multimodal_image_resize": q_multimodal_image_resize,
         "maf_field_conformance": q_maf_field_conformance,
@@ -5064,6 +5101,54 @@ def _mm_lane_sql(j: int) -> str:
 def oracle_sql() -> dict[str, str]:
     d = {
         "flagship_case_lists": _FLAGSHIP_ORACLE,
+        "curation_pii_pseudonyms": """
+            WITH src AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' user' || CAST(doc_id % 50 AS VARCHAR)
+                                    || '@example.com' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN ' 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                               ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0
+                               THEN ' 555-123-4567' ELSE '' END AS text
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, 'email' AS kind,
+                       unnest(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                           AS value
+                FROM src
+                UNION ALL
+                SELECT doc_id, 'ipv4',
+                       unnest(regexp_extract_all(text,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                FROM src
+                UNION ALL
+                SELECT doc_id, 'phone',
+                       unnest(regexp_extract_all(text,
+                           '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))
+                FROM src
+            ),
+            g AS (
+                SELECT kind, value,
+                       count(DISTINCT doc_id) AS n_docs,
+                       count(*) AS n_occurrences
+                FROM m GROUP BY kind, value
+            )
+            SELECT kind, value,
+                   '<' || upper(kind) || '_' || CAST(
+                       CASE WHEN length(value) = 0 THEN 0
+                            ELSE list_reduce(
+                                list_transform(range(1, length(value) + 1),
+                                               i -> CAST(ascii(value[i]) AS BIGINT)),
+                                (acc, c) -> (acc * 31 + c) % 1000000007)
+                       END AS VARCHAR) || '>' AS pseudonym,
+                   n_docs, n_occurrences
+            FROM g
+        """,
         "multimodal_image_resize": """
             WITH ids AS (
                 SELECT doc_id AS media_id FROM documents WHERE doc_id < 200

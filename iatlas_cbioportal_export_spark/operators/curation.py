@@ -347,3 +347,67 @@ def char_entropy_score(
         F.size(classes).alias("n_distinct_chars"),
         F.round(ent, 6).alias("entropy"),
     )
+
+
+def pii_pseudonym_map(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Key-PRESERVING pseudonymization map — the GDPR-shaped complement to
+    :func:`redact_pii`: redaction destroys referential integrity (every
+    email becomes the same ``<EMAIL>`` token), while entity resolution,
+    per-user aggregation and dedup all need "same value → same token"
+    ACROSS the corpus. This emits the (kind, value, pseudonym, n_docs,
+    n_occurrences) dictionary for every PII value found; applying it is a
+    broadcast join + replace, and dropping the map is the
+    right-to-erasure step.
+
+    Pseudonym = ``<KIND_h>`` where ``h`` is the portable Horner
+    fingerprint of the value mod 1e9+7 — pure arithmetic, identical in
+    any engine (the oracle replays it), stable across runs/partitions.
+    Collisions are astronomically unlikely at corpus PII cardinalities
+    and harmless to the privacy contract (two values sharing a pseudonym
+    reveals nothing extra); audit with a distinct-count check on the map
+    if the linking use-case demands injectivity.
+
+    Plan shape: one regexp_extract_all per pattern (narrow), explode,
+    ONE combiner-reduced (kind, value) aggregation — the shuffle carries
+    distinct PII values with counts, never documents.
+    """
+    extracted = df.select(
+        F.col(id_col),
+        *[
+            F.regexp_extract_all(F.col(text_col), F.lit(rx), 0).alias(
+                f"__m_{name}"
+            )
+            for name, rx, _ in PII_PATTERNS
+        ],
+    )
+    per_kind = [
+        extracted.select(
+            id_col, F.lit(name).alias("kind"), F.explode(f"__m_{name}").alias("value")
+        )
+        for name, _rx, _ in PII_PATTERNS
+    ]
+    from functools import reduce
+
+    melted = reduce(lambda a, b: a.unionByName(b), per_kind)
+    return (
+        melted.groupBy("kind", "value")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .select(
+            "kind",
+            "value",
+            F.concat(
+                F.lit("<"),
+                F.upper("kind"),
+                F.lit("_"),
+                T.rolling_fingerprint(F.col("value")).cast("string"),
+                F.lit(">"),
+            ).alias("pseudonym"),
+            "n_docs",
+            "n_occurrences",
+        )
+    )

@@ -172,3 +172,34 @@ def test_char_entropy_bands(spark):
     assert out[2]["entropy"] == round(math.log(2), 6)
     assert out[3] ["entropy"] == 0.0 and out[3]["n_chars"] == 0
     assert out[4]["entropy"] == round(math.log(8), 6)
+
+
+def test_pii_pseudonym_map_stable_and_counted(spark):
+    from iatlas_cbioportal_export_spark.operators.curation import (
+        pii_pseudonym_map,
+    )
+    from iatlas_cbioportal_export_spark.functions.text import _FP_BASE, _FP_MOD
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact a@b.com and a@b.com again"),
+            (2, "a@b.com cc x@y.org, server 10.0.0.1, call 555-123-4567"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["kind"], r["value"]): r for r in pii_pseudonym_map(df).collect()}
+    ab = out[("email", "a@b.com")]
+    assert ab["n_docs"] == 2 and ab["n_occurrences"] == 3
+
+    def fp(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * _FP_BASE + ord(ch)) % _FP_MOD
+        return acc
+
+    # same value -> same pseudonym, derived from the portable fingerprint
+    assert ab["pseudonym"] == f"<EMAIL_{fp('a@b.com')}>"
+    assert out[("ipv4", "10.0.0.1")]["pseudonym"] == f"<IPV4_{fp('10.0.0.1')}>"
+    assert out[("phone", "555-123-4567")]["n_docs"] == 1
+    assert ("email", "no") not in out and len(out) == 4

@@ -590,6 +590,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # narrow regex extracts + ONE combiner-reduced (kind, value) agg;
+    # the shuffle carries distinct PII values with counts, never documents
+    "curation_pii_pseudonyms": (
+        ["HashAggregate", "codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Window"],
+    ),
     # three Arrow stages (netpbm encode, nearest-neighbour resize, decode)
     # over narrow id rows; payload never shuffles
     "multimodal_image_resize": (
