@@ -4821,9 +4821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_resize": q_multimodal_image_resize,
         "maf_field_conformance": q_maf_field_conformance,
         "maf_annotate_pipeline": q_maf_annotate_pipeline,
-        "v_validation_suite": q_v_validation_suite,
-        "sim_ivf_topk": q_sim_ivf_topk,
         "maf_annotation_wide": q_maf_annotation_wide,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "v_validation_suite": q_v_validation_suite,
         # --- past the 50-entry driver window: all driver-green r1-r4 ---
         "sim_semantic_dedup": q_sim_semantic_dedup,
         "clinical_e2e_preprocess": q_clinical_e2e_preprocess,

@@ -99,6 +99,7 @@ DEFAULT_QUERIES = [
     "entity_golden_record",
     "multimodal_wav_roundtrip",
     "multimodal_image_resize",
+    "curation_pii_pseudonyms",
 ]
 
 
