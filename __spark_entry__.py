@@ -4533,6 +4533,21 @@ def q_text_cosine_capped(spark, sf_dir):
     )
 
 
+def q_sketch_kmv_distinct(spark, sf_dir):
+    """KMV (bottom-k) distinct-count sketch per order priority — the third
+    mergeable cardinality estimator (register-max HLL, exact bitmap, now
+    bottom-k): k=256 smallest portable scrambled hashes of o_custkey per
+    group; estimate = (k-1)·p // h_(k) in exact integers, exact when the
+    group has < k distinct hashes. The oracle replays the fold, the
+    scramble rounds, the bottom-k window and the integral estimate."""
+    from iatlas_cbioportal_export_spark.operators.sketch import kmv_distinct
+
+    orders = _t(spark, sf_dir, "orders")
+    return kmv_distinct(
+        orders, "o_custkey", k=256, group_cols=["o_orderpriority"]
+    ).orderBy("o_orderpriority")
+
+
 def q_curation_pii_pseudonyms(spark, sf_dir):
     """Key-preserving PII pseudonymization map (the GDPR-shaped complement
     to redaction): planted emails (every 7th doc, key doc_id%50 so values
@@ -4816,6 +4831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clinical_field_conformance": q_clinical_field_conformance,
         "text_cosine_capped": q_text_cosine_capped,
         "entity_golden_record": q_entity_golden_record,
+        "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "curation_pii_pseudonyms": q_curation_pii_pseudonyms,
         "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
         "multimodal_image_resize": q_multimodal_image_resize,
@@ -5101,6 +5117,41 @@ def _mm_lane_sql(j: int) -> str:
 def oracle_sql() -> dict[str, str]:
     d = {
         "flagship_case_lists": _FLAGSHIP_ORACLE,
+        "sketch_kmv_distinct": """
+            WITH keyed AS (
+                SELECT DISTINCT o_orderpriority AS grp,
+                       CAST(o_custkey AS VARCHAR) AS ks
+                FROM orders WHERE o_custkey IS NOT NULL
+            ),
+            h0 AS (
+                SELECT grp,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, length(ks) + 1),
+                                          i -> CAST(ascii(ks[i]) AS BIGINT))),
+                           (a, c) -> (a * 31 + c) % 1000000007) AS h
+                FROM keyed
+            ),
+            h1 AS (SELECT grp, (h * h + 654435755) % 1000000007 AS h FROM h0),
+            h2 AS (SELECT grp, (h * h + 654435755) % 1000000007 AS h FROM h1),
+            dh AS (SELECT DISTINCT grp, h FROM h2),
+            ranked AS (
+                SELECT grp, h,
+                       row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS r
+                FROM dh
+            ),
+            agg AS (
+                SELECT grp, count(*) AS n_hashes_kept, max(h) AS kth_min
+                FROM ranked WHERE r <= 256 GROUP BY grp
+            )
+            SELECT grp AS o_orderpriority,
+                   CAST(n_hashes_kept AS BIGINT) AS n_hashes_kept,
+                   CAST(kth_min AS BIGINT) AS kth_min,
+                   CAST(CASE WHEN n_hashes_kept < 256 THEN n_hashes_kept
+                        ELSE CAST(255 AS HUGEINT) * 1000000007
+                             // CAST(kth_min AS HUGEINT)
+                   END AS BIGINT) AS est_distinct
+            FROM agg
+        """,
         "curation_pii_pseudonyms": """
             WITH src AS (
                 SELECT doc_id,

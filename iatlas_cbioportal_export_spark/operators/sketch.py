@@ -823,3 +823,70 @@ def rank_sample_quantile_gate(
         rows,
         "quantile double, n long, target_rank long, within_bound boolean",
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    k: int = 256,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch — the third
+    mergeable cardinality estimator next to :func:`hll_distinct`
+    (register-max) and :func:`bitmap_distinct` (exact bitmap): keep the k
+    SMALLEST portable hash values per group; with hashes uniform on
+    [0, p), the k-th minimum estimates density, ``D ≈ (k-1)·p / h_(k)``
+    (Bar-Yossef et al. 2002). Bottom-k sets merge by union+truncate, so
+    partial sketches combine associatively — the same
+    mergeable-across-partitions contract as the other sketches, and
+    unlike HLL the SAME sketch also supports set operations by hash-set
+    intersection.
+
+    Exactness of the readout: the bottom-k selection and h_(k) are
+    integers from the portable scrambled fold (any engine replays them);
+    the estimate is integer DIV ``(k-1)·p // h_(k)``. When a group has
+    fewer than k distinct hashes the sketch is EXACT (estimate = count of
+    distinct hashes, up to hash collisions).
+
+    Plan shape: hash is a narrow projection; ONE (group, hash) distinct
+    aggregation; bottom-k via min-heap window over ≤ distinct-hash rows
+    per group — only (group, hash) longs shuffle. NULL keys are excluded
+    (a NULL is not a value; mirrors bloom/hll).
+
+    Output: group_cols + (n_hashes_kept, kth_min, est_distinct).
+    """
+    from pyspark.sql import Window as W
+
+    gcols = list(group_cols)
+    hashed = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*gcols, _key_hash(F.col(key_col), _FP_BASE).alias("__h"))
+        .distinct()
+    )
+    w = W.partitionBy(*gcols).orderBy(F.col("__h").asc()) if gcols else (
+        W.partitionBy(F.lit(1)).orderBy(F.col("__h").asc())
+    )
+    ranked = hashed.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= k
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_hashes_kept"),
+        F.max("__h").alias("kth_min"),
+    )
+    # numerator computed driver-side: inside the SQL expression the
+    # int literals would multiply in 32-bit INT and silently wrap
+    # ((k-1)·p ≈ 2.6e11 > 2^31) before any cast could widen them
+    numerator = (k - 1) * _FP_MOD
+    est = F.when(
+        F.col("n_hashes_kept") < k, F.col("n_hashes_kept").cast("long")
+    ).otherwise(
+        F.expr(
+            f"CAST({numerator} AS DECIMAL(38,0)) DIV kth_min"
+        ).cast("long")
+    )
+    return agg.select(
+        *gcols,
+        F.col("n_hashes_kept").cast("long").alias("n_hashes_kept"),
+        F.col("kth_min").cast("long").alias("kth_min"),
+        est.alias("est_distinct"),
+    )

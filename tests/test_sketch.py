@@ -309,3 +309,32 @@ def test_rank_quantile_gate_empty(spark):
     rows = rank_sample_quantile_gate(empty, "x").collect()
     assert [r["within_bound"] for r in rows] == [True, True, True]
     assert all(r["n"] == 0 for r in rows)
+
+
+def test_kmv_distinct_exact_below_k_and_accurate_above(spark):
+    from iatlas_cbioportal_export_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(0, 12_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.when(F.col("id") % 3 == 0, F.col("id") % 50)   # g=0: 50 distinct
+        .otherwise(F.col("id"))                          # g=1,2: 4000 each
+        .alias("k"),
+    )
+    out = {r["g"]: r for r in kmv_distinct(df, "k", k=256, group_cols=["g"]).collect()}
+    # below k: sketch is exact
+    assert out["0"]["est_distinct"] == out["0"]["n_hashes_kept"]
+    assert out["0"]["est_distinct"] == 50
+    # above k: bottom-256 estimate within ~4 sigma (sigma ≈ 1/sqrt(k) ≈ 6%)
+    for g in ("1", "2"):
+        est, true = out[g]["est_distinct"], 4000
+        assert abs(est - true) / true < 0.25, (g, est)
+        assert out[g]["n_hashes_kept"] == 256
+
+
+def test_kmv_distinct_partitioning_invariant(spark):
+    from iatlas_cbioportal_export_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(0, 3000).select(F.col("id").alias("k"))
+    a = kmv_distinct(df, "k", k=64).collect()[0]
+    b = kmv_distinct(df.repartition(17), "k", k=64).collect()[0]
+    assert (a["kth_min"], a["est_distinct"]) == (b["kth_min"], b["est_distinct"])

@@ -590,6 +590,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # narrow hash projection + one (group, hash) distinct + bottom-k
+    # window over per-group distinct hashes; only longs shuffle
+    "sketch_kmv_distinct": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
     # narrow regex extracts + ONE combiner-reduced (kind, value) agg;
     # the shuffle carries distinct PII values with counts, never documents
     "curation_pii_pseudonyms": (
