@@ -4533,6 +4533,26 @@ def q_text_cosine_capped(spark, sf_dir):
     )
 
 
+def q_graph_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction on the part↔supplier bipartite
+    graph: with max_degree=50 the high-degree supplier nodes are excluded
+    from candidate generation (the hub cap — Adamic-Adar's insight as a
+    hard threshold), so the predicted links are supplier-supplier pairs
+    that share parts. Exact common counts, full-degree Jaccard ppm via
+    integral DIV, existing edges anti-joined away, deterministic top-200.
+    The oracle replays the cap, the counts and the ordering."""
+    from iatlas_cbioportal_export_spark.operators.graph import (
+        link_prediction,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    ).distinct()
+    return link_prediction(edges, top_k=200, max_degree=50)
+
+
 def q_sketch_kmv_distinct(spark, sf_dir):
     """KMV (bottom-k) distinct-count sketch per order priority — the third
     mergeable cardinality estimator (register-max HLL, exact bitmap, now
@@ -4831,6 +4851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clinical_field_conformance": q_clinical_field_conformance,
         "text_cosine_capped": q_text_cosine_capped,
         "entity_golden_record": q_entity_golden_record,
+        "graph_link_prediction": q_graph_link_prediction,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "curation_pii_pseudonyms": q_curation_pii_pseudonyms,
         "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
@@ -5117,6 +5138,45 @@ def _mm_lane_sql(j: int) -> str:
 def oracle_sql() -> dict[str, str]:
     d = {
         "flagship_case_lists": _FLAGSHIP_ORACLE,
+        "graph_link_prediction": """
+            WITH e AS (
+                SELECT DISTINCT l_partkey AS src,
+                       l_suppkey + 1000000 AS dst
+                FROM lineitem
+            ),
+            und AS (
+                SELECT src AS n, dst AS m FROM e
+                UNION
+                SELECT dst, src FROM e
+            ),
+            deg AS (SELECT n, count(*) AS deg FROM und GROUP BY n),
+            hubs AS (SELECT n FROM deg WHERE deg > 50),
+            nh AS (
+                SELECT u.n, u.m FROM und u
+                WHERE u.m NOT IN (SELECT n FROM hubs)
+            ),
+            common AS (
+                SELECT a.n AS u, b.n AS v, count(*) AS common
+                FROM nh a JOIN nh b ON a.m = b.m AND a.n < b.n
+                GROUP BY a.n, b.n
+            ),
+            fresh AS (
+                SELECT c.* FROM common c
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM und x
+                    WHERE x.n = c.u AND x.m = c.v
+                )
+            )
+            SELECT u, v, CAST(common AS BIGINT) AS common,
+                   CAST(common * 1000000
+                        // (du.deg + dv.deg - common) AS BIGINT)
+                       AS jaccard_ppm
+            FROM fresh
+            JOIN deg du ON du.n = fresh.u
+            JOIN deg dv ON dv.n = fresh.v
+            ORDER BY common DESC, jaccard_ppm DESC, u ASC, v ASC
+            LIMIT 200
+        """,
         "sketch_kmv_distinct": """
             WITH keyed AS (
                 SELECT DISTINCT o_orderpriority AS grp,

@@ -389,3 +389,36 @@ def test_dedup_cluster_report_sizes_and_members(spark):
     assert out[7]["members_csv"] == "7,8"
     singles = [c for c, r in out.items() if r["size"] == 1]
     assert sorted(singles) == [4, 5, 6, 9]
+
+
+def test_link_prediction_scores_and_hub_cap(spark):
+    from iatlas_cbioportal_export_spark.operators.graph import link_prediction
+
+    # triangle-ish graph: 1-2, 1-3 (so 2,3 share neighbor 1), 2-3 EXISTS
+    # for (4,5) via shared 6; hub 9 connected to everyone with max_degree=3
+    edges = [(1, 2), (1, 3), (2, 3), (4, 6), (5, 6)] + [
+        (9, x) for x in (1, 2, 3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {
+        (r["u"], r["v"]): r
+        for r in link_prediction(df, top_k=50, max_degree=3).collect()
+    }
+    # (2,3) is an existing edge -> excluded even though they share 1
+    assert (2, 3) not in out
+    # (4,5) share only node 6 (deg 3 incl. hub edge): common=1,
+    # deg(4)=deg(5)=2 -> jaccard = 1/(2+2-1)
+    assert out[(4, 5)]["common"] == 1
+    assert out[(4, 5)]["jaccard_ppm"] == 1_000_000 // 3
+    # hub 9 (degree 6 > 3) generates no candidates: (1,4) share ONLY 9
+    assert (1, 4) not in out
+
+
+def test_link_prediction_deterministic_topk(spark):
+    from iatlas_cbioportal_export_spark.operators.graph import link_prediction
+
+    edges = [(i, 100 + (i % 5)) for i in range(30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = [tuple(r) for r in link_prediction(df, top_k=10).collect()]
+    b = [tuple(r) for r in link_prediction(df.repartition(7), top_k=10).collect()]
+    assert a == b and len(a) == 10

@@ -590,6 +590,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # neighbor-keyed candidate self-join over id longs, one (u,v) count
+    # agg, anti-join vs existing edges, TakeOrdered top-k — no full sort
+    "graph_link_prediction": (
+        ["HashAggregate", "TakeOrderedAndProject"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # narrow hash projection + one (group, hash) distinct + bottom-k
     # window over per-group distinct hashes; only longs shuffle
     "sketch_kmv_distinct": (
