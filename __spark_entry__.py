@@ -4533,6 +4533,35 @@ def q_text_cosine_capped(spark, sf_dir):
     )
 
 
+def q_eval_mrr(spark, sf_dir):
+    """Reciprocal-rank retrieval eval of the brute-force cosine top-10:
+    relevance = same-label embeddings (the labels column is the ground
+    truth), so each query's first same-label neighbor's rank drives
+    rr_ppm = 1e6 DIV rank — integral MRR with zero floats. Queries whose
+    top-10 holds no same-label doc surface with NULL rank / rr 0. The
+    oracle nests the exact cosine ranking and replays the min-rank and
+    integral reciprocal."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        reciprocal_rank_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    results = sim_ops.brute_force_topk(emb, queries, k=10).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    q_lab = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("__ql")
+    )
+    relevance = (
+        emb.select(F.col("vec_id").alias("doc_id"), "label")
+        .join(q_lab, F.col("label") == F.col("__ql"))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+    )
+    return reciprocal_rank_report(results, relevance).orderBy("query_id")
+
+
 def q_graph_link_prediction(spark, sf_dir):
     """Common-neighbor link prediction on the part↔supplier bipartite
     graph: with max_degree=50 the high-degree supplier nodes are excluded
@@ -4851,6 +4880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clinical_field_conformance": q_clinical_field_conformance,
         "text_cosine_capped": q_text_cosine_capped,
         "entity_golden_record": q_entity_golden_record,
+        "eval_mrr": q_eval_mrr,
         "graph_link_prediction": q_graph_link_prediction,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "curation_pii_pseudonyms": q_curation_pii_pseudonyms,
@@ -5138,6 +5168,46 @@ def _mm_lane_sql(j: int) -> str:
 def oracle_sql() -> dict[str, str]:
     d = {
         "flagship_case_lists": _FLAGSHIP_ORACLE,
+        "eval_mrr": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+                              label AS ql
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+                              label AS cl
+                       FROM embeddings),
+                 scored AS (
+                    SELECT q.query_id, c.vec_id, c.cl, q.ql,
+                           round(
+                             list_reduce(list_transform(range(1, len(qv) + 1),
+                                         i -> qv[i] * cv[i]), (x, y) -> x + y)
+                             / (sqrt(list_reduce(list_transform(range(1, len(qv) + 1),
+                                         i -> qv[i] * qv[i]), (x, y) -> x + y))
+                              * sqrt(list_reduce(list_transform(range(1, len(cv) + 1),
+                                         i -> cv[i] * cv[i]), (x, y) -> x + y))),
+                             6) AS cosine_sim
+                    FROM q JOIN c ON q.query_id <> c.vec_id
+                 ),
+                 ranked AS (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+                    FROM scored
+                 ),
+                 top10 AS (SELECT * FROM ranked WHERE rank <= 10),
+                 firsts AS (
+                    SELECT query_id, CAST(min(rank) AS INTEGER)
+                               AS first_rel_rank
+                    FROM top10 WHERE cl = ql GROUP BY query_id
+                 )
+            SELECT t.query_id, f.first_rel_rank,
+                   CAST(CASE WHEN f.first_rel_rank IS NOT NULL
+                        THEN 1000000 // f.first_rel_rank
+                        ELSE 0 END AS BIGINT) AS rr_ppm
+            FROM (SELECT DISTINCT query_id FROM top10) t
+            LEFT JOIN firsts f USING (query_id)
+        """,
         "graph_link_prediction": """
             WITH e AS (
                 SELECT DISTINCT l_partkey AS src,

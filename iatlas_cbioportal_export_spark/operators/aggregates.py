@@ -1307,3 +1307,42 @@ def confusion_matrix_report(
         .cast("long")
         .alias("f1_ppm"),
     )
+
+
+def reciprocal_rank_report(
+    results: DataFrame,
+    relevance: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query reciprocal rank — the retrieval-eval leg next to
+    :func:`grouped_auc` (classification ranking) and the calibration
+    deciles: given ranked results and a (query, doc) relevance set, report
+    each query's FIRST relevant rank and ``rr_ppm = 1e6 DIV rank``
+    (integral, exact; the caller's mean over queries is then
+    ``sum DIV count`` — MRR without a single float). Queries whose
+    result list contains no relevant doc surface with NULL rank and
+    rr_ppm 0 (reported, not dropped — silent misses are how retrieval
+    evals lie).
+
+    Plan shape: one equi-join of results against the relevance pairs +
+    one min aggregate per query + a left join back to the distinct query
+    set. Only (query, doc, rank) rows move.
+    """
+    hits = results.join(relevance.select(query_col, doc_col), [query_col, doc_col])
+    first = hits.groupBy(query_col).agg(
+        F.min(rank_col).cast("int").alias("first_rel_rank")
+    )
+    allq = results.select(query_col).distinct()
+    return allq.join(first, query_col, "left").select(
+        query_col,
+        "first_rel_rank",
+        F.when(
+            F.col("first_rel_rank").isNotNull(),
+            F.expr("1000000 DIV first_rel_rank"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rr_ppm"),
+    )

@@ -722,3 +722,30 @@ def test_confusion_matrix_report_grouped(spark):
     assert (out[("g2", "b")]["tp"], out[("g2", "b")]["fp"]) == (0, 1)
     # groups never mix: g1's classes don't absorb g2's counts
     assert out[("g1", "a")]["fn"] == 0
+
+
+def test_reciprocal_rank_report(spark):
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        reciprocal_rank_report,
+    )
+
+    results = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 11, 2), (1, 12, 3),   # q1: first relevant at 3
+            (2, 20, 1), (2, 21, 2),               # q2: relevant at 1
+            (3, 30, 1), (3, 31, 2),               # q3: nothing relevant
+        ],
+        "query_id long, doc_id long, rank int",
+    )
+    relevance = spark.createDataFrame(
+        [(1, 12), (1, 99), (2, 20), (3, 77)],
+        "query_id long, doc_id long",
+    )
+    out = {r["query_id"]: r
+           for r in reciprocal_rank_report(results, relevance).collect()}
+    assert out[1]["first_rel_rank"] == 3 and out[1]["rr_ppm"] == 333_333
+    assert out[2]["first_rel_rank"] == 1 and out[2]["rr_ppm"] == 1_000_000
+    assert out[3]["first_rel_rank"] is None and out[3]["rr_ppm"] == 0
+    # integral MRR over the report: sum DIV count
+    mrr_ppm = sum(r["rr_ppm"] for r in out.values()) // len(out)
+    assert mrr_ppm == (333_333 + 1_000_000 + 0) // 3

@@ -16,6 +16,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # deliberate nested-loop users: broadcast cross joins against tiny sides
 ALLOW_NESTED_LOOP = {
     "sim_topk_bruteforce",     # scoring vs broadcast query set
+    "eval_mrr",                # nests the brute-force scorer (same cross)
     "events_resample_ffill",   # keys x 1-row global-span broadcast cross
     "decontamination",         # 1-row snippet crossJoin (planted contract)
     "tpch_q11_important_parts",  # HAVING-over-scalar: one-row broadcast join

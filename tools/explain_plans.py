@@ -590,6 +590,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # results x relevance equi-join + one min agg per query; the heavy
+    # part is the nested brute-force scorer (its own plan contract)
+    # the one BroadcastNestedLoopJoin is the nested brute-force scorer's
+    # deliberate broadcast cross (same allowance as sim_topk_bruteforce)
+    "eval_mrr": (
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct"],
+    ),
     # neighbor-keyed candidate self-join over id longs, one (u,v) count
     # agg, anti-join vs existing edges, TakeOrdered top-k — no full sort
     "graph_link_prediction": (
