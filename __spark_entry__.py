@@ -4533,6 +4533,38 @@ def q_text_cosine_capped(spark, sf_dir):
     )
 
 
+def q_text_nfc_normalize(spark, sf_dir):
+    """REAL Unicode NFC normalization under the driver gate: every 5th doc
+    carries a planted decomposed sequence ('e' + COMBINING ACUTE U+0301)
+    that NFC composes to the single codepoint 'é' — the canonical pass
+    that keeps exact dedup/fingerprints from treating visually identical
+    strings as different documents. Output compares char lengths
+    before/after, the changed flag, and the normalized tail; the oracle
+    replays via DuckDB's utf8proc nfc_normalize."""
+    from iatlas_cbioportal_export_spark.operators.curation import (
+        nfc_normalize,
+    )
+
+    k = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            k % 5 == 0, F.concat(F.col("text"), F.lit(" cafe\u0301"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = nfc_normalize(docs)
+    joined = out.join(docs, "doc_id")
+    return joined.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_before"),
+        F.length("text_nfc").cast("long").alias("n_chars_after"),
+        (F.col("text") != F.col("text_nfc")).alias("changed"),
+        F.substring("text_nfc", -4, 4).alias("tail"),
+    ).orderBy("doc_id")
+
+
 def q_eval_mrr(spark, sf_dir):
     """Reciprocal-rank retrieval eval of the brute-force cosine top-10:
     relevance = same-label embeddings (the labels column is the ground
@@ -4880,6 +4912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clinical_field_conformance": q_clinical_field_conformance,
         "text_cosine_capped": q_text_cosine_capped,
         "entity_golden_record": q_entity_golden_record,
+        "text_nfc_normalize": q_text_nfc_normalize,
         "eval_mrr": q_eval_mrr,
         "graph_link_prediction": q_graph_link_prediction,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
@@ -5168,6 +5201,26 @@ def _mm_lane_sql(j: int) -> str:
 def oracle_sql() -> dict[str, str]:
     d = {
         "flagship_case_lists": _FLAGSHIP_ORACLE,
+        "text_nfc_normalize": """
+            WITH src AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN text || ' cafe' || chr(769)
+                            ELSE text END AS text
+                FROM documents
+            ),
+            norm AS (
+                SELECT doc_id, text, nfc_normalize(text) AS text_nfc FROM src
+            )
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_before,
+                   CAST(length(text_nfc) AS BIGINT) AS n_chars_after,
+                   text <> text_nfc AS changed,
+                   CASE WHEN length(text_nfc) >= 4
+                        THEN substr(text_nfc, length(text_nfc) - 3, 4)
+                        ELSE text_nfc END AS tail
+            FROM norm
+        """,
         "eval_mrr": """
             WITH q AS (SELECT vec_id AS query_id,
                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,

@@ -15,6 +15,8 @@ expressions (regexp, array ops, broadcast semi-joins) — no Python UDFs:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -411,3 +413,42 @@ def pii_pseudonym_map(
             "n_occurrences",
         )
     )
+
+
+def nfc_normalize(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL Unicode NFC normalization — the canonical-composition pass every
+    text pipeline needs BEFORE hashing/dedup (the same user-visible string
+    can arrive as 'é' or 'e'+U+0301; unnormalized, exact dedup and
+    fingerprints silently treat them as different documents).
+    :func:`normalize_text` handles regex-level cleanup; this is the Unicode
+    algorithm itself, via Python's ``unicodedata`` in one Arrow stage —
+    Spark has no built-in NFC, and the per-batch vectorized call is the
+    honest cost (DuckDB's utf8proc ``nfc_normalize`` replays it, which is
+    what makes the operator oracle-checkable).
+
+    Narrow: one mapInPandas stage, schema (id, text_nfc), no shuffle.
+    """
+    import unicodedata
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [StructField(id_col, id_type), StructField("text_nfc", StringType())]
+    )
+
+    def run(batches):
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    "text_nfc": [
+                        None if s is None else unicodedata.normalize("NFC", s)
+                        for s in batch[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)

@@ -203,3 +203,19 @@ def test_pii_pseudonym_map_stable_and_counted(spark):
     assert out[("ipv4", "10.0.0.1")]["pseudonym"] == f"<IPV4_{fp('10.0.0.1')}>"
     assert out[("phone", "555-123-4567")]["n_docs"] == 1
     assert ("email", "no") not in out and len(out) == 4
+
+
+def test_nfc_normalize_composes_and_keeps_nulls(spark):
+    from iatlas_cbioportal_export_spark.operators.curation import nfc_normalize
+
+    decomposed = "cafe\u0301"      # e + COMBINING ACUTE
+    composed = "caf\u00e9"         # single-codepoint e-acute
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, "ascii only"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text_nfc"] for r in nfc_normalize(df).collect()}
+    assert out[1] == composed and len(out[1]) == 4
+    assert out[2] == composed          # already-NFC text is a fixpoint
+    assert out[3] == "ascii only"
+    assert out[4] is None

@@ -590,6 +590,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # one Arrow NFC stage + an id equi-join back to the source lengths
+    "text_nfc_normalize": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
     # results x relevance equi-join + one min agg per query; the heavy
     # part is the nested brute-force scorer (its own plan contract)
     # the one BroadcastNestedLoopJoin is the nested brute-force scorer's
