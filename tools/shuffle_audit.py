@@ -100,6 +100,10 @@ DEFAULT_QUERIES = [
     "multimodal_wav_roundtrip",
     "multimodal_image_resize",
     "curation_pii_pseudonyms",
+    "sketch_kmv_distinct",
+    "graph_link_prediction",
+    "eval_mrr",
+    "text_nfc_normalize",
 ]
 
 
