@@ -4852,6 +4852,70 @@ def q_clinical_field_conformance(spark, sf_dir):
     ).orderBy("check")
 
 
+def q_bundle_cross_checks(spark, sf_dir):
+    """Cross-FILE referential bundle validation — the validateData.py
+    tier the reference only reaches via its subprocess call
+    (validate.py:211-216): sample-file patients ⊆ patient file, data-file
+    samples ⊆ clinical samples, case-list members ⊆ clinical samples and
+    duplicate-free, patients-without-samples WARN. The bundle shape
+    derives from customer/orders/lineitem with planted violations on
+    coprime moduli: every o_orderkey%97 sample row points at a patient id
+    the patient file never defines ('P-X…'), every l_orderkey%89 MAF
+    barcode and every (o_orderkey%83 of the %3 expression slice) matrix
+    sample is unknown ('S-X…'/'S-Y…'), the %5 case list gets unknown
+    members at %79 and duplicated members at %73. Only DISTINCT id
+    columns shuffle — data rows never move."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    ok_ = F.col("o_orderkey")
+    patients = cust.select(
+        F.concat(F.lit("P-"), F.col("c_custkey").cast("string")).alias("PATIENT_ID")
+    )
+    samples = orders.select(
+        F.when(
+            ok_ % 97 == 0,
+            F.concat(F.lit("P-X"), F.col("o_custkey").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("P-"), F.col("o_custkey").cast("string")))
+        .alias("PATIENT_ID"),
+        F.concat(F.lit("S-"), ok_.cast("string")).alias("SAMPLE_ID"),
+    )
+    lk = F.col("l_orderkey")
+    maf = lineitem.select(
+        F.when(lk % 89 == 0, F.concat(F.lit("S-X"), lk.cast("string")))
+        .otherwise(F.concat(F.lit("S-"), lk.cast("string")))
+        .alias("Tumor_Sample_Barcode")
+    )
+    rna = orders.filter(ok_ % 3 == 0).select(
+        F.when(ok_ % 83 == 0, F.concat(F.lit("S-Y"), ok_.cast("string")))
+        .otherwise(F.concat(F.lit("S-"), ok_.cast("string")))
+        .alias("SAMPLE_ID")
+    )
+    base_members = orders.filter(ok_ % 5 == 0).select(
+        F.when(ok_ % 79 == 0, F.concat(F.lit("S-UNK"), ok_.cast("string")))
+        .otherwise(F.concat(F.lit("S-"), ok_.cast("string")))
+        .alias("member_id")
+    )
+    members = base_members.unionAll(
+        orders.filter((ok_ % 5 == 0) & (ok_ % 73 == 0)).select(
+            F.when(ok_ % 79 == 0, F.concat(F.lit("S-UNK"), ok_.cast("string")))
+            .otherwise(F.concat(F.lit("S-"), ok_.cast("string")))
+            .alias("member_id")
+        )
+    )
+    return val_ops.cross_file_referential_checks(
+        patients,
+        samples,
+        data_files={
+            "maf": (maf, "Tumor_Sample_Barcode"),
+            "rna_seq": (rna, "SAMPLE_ID"),
+        },
+        case_lists={"sequenced": members},
+    ).orderBy("check")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
     checks the FIRST 50 entries only. Round-5 rotation: entries 1-36 are
@@ -4862,6 +4926,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     annotator contract, cosine df-cap, IVF-PQ scoring). After this round
     every registry entry has a driver-green CORRECTNESS row."""
     return {
+        # --- round-6 window: new r6 queries first, then re-check slots for
+        # every operator file touched in round 6; remainder of the 50-slot
+        # window re-checks previously-green entries.
+        "bundle_cross_checks": q_bundle_cross_checks,
 
         # --- window 1-36: round-5 rotation — the final never-driver-checked
         # backlog (every other registry entry has a driver-green row in
@@ -5201,6 +5269,105 @@ def _mm_lane_sql(j: int) -> str:
 def oracle_sql() -> dict[str, str]:
     d = {
         "flagship_case_lists": _FLAGSHIP_ORACLE,
+        "bundle_cross_checks": """
+            WITH patients AS (
+                SELECT 'P-' || CAST(c_custkey AS VARCHAR) AS patient_id
+                FROM customer
+            ),
+            samples AS (
+                SELECT CASE WHEN o_orderkey % 97 = 0
+                            THEN 'P-X' || CAST(o_custkey AS VARCHAR)
+                            ELSE 'P-' || CAST(o_custkey AS VARCHAR) END
+                           AS patient_id,
+                       'S-' || CAST(o_orderkey AS VARCHAR) AS sample_id
+                FROM orders
+            ),
+            maf AS (
+                SELECT CASE WHEN l_orderkey % 89 = 0
+                            THEN 'S-X' || CAST(l_orderkey AS VARCHAR)
+                            ELSE 'S-' || CAST(l_orderkey AS VARCHAR) END
+                           AS barcode
+                FROM lineitem
+            ),
+            rna AS (
+                SELECT CASE WHEN o_orderkey % 83 = 0
+                            THEN 'S-Y' || CAST(o_orderkey AS VARCHAR)
+                            ELSE 'S-' || CAST(o_orderkey AS VARCHAR) END
+                           AS sample_id
+                FROM orders WHERE o_orderkey % 3 = 0
+            ),
+            members AS (
+                SELECT CASE WHEN o_orderkey % 79 = 0
+                            THEN 'S-UNK' || CAST(o_orderkey AS VARCHAR)
+                            ELSE 'S-' || CAST(o_orderkey AS VARCHAR) END
+                           AS member_id
+                FROM orders WHERE o_orderkey % 5 = 0
+                UNION ALL
+                SELECT CASE WHEN o_orderkey % 79 = 0
+                            THEN 'S-UNK' || CAST(o_orderkey AS VARCHAR)
+                            ELSE 'S-' || CAST(o_orderkey AS VARCHAR) END
+                FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 73 = 0
+            ),
+            counts AS (
+                SELECT
+                  (SELECT count(*) FROM
+                     (SELECT DISTINCT patient_id FROM samples) s
+                   WHERE s.patient_id NOT IN
+                     (SELECT patient_id FROM patients)) AS v_sp,
+                  (SELECT count(*) FROM
+                     (SELECT DISTINCT patient_id FROM patients) p
+                   WHERE p.patient_id NOT IN
+                     (SELECT patient_id FROM samples)) AS v_childless,
+                  (SELECT count(*) FROM
+                     (SELECT DISTINCT barcode FROM maf) m
+                   WHERE m.barcode NOT IN
+                     (SELECT sample_id FROM samples)) AS v_maf,
+                  (SELECT count(*) FROM
+                     (SELECT DISTINCT sample_id FROM rna) r
+                   WHERE r.sample_id NOT IN
+                     (SELECT sample_id FROM samples)) AS v_rna,
+                  (SELECT count(*) FROM
+                     (SELECT DISTINCT member_id FROM members) c
+                   WHERE c.member_id NOT IN
+                     (SELECT sample_id FROM samples)) AS v_cl,
+                  (SELECT count(*) FROM
+                     (SELECT member_id FROM members
+                      GROUP BY member_id HAVING count(*) > 1) d) AS v_dup
+            ),
+            rules AS (
+                SELECT 'case_list_sequenced_duplicate_members' AS check,
+                       v_dup AS n, 'ERROR' AS bad,
+                       'case list sequenced ids listed more than once'
+                           AS detail
+                FROM counts
+                UNION ALL SELECT 'case_list_sequenced_members_in_clinical',
+                       v_cl, 'ERROR',
+                       'case list sequenced ids absent from clinical samples'
+                FROM counts
+                UNION ALL SELECT 'xref_maf_samples_in_clinical',
+                       v_maf, 'ERROR',
+                       'maf sample ids absent from clinical samples'
+                FROM counts
+                UNION ALL SELECT 'xref_patients_have_samples',
+                       v_childless, 'WARN', 'patients with no samples'
+                FROM counts
+                UNION ALL SELECT 'xref_rna_seq_samples_in_clinical',
+                       v_rna, 'ERROR',
+                       'rna_seq sample ids absent from clinical samples'
+                FROM counts
+                UNION ALL SELECT 'xref_sample_patients_in_patient_file',
+                       v_sp, 'ERROR',
+                       'sample-file patient ids absent from patient file'
+                FROM counts
+            )
+            SELECT "check",
+                   CASE WHEN n = 0 THEN 'OK' ELSE bad END AS status,
+                   CAST(n AS BIGINT) AS observed,
+                   CAST(0 AS BIGINT) AS expected,
+                   detail
+            FROM rules
+            ORDER BY "check"
+        """,
         "text_nfc_normalize": """
             WITH src AS (
                 SELECT doc_id,

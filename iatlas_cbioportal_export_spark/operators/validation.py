@@ -886,3 +886,142 @@ def clinical_value_conformance(
         F.lit(0).cast("long").alias("expected"),
         F.lit("violating rows").alias("detail"),
     )
+
+
+def _subset_violation_count(
+    left: DataFrame, left_col: str, right: DataFrame, right_col: str
+) -> DataFrame:
+    """Distinct values of ``left_col`` absent from ``right_col`` as a
+    single-row count. Only distinct key values move — never the rows."""
+    return (
+        left.select(F.col(left_col).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .distinct()
+        .join(
+            right.select(F.col(right_col).alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .distinct(),
+            "__k",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cross_file_referential_checks(
+    patient_df: DataFrame,
+    sample_df: DataFrame,
+    data_files: "dict[str, tuple[DataFrame, str]] | None" = None,
+    case_lists: "dict[str, DataFrame] | None" = None,
+    patient_col: str = "PATIENT_ID",
+    sample_col: str = "SAMPLE_ID",
+) -> DataFrame:
+    """Cross-FILE referential checks — the bundle-level half of cBioPortal
+    ``validateData.py`` that the reference reaches only through its
+    subprocess call (``validate.py:211-216``); the per-field halves are
+    :func:`maf_value_conformance` / :func:`clinical_value_conformance`.
+    cBioPortal's validator errors when a data file references a sample the
+    clinical sample file doesn't define, when the sample file references an
+    undefined patient, and when a case list contains unknown or duplicate
+    sample ids; it warns on patients that have no samples.
+
+    Checks (uniform findings schema, ONE lazy union — the whole report is
+    a single Spark action):
+
+    - ``xref_sample_patients_in_patient_file`` (ERROR): every
+      ``patient_col`` in the sample file appears in the patient file.
+    - ``xref_patients_have_samples`` (WARN): patients with zero samples.
+    - ``xref_<name>_samples_in_clinical`` (ERROR): for each
+      ``data_files[name] = (df, its_sample_column)`` — MAF barcodes,
+      expression-matrix sample columns, timeline files — every referenced
+      sample is a clinical sample.
+    - ``case_list_<name>_members_in_clinical`` (ERROR) and
+      ``case_list_<name>_duplicate_members`` (ERROR): for each
+      ``case_lists[name]`` (a one-column DataFrame of member sample ids).
+
+    Scale: every check anti-joins DISTINCT id columns only; data-file rows
+    and clinical rows never shuffle. At 100 TB the distinct id sets are
+    the small side (ids are bounded by cohort size, not by variants), so
+    these joins broadcast or at worst shuffle ids alone.
+    """
+    findings: list[DataFrame] = []
+
+    orphan_sample_patients = _subset_violation_count(
+        sample_df, patient_col, patient_df, patient_col
+    )
+    findings.append(
+        orphan_sample_patients.select(
+            *_finding_row(
+                "xref_sample_patients_in_patient_file",
+                F.col("n") == 0,
+                F.col("n"),
+                F.lit(0),
+                F.lit("sample-file patient ids absent from patient file"),
+            )
+        )
+    )
+
+    childless = _subset_violation_count(
+        patient_df, patient_col, sample_df, patient_col
+    )
+    findings.append(
+        childless.select(
+            F.lit("xref_patients_have_samples").alias("check"),
+            F.when(F.col("n") == 0, F.lit("OK")).otherwise(F.lit("WARN")).alias(
+                "status"
+            ),
+            F.col("n").cast("long").alias("observed"),
+            F.lit(0).cast("long").alias("expected"),
+            F.lit("patients with no samples").alias("detail"),
+        )
+    )
+
+    for name, (df, df_sample_col) in (data_files or {}).items():
+        miss = _subset_violation_count(df, df_sample_col, sample_df, sample_col)
+        findings.append(
+            miss.select(
+                *_finding_row(
+                    f"xref_{name}_samples_in_clinical",
+                    F.col("n") == 0,
+                    F.col("n"),
+                    F.lit(0),
+                    F.lit(f"{name} sample ids absent from clinical samples"),
+                )
+            )
+        )
+
+    for name, members in (case_lists or {}).items():
+        mcol = members.columns[0]
+        miss = _subset_violation_count(members, mcol, sample_df, sample_col)
+        findings.append(
+            miss.select(
+                *_finding_row(
+                    f"case_list_{name}_members_in_clinical",
+                    F.col("n") == 0,
+                    F.col("n"),
+                    F.lit(0),
+                    F.lit(f"case list {name} ids absent from clinical samples"),
+                )
+            )
+        )
+        dups = (
+            members.select(F.col(mcol).alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > 1)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        findings.append(
+            dups.select(
+                *_finding_row(
+                    f"case_list_{name}_duplicate_members",
+                    F.col("n") == 0,
+                    F.col("n"),
+                    F.lit(0),
+                    F.lit(f"case list {name} ids listed more than once"),
+                )
+            )
+        )
+
+    return findings_union(findings)

@@ -379,3 +379,57 @@ def test_clinical_value_conformance_column_gating(spark):
         df, number_cols=["AGE"], boolean_cols=["B"]
     ).collect()]
     assert out == ["clinical_patient_id_format"]
+
+
+def test_cross_file_referential_checks(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        cross_file_referential_checks,
+    )
+
+    patients = spark.createDataFrame(
+        [("P-1",), ("P-2",), ("P-3",)], "PATIENT_ID string"
+    )
+    # P-3 has no samples (WARN); S-2's patient P-9 is undefined (ERROR).
+    samples = spark.createDataFrame(
+        [("P-1", "S-1"), ("P-9", "S-2"), ("P-2", "S-3")],
+        "PATIENT_ID string, SAMPLE_ID string",
+    )
+    maf = spark.createDataFrame(
+        [("S-1",), ("S-1",), ("S-404",)], "Tumor_Sample_Barcode string"
+    )
+    case = spark.createDataFrame(
+        [("S-1",), ("S-1",), ("S-3",), ("S-UNK",)], "member string"
+    )
+    out = {
+        r["check"]: (r["status"], r["observed"])
+        for r in cross_file_referential_checks(
+            patients,
+            samples,
+            data_files={"maf": (maf, "Tumor_Sample_Barcode")},
+            case_lists={"seq": case},
+        ).collect()
+    }
+    assert out["xref_sample_patients_in_patient_file"] == ("ERROR", 1)
+    assert out["xref_patients_have_samples"] == ("WARN", 1)
+    assert out["xref_maf_samples_in_clinical"] == ("ERROR", 1)
+    assert out["case_list_seq_members_in_clinical"] == ("ERROR", 1)
+    assert out["case_list_seq_duplicate_members"] == ("ERROR", 1)
+    assert len(out) == 5
+
+
+def test_cross_file_referential_checks_clean_bundle(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        cross_file_referential_checks,
+    )
+
+    patients = spark.createDataFrame([("P-1",), ("P-2",)], "PATIENT_ID string")
+    samples = spark.createDataFrame(
+        [("P-1", "S-1"), ("P-2", "S-2")],
+        "PATIENT_ID string, SAMPLE_ID string",
+    )
+    case = spark.createDataFrame([("S-1",), ("S-2",)], "member string")
+    rows = cross_file_referential_checks(
+        patients, samples, case_lists={"all": case}
+    ).collect()
+    assert all(r["status"] == "OK" for r in rows)
+    assert len(rows) == 4
