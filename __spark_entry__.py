@@ -4812,6 +4812,82 @@ def q_multimodal_image_resize(spark, sf_dir):
     )
 
 
+def q_multimodal_png_roundtrip(spark, sf_dir):
+    """REAL PNG decode under the driver gate — the last multimodal codec
+    the container can honestly support (stdlib zlib inflate + scanline
+    unfiltering): deterministic 16x12 images (pixel c(x,y) =
+    (media_id*7 + y*16 + x*3 + c*11) % 256; greyscale for even ids, RGB
+    for odd) are PNG-encoded in one Arrow stage with the scanline filter
+    CYCLING ALL FIVE TYPES (None/Sub/Up/Average/Paeth, y%5), then decoded
+    by the stdlib PNG parser. The oracle computes the channel-0 mean from
+    the closed-form pixel formula, so deflate→inflate→unfilter is
+    value-hash checked end to end across every filter type."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_features,
+        png_encode,
+        stdlib_decoder,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 200)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for batch in batches:
+            payloads = []
+            for mid in batch["media_id"]:
+                mid = int(mid)
+                channels = 1 if mid % 2 == 0 else 3
+                pix = bytes(
+                    (mid * 7 + y * 16 + x * 3 + c * 11) % 256
+                    for y in range(12)
+                    for x in range(16)
+                    for c in range(channels)
+                )
+                payloads.append(
+                    png_encode(pix, 16, 12, channels=channels,
+                               filters=(0, 1, 2, 3, 4))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": "image",
+                    "mime_type": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    feats = extract_features(media, extractor=stdlib_decoder)
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).cast("long").alias("width"),
+        F.element_at("feature", 2).cast("long").alias("height"),
+        (F.size("feature") - 2).cast("long").alias("n_channels"),
+        F.element_at("feature", 3).alias("mean_c0_ppm"),
+    )
+
+
 def q_clinical_field_conformance(spark, sf_dir):
     """Per-field CLINICAL value checks — the clinical-file half of
     cBioPortal validateData.py next to maf_field_conformance's 17 MAF
@@ -4930,6 +5006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every operator file touched in round 6; remainder of the 50-slot
         # window re-checks previously-green entries.
         "bundle_cross_checks": q_bundle_cross_checks,
+        "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
 
         # --- window 1-36: round-5 rotation — the final never-driver-checked
         # backlog (every other registry entry has a driver-green row in
@@ -5269,6 +5346,26 @@ def _mm_lane_sql(j: int) -> str:
 def oracle_sql() -> dict[str, str]:
     d = {
         "flagship_case_lists": _FLAGSHIP_ORACLE,
+        "multimodal_png_roundtrip": """
+            WITH ids AS (
+                SELECT doc_id AS media_id FROM documents WHERE doc_id < 200
+            ),
+            px AS (
+                SELECT i.media_id,
+                       (i.media_id * 7 + y.y * 16 + x.x * 3) % 256 AS v
+                FROM ids i,
+                     generate_series(0, 11) AS y(y),
+                     generate_series(0, 15) AS x(x)
+            )
+            SELECT media_id,
+                   CAST(16 AS BIGINT) AS width,
+                   CAST(12 AS BIGINT) AS height,
+                   CAST(CASE WHEN media_id % 2 = 0 THEN 1 ELSE 3 END
+                        AS BIGINT) AS n_channels,
+                   CAST(sum(v) * 1000000 // 192 AS DOUBLE) AS mean_c0_ppm
+            FROM px
+            GROUP BY media_id
+        """,
         "bundle_cross_checks": """
             WITH patients AS (
                 SELECT 'P-' || CAST(c_custkey AS VARCHAR) AS patient_id

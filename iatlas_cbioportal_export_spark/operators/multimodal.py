@@ -2,11 +2,13 @@
 
 Contract: media travel as opaque ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
-pandas stages over ``mapInPandas``. The decode kernels themselves need
-codec libraries that are NOT in this container, so they are stubbed —
-clearly marked — behind ``decoder=`` hooks with a deterministic fake; the
+pandas stages over ``mapInPandas``. Formats stdlib can genuinely decode are
+REAL here — PCM WAV (``wave``), binary netpbm (P5/P6), and PNG (``zlib``
+inflate + scanline unfiltering incl. Paeth); kernels that need codec
+libraries NOT in this container (jpeg/mp3/mp4) are stubbed — clearly
+marked — behind ``decoder=`` hooks with a deterministic fake; the
 Spark-side plumbing (schema, partition sizing, UDF signatures, batch shapes)
-is real and tested.
+is real and tested either way.
 
 Scale notes: binary payloads dominate I/O — the operators never shuffle the
 payload; derived features/metadata (small) are the only columns that move.
@@ -255,16 +257,183 @@ def netpbm_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
     return bytes(header) + bytes(out)
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (RFC 2083 §6.6): pick whichever of
+    left/above/upper-left is closest to a+b-c, ties left→above→corner."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_parse(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG decode — pure stdlib (``zlib`` inflate + scanline
+    unfiltering, RFC 2083): parse the chunk stream (IHDR / IDAT+ / IEND),
+    inflate the concatenated IDAT payload, and undo the per-scanline filter
+    (None/Sub/Up/Average/Paeth) to recover raw pixels. Supports the
+    non-interlaced 8-bit truecolor/greyscale types (color types 0, 2, 4, 6);
+    palette (3), 16-bit, and Adam7 interlace raise NotImplementedError.
+    Returns ``(channels, width, height, pixel bytes)``."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG byte stream")
+    width = height = bitdepth = colortype = interlace = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        tag = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        i += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            width, height, bitdepth, colortype, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise NotImplementedError("PNG stream has no IHDR chunk")
+    if bitdepth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"png decode supports 8-bit non-interlaced only, got "
+            f"bitdepth={bitdepth} interlace={interlace}"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(colortype)
+    if channels is None:
+        raise NotImplementedError(f"png color type {colortype} not supported")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise NotImplementedError(
+            f"png IDAT length {len(raw)} != expected {(stride + 1) * height}"
+        )
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    for _y in range(height):
+        ft = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ft == 1:  # Sub
+            for k in range(channels, stride):
+                row[k] = (row[k] + row[k - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for k in range(stride):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif ft == 3:  # Average
+            for k in range(stride):
+                left = row[k - channels] if k >= channels else 0
+                row[k] = (row[k] + (left + prev[k]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for k in range(stride):
+                left = row[k - channels] if k >= channels else 0
+                corner = prev[k - channels] if k >= channels else 0
+                row[k] = (row[k] + _paeth(left, prev[k], corner)) & 0xFF
+        elif ft != 0:
+            raise NotImplementedError(f"png filter type {ft} not supported")
+        out += row
+        prev = bytes(row)
+    return channels, width, height, bytes(out)
+
+
+def png_encode(
+    pix: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    filters: "tuple[int, ...] | None" = None,
+) -> bytes:
+    """REAL PNG encode — stdlib only: per-scanline filtering (the inverse
+    transforms of :func:`_png_parse`, so any filter type round-trips) +
+    ``zlib`` deflate, wrapped in the IHDR/IDAT/IEND chunk stream with CRCs.
+    ``filters`` cycles per scanline (default: all-None); encode+decode is
+    byte-exact for every filter type, which is what the round-trip query
+    pins."""
+    import struct
+    import zlib
+
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if colortype is None:
+        raise NotImplementedError(f"png encode: {channels} channels unsupported")
+    stride = width * channels
+    if len(pix) != stride * height:
+        raise ValueError(f"pixel buffer {len(pix)} != {stride * height}")
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pix[y * stride : (y + 1) * stride]
+        ft = filters[y % len(filters)] if filters else 0
+        raw.append(ft)
+        for k in range(stride):
+            left = row[k - channels] if k >= channels else 0
+            if ft == 0:
+                v = row[k]
+            elif ft == 1:
+                v = (row[k] - left) & 0xFF
+            elif ft == 2:
+                v = (row[k] - prev[k]) & 0xFF
+            elif ft == 3:
+                v = (row[k] - (left + prev[k]) // 2) & 0xFF
+            elif ft == 4:
+                corner = prev[k - channels] if k >= channels else 0
+                v = (row[k] - _paeth(left, prev[k], corner)) & 0xFF
+            else:
+                raise NotImplementedError(f"png filter type {ft}")
+            raw.append(v)
+        prev = row
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_feature_extractor(payload: bytes, mime_type: str) -> list[float]:
+    """REAL image decode for PNG — stdlib inflate + unfilter via
+    :func:`_png_parse`. Feature shape matches the netpbm extractor:
+    [width, height, per-channel mean-intensity ppm] (``sum·1e6 // n``
+    integer-exact)."""
+    channels, width, height, pix = _png_parse(payload)
+    n = width * height
+    means = []
+    for c in range(channels):
+        total = sum(pix[k] for k in range(c, len(pix), channels))
+        means.append(float(total * 1_000_000 // n))
+    return [float(width), float(height), *means]
+
+
 def stdlib_decoder(payload: bytes, mime_type: str) -> list[float]:
     """Dispatching REAL decoder for the formats stdlib can handle — WAV
-    audio and binary netpbm images; anything needing codec libraries
-    (jpeg/png/mp3/mp4) raises through :func:`real_decode_stub`, keeping the
-    stub honest rather than faking those paths."""
+    audio, binary netpbm images, and PNG (zlib inflate + unfilter);
+    anything needing codec libraries (jpeg/mp3/mp4) raises through
+    :func:`real_decode_stub`, keeping the stub honest rather than faking
+    those paths."""
     mt = (mime_type or "").lower()
     if mt in ("audio/wav", "audio/x-wav", "audio/wave"):
         return wav_feature_extractor(payload, mime_type)
     if mt in ("image/x-portable-graymap", "image/x-portable-pixmap"):
         return netpbm_feature_extractor(payload, mime_type)
+    if mt == "image/png":
+        return png_feature_extractor(payload, mime_type)
     return real_decode_stub(payload, mime_type)  # type: ignore[return-value]
 
 

@@ -78,7 +78,7 @@ def test_stdlib_decoder_dispatch_and_honest_stub():
     feats = stdlib_decoder(_wav_bytes([0, 0]), "audio/x-wav")
     assert len(feats) == 8
     with pytest.raises(NotImplementedError, match="codec"):
-        stdlib_decoder(b"\x89PNG...", "image/png")
+        stdlib_decoder(b"\xff\xd8\xff\xe0jfif...", "image/jpeg")
 
 
 def test_extract_features_with_real_wav_decoder(spark):
@@ -136,3 +136,70 @@ def test_resize_images_stage(spark):
         resize_images(df, 2, 1), extractor=stdlib_decoder
     ).collect()
     assert out[0]["feature"] == [2.0, 1.0, 20_000_000.0]
+
+
+def test_png_roundtrip_all_filters_grey():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        _png_parse,
+        png_encode,
+    )
+
+    w, h = 16, 12
+    pix = bytes((7 * y + 3 * x) % 256 for y in range(h) for x in range(w))
+    for filters in [(0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)]:
+        payload = png_encode(pix, w, h, channels=1, filters=filters)
+        channels, ww, hh, out = _png_parse(payload)
+        assert (channels, ww, hh) == (1, w, h)
+        assert out == pix, f"filters={filters}"
+
+
+def test_png_roundtrip_rgb_rgba():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        _png_parse,
+        png_encode,
+    )
+
+    w, h = 9, 5
+    for channels in (2, 3, 4):
+        pix = bytes(
+            (y * 31 + x * 7 + c * 11) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(channels)
+        )
+        payload = png_encode(pix, w, h, channels=channels, filters=(4, 3, 1))
+        ch, ww, hh, out = _png_parse(payload)
+        assert (ch, ww, hh) == (channels, w, h)
+        assert out == pix
+
+
+def test_png_feature_extractor_means():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        png_encode,
+        png_feature_extractor,
+        stdlib_decoder,
+    )
+
+    w, h = 4, 2
+    pix = bytes(range(8))  # grey: mean = 3.5 -> 3_500_000 ppm
+    payload = png_encode(pix, w, h, channels=1, filters=(2,))
+    feats = png_feature_extractor(payload, "image/png")
+    assert feats == [4.0, 2.0, 3_500_000.0]
+    assert stdlib_decoder(payload, "image/png") == feats
+
+
+def test_png_unsupported_paths():
+    import pytest
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        _png_parse,
+        png_encode,
+        stdlib_decoder,
+    )
+
+    with pytest.raises(NotImplementedError):
+        _png_parse(b"notapng")
+    with pytest.raises(NotImplementedError):
+        png_encode(b"\0", 1, 1, channels=5)
+    with pytest.raises(NotImplementedError):
+        stdlib_decoder(b"\xff\xd8\xff", "image/jpeg")
