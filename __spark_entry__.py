@@ -4464,6 +4464,43 @@ def q_dedup_containment(spark, sf_dir):
         F.substring("text", 1, 80).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(bench)
+    return containment_join(corpus, threshold=0.9, exact=True).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_dedup_containment_capped(spark, sf_dir):
+    """The DEFAULT hot-shingle-capped path of containment_join under the
+    driver gate (the exact path is dedup_containment): every corpus doc
+    gets a shared boilerplate footer whose internal 5-gram shingles have
+    df = n_docs (way past the 5% cap) and are dropped from candidate
+    generation; a footer-ONLY document — contained at C=1 in every single
+    doc, the quadratic blow-up the cap exists to fence — surfaces zero
+    pairs, while the planted excerpt→source pairs ride their rare
+    shingles through the cap unharmed. The capped result is provably
+    'pairs with C ≥ t on the FULL arrays that share ≥1 kept shingle'
+    (the prefix over kept tokens covers every kept shared token), which
+    is exactly what the oracle replays."""
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        containment_join,
+    )
+
+    footer = (
+        "common legal boilerplate footer applies to every document in "
+        "this corpus"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    body = docs.select(
+        "doc_id", F.concat("text", F.lit(" " + footer)).alias("text")
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.substring("text", 1, 80).alias("text"),
+    )
+    hot_only = spark.range(1).select(
+        F.lit(2_000_000).alias("doc_id"), F.lit(footer).alias("text")
+    )
+    corpus = body.unionByName(bench).unionByName(hot_only)
     return containment_join(corpus, threshold=0.9).orderBy("id_a", "id_b")
 
 
@@ -5007,6 +5044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window re-checks previously-green entries.
         "bundle_cross_checks": q_bundle_cross_checks,
         "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
+        "dedup_containment_capped": q_dedup_containment_capped,
 
         # --- window 1-36: round-5 rotation — the final never-driver-checked
         # backlog (every other registry entry has a driver-green row in
@@ -6033,6 +6071,67 @@ def oracle_sql() -> dict[str, str]:
                         // len(a.ts) AS BIGINT) AS containment_ppm
             FROM ne a JOIN ne b ON a.doc_id <> b.doc_id
             WHERE len(list_intersect(a.ts, b.ts)) * 1000000
+                  >= 900000 * len(a.ts)
+        """,
+        "dedup_containment_capped": """
+            WITH src AS (
+                SELECT doc_id,
+                       text || ' common legal boilerplate footer applies '
+                            || 'to every document in this corpus' AS text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, substring(text, 1, 80)
+                FROM documents WHERE doc_id % 50 = 0
+                UNION ALL
+                SELECT 2000000,
+                       'common legal boilerplate footer applies to every '
+                       || 'document in this corpus'
+            ),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '') AS arr
+                FROM src
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_sort(list_distinct(list(
+                           array_to_string(list_slice(arr, i, i + 4), ' ')
+                       ))) AS ts
+                FROM toks,
+                     unnest(range(1, greatest(len(arr) - 4, 1) + 1)) AS t(i)
+                GROUP BY doc_id
+            ),
+            ne AS (SELECT * FROM sh WHERE len(ts) > 0),
+            -- the frac cap resolves against the INPUT row count (cheap
+            -- metadata action engine-side), not the shingled-doc count
+            nd AS (SELECT count(*) AS n FROM src),
+            dfreq AS (
+                SELECT gram, count(*) AS df
+                FROM (SELECT doc_id, unnest(ts) AS gram FROM ne)
+                GROUP BY gram
+            ),
+            kept AS (
+                SELECT gram FROM dfreq, nd
+                WHERE df <= greatest(2, CAST(ceil(0.05 * n) AS BIGINT))
+            ),
+            ksets AS (
+                SELECT doc_id, list_sort(list(gram)) AS ks
+                FROM (SELECT doc_id, unnest(ts) AS gram FROM ne) j
+                JOIN kept USING (gram)
+                GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(a.ts) AS BIGINT) AS n_a,
+                   CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+                   CAST(len(list_intersect(a.ts, b.ts)) * 1000000
+                        // len(a.ts) AS BIGINT) AS containment_ppm
+            FROM ne a
+            JOIN ne b ON a.doc_id <> b.doc_id
+            JOIN ksets ka ON ka.doc_id = a.doc_id
+            JOIN ksets kb ON kb.doc_id = b.doc_id
+            WHERE len(list_intersect(ka.ks, kb.ks)) >= 1
+              AND len(list_intersect(a.ts, b.ts)) * 1000000
                   >= 900000 * len(a.ts)
         """,
         "p1_regex_filter_scoped": """

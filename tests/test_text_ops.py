@@ -720,3 +720,53 @@ def test_repetition_metrics_gopher_readout(spark):
     assert r2["top_2gram"] == "x y"
     r3 = out[3]
     assert r3["n_words"] == 1 and r3["top_2gram"] == "solo"
+
+
+def test_cosine_exact_dense_kernel_matches_postings_join(spark):
+    from iatlas_cbioportal_export_spark.operators.text import (
+        cosine_similarity_pairs,
+    )
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "apple banana apple cherry"),      # exact dup of 1
+        (3, "apple banana cherry cherry"),     # near 1/2
+        (4, "banana banana uniqword apple"),   # df=1 term in the norm
+        (5, "zzz yyy xxx"),                    # all df=1 -> no pairs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kern = sorted(
+        map(tuple, cosine_similarity_pairs(df, 0.8, exact=True).collect())
+    )
+    join = sorted(
+        map(
+            tuple,
+            cosine_similarity_pairs(
+                df, 0.8, exact=True, dense_kernel=False
+            ).collect(),
+        )
+    )
+    assert kern == join
+    assert any(a == 1 and b == 2 for a, b, *_ in kern)
+
+
+def test_cosine_exact_dense_kernel_falls_back_when_oversized(spark):
+    from iatlas_cbioportal_export_spark.operators import text as text_mod
+
+    df = spark.createDataFrame(
+        [(i, "shared words here plus w%d" % i) for i in range(20)],
+        "doc_id long, text string",
+    )
+    # force the guard: a tf-row budget smaller than the corpus
+    out = text_mod._dense_exact_cosine_pairs(
+        df.selectExpr("doc_id", "'t' as term", "1 as tf"), "doc_id",
+        max_entries=5,
+    )
+    assert out is None
+    out2 = text_mod._dense_exact_cosine_pairs(
+        df.selectExpr("doc_id", "concat('t', doc_id) as term", "1 as tf"),
+        "doc_id",
+        max_vocab=1,
+    )
+    # 20 distinct terms but all df=1 -> kept vocab 0 <= 1: kernel engages
+    assert out2 is not None and out2.count() == 0

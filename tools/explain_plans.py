@@ -433,10 +433,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Scan ExistingRDD", "TakeOrderedAndProject"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
-    # postings equi-join on term + combiner-reduced (a,b) aggregate;
-    # exactness comes from integer math, not a nested loop
+    # dense bounded slice → block-GEMM Arrow kernel (one collect-guarded
+    # scan + MapInPandas); exactness comes from integer math, not a
+    # nested loop. The sparse/unbounded exact path is the postings join.
     "text_cosine_pairs": (
-        ["HashAggregate", "codegen id"],
+        ["MapInPandas"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # two-phase running sum: corpus window is PARTITIONED (by bucket); the

@@ -115,6 +115,36 @@ def amplify_customer(spark, factor: int):
     )
 
 
+_BOILER = (
+    "common legal boilerplate footer applies to every document in this corpus"
+)
+
+
+def _boilerplate(d):
+    """Append a shared footer to every doc and plant WHOLLY-boilerplate
+    short docs — the containment fan-out hazard the rarest-first prefix
+    cannot dodge: a doc whose every shingle is hot puts a hot shingle in
+    its prefix, so uncapped candidates are (#such docs) × df(footer) and
+    the true result itself goes quadratic (every pure-footer doc is
+    contained in every doc). The default df-cap drops the hot shingles —
+    those docs generate zero candidates (documented recall loss: wholly-
+    boilerplate docs need no decontamination tracing) and the operator
+    stays linear."""
+    docs = d.select(
+        "doc_id",
+        F.concat("text", F.lit(" " + _BOILER)).alias("text"),
+        "lang",
+        "source",
+    )
+    shorts = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 7_000_000).alias("doc_id"),
+        F.lit(_BOILER).alias("text"),
+        "lang",
+        "source",
+    )
+    return docs.unionByName(shorts)
+
+
 def _pagerank_edges(li):
     e0 = li.select(
         F.col("l_partkey").alias("src"),
@@ -149,6 +179,7 @@ def _fuzzy_pair(cust):
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])  # optional case-name filter
     # local mode: driver == executors — size the one JVM for the amplified
     # working set (the container has 128 GiB; the 1 GiB default is a laptop
     # setting). Must be set before JVM start, hence here not at runtime.
@@ -389,6 +420,19 @@ def main() -> None:
             "containment_09": lambda d: dedup_ops.containment_join(
                 d, threshold=0.9
             ).count(),
+            # r6: the fan-out case the hot-shingle cap fences — every doc
+            # carries a shared boilerplate footer AND every 50th doc
+            # contributes a SHORT footer-dominated row whose rarest-prefix
+            # shingles are the hot footer shingles, so uncapped candidate
+            # volume is (#short docs) x (df of footer) ~ quadratic in
+            # corpus size; the default cap drops the footer shingles from
+            # candidate generation and stays linear.
+            "containment_boiler_capped": lambda d: dedup_ops.containment_join(
+                _boilerplate(d), threshold=0.9
+            ).count(),
+            "containment_boiler_exact": lambda d: dedup_ops.containment_join(
+                _boilerplate(d), threshold=0.9, exact=True
+            ).count(),
         }
     )
     li_cases.update(
@@ -458,6 +502,11 @@ def main() -> None:
         }
     )
 
+    if only:
+        for d in (cases, emb_cases, li_cases, cust_cases, ev_cases):
+            for k in list(d):
+                if k not in only:
+                    del d[k]
     for name, fn in cases.items():
         t1 = _timed(lambda: fn(docs1))
         tN = _timed(lambda: fn(docsN))
