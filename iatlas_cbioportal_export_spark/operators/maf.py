@@ -230,6 +230,10 @@ def genome_nexus_annotator(
     transport: Callable[[str, bytes], bytes] | None = None,
     timeout_s: float = 60.0,
     isoform_override: str = "mskcc",
+    retries: int = 2,
+    backoff_s: float = 0.5,
+    max_variants_per_request: int = 500,
+    min_request_interval_s: float = 0.0,
 ) -> Annotator:
     """The real Genome Nexus REST annotator, against the service's public
     ``POST /annotation`` contract (the same GRCh38 endpoints the reference's
@@ -258,8 +262,19 @@ def genome_nexus_annotator(
 
     ``transport(url, payload) -> bytes`` abstracts the wire call for tests;
     the default uses stdlib ``urllib`` (executor-side, no extra deps).
+
+    Resilience (the service rate limit is the first thing to break at
+    scale — SCALE.md): each request retries up to ``retries`` times on
+    transport failure with deterministic exponential backoff
+    (``backoff_s · 2^attempt``; exhausted retries raise into the existing
+    whole-batch FAILED routing). ``max_variants_per_request`` splits a
+    large Arrow batch into bounded POSTs (the per-task request-size knob —
+    1000 executors × default 500 variants matches the annotation
+    pipeline's own chunking), and ``min_request_interval_s`` throttles
+    consecutive requests within a task for hard rate caps.
     """
     import json
+    import time as _time
 
     url = (
         f"{base_url.rstrip('/')}/annotation"
@@ -276,6 +291,26 @@ def genome_nexus_annotator(
             return resp.read()
 
     send = transport or default_transport
+    _last_request = [0.0]  # per-task monotonic timestamp for throttling
+
+    def send_with_retry(u: str, payload: bytes) -> bytes:
+        attempt = 0
+        while True:
+            if min_request_interval_s > 0:
+                wait = (
+                    _last_request[0] + min_request_interval_s
+                    - _time.monotonic()
+                )
+                if wait > 0:
+                    _time.sleep(wait)
+            try:
+                _last_request[0] = _time.monotonic()
+                return send(u, payload)
+            except Exception:
+                if attempt >= retries:
+                    raise
+                _time.sleep(backoff_s * (2**attempt))
+                attempt += 1
 
     _KEY_COLS = (
         "Chromosome",
@@ -307,7 +342,13 @@ def genome_nexus_annotator(
         keys = _query_keys(batch)
         queries = [k for k in keys if k is not None]
         try:
-            records = json.loads(send(url, json.dumps(queries).encode()))
+            records: list = []
+            step = max(1, max_variants_per_request)
+            for i in range(0, len(queries), step):
+                chunk = queries[i : i + step]
+                records.extend(
+                    json.loads(send_with_retry(url, json.dumps(chunk).encode()))
+                )
             by_query: dict[str, dict] = {}
             for rec in records:
                 q = rec.get("originalVariantQuery") or rec.get("variant")

@@ -21,18 +21,24 @@ import pytest
 class _GNHandler(BaseHTTPRequestHandler):
     calls: list = []
     fail_mode: str | None = None
+    fail_first_n: int = 0  # flaky mode: 500 for the first N requests
+    _lock = threading.Lock()
 
     def do_POST(self):  # noqa: N802 (http.server API)
         length = int(self.headers.get("Content-Length", 0))
         body = json.loads(self.rfile.read(length) or b"[]")
-        type(self).calls.append(
-            {
-                "path": self.path,
-                "content_type": self.headers.get("Content-Type"),
-                "queries": body,
-            }
-        )
-        if type(self).fail_mode == "500":
+        with type(self)._lock:
+            type(self).calls.append(
+                {
+                    "path": self.path,
+                    "content_type": self.headers.get("Content-Type"),
+                    "queries": body,
+                }
+            )
+            flaky_fail = type(self).fail_first_n > 0
+            if flaky_fail:
+                type(self).fail_first_n -= 1
+        if type(self).fail_mode == "500" or flaky_fail:
             self.send_response(500)
             self.end_headers()
             return
@@ -73,6 +79,7 @@ class _GNHandler(BaseHTTPRequestHandler):
 def gn_server():
     _GNHandler.calls = []
     _GNHandler.fail_mode = None
+    _GNHandler.fail_first_n = 0
     server = ThreadingHTTPServer(("127.0.0.1", 0), _GNHandler)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
@@ -147,8 +154,65 @@ def test_genome_nexus_annotator_http_error_routes_batch(spark, gn_server):
     )
 
     _GNHandler.fail_mode = "500"
-    ann = annotate(_maf_df(spark), annotator=genome_nexus_annotator(gn_server))
+    ann = annotate(
+        _maf_df(spark),
+        annotator=genome_nexus_annotator(
+            gn_server, retries=1, backoff_s=0.01
+        ),
+    )
     statuses = {r["Annotation_Status"] for r in ann.collect()}
-    assert statuses == {"FAILED: HTTPError"}
+    # null-key rows never post, so they keep their precise status even
+    # with the service down; every POSTED row routes as HTTPError.
+    assert statuses == {"FAILED: HTTPError", "FAILED: null variant key"}
     good, bad = split_annotation_errors(ann)
     assert good.count() == 0 and bad.count() == 4
+    # retry-exhausted: every posting batch was attempted retries+1 (=2)
+    # times per Spark action (collect + the two counts each re-run the
+    # stage, so per-batch attempt counts are multiples of 2).
+    from collections import Counter
+
+    attempts = Counter(tuple(c["queries"]) for c in _GNHandler.calls)
+    assert attempts and all(v >= 2 and v % 2 == 0 for v in attempts.values())
+
+
+def test_genome_nexus_annotator_retry_then_succeed(spark, gn_server):
+    from iatlas_cbioportal_export_spark.operators.maf import (
+        annotate,
+        genome_nexus_annotator,
+    )
+
+    # single partition -> one task -> the first request 500s, the retry
+    # lands; the batch must come back fully annotated.
+    _GNHandler.fail_first_n = 1
+    df = _maf_df(spark).coalesce(1)
+    ann = annotate(
+        df,
+        annotator=genome_nexus_annotator(
+            gn_server, retries=2, backoff_s=0.01
+        ),
+    )
+    rows = {r["Chromosome"]: r for r in ann.collect()}
+    assert rows["chr7"]["Annotation_Status"] == "SUCCESS"
+    assert rows["chr7"]["SYMBOL"] == "GENE7"
+    assert rows["99"]["Annotation_Status"] == "FAILED: unmatched"
+    assert len(_GNHandler.calls) == 2  # the 500 + the successful retry
+
+
+def test_genome_nexus_annotator_request_size_knob(spark, gn_server):
+    from iatlas_cbioportal_export_spark.operators.maf import (
+        annotate,
+        genome_nexus_annotator,
+    )
+
+    df = _maf_df(spark).coalesce(1)
+    ann = annotate(
+        df,
+        annotator=genome_nexus_annotator(
+            gn_server, max_variants_per_request=1
+        ),
+    )
+    rows = {r["Chromosome"]: r for r in ann.collect()}
+    assert rows["chr7"]["Annotation_Status"] == "SUCCESS"
+    assert rows["88"]["Annotation_Status"] == "FAILED: annotation"
+    # 3 postable variants -> 3 single-variant requests (null key never posts)
+    assert [len(c["queries"]) for c in _GNHandler.calls] == [1, 1, 1]
