@@ -4925,6 +4925,74 @@ def q_multimodal_png_roundtrip(spark, sf_dir):
     )
 
 
+def q_dedup_url_canonical(spark, sf_dir):
+    """URL canonicalization → exact dedup, the first hop of web-corpus
+    pipelines: deterministic URL variants derived from doc_id (scheme/host
+    case, default :80 port, utm_*/gclid tracking params, shuffled query
+    order, fragments, trailing slashes — every doc_id%5 family collapses
+    to ONE canonical URL; %5==4 rows get a distinct page) are
+    canonicalized JVM-side (parse_url + array_sort, no UDF) and grouped:
+    keep the min doc_id per canonical URL, report cluster sizes. The
+    oracle replays the canonicalization with regex parsing."""
+    from iatlas_cbioportal_export_spark.operators.curation import (
+        canonicalize_urls,
+    )
+
+    d = F.col("doc_id")
+    fam = (d / 5).cast("long")
+    variant = d % 5
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("HTTP://Example.COM:80/site/page"),
+                fam.cast("string"),
+                F.lit("/?utm_source=feed&b=2&a=1"),
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("http://example.com/site/page"),
+                fam.cast("string"),
+                F.lit("?a=1&b=2#section"),
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("http://EXAMPLE.com/site/page"),
+                fam.cast("string"),
+                F.lit("?b=2&gclid=XYZ&a=1"),
+            ),
+        )
+        .when(
+            variant == 3,
+            F.concat(
+                F.lit("https://example.com/site/page"),  # https ≠ http
+                fam.cast("string"),
+                F.lit("?a=1&b=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://other.org/item/"), d.cast("string")
+            )
+        )
+        .alias("url"),
+    )
+    canon = canonicalize_urls(docs)
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
 def q_clinical_field_conformance(spark, sf_dir):
     """Per-field CLINICAL value checks — the clinical-file half of
     cBioPortal validateData.py next to maf_field_conformance's 17 MAF
@@ -5045,6 +5113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bundle_cross_checks": q_bundle_cross_checks,
         "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
         "dedup_containment_capped": q_dedup_containment_capped,
+        "dedup_url_canonical": q_dedup_url_canonical,
 
         # --- window 1-36: round-5 rotation — the final never-driver-checked
         # backlog (every other registry entry has a driver-green row in
@@ -6072,6 +6141,67 @@ def oracle_sql() -> dict[str, str]:
             FROM ne a JOIN ne b ON a.doc_id <> b.doc_id
             WHERE len(list_intersect(a.ts, b.ts)) * 1000000
                   >= 900000 * len(a.ts)
+        """,
+        "dedup_url_canonical": """
+            WITH urls AS (
+                SELECT doc_id,
+                       CASE doc_id % 5
+                         WHEN 0 THEN 'HTTP://Example.COM:80/site/page'
+                              || CAST(doc_id // 5 AS VARCHAR)
+                              || '/?utm_source=feed&b=2&a=1'
+                         WHEN 1 THEN 'http://example.com/site/page'
+                              || CAST(doc_id // 5 AS VARCHAR)
+                              || '?a=1&b=2#section'
+                         WHEN 2 THEN 'http://EXAMPLE.com/site/page'
+                              || CAST(doc_id // 5 AS VARCHAR)
+                              || '?b=2&gclid=XYZ&a=1'
+                         WHEN 3 THEN 'https://example.com/site/page'
+                              || CAST(doc_id // 5 AS VARCHAR)
+                              || '?a=1&b=2'
+                         ELSE 'http://other.org/item/'
+                              || CAST(doc_id AS VARCHAR)
+                       END AS url
+                FROM documents
+            ),
+            parts AS (
+                SELECT doc_id,
+                  lower(regexp_extract(url,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  lower(regexp_extract(url,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+                  regexp_replace(regexp_extract(url,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                      '/+$', '') AS path,
+                  regexp_extract(url, '\\?([^#]*)', 1) AS q
+                FROM urls
+            ),
+            canon AS (
+                SELECT doc_id,
+                  scheme || '://'
+                  || CASE WHEN scheme = 'http'
+                          THEN regexp_replace(auth0, ':80$', '')
+                          WHEN scheme = 'https'
+                          THEN regexp_replace(auth0, ':443$', '')
+                          ELSE auth0 END
+                  || path
+                  || CASE WHEN sq = '' THEN '' ELSE '?' || sq END
+                      AS canonical_url
+                FROM (
+                  SELECT *,
+                    coalesce(array_to_string(list_sort(list_filter(
+                        string_split(q, '&'),
+                        p -> p <> '' AND NOT regexp_matches(p,
+                            '^(utm_[^=]*|gclid|fbclid|msclkid|ref_src)=')
+                    )), '&'), '') AS sq
+                  FROM parts
+                )
+            )
+            SELECT canonical_url,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_variants
+            FROM canon
+            GROUP BY canonical_url
+            ORDER BY canonical_url
         """,
         "dedup_containment_capped": """
             WITH src AS (

@@ -452,3 +452,58 @@ def nfc_normalize(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref_src)="
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """URL canonicalization — the first hop of web-corpus dedup (the same
+    page arrives under scheme/host case variants, default ports, tracking
+    parameters, shuffled query strings, fragments and trailing slashes;
+    CommonCrawl-style pipelines dedup on the canonical form before any
+    content hashing). Rules, all JVM-side (``parse_url`` + array ops, no
+    UDF):
+
+    - scheme and authority lowercased; default ports stripped
+      (``:80`` for http, ``:443`` for https)
+    - path: trailing slashes stripped
+    - query: tracking parameters dropped (``utm_*``, ``gclid``,
+      ``fbclid``, ``msclkid``, ``ref_src``), the rest SORTED
+      lexicographically and rejoined; an emptied query drops its ``?``
+    - fragment dropped
+
+    Purely a narrow projection — no shuffle; dedup on the result is one
+    hash groupBy on a short string. Extension op (SURVEY.md §7): the
+    reference has no web-corpus surface at all.
+    """
+    url = F.col(url_col)
+    scheme = F.lower(F.expr(f"parse_url({url_col}, 'PROTOCOL')"))
+    auth = F.lower(F.expr(f"parse_url({url_col}, 'AUTHORITY')"))
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_replace(
+        F.coalesce(F.expr(f"parse_url({url_col}, 'PATH')"), F.lit("")),
+        "/+$",
+        "",
+    )
+    params = F.filter(
+        F.split(F.coalesce(F.expr(f"parse_url({url_col}, 'QUERY')"), F.lit("")), "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(
+            F.lit("")
+        ),
+    )
+    return df.withColumn(out_col, F.when(url.isNotNull(), canonical))

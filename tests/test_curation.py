@@ -219,3 +219,27 @@ def test_nfc_normalize_composes_and_keeps_nulls(spark):
     assert out[2] == composed          # already-NFC text is a fixpoint
     assert out[3] == "ascii only"
     assert out[4] is None
+
+
+def test_canonicalize_urls_rules(spark):
+    from iatlas_cbioportal_export_spark.operators.curation import (
+        canonicalize_urls,
+    )
+
+    rows = [
+        (1, "HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"),
+        (2, "http://example.com/a/b?a=1&b=2"),
+        (3, "https://Example.com:443/a/b?a=1&b=2"),
+        (4, "https://example.com:8443/a/b"),   # non-default port kept
+        (5, "http://example.com/a/b?gclid=Z&fbclid=Y"),  # all tracking
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r["id"]: r["canonical_url"]
+           for r in canonicalize_urls(df).collect()}
+    assert out[1] == "http://example.com/a/b?a=1&b=2"
+    assert out[2] == "http://example.com/a/b?a=1&b=2"
+    assert out[3] == "https://example.com/a/b?a=1&b=2"
+    assert out[4] == "https://example.com:8443/a/b"
+    assert out[5] == "http://example.com/a/b"
+    assert out[6] is None
