@@ -5099,25 +5099,21 @@ def q_bundle_cross_checks(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
-    checks the FIRST 50 entries only. Round-5 rotation: entries 1-36 are
-    the final never-driver-checked backlog (round-4 additions past the
-    window; all verified locally via tools/check_parity.py, evidence in
-    PARITY_LOCAL.md); entries 37-50 are new round-5 queries plus re-check
-    slots for code changed this round (MAF conformance tier 2, HTTP
-    annotator contract, cosine df-cap, IVF-PQ scoring). After this round
-    every registry entry has a driver-green CORRECTNESS row."""
-    return {
-        # --- round-6 window: new r6 queries first, then re-check slots for
-        # every operator file touched in round 6; remainder of the 50-slot
-        # window re-checks previously-green entries.
+    checks the FIRST 50 entries only. Since round 5 every registry entry
+    has a driver-green CORRECTNESS row, so the round-6 window (the
+    ``_R6_WINDOW`` list below — applied as a reorder over the full
+    registry) is: NEW round-6 queries first, then re-check slots for
+    every query whose operator file changed this round (validation.py
+    cross-file checks, multimodal.py PNG codec, dedup.py hot-shingle cap,
+    text.py dense-GEMM exact-cosine kernel, maf.py annotator retries,
+    curation.py URL canonicalization), then freshness re-checks of the
+    LONGEST-unchecked previously-green entries (r1 greens)."""
+    all_q = {
         "bundle_cross_checks": q_bundle_cross_checks,
         "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
         "dedup_containment_capped": q_dedup_containment_capped,
         "dedup_url_canonical": q_dedup_url_canonical,
 
-        # --- window 1-36: round-5 rotation — the final never-driver-checked
-        # backlog (every other registry entry has a driver-green row in
-        # CORRECTNESS_r01-r04). After this round, all entries driver-green.
         "xml_roundtrip": q_xml_roundtrip,
         "zonemap_pruning": q_zonemap_pruning,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -5154,9 +5150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_leakage_safe_splits": q_sample_leakage_safe_splits,
         "stats_winsorize": q_stats_winsorize,
         "eval_calibration": q_eval_calibration,
-        # --- window 37-45: new round-5 queries; 46-50 re-check round-5-
-        # changed code paths (MAF conformance tiers, annotator contract,
-        # validation suite, centroid-expression rewrite)
         "sample_mixture_weights": q_sample_mixture_weights,
         "text_repetition": q_text_repetition,
         "eval_confusion": q_eval_confusion,
@@ -5176,7 +5169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maf_annotation_wide": q_maf_annotation_wide,
         "sim_ivf_topk": q_sim_ivf_topk,
         "v_validation_suite": q_v_validation_suite,
-        # --- past the 50-entry driver window: all driver-green r1-r4 ---
         "sim_semantic_dedup": q_sim_semantic_dedup,
         "clinical_e2e_preprocess": q_clinical_e2e_preprocess,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5353,6 +5345,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_order_priority": q_tpch_q4,
         "tpch_q5_local_supplier": q_tpch_q5,
     }
+    window = [n for n in _R6_WINDOW if n in all_q]
+    rest = [n for n in all_q if n not in set(window)]
+    return {n: all_q[n] for n in [*window, *rest]}
+
+
+# Round-6 driver window (first 50 entries): 5 new r6 queries, then
+# re-check slots for every r6-touched code path, then freshness re-checks
+# of the longest-unchecked greens.
+_R6_WINDOW = [
+    # new round-6 queries
+    "bundle_cross_checks",
+    "multimodal_png_roundtrip",
+    "dedup_containment_capped",
+    "dedup_url_canonical",
+    # r6-touched code paths: dedup.py (containment cap), text.py (dense
+    # exact-cosine kernel), maf.py (annotator retry), validation.py
+    # (cross-file checks appended), multimodal.py (PNG codec appended),
+    # curation.py (canonicalize_urls appended)
+    "dedup_containment",
+    "text_cosine_pairs",
+    "text_cosine_capped",
+    "maf_annotate_pipeline",
+    "maf_annotation_wide",
+    "maf_field_conformance",
+    "clinical_field_conformance",
+    "v_validation_suite",
+    "constraint_suite",
+    "multimodal_binary_ingest",
+    "multimodal_wav_roundtrip",
+    "multimodal_image_resize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_jaccard_prefix",
+    "dedup_span_windows",
+    "curation_pipeline",
+    "curation_pii_pseudonyms",
+    "text_nfc_normalize",
+    # freshness rotation: longest-unchecked previously-green entries
+    "flagship_case_lists",
+    "clinical_e2e_preprocess",
+    "s2_union_by_name",
+    "s3_header_roundtrip",
+    "s4_chunk_assignment",
+    "p1_regex_filter_scoped",
+    "p2_neq_filter_keep_nulls",
+    "p4_patient_sample_split",
+    "p5_prune_all_null",
+    "j1_broadcast_left_join",
+    "j2_left_join_null_audit",
+    "j3_outer_join_growth_audit",
+    "j4_code_expansion",
+    "j5_semi_join",
+    "j6_keyset_equality",
+    "a1_case_lists",
+    "a2_distinct_counts",
+    "a4_null_profile",
+    "a5_duplicate_rows",
+    "a6_keyed_duplicates",
+    "a7_drop_duplicates",
+    "a8_keep_latest",
+    "f1_strip_suffix_first",
+    "f2_case_normalization",
+    "f3_value_recode",
+    "f5_days_to_months",
+    "f7_case_list_slug",
+    "f8_case_list_render",
+]
 
 
 # ---------------------------------------------------------------------------

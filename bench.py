@@ -113,6 +113,13 @@ EXTENDED = [
     # round-5 promotion: IVF-PQ after the mapInPandas ADC rewrite dropped
     # its wall from ~50s (Catalyst literal-codebook compile) to ~2s
     "sim_ivfpq_topk",
+    # round-6 promotions: cross-file referential validation, URL-canonical
+    # dedup, the hot-shingle-capped containment default, and the stdlib
+    # PNG decode round trip
+    "bundle_cross_checks",
+    "dedup_url_canonical",
+    "dedup_containment_capped",
+    "multimodal_png_roundtrip",
 ]
 
 # Inherently-iterative / exact-all-pairs queries whose 5-15s walls are

@@ -585,6 +585,24 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # r6: the DEFAULT hot-shingle-capped containment path — same prefix/
+    # verify shape with the kept-token filter joins added
+    "dedup_containment_capped": (
+        ["HashAggregate", "codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # r6: cross-file referential checks — distinct-id anti-joins + one
+    # findings union; data rows never join
+    "bundle_cross_checks": (
+        ["HashAggregate", "Union"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # r6: URL canonicalization is a narrow projection (parse_url + array
+    # ops); the only exchange is the canonical-key dedup groupBy
+    "dedup_url_canonical": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
     # capped path: candidate equi-join on kept terms + full-vector verify
     # joins — all hash joins, integer gate in codegen
     "text_cosine_capped": (
@@ -632,6 +650,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # two Arrow stages (RIFF encode, wave decode) over narrow id rows;
     # payload never shuffles — features explode after the decode
+    # r6: PNG encode->decode round trip; payload stays inside the two
+    # Arrow stages, nothing shuffles
+    "multimodal_png_roundtrip": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Exchange hashpartitioning"],
+    ),
     "multimodal_wav_roundtrip": (
         ["MapInPandas", "Generate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
