@@ -421,6 +421,34 @@ def png_feature_extractor(payload: bytes, mime_type: str) -> list[float]:
     return [float(width), float(height), *means]
 
 
+def png_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL PNG resize — decode via :func:`_png_parse`, nearest-neighbour
+    integer sampling (same ``src = x·W // out_w`` arithmetic as
+    :func:`netpbm_resize`, so any engine can replay which source pixels
+    survive), re-encode via :func:`png_encode` (filter None — the resized
+    image round-trips byte-exact through the decoder)."""
+    channels, width, height, pix = _png_parse(payload)
+    out = bytearray()
+    for y in range(out_h):
+        sy = y * height // out_h
+        row = sy * width * channels
+        for x in range(out_w):
+            sx = x * width // out_w
+            k = row + sx * channels
+            out += pix[k : k + channels]
+    return png_encode(bytes(out), out_w, out_h, channels=channels)
+
+
+def stdlib_resizer(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Dispatching REAL resizer: PNG by signature, binary netpbm by magic;
+    other formats raise through :func:`real_decode_stub` (honest stub)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_resize(payload, out_w, out_h)
+    if payload[:2] in (b"P5", b"P6"):
+        return netpbm_resize(payload, out_w, out_h)
+    return real_decode_stub(payload, "unknown")  # type: ignore[return-value]
+
+
 def stdlib_decoder(payload: bytes, mime_type: str) -> list[float]:
     """Dispatching REAL decoder for the formats stdlib can handle — WAV
     audio, binary netpbm images, and PNG (zlib inflate + unfilter);

@@ -1,6 +1,7 @@
-"""REAL stdlib decode kernels (WAV / netpbm) — the non-stubbed half of the
-multimodal tier: these formats need no codec libraries, so the decode is
-genuine in this container; jpeg/png/mp3 stay behind the honest stub."""
+"""REAL stdlib decode kernels (WAV / netpbm / PNG) — the non-stubbed half
+of the multimodal tier: these formats need no codec libraries (PNG is zlib
+inflate + scanline unfiltering), so the decode is genuine in this
+container; jpeg/mp3/mp4 stay behind the honest stub."""
 
 import io
 import struct
@@ -203,3 +204,38 @@ def test_png_unsupported_paths():
         png_encode(b"\0", 1, 1, channels=5)
     with pytest.raises(NotImplementedError):
         stdlib_decoder(b"\xff\xd8\xff", "image/jpeg")
+
+
+def test_png_resize_nearest_neighbour():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        _png_parse,
+        png_encode,
+        png_resize,
+        stdlib_resizer,
+    )
+
+    w, h = 16, 12
+    pix = bytes((7 * y + 3 * x) % 256 for y in range(h) for x in range(w))
+    payload = png_encode(pix, w, h, channels=1, filters=(0, 1, 2, 3, 4))
+    small = stdlib_resizer(payload, 8, 6)
+    assert small == png_resize(payload, 8, 6)
+    ch, ww, hh, out = _png_parse(small)
+    assert (ch, ww, hh) == (1, 8, 6)
+    # src pixel = (2x, 2y): integer sampling any engine replays
+    expect = bytes((7 * (2 * y) + 3 * (2 * x)) % 256
+                   for y in range(6) for x in range(8))
+    assert out == expect
+
+
+def test_stdlib_resizer_dispatch():
+    import pytest
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        netpbm_resize,
+        stdlib_resizer,
+    )
+
+    pgm = b"P5\n4 2\n255\n" + bytes(range(8))
+    assert stdlib_resizer(pgm, 2, 1) == netpbm_resize(pgm, 2, 1)
+    with pytest.raises(NotImplementedError):
+        stdlib_resizer(b"\xff\xd8\xffjpeg", 2, 2)

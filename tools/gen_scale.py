@@ -76,10 +76,19 @@ def main() -> None:
     }
     r = F.col("__rep")
 
+    # replica-prefixed names (same trick as stress_bench.amplify_customer):
+    # TPC-H names are low-entropy, so UNCHANGED names across replicas make
+    # the true fuzzy-match density itself grow ~K^2 per name — that would
+    # measure the pathological everything-matches case, not scaling
+    # (observed: fuzzy_join_names 48x wall at 10x rows before this fix).
     write(
         cust.crossJoin(reps()).select(
             (F.col("c_custkey") + r * strides["c"]).alias("c_custkey"),
-            "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+            F.concat(
+                F.lit("r"), F.repeat(r.cast("string"), 3), F.lit("#"),
+                F.col("c_name"),
+            ).alias("c_name"),
+            "c_nationkey", "c_acctbal", "c_mktsegment",
         ),
         "customer",
     )
