@@ -4925,6 +4925,91 @@ def q_multimodal_png_roundtrip(spark, sf_dir):
     )
 
 
+def q_multimodal_container_metadata(spark, sf_dir):
+    """REAL container-metadata extraction across the codec-stubbed formats
+    (round 6): deterministic VALID mp4 / mp3 / jpeg payloads (modality by
+    media_id%3; mp4 mvhd timescale=1000 duration=1000+id·37 with 1+id%5
+    traks; mp3 2+id%5 MPEG-1 Layer III frames at 128kbps/44.1kHz behind an
+    ID3v2 tag; jpeg SOF0 (16+id%7)×(12+(3·id)%5) 3-component) are encoded
+    in one Arrow stage and parsed by the stdlib bitstream walkers
+    (ISO-BMFF box walk / frame-header walk with syncsafe ID3 skip / T.81
+    marker walk) in extract_container_metadata — the audit/filter hop a
+    media pipeline runs BEFORE any decode; payload bytes never shuffle.
+    The oracle computes the same fields closed-form, so box framing,
+    frame stepping (144·kbps·1000//rate), syncsafe skip, and marker
+    arithmetic are all value-hash checked. Pixel/audio DECODE for these
+    formats remains honestly stubbed (needs codec libs)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_container_metadata,
+        jpeg_encode_headers,
+        mp3_encode,
+        mp4_encode,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 180)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for batch in batches:
+            modalities, mimes, payloads = [], [], []
+            for mid in batch["media_id"]:
+                mid = int(mid)
+                if mid % 3 == 0:
+                    modalities.append("video")
+                    mimes.append("video/mp4")
+                    payloads.append(
+                        mp4_encode(1000, 1000 + mid * 37, n_tracks=1 + mid % 5)
+                    )
+                elif mid % 3 == 1:
+                    modalities.append("audio")
+                    mimes.append("audio/mpeg")
+                    payloads.append(
+                        mp3_encode(2 + mid % 5, 128, 44100,
+                                   id3_payload=b"t" * (100 + mid % 50))
+                    )
+                else:
+                    modalities.append("image")
+                    mimes.append("image/jpeg")
+                    payloads.append(
+                        jpeg_encode_headers(16 + mid % 7, 12 + (3 * mid) % 5, 3)
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": modalities,
+                    "mime_type": mimes,
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    return extract_container_metadata(media).select(
+        "media_id", "container", "brand", "width", "height",
+        "duration_ms", "sample_rate", "n_tracks", "n_frames",
+    )
+
+
 def q_dedup_url_canonical(spark, sf_dir):
     """URL canonicalization → exact dedup, the first hop of web-corpus
     pipelines: deterministic URL variants derived from doc_id (scheme/host
@@ -5111,6 +5196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "bundle_cross_checks": q_bundle_cross_checks,
         "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
+        "multimodal_container_metadata": q_multimodal_container_metadata,
         "dedup_containment_capped": q_dedup_containment_capped,
         "dedup_url_canonical": q_dedup_url_canonical,
 
@@ -5357,6 +5443,7 @@ _R6_WINDOW = [
     # new round-6 queries
     "bundle_cross_checks",
     "multimodal_png_roundtrip",
+    "multimodal_container_metadata",
     "dedup_containment_capped",
     "dedup_url_canonical",
     # r6-touched code paths: dedup.py (containment cap), text.py (dense
@@ -5410,7 +5497,6 @@ _R6_WINDOW = [
     "f3_value_recode",
     "f5_days_to_months",
     "f7_case_list_slug",
-    "f8_case_list_render",
 ]
 
 
@@ -5531,6 +5617,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) * 1000000 // 192 AS DOUBLE) AS mean_c0_ppm
             FROM px
             GROUP BY media_id
+        """,
+        "multimodal_container_metadata": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'mp4'
+                                   WHEN 1 THEN 'mp3'
+                                   ELSE 'jpeg' END AS container,
+                   CASE doc_id % 3 WHEN 0 THEN 'isom'
+                                   WHEN 2 THEN 'baseline' END AS brand,
+                   CAST(CASE WHEN doc_id % 3 = 2
+                             THEN 16 + doc_id % 7 END AS BIGINT) AS width,
+                   CAST(CASE WHEN doc_id % 3 = 2
+                             THEN 12 + (3 * doc_id) % 5 END AS BIGINT)
+                       AS height,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN 1000 + doc_id * 37
+                        WHEN 1 THEN ((2 + doc_id % 5) * 1152 * 1000) // 44100
+                        END AS BIGINT) AS duration_ms,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 1000
+                                        WHEN 1 THEN 44100 END AS BIGINT)
+                       AS sample_rate,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 5
+                                        WHEN 1 THEN 1
+                                        ELSE 3 END AS BIGINT) AS n_tracks,
+                   CAST(CASE WHEN doc_id % 3 = 1
+                             THEN 2 + doc_id % 5 END AS BIGINT) AS n_frames
+            FROM documents WHERE doc_id < 180
         """,
         "bundle_cross_checks": """
             WITH patients AS (
@@ -5782,7 +5894,7 @@ def oracle_sql() -> dict[str, str]:
             m AS (
                 SELECT doc_id, 'email' AS kind,
                        unnest(regexp_extract_all(text,
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
                            AS value
                 FROM src
                 UNION ALL

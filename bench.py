@@ -120,6 +120,7 @@ EXTENDED = [
     "dedup_url_canonical",
     "dedup_containment_capped",
     "multimodal_png_roundtrip",
+    "multimodal_container_metadata",
 ]
 
 # Inherently-iterative / exact-all-pairs queries whose 5-15s walls are

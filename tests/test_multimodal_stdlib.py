@@ -239,3 +239,157 @@ def test_stdlib_resizer_dispatch():
     assert stdlib_resizer(pgm, 2, 1) == netpbm_resize(pgm, 2, 1)
     with pytest.raises(NotImplementedError):
         stdlib_resizer(b"\xff\xd8\xffjpeg", 2, 2)
+
+
+def test_mp4_metadata_roundtrip_v0_and_largesize():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        mp4_encode,
+        mp4_parse_metadata,
+    )
+
+    m = mp4_parse_metadata(mp4_encode(1000, 4321, n_tracks=2, brand="mp42"))
+    assert m["container"] == "mp4"
+    assert m["brand"] == "mp42"
+    assert m["duration_ms"] == 4321
+    assert m["sample_rate"] == 1000  # timescale
+    assert m["n_tracks"] == 2
+    # 90kHz timescale: duration_ms is integer floor division
+    m = mp4_parse_metadata(mp4_encode(90000, 123456, n_tracks=1))
+    assert m["duration_ms"] == 123456 * 1000 // 90000
+    # largesize (size==1, 64-bit) box framing is honoured
+    small = mp4_encode(600, 1200)
+    size = int.from_bytes(small[:4], "big")
+    large = (
+        (1).to_bytes(4, "big")
+        + small[4:8]
+        + (size + 8).to_bytes(8, "big")
+        + small[8:size]
+        + small[size:]
+    )
+    assert mp4_parse_metadata(large)["duration_ms"] == 2000
+
+
+def test_mp4_mvhd_version1_64bit_times():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        mp4_encode,
+        mp4_parse_metadata,
+    )
+
+    def box(btype, body):
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    mvhd = (
+        b"\x01\x00\x00\x00"
+        + bytes(16)  # 64-bit creation + modification
+        + (48000).to_bytes(4, "big")
+        + (96000).to_bytes(8, "big")
+        + bytes(80)
+    )
+    payload = (
+        box(b"ftyp", b"isom" + bytes(4) + b"isom")
+        + box(b"moov", box(b"mvhd", mvhd))
+    )
+    m = mp4_parse_metadata(payload)
+    assert m["sample_rate"] == 48000
+    assert m["duration_ms"] == 2000
+    assert m["n_tracks"] == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        mp4_parse_metadata(mp4_encode(600, 10)[:16])  # ftyp only, no moov
+
+
+def test_mp3_metadata_frame_walk_and_id3_skip():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        mp3_encode,
+        mp3_parse_metadata,
+    )
+
+    m = mp3_parse_metadata(mp3_encode(5, 128, 44100))
+    assert (m["n_frames"], m["sample_rate"]) == (5, 44100)
+    assert m["duration_ms"] == 5 * 1152 * 1000 // 44100  # 130 ms
+    # ID3v2 prefix with a syncsafe size >127 exercises the 7-bit packing
+    m = mp3_parse_metadata(mp3_encode(3, 192, 48000, id3_payload=b"t" * 300))
+    assert (m["n_frames"], m["sample_rate"]) == (3, 48000)
+    assert m["duration_ms"] == 3 * 1152 * 1000 // 48000
+    import pytest
+
+    with pytest.raises(ValueError):
+        mp3_parse_metadata(b"\x00\x01nonsense")
+
+
+def test_jpeg_metadata_marker_walk():
+    import pytest
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        jpeg_encode_headers,
+        jpeg_parse_metadata,
+    )
+
+    m = jpeg_parse_metadata(jpeg_encode_headers(640, 480, 3))
+    assert (m["width"], m["height"], m["n_tracks"]) == (640, 480, 3)
+    assert m["brand"] == "baseline"
+    m = jpeg_parse_metadata(jpeg_encode_headers(31, 17, 1, progressive=True))
+    assert (m["width"], m["height"], m["brand"]) == (31, 17, "progressive")
+    with pytest.raises(ValueError):
+        jpeg_parse_metadata(b"\x89PNG")
+    # SOS before any SOF → honest failure, not garbage dimensions
+    no_sof = b"\xff\xd8\xff\xda\x00\x04\x01\x00\xff\xd9"
+    with pytest.raises(ValueError):
+        jpeg_parse_metadata(no_sof)
+
+
+def test_container_metadata_dispatch_all_six_formats():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        container_metadata,
+        jpeg_encode_headers,
+        mp3_encode,
+        mp4_encode,
+        png_encode,
+    )
+
+    assert container_metadata(mp4_encode(1000, 777))["container"] == "mp4"
+    assert container_metadata(mp3_encode(2))["container"] == "mp3"
+    got = container_metadata(jpeg_encode_headers(12, 34))
+    assert (got["container"], got["width"], got["height"]) == ("jpeg", 12, 34)
+    png = png_encode(bytes(range(12)), 4, 3, channels=1)
+    got = container_metadata(png)
+    assert (got["container"], got["width"], got["n_tracks"]) == ("png", 4, 1)
+    got = container_metadata(b"P6\n2 2\n255\n" + bytes(12))
+    assert (got["container"], got["width"], got["n_tracks"]) == ("netpbm", 2, 3)
+    got = container_metadata(_wav_bytes([0] * 80, framerate=8000))
+    assert (got["container"], got["sample_rate"], got["n_frames"]) == (
+        "wav", 8000, 80,
+    )
+    assert got["duration_ms"] == 80 * 1000 // 8000
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        container_metadata(b"\x00unknown-magic")
+
+
+def test_extract_container_metadata_stage(spark):
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_container_metadata,
+        jpeg_encode_headers,
+        mp3_encode,
+        mp4_encode,
+    )
+
+    rows = [
+        (1, "video", "video/mp4", mp4_encode(1000, 2500, n_tracks=2)),
+        (2, "audio", "audio/mpeg", mp3_encode(4, 128, 44100)),
+        (3, "image", "image/jpeg", jpeg_encode_headers(100, 50, 3)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, mime_type string, payload binary"
+    )
+    got = {
+        r["media_id"]: r.asDict()
+        for r in extract_container_metadata(media).collect()
+    }
+    assert got[1]["duration_ms"] == 2500 and got[1]["n_tracks"] == 2
+    assert got[2]["n_frames"] == 4
+    assert got[2]["duration_ms"] == 4 * 1152 * 1000 // 44100
+    assert got[3]["width"] == 100 and got[3]["height"] == 50
+    assert "payload" not in extract_container_metadata(media).columns

@@ -662,6 +662,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
          "Exchange hashpartitioning"],
     ),
+    # r6: container-metadata audit — two Arrow stages (encode, bitstream
+    # parse); payload dropped at the parse stage, nothing shuffles
+    "multimodal_container_metadata": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Exchange hashpartitioning"],
+    ),
     # melt + ONE combiner-reduced count agg + min-struct argmax; shuffled
     # rows are counts, never the source records
     "entity_golden_record": (
