@@ -4411,6 +4411,29 @@ def q_sample_mixture_weights(spark, sf_dir):
     ).orderBy("source", "lang")
 
 
+def q_sample_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (round 6) — the GPT-style
+    batching step: documents concatenated in doc_id order into one global
+    token stream, sliced into 256-token training sequences; output is the
+    (chunk, doc) manifest with per-chunk offsets. The global exclusive
+    prefix sum runs as the two-phase bucketed cumsum (NO single-partition
+    window over the corpus — only the KB-bounded bucket-totals table sees
+    an unpartitioned window); chunk expansion is sequence/explode
+    JVM-side. Offsets are pure integer arithmetic over whitespace token
+    counts, so the DuckDB oracle replays the manifest exactly."""
+    from iatlas_cbioportal_export_spark.functions import text as T
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.tokens("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, "n_tokens", "doc_id", seq_len=256, bucket_width=1_000
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition metrics per document (Rae et al. 2021
     §A1.1): character mass of the most-repeated word 2-gram and of all
@@ -5237,6 +5260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_winsorize": q_stats_winsorize,
         "eval_calibration": q_eval_calibration,
         "sample_mixture_weights": q_sample_mixture_weights,
+        "sample_pack_sequences": q_sample_pack_sequences,
         "text_repetition": q_text_repetition,
         "eval_confusion": q_eval_confusion,
         "dedup_containment": q_dedup_containment,
@@ -5444,6 +5468,7 @@ _R6_WINDOW = [
     "bundle_cross_checks",
     "multimodal_png_roundtrip",
     "multimodal_container_metadata",
+    "sample_pack_sequences",
     "dedup_containment_capped",
     "dedup_url_canonical",
     # r6-touched code paths: dedup.py (containment cap), text.py (dense
@@ -5496,7 +5521,6 @@ _R6_WINDOW = [
     "f2_case_normalization",
     "f3_value_recode",
     "f5_days_to_months",
-    "f7_case_list_slug",
 ]
 
 
@@ -6133,6 +6157,32 @@ def oracle_sql() -> dict[str, str]:
                    'violating rows' AS detail
             FROM rules
             ORDER BY "check"
+        """,
+        "sample_pack_sequences": f"""
+            WITH toks AS (
+                SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n
+                FROM documents
+            ),
+            pre AS (
+                SELECT doc_id, n,
+                       CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s
+                FROM toks
+            ),
+            spans AS (
+                SELECT doc_id, n, s, s + n AS e FROM pre WHERE n > 0
+            ),
+            ex AS (
+                SELECT doc_id, s, e,
+                       unnest(generate_series(s // 256, (e - 1) // 256))
+                           AS c
+                FROM spans
+            )
+            SELECT doc_id,
+                   CAST(c AS BIGINT) AS chunk_id,
+                   CAST(greatest(s - c * 256, 0) AS BIGINT) AS start_in_chunk,
+                   CAST(least(e, (c + 1) * 256) - greatest(s, c * 256)
+                        AS BIGINT) AS n_tokens_in_chunk
+            FROM ex
         """,
         "sample_mixture_weights": """
             WITH g AS (

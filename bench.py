@@ -121,6 +121,7 @@ EXTENDED = [
     "dedup_containment_capped",
     "multimodal_png_roundtrip",
     "multimodal_container_metadata",
+    "sample_pack_sequences",
 ]
 
 # Inherently-iterative / exact-all-pairs queries whose 5-15s walls are

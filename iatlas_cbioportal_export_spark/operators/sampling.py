@@ -287,3 +287,78 @@ def mixture_weights(
             F.expr(budget).cast("long").alias("budget_tokens"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    n_tokens_col: str,
+    order_col: str,
+    seq_len: int,
+    bucket_width: int = 1_000,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM pre-training
+    batching step (GPT-style): documents are conceptually concatenated in
+    ``order_col`` order into one global token stream, which is sliced into
+    fixed ``seq_len`` training sequences; a document contributes to every
+    chunk its token span overlaps. This produces the (chunk, doc) manifest
+    a dataloader needs WITHOUT materializing the stream: pure offset
+    arithmetic over token counts.
+
+    Scale shape: the only non-narrow step is the global exclusive prefix
+    sum of token counts, delegated to
+    :func:`~..aggregates.global_running_sum` (two-phase bucketed cumsum —
+    NO single-partition window; see its docstring for the 100 TB
+    argument). Chunk expansion is ``sequence``/``explode`` JVM-side; each
+    doc explodes into ``ceil(n_tokens / seq_len) + 1`` rows at most, so
+    output grows linearly with corpus tokens.
+
+    Determinism: offsets depend only on (``order_col`` order, token
+    counts) — any engine (or the DuckDB oracle) reproduces the exact
+    manifest; no RNG, no partitioning dependence, matching this module's
+    reproducible-training-set contract.
+
+    Output: ``order_col``, ``chunk_id`` (0-based ``seq_len``-sized slice
+    of the global stream), ``start_in_chunk`` (token offset of this doc's
+    first token within the chunk), ``n_tokens_in_chunk``. Zero-token docs
+    contribute no rows (nothing to pack).
+    """
+    from .aggregates import global_running_sum
+
+    run = global_running_sum(
+        df.select(order_col, n_tokens_col),
+        order_col=order_col,
+        value_col=n_tokens_col,
+        bucket_width=bucket_width,
+    )
+    n = F.col(n_tokens_col).cast("long")
+    end = F.col(f"running_{n_tokens_col}").cast("long")
+    start = (end - n).alias("__start")
+    L = F.lit(int(seq_len))
+    spans = run.select(
+        order_col,
+        n.alias("__n"),
+        start,
+        end.alias("__end"),
+    ).filter(F.col("__n") > 0)
+    chunk = F.col("__chunk")
+    return spans.select(
+        order_col,
+        "__start",
+        "__end",
+        F.explode(
+            F.sequence(
+                (F.col("__start") / L).cast("long"),
+                ((F.col("__end") - 1) / L).cast("long"),
+            )
+        ).alias("__chunk"),
+    ).select(
+        order_col,
+        chunk.alias("chunk_id"),
+        F.greatest(F.col("__start") - chunk * L, F.lit(0)).alias(
+            "start_in_chunk"
+        ),
+        (
+            F.least(F.col("__end"), (chunk + 1) * L)
+            - F.greatest(F.col("__start"), chunk * L)
+        ).alias("n_tokens_in_chunk"),
+    )

@@ -201,3 +201,64 @@ def test_mixture_weights_sqrt_temperature_and_integer_exactness(spark):
     assert 1_000_000 - sum(r["share_ppm"] for r in out.values()) < 3
     with __import__("pytest").raises(ValueError):
         mixture_weights(df, ["source"], "n_tok", 1, temperature=3.0)
+
+
+def test_pack_sequences_exact_manifest(spark):
+    from iatlas_cbioportal_export_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 5), (1, 0), (2, 12), (3, 3), (4, 10)],
+        "doc_id long, n_tokens long",
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.start_in_chunk, r.n_tokens_in_chunk)
+        for r in pack_sequences(
+            df, "n_tokens", "doc_id", seq_len=8, bucket_width=2
+        ).collect()
+    )
+    # token stream: doc0 [0,5) doc2 [5,17) doc3 [17,20) doc4 [20,30); L=8
+    assert got == [
+        (0, 0, 0, 5),
+        (2, 0, 5, 3), (2, 1, 0, 8), (2, 2, 0, 1),
+        (3, 2, 1, 3),
+        (4, 2, 4, 4), (4, 3, 0, 6),
+    ]
+
+
+def test_pack_sequences_conservation_and_partitioning_invariance(spark):
+    import pyspark.sql.functions as F
+
+    from iatlas_cbioportal_export_spark.operators.sampling import pack_sequences
+
+    rows = [(i, (i * 17) % 29) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "n_tokens", "doc_id", seq_len=64)
+    # every token lands in exactly one chunk slot
+    assert (
+        out.agg(F.sum("n_tokens_in_chunk")).first()[0]
+        == sum(n for _, n in rows)
+    )
+    # per-doc totals conserved
+    per_doc = {
+        r.doc_id: r.total
+        for r in out.groupBy("doc_id")
+        .agg(F.sum("n_tokens_in_chunk").alias("total"))
+        .collect()
+    }
+    assert per_doc == {i: n for i, n in rows if n > 0}
+    # every chunk except the last is exactly full
+    sizes = {
+        r.chunk_id: r.fill
+        for r in out.groupBy("chunk_id")
+        .agg(F.sum("n_tokens_in_chunk").alias("fill"))
+        .collect()
+    }
+    last = max(sizes)
+    assert all(v == 64 for c, v in sizes.items() if c != last)
+    # offsets don't depend on physical partitioning
+    repart = pack_sequences(
+        df.repartition(13, "n_tokens"), "n_tokens", "doc_id", seq_len=64
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, repart.collect())
+    )

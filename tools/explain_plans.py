@@ -669,6 +669,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
          "Exchange hashpartitioning"],
     ),
+    # r6: concat-and-chunk packing — two-phase cumsum (bucket window +
+    # broadcast offsets) then sequence/explode; the only unpartitioned
+    # window runs over the KB-bounded bucket-totals table
+    "sample_pack_sequences": (
+        ["BroadcastHashJoin", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
     # melt + ONE combiner-reduced count agg + min-struct argmax; shuffled
     # rows are counts, never the source records
     "entity_golden_record": (
