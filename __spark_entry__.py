@@ -4411,6 +4411,74 @@ def q_sample_mixture_weights(spark, sf_dir):
     ).orderBy("source", "lang")
 
 
+def q_meta_consistency(spark, sf_dir):
+    """Meta-file ↔ bundle cross-consistency (round 6) — the study-descriptor
+    tier of cBioPortal validateData.py, completing the native validator
+    next to bundle_cross_checks (id level): synthetic metas derived from
+    nation (study-id deviants at n_nationkey%7==3, an undefined
+    MRNA_EXPRESSION/MAF datatype pair at %4==3, stable_id collisions via
+    %10, data files missing from the bundle at %5==2) and a bundle listing
+    (nation-named data files minus the planted gaps, five orphan
+    data_extra_* files from region, plus the six reference-required
+    files). Every join broadcasts KB-sized descriptor tables; the oracle
+    replays all six violation counts closed-form."""
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        meta_consistency_checks,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    metas = n.select(
+        F.concat(F.lit("meta_"), F.col("n_name")).alias("meta_name"),
+        F.when(k % 7 == 3, F.lit("iatlas_y"))
+        .otherwise(F.lit("iatlas_x"))
+        .alias("cancer_study_identifier"),
+        F.element_at(
+            F.array(
+                F.lit("CLINICAL"), F.lit("MUTATION_EXTENDED"),
+                F.lit("MRNA_EXPRESSION"), F.lit("MRNA_EXPRESSION"),
+            ),
+            (k % 4 + 1).cast("int"),
+        ).alias("genetic_alteration_type"),
+        F.element_at(
+            F.array(
+                F.lit("PATIENT_ATTRIBUTES"), F.lit("MAF"),
+                F.lit("CONTINUOUS"), F.lit("MAF"),
+            ),
+            (k % 4 + 1).cast("int"),
+        ).alias("datatype"),
+        F.concat(F.lit("sid_"), (k % 10).cast("string")).alias("stable_id"),
+        F.concat(F.lit("data_"), F.col("n_name"), F.lit(".txt")).alias(
+            "data_filename"
+        ),
+    )
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        REQUIRED_BUNDLE_FILES,
+    )
+
+    bundle = (
+        n.filter(k % 5 != 2)
+        .select(
+            F.concat(F.lit("data_"), F.col("n_name"), F.lit(".txt")).alias(
+                "filename"
+            )
+        )
+        .unionAll(
+            _t(spark, sf_dir, "region").select(
+                F.concat(
+                    F.lit("data_extra_"), F.col("r_name"), F.lit(".txt")
+                ).alias("filename")
+            )
+        )
+        .unionAll(
+            spark.createDataFrame(
+                [(f,) for f in REQUIRED_BUNDLE_FILES], "filename string"
+            )
+        )
+    )
+    return meta_consistency_checks(metas, bundle)
+
+
 def q_sample_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (round 6) — the GPT-style
     batching step: documents concatenated in doc_id order into one global
@@ -5261,6 +5329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_calibration": q_eval_calibration,
         "sample_mixture_weights": q_sample_mixture_weights,
         "sample_pack_sequences": q_sample_pack_sequences,
+        "meta_consistency": q_meta_consistency,
         "text_repetition": q_text_repetition,
         "eval_confusion": q_eval_confusion,
         "dedup_containment": q_dedup_containment,
@@ -5469,6 +5538,7 @@ _R6_WINDOW = [
     "multimodal_png_roundtrip",
     "multimodal_container_metadata",
     "sample_pack_sequences",
+    "meta_consistency",
     "dedup_containment_capped",
     "dedup_url_canonical",
     # r6-touched code paths: dedup.py (containment cap), text.py (dense
@@ -5520,7 +5590,6 @@ _R6_WINDOW = [
     "f1_strip_suffix_first",
     "f2_case_normalization",
     "f3_value_recode",
-    "f5_days_to_months",
 ]
 
 
@@ -6155,6 +6224,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS observed,
                    CAST(0 AS BIGINT) AS expected,
                    'violating rows' AS detail
+            FROM rules
+            ORDER BY "check"
+        """,
+        "meta_consistency": """
+            WITH m AS (
+                SELECT n_nationkey AS k,
+                       CASE WHEN n_nationkey % 7 = 3 THEN 'iatlas_y'
+                            ELSE 'iatlas_x' END AS csi,
+                       n_nationkey % 4 AS combo,
+                       'sid_' || CAST(n_nationkey % 10 AS VARCHAR) AS sid,
+                       'data_' || n_name || '.txt' AS fn
+                FROM nation
+            ),
+            required AS (
+                SELECT f FROM (VALUES ('data_clinical_patient.txt'),
+                    ('data_clinical_sample.txt'), ('cases_sequenced.txt'),
+                    ('cases_all.txt'), ('meta_clinical_patient.txt'),
+                    ('meta_clinical_sample.txt')) v(f)
+            ),
+            bundle AS (
+                SELECT 'data_' || n_name || '.txt' AS filename
+                FROM nation WHERE n_nationkey % 5 <> 2
+                UNION ALL
+                SELECT 'data_extra_' || r_name || '.txt' FROM region
+                UNION ALL
+                SELECT f FROM required
+            ),
+            counts AS (
+                SELECT
+                  (SELECT count(*) FROM m
+                   WHERE csi <> (SELECT min(csi) FROM m)) AS v_study,
+                  (SELECT count(*) FROM m WHERE combo = 3) AS v_combo,
+                  (SELECT count(*) FROM m WHERE fn NOT IN
+                     (SELECT filename FROM bundle)) AS v_missing,
+                  (SELECT count(*) FROM (SELECT DISTINCT filename
+                     FROM bundle) b
+                   WHERE substr(b.filename, 1, 5) = 'data_'
+                     AND b.filename NOT IN (SELECT fn FROM m)) AS v_orphan,
+                  (SELECT count(*) FROM (SELECT sid FROM m
+                     GROUP BY sid HAVING count(*) > 1) d) AS v_dup,
+                  (SELECT count(*) FROM required r
+                   WHERE r.f NOT IN (SELECT filename FROM bundle)) AS v_req
+            ),
+            rules AS (
+                SELECT 'meta_study_id_uniform' AS check, v_study AS n,
+                       'ERROR' AS bad,
+                       'metas declaring a different cancer_study_identifier'
+                           AS detail
+                FROM counts
+                UNION ALL SELECT 'meta_datatype_combination', v_combo,
+                       'ERROR',
+                       '(genetic_alteration_type, datatype) not defined by cBioPortal'
+                FROM counts
+                UNION ALL SELECT 'meta_data_file_exists', v_missing, 'ERROR',
+                       'metas referencing a data file absent from the bundle'
+                FROM counts
+                UNION ALL SELECT 'meta_orphan_data_files', v_orphan, 'WARN',
+                       'data_* files no meta references'
+                FROM counts
+                UNION ALL SELECT 'meta_duplicate_stable_id', v_dup, 'ERROR',
+                       'stable_id values shared by more than one meta'
+                FROM counts
+                UNION ALL SELECT 'meta_required_files', v_req, 'ERROR',
+                       'required bundle files absent (reference clinical.py:66-73)'
+                FROM counts
+            )
+            SELECT "check",
+                   CASE WHEN n = 0 THEN 'OK' ELSE bad END AS status,
+                   CAST(n AS BIGINT) AS observed,
+                   CAST(0 AS BIGINT) AS expected,
+                   detail
             FROM rules
             ORDER BY "check"
         """,

@@ -122,6 +122,7 @@ EXTENDED = [
     "multimodal_png_roundtrip",
     "multimodal_container_metadata",
     "sample_pack_sequences",
+    "meta_consistency",
 ]
 
 # Inherently-iterative / exact-all-pairs queries whose 5-15s walls are

@@ -1025,3 +1025,201 @@ def cross_file_referential_checks(
         )
 
     return findings_union(findings)
+
+
+#: cBioPortal's documented (genetic_alteration_type, datatype) matrix for
+#: the file formats this pipeline can emit (public file-format docs; the
+#: reference reaches the same table through the datahub
+#: ``generate_meta_files.py -m datatypes.txt`` subprocess,
+#: ``clinical.py:634-641``).
+ALLOWED_META_DATATYPES = frozenset(
+    {
+        ("CLINICAL", "PATIENT_ATTRIBUTES"),
+        ("CLINICAL", "SAMPLE_ATTRIBUTES"),
+        ("MUTATION_EXTENDED", "MAF"),
+        ("COPY_NUMBER_ALTERATION", "DISCRETE"),
+        ("COPY_NUMBER_ALTERATION", "CONTINUOUS"),
+        ("COPY_NUMBER_ALTERATION", "LOG2-VALUE"),
+        ("COPY_NUMBER_ALTERATION", "SEG"),
+        ("MRNA_EXPRESSION", "CONTINUOUS"),
+        ("MRNA_EXPRESSION", "Z-SCORE"),
+        ("GENERIC_ASSAY", "LIMIT-VALUE"),
+        ("STRUCTURAL_VARIANT", "SV"),
+        ("METHYLATION", "CONTINUOUS"),
+    }
+)
+
+#: Reference ``clinical.py:66-73``: files every exported study must carry.
+REQUIRED_BUNDLE_FILES = (
+    "data_clinical_patient.txt",
+    "data_clinical_sample.txt",
+    "cases_sequenced.txt",
+    "cases_all.txt",
+    "meta_clinical_patient.txt",
+    "meta_clinical_sample.txt",
+)
+
+
+def parse_meta_text(name: str, text: str) -> dict:
+    """Parse one ``meta_*.txt`` / ``cases_*.txt`` key:value document (the
+    inverse of ``sinks.render_meta_file``) into a flat dict with
+    ``meta_name`` added. Driver-side by design — meta files are KB-sized
+    study descriptors, exactly like the reference's own handling."""
+    fields: dict = {"meta_name": name}
+    for line in text.splitlines():
+        if ":" in line:
+            k, v = line.split(":", 1)
+            fields[k.strip()] = v.strip()
+    return fields
+
+
+def meta_consistency_checks(
+    metas: DataFrame,
+    bundle_files: DataFrame,
+) -> DataFrame:
+    """Meta-file ↔ bundle cross-consistency — the study-descriptor tier of
+    cBioPortal ``validateData.py`` (the reference reaches it only through
+    its subprocess call, ``validate.py:211-216``), completing the native
+    validator next to :func:`cross_file_referential_checks` (id-level) and
+    the per-field conformance rules.
+
+    ``metas``: one row per meta file with columns ``meta_name,
+    cancer_study_identifier, genetic_alteration_type, datatype, stable_id,
+    data_filename`` (NULL where a meta legitimately omits a key — e.g.
+    ``meta_study`` carries no alteration type). ``bundle_files``: one
+    ``filename`` column listing the bundle directory.
+
+    Checks (uniform findings schema, ONE lazy union):
+
+    - ``meta_study_id_uniform`` (ERROR): every meta declares the same
+      ``cancer_study_identifier`` (validator: mismatched study ids abort
+      the import).
+    - ``meta_datatype_combination`` (ERROR): each
+      (genetic_alteration_type, datatype) pair is a combination cBioPortal
+      defines (:data:`ALLOWED_META_DATATYPES`).
+    - ``meta_data_file_exists`` (ERROR): every ``data_filename`` a meta
+      references exists in the bundle.
+    - ``meta_orphan_data_files`` (WARN): ``data_*`` files no meta claims —
+      silently-unloaded data, the classic packaging mistake.
+    - ``meta_duplicate_stable_id`` (ERROR): stable ids are unique across
+      metas.
+    - ``meta_required_files`` (ERROR): the reference's REQUIRED
+      bundle files (``clinical.py:66-73``) are all present.
+
+    Scale: metas and file listings are KB-sized study descriptors — every
+    join here broadcasts; nothing from the data files themselves is read,
+    so the check costs nothing at 100 TB.
+    """
+    findings: list[DataFrame] = []
+    spark = metas.sparkSession
+
+    canon = metas.agg(
+        F.min("cancer_study_identifier").alias("__canon")
+    )
+    deviants = metas.crossJoin(F.broadcast(canon)).filter(
+        F.col("cancer_study_identifier").isNotNull()
+        & (F.col("cancer_study_identifier") != F.col("__canon"))
+    )
+    findings.append(
+        deviants.agg(F.count(F.lit(1)).alias("n")).select(
+            *_finding_row(
+                "meta_study_id_uniform",
+                F.col("n") == 0,
+                F.col("n"),
+                F.lit(0),
+                F.lit("metas declaring a different cancer_study_identifier"),
+            )
+        )
+    )
+
+    pair = F.concat_ws("/", "genetic_alteration_type", "datatype")
+    allowed = [f"{g}/{d}" for g, d in sorted(ALLOWED_META_DATATYPES)]
+    bad_pairs = metas.filter(
+        F.col("genetic_alteration_type").isNotNull() & ~pair.isin(allowed)
+    )
+    findings.append(
+        bad_pairs.agg(F.count(F.lit(1)).alias("n")).select(
+            *_finding_row(
+                "meta_datatype_combination",
+                F.col("n") == 0,
+                F.col("n"),
+                F.lit(0),
+                F.lit("(genetic_alteration_type, datatype) not defined by "
+                      "cBioPortal"),
+            )
+        )
+    )
+
+    referenced = metas.filter(F.col("data_filename").isNotNull()).select(
+        F.col("data_filename").alias("filename")
+    )
+    missing_data = referenced.join(
+        F.broadcast(bundle_files), "filename", "left_anti"
+    )
+    findings.append(
+        missing_data.agg(F.count(F.lit(1)).alias("n")).select(
+            *_finding_row(
+                "meta_data_file_exists",
+                F.col("n") == 0,
+                F.col("n"),
+                F.lit(0),
+                F.lit("metas referencing a data file absent from the bundle"),
+            )
+        )
+    )
+
+    orphans = (
+        bundle_files.filter(F.col("filename").startswith("data_"))
+        .join(F.broadcast(referenced.distinct()), "filename", "left_anti")
+    )
+    findings.append(
+        orphans.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("meta_orphan_data_files").alias("check"),
+            F.when(F.col("n") == 0, F.lit("OK"))
+            .otherwise(F.lit("WARN"))
+            .alias("status"),
+            F.col("n").cast("long").alias("observed"),
+            F.lit(0).cast("long").alias("expected"),
+            F.lit("data_* files no meta references").alias("detail"),
+        )
+    )
+
+    dup_stable = (
+        metas.filter(F.col("stable_id").isNotNull())
+        .groupBy("stable_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    findings.append(
+        dup_stable.select(
+            *_finding_row(
+                "meta_duplicate_stable_id",
+                F.col("n") == 0,
+                F.col("n"),
+                F.lit(0),
+                F.lit("stable_id values shared by more than one meta"),
+            )
+        )
+    )
+
+    required = spark.createDataFrame(
+        [(f,) for f in REQUIRED_BUNDLE_FILES], "filename string"
+    )
+    missing_required = required.join(
+        F.broadcast(bundle_files), "filename", "left_anti"
+    )
+    findings.append(
+        missing_required.agg(F.count(F.lit(1)).alias("n")).select(
+            *_finding_row(
+                "meta_required_files",
+                F.col("n") == 0,
+                F.col("n"),
+                F.lit(0),
+                F.lit("required bundle files absent "
+                      "(reference clinical.py:66-73)"),
+            )
+        )
+    )
+
+    return findings_union(findings)

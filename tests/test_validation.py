@@ -433,3 +433,97 @@ def test_cross_file_referential_checks_clean_bundle(spark):
     ).collect()
     assert all(r["status"] == "OK" for r in rows)
     assert len(rows) == 4
+
+
+def test_parse_meta_text_roundtrips_renderer():
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        parse_meta_text,
+    )
+    from iatlas_cbioportal_export_spark.sources.sinks import render_meta_file
+
+    fields = {
+        "cancer_study_identifier": "iatlas_x",
+        "genetic_alteration_type": "CLINICAL",
+        "datatype": "PATIENT_ATTRIBUTES",
+        "data_filename": "data_clinical_patient.txt",
+        "description": "a: colon-bearing value",
+    }
+    got = parse_meta_text("meta_clinical_patient.txt", render_meta_file(fields))
+    assert got["meta_name"] == "meta_clinical_patient.txt"
+    for k, v in fields.items():
+        assert got[k] == v
+
+
+def test_meta_consistency_checks_planted_violations(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        meta_consistency_checks,
+    )
+
+    metas = spark.createDataFrame(
+        [
+            # meta_study: no alteration type / datatype / data file
+            ("meta_study.txt", "iatlas_x", None, None, None, None),
+            ("meta_clinical_patient.txt", "iatlas_x", "CLINICAL",
+             "PATIENT_ATTRIBUTES", None, "data_clinical_patient.txt"),
+            ("meta_clinical_sample.txt", "iatlas_x", "CLINICAL",
+             "SAMPLE_ATTRIBUTES", None, "data_clinical_sample.txt"),
+            # WRONG study id
+            ("meta_mutations_extended.txt", "iatlas_y", "MUTATION_EXTENDED",
+             "MAF", "mutations", "data_mutations_extended.txt"),
+            # UNDEFINED datatype combination + duplicate stable_id +
+            # data file missing from the bundle
+            ("meta_rna.txt", "iatlas_x", "MRNA_EXPRESSION", "MAF",
+             "mutations", "data_rna_seq.txt"),
+        ],
+        "meta_name string, cancer_study_identifier string, "
+        "genetic_alteration_type string, datatype string, "
+        "stable_id string, data_filename string",
+    )
+    bundle = spark.createDataFrame(
+        [
+            ("data_clinical_patient.txt",),
+            ("data_clinical_sample.txt",),
+            ("data_mutations_extended.txt",),
+            ("data_orphan_matrix.txt",),  # no meta references it
+            ("cases_sequenced.txt",),
+            # cases_all.txt missing -> required-files violation
+            ("meta_clinical_patient.txt",),
+            ("meta_clinical_sample.txt",),
+        ],
+        "filename string",
+    )
+    got = {
+        r["check"]: (r["status"], r["observed"])
+        for r in meta_consistency_checks(metas, bundle).collect()
+    }
+    assert got["meta_study_id_uniform"] == ("ERROR", 1)
+    assert got["meta_datatype_combination"] == ("ERROR", 1)
+    assert got["meta_data_file_exists"] == ("ERROR", 1)
+    assert got["meta_orphan_data_files"] == ("WARN", 1)
+    assert got["meta_duplicate_stable_id"] == ("ERROR", 1)
+    assert got["meta_required_files"] == ("ERROR", 1)
+
+
+def test_meta_consistency_checks_clean_bundle(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        REQUIRED_BUNDLE_FILES,
+        meta_consistency_checks,
+    )
+
+    metas = spark.createDataFrame(
+        [
+            ("meta_clinical_patient.txt", "iatlas_x", "CLINICAL",
+             "PATIENT_ATTRIBUTES", None, "data_clinical_patient.txt"),
+            ("meta_clinical_sample.txt", "iatlas_x", "CLINICAL",
+             "SAMPLE_ATTRIBUTES", None, "data_clinical_sample.txt"),
+        ],
+        "meta_name string, cancer_study_identifier string, "
+        "genetic_alteration_type string, datatype string, "
+        "stable_id string, data_filename string",
+    )
+    bundle = spark.createDataFrame(
+        [(f,) for f in REQUIRED_BUNDLE_FILES], "filename string"
+    )
+    out = meta_consistency_checks(metas, bundle).collect()
+    assert {r["status"] for r in out} == {"OK"}
+    assert len(out) == 6

@@ -669,6 +669,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
          "Exchange hashpartitioning"],
     ),
+    # r6: meta ↔ bundle consistency — KB-sized descriptor tables; every
+    # membership check is a broadcast LeftAnti; the one BNLJ is the 1-row
+    # canonical-study-id scalar broadcast (bounded by construction)
+    "meta_consistency": (
+        ["BroadcastHashJoin", "LeftAnti"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     # r6: concat-and-chunk packing — two-phase cumsum (bucket window +
     # broadcast offsets) then sequence/explode; the only unpartitioned
     # window runs over the KB-bounded bucket-totals table
