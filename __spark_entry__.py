@@ -4411,6 +4411,31 @@ def q_sample_mixture_weights(spark, sf_dir):
     ).orderBy("source", "lang")
 
 
+def q_curation_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit (round 6) — the privacy gate before
+    releasing/training on tabular records: customers bucketed into
+    deliberately fine quasi-identifier classes (nation, market segment,
+    custkey%20) are audited at k=3 with account-balance sign as the
+    sensitive attribute; classes smaller than k or with a single
+    sensitive value are reported. ONE map-side-combined groupBy — only
+    (quasi tuple, count, distinct-count) rows shuffle; the violating tail
+    is bounded by the class count, and skewed tuples land in the
+    NON-violating side by construction."""
+    from iatlas_cbioportal_export_spark.operators.curation import (
+        k_anonymity_report,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_custkey") % 20).alias("bucket"),
+        (F.col("c_acctbal") > 0).alias("positive_bal"),
+    )
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "bucket"], "positive_bal", k=3
+    )
+
+
 def q_meta_consistency(spark, sf_dir):
     """Meta-file ↔ bundle cross-consistency (round 6) — the study-descriptor
     tier of cBioPortal validateData.py, completing the native validator
@@ -5330,6 +5355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture_weights": q_sample_mixture_weights,
         "sample_pack_sequences": q_sample_pack_sequences,
         "meta_consistency": q_meta_consistency,
+        "curation_k_anonymity": q_curation_k_anonymity,
         "text_repetition": q_text_repetition,
         "eval_confusion": q_eval_confusion,
         "dedup_containment": q_dedup_containment,
@@ -5529,7 +5555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {n: all_q[n] for n in [*window, *rest]}
 
 
-# Round-6 driver window (first 50 entries): 5 new r6 queries, then
+# Round-6 driver window (first 50 entries): 8 new r6 queries, then
 # re-check slots for every r6-touched code path, then freshness re-checks
 # of the longest-unchecked greens.
 _R6_WINDOW = [
@@ -5539,6 +5565,7 @@ _R6_WINDOW = [
     "multimodal_container_metadata",
     "sample_pack_sequences",
     "meta_consistency",
+    "curation_k_anonymity",
     "dedup_containment_capped",
     "dedup_url_canonical",
     # r6-touched code paths: dedup.py (containment cap), text.py (dense
@@ -5588,8 +5615,6 @@ _R6_WINDOW = [
     "a7_drop_duplicates",
     "a8_keep_latest",
     "f1_strip_suffix_first",
-    "f2_case_normalization",
-    "f3_value_recode",
 ]
 
 
@@ -6226,6 +6251,16 @@ def oracle_sql() -> dict[str, str]:
                    'violating rows' AS detail
             FROM rules
             ORDER BY "check"
+        """,
+        "curation_k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(c_custkey % 20 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS class_size,
+                   CAST(count(DISTINCT c_acctbal > 0) AS BIGINT)
+                       AS l_diversity
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment, c_custkey % 20
+            HAVING count(*) < 3 OR count(DISTINCT c_acctbal > 0) = 1
         """,
         "meta_consistency": """
             WITH m AS (

@@ -123,6 +123,7 @@ EXTENDED = [
     "multimodal_container_metadata",
     "sample_pack_sequences",
     "meta_consistency",
+    "curation_k_anonymity",
 ]
 
 # Inherently-iterative / exact-all-pairs queries whose 5-15s walls are

@@ -507,3 +507,44 @@ def canonicalize_urls(
         ),
     )
     return df.withColumn(out_col, F.when(url.isNotNull(), canonical))
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    al. 2007) — the privacy gate a curation pipeline runs before releasing
+    or training on tabular records: every combination of quasi-identifier
+    values (an *equivalence class*) should cover at least ``k`` records,
+    else those records are re-identifiable by joining the quasi-identifiers
+    against an external dataset.
+
+    Output: one row per VIOLATING equivalence class (class size < ``k``),
+    with the quasi-identifier values, ``class_size``, and — when
+    ``sensitive_col`` is given — ``l_diversity`` (distinct sensitive
+    values in the class; 1 means the class leaks its members' sensitive
+    value outright even at size ≥ k, so classes with ``l_diversity == 1``
+    are ALSO reported regardless of size).
+
+    Scale: ONE map-side-combined groupBy on the quasi-identifier tuple;
+    only (quasi values, count, distinct-sensitive count) rows shuffle —
+    never the records. Violating classes are by definition the small tail
+    (< k members each), so the report is bounded by the class count, not
+    the corpus. Skewed quasi tuples land in big classes, which are the
+    NON-violating side — skew does not concentrate in the output.
+    """
+    if sensitive_col is None:
+        agg = df.groupBy(*quasi_cols).agg(
+            F.count(F.lit(1)).alias("class_size")
+        )
+        return agg.filter(F.col("class_size") < k)
+    agg = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(sensitive_col).alias("l_diversity"),
+    )
+    return agg.filter(
+        (F.col("class_size") < k) | (F.col("l_diversity") == 1)
+    )

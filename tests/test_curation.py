@@ -243,3 +243,30 @@ def test_canonicalize_urls_rules(spark):
     assert out[4] == "https://example.com:8443/a/b"
     assert out[5] == "http://example.com/a/b"
     assert out[6] is None
+
+
+def test_k_anonymity_report_sizes_and_l_diversity(spark):
+    from iatlas_cbioportal_export_spark.operators.curation import (
+        k_anonymity_report,
+    )
+
+    rows = (
+        # class (30, x): 5 members, 2 sensitive values -> safe at k=5
+        [(30, "x", f"d{i % 2}") for i in range(5)]
+        # class (30, y): 3 members -> k-violation
+        + [(30, "y", f"d{i}") for i in range(3)]
+        # class (40, x): 6 members but ONE sensitive value -> l=1 leak
+        + [(40, "x", "d9")] * 6
+    )
+    df = spark.createDataFrame(rows, "age long, zip string, diag string")
+    got = {
+        (r.age, r.zip): (r.class_size, r.l_diversity)
+        for r in k_anonymity_report(
+            df, ["age", "zip"], "diag", k=5
+        ).collect()
+    }
+    assert got == {(30, "y"): (3, 3), (40, "x"): (6, 1)}
+    # without a sensitive column: only the size rule, no l_diversity col
+    plain = k_anonymity_report(df, ["age", "zip"], k=5)
+    assert plain.columns == ["age", "zip", "class_size"]
+    assert {(r.age, r.zip) for r in plain.collect()} == {(30, "y")}

@@ -669,6 +669,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
          "Exchange hashpartitioning"],
     ),
+    # r6: k-anonymity audit — ONE map-side-combined groupBy; only quasi
+    # tuples + counts shuffle
+    "curation_k_anonymity": (
+        ["HashAggregate", "codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Window"],
+    ),
     # r6: meta ↔ bundle consistency — KB-sized descriptor tables; every
     # membership check is a broadcast LeftAnti; the one BNLJ is the 1-row
     # canonical-study-id scalar broadcast (bounded by construction)
