@@ -13,31 +13,33 @@ executed — ``df.count()`` plans its own job, so inspect after
 """
 
 import pytest
-from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+#: Every knob here is a runtime SQL conf, so the test runs in a
+#: ``newSession()`` — an isolated SQL-conf view over the suite's shared
+#: SparkContext. A ``builder.getOrCreate()`` here would RETURN the shared
+#: session (mutating its confs), and ``stop()`` would kill the context for
+#: every module after this one — exactly the FFF-cascade the suite saw
+#: when this fixture briefly did that.
+_SKEW_CONFS = {
+    "spark.sql.shuffle.partitions": "8",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50k",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+}
 
 
 @pytest.fixture(scope="module")
-def skew_spark():
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .appName("aqe-skew-test")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-        .config(
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-            "100k",
-        )
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50k")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-        .getOrCreate()
-    )
-    yield spark
-    spark.stop()
+def skew_spark(spark):
+    isolated = spark.newSession()
+    for key, value in _SKEW_CONFS.items():
+        isolated.conf.set(key, value)
+    yield isolated
 
 
 def _skewed_join(spark):
