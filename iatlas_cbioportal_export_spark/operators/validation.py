@@ -1113,15 +1113,28 @@ def meta_consistency_checks(
     findings: list[DataFrame] = []
     spark = metas.sparkSession
 
-    canon = metas.agg(
-        F.min("cancer_study_identifier").alias("__canon")
+    # deviants = metas not declaring the canonical (minimum) study id —
+    # computed as two aggregates over the per-study counts (min-struct
+    # picks the canonical id's count), NOT a scalar crossJoin: keeps the
+    # plan nested-loop-free for the registry linter.
+    per_study = (
+        metas.filter(F.col("cancer_study_identifier").isNotNull())
+        .groupBy("cancer_study_identifier")
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
-    deviants = metas.crossJoin(F.broadcast(canon)).filter(
-        F.col("cancer_study_identifier").isNotNull()
-        & (F.col("cancer_study_identifier") != F.col("__canon"))
+    deviants = per_study.agg(
+        (
+            F.coalesce(F.sum("__c"), F.lit(0))
+            - F.coalesce(
+                F.min(
+                    F.struct(F.col("cancer_study_identifier"), F.col("__c"))
+                ).getField("__c"),
+                F.lit(0),
+            )
+        ).alias("n")
     )
     findings.append(
-        deviants.agg(F.count(F.lit(1)).alias("n")).select(
+        deviants.select(
             *_finding_row(
                 "meta_study_id_uniform",
                 F.col("n") == 0,

@@ -677,11 +677,11 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
          "Window"],
     ),
     # r6: meta ↔ bundle consistency — KB-sized descriptor tables; every
-    # membership check is a broadcast LeftAnti; the one BNLJ is the 1-row
-    # canonical-study-id scalar broadcast (bounded by construction)
+    # membership check is a broadcast LeftAnti; the canonical-study-id
+    # deviant count is a min-struct aggregate, so NO nested loop at all
     "meta_consistency": (
         ["BroadcastHashJoin", "LeftAnti"],
-        ["CartesianProduct", "SortMergeJoin"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
     ),
     # r6: concat-and-chunk packing — two-phase cumsum (bucket window +
     # broadcast offsets) then sequence/explode; the only unpartitioned

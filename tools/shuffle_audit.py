@@ -104,6 +104,15 @@ DEFAULT_QUERIES = [
     "graph_link_prediction",
     "eval_mrr",
     "text_nfc_normalize",
+    # round-6 additions
+    "bundle_cross_checks",
+    "multimodal_png_roundtrip",
+    "multimodal_container_metadata",
+    "dedup_containment_capped",
+    "dedup_url_canonical",
+    "sample_pack_sequences",
+    "meta_consistency",
+    "curation_k_anonymity",
 ]
 
 
