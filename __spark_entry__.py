@@ -4417,10 +4417,13 @@ def q_curation_k_anonymity(spark, sf_dir):
     deliberately fine quasi-identifier classes (nation, market segment,
     custkey%20) are audited at k=3 with account-balance sign as the
     sensitive attribute; classes smaller than k or with a single
-    sensitive value are reported. ONE map-side-combined groupBy — only
-    (quasi tuple, count, distinct-count) rows shuffle; the violating tail
-    is bounded by the class count, and skewed tuples land in the
-    NON-violating side by construction."""
+    sensitive value are reported. Bucket 7 plants an ALL-NULL sensitive
+    column, pinning the round-7 fix: NULL is a distinct sensitive state
+    (l_diversity = 1 → reported), where bare countDistinct would score 0
+    and silently pass the homogeneous class. ONE map-side-combined
+    groupBy — only (quasi tuple, count, distinct-count) rows shuffle; the
+    violating tail is bounded by the class count, and skewed tuples land
+    in the NON-violating side by construction."""
     from iatlas_cbioportal_export_spark.operators.curation import (
         k_anonymity_report,
     )
@@ -4429,7 +4432,9 @@ def q_curation_k_anonymity(spark, sf_dir):
         "c_nationkey",
         "c_mktsegment",
         (F.col("c_custkey") % 20).alias("bucket"),
-        (F.col("c_acctbal") > 0).alias("positive_bal"),
+        F.when(
+            F.col("c_custkey") % 20 != 7, F.col("c_acctbal") > 0
+        ).alias("positive_bal"),
     )
     return k_anonymity_report(
         cust, ["c_nationkey", "c_mktsegment", "bucket"], "positive_bal", k=3
@@ -6253,14 +6258,24 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY "check"
         """,
         "curation_k_anonymity": """
-            SELECT c_nationkey, c_mktsegment,
-                   CAST(c_custkey % 20 AS BIGINT) AS bucket,
+            WITH s AS (
+                SELECT c_nationkey, c_mktsegment,
+                       CAST(c_custkey % 20 AS BIGINT) AS bucket,
+                       CASE WHEN c_custkey % 20 <> 7
+                            THEN c_acctbal > 0 END AS positive_bal
+                FROM customer
+            )
+            SELECT c_nationkey, c_mktsegment, bucket,
                    CAST(count(*) AS BIGINT) AS class_size,
-                   CAST(count(DISTINCT c_acctbal > 0) AS BIGINT)
-                       AS l_diversity
-            FROM customer
-            GROUP BY c_nationkey, c_mktsegment, c_custkey % 20
-            HAVING count(*) < 3 OR count(DISTINCT c_acctbal > 0) = 1
+                   CAST(count(DISTINCT positive_bal)
+                        + max(CASE WHEN positive_bal IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS l_diversity
+            FROM s
+            GROUP BY c_nationkey, c_mktsegment, bucket
+            HAVING count(*) < 3
+                OR count(DISTINCT positive_bal)
+                   + max(CASE WHEN positive_bal IS NULL
+                         THEN 1 ELSE 0 END) = 1
         """,
         "meta_consistency": """
             WITH m AS (

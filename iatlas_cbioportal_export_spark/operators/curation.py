@@ -527,7 +527,11 @@ def k_anonymity_report(
     ``sensitive_col`` is given — ``l_diversity`` (distinct sensitive
     values in the class; 1 means the class leaks its members' sensitive
     value outright even at size ≥ k, so classes with ``l_diversity == 1``
-    are ALSO reported regardless of size).
+    are ALSO reported regardless of size). NULL counts as a distinct
+    sensitive state of its own ("declined to answer" is itself
+    disclosive), so an all-NULL class has ``l_diversity = 1`` and is
+    reported — plain ``countDistinct`` would skip NULLs, score the class
+    0, and silently pass a homogeneous class through the privacy gate.
 
     Scale: ONE map-side-combined groupBy on the quasi-identifier tuple;
     only (quasi values, count, distinct-sensitive count) rows shuffle —
@@ -541,9 +545,16 @@ def k_anonymity_report(
             F.count(F.lit(1)).alias("class_size")
         )
         return agg.filter(F.col("class_size") < k)
+    # countDistinct ignores NULLs; add 1 iff the class contains any NULL
+    # sensitive value so NULL is a distinct state (never l_diversity = 0).
     agg = df.groupBy(*quasi_cols).agg(
         F.count(F.lit(1)).alias("class_size"),
-        F.countDistinct(sensitive_col).alias("l_diversity"),
+        (
+            F.countDistinct(sensitive_col)
+            + F.max(
+                F.when(F.col(sensitive_col).isNull(), 1).otherwise(0)
+            )
+        ).alias("l_diversity"),
     )
     return agg.filter(
         (F.col("class_size") < k) | (F.col("l_diversity") == 1)

@@ -597,6 +597,8 @@ def mp3_parse_metadata(payload: bytes) -> dict:
         for b in payload[6:10]:
             size = (size << 7) | (b & 0x7F)
         off = 10 + size
+        if payload[5] & 0x10:  # footer flag: tag occupies 10 more bytes
+            off += 10
     n_frames = 0
     bitrate_kbps = sample_rate = None
     while off + 4 <= len(payload):
@@ -653,6 +655,10 @@ def jpeg_parse_metadata(payload: bytes) -> dict:
     while off + 4 <= len(payload):
         if payload[off] != 0xFF:
             raise ValueError(f"expected jpeg marker at offset {off}")
+        # T.81 §B.1.1.2: any number of 0xFF fill bytes may pad a marker —
+        # skip them so the marker byte is never itself read as 0xFF.
+        while off + 4 <= len(payload) and payload[off + 1] == 0xFF:
+            off += 1
         marker = payload[off + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             off += 2  # standalone markers carry no length

@@ -341,14 +341,17 @@ def pack_sequences(
         end.alias("__end"),
     ).filter(F.col("__n") > 0)
     chunk = F.col("__chunk")
+    # integer `div`, not double `/` + cast: double division is exact only
+    # below 2^53 — past that the floor can be off by one, corrupting chunk
+    # ids exactly at the corpus scale this manifest targets.
     return spans.select(
         order_col,
         "__start",
         "__end",
         F.explode(
             F.sequence(
-                (F.col("__start") / L).cast("long"),
-                ((F.col("__end") - 1) / L).cast("long"),
+                F.expr(f"`__start` div {int(seq_len)}"),
+                F.expr(f"(`__end` - 1) div {int(seq_len)}"),
             )
         ).alias("__chunk"),
     ).select(

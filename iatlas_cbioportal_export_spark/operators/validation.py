@@ -1113,6 +1113,11 @@ def meta_consistency_checks(
     findings: list[DataFrame] = []
     spark = metas.sparkSession
 
+    # enforce the documented one-row-per-file contract: a listing with
+    # duplicate filenames would double-count orphans (the one branch where
+    # bundle_files is the LEFT side) and diverge from the DISTINCT oracle.
+    bundle_files = bundle_files.select("filename").distinct()
+
     # deviants = metas not declaring the canonical (minimum) study id —
     # computed as two aggregates over the per-study counts (min-struct
     # picks the canonical id's count), NOT a scalar crossJoin: keeps the

@@ -270,3 +270,29 @@ def test_k_anonymity_report_sizes_and_l_diversity(spark):
     plain = k_anonymity_report(df, ["age", "zip"], k=5)
     assert plain.columns == ["age", "zip", "class_size"]
     assert {(r.age, r.zip) for r in plain.collect()} == {(30, "y")}
+
+
+def test_k_anonymity_null_sensitive_is_a_distinct_state(spark):
+    # NULL counts as a sensitive state of its own: an all-NULL class is
+    # homogeneous (l=1, reported even at size >= k) and a {NULL, value}
+    # class has l=2 (safe). Bare countDistinct would score the all-NULL
+    # class 0 and silently pass it through the privacy gate.
+    from iatlas_cbioportal_export_spark.operators.curation import (
+        k_anonymity_report,
+    )
+
+    rows = (
+        # class (50, x): 6 members, ALL NULL sensitive -> l=1 leak
+        [(50, "x", None)] * 6
+        # class (50, y): 6 members, NULL + one value -> l=2, safe
+        + [(50, "y", None)] * 3
+        + [(50, "y", "d1")] * 3
+    )
+    df = spark.createDataFrame(rows, "age long, zip string, diag string")
+    got = {
+        (r.age, r.zip): (r.class_size, r.l_diversity)
+        for r in k_anonymity_report(
+            df, ["age", "zip"], "diag", k=5
+        ).collect()
+    }
+    assert got == {(50, "x"): (6, 1)}

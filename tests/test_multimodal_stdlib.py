@@ -393,3 +393,42 @@ def test_extract_container_metadata_stage(spark):
     assert got[2]["duration_ms"] == 4 * 1152 * 1000 // 44100
     assert got[3]["width"] == 100 and got[3]["height"] == 50
     assert "payload" not in extract_container_metadata(media).columns
+
+
+def test_jpeg_metadata_skips_ff_fill_bytes():
+    # T.81 B.1.1.2: any run of 0xFF pad bytes may precede a marker byte.
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        jpeg_encode_headers,
+        jpeg_parse_metadata,
+    )
+
+    enc = jpeg_encode_headers(640, 480, 3)
+    # insert fill bytes before the first marker after SOI and again right
+    # before the SOF marker (0xFF 0xC0 → 0xFF 0xFF 0xFF 0xC0)
+    padded = enc[:2] + b"\xff\xff" + enc[2:]
+    padded = padded.replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1)
+    m = jpeg_parse_metadata(padded)
+    assert (m["width"], m["height"], m["n_tracks"]) == (640, 480, 3)
+
+
+def test_mp3_metadata_honours_id3v2_footer_flag():
+    # ID3v2.4 §3.1: footer flag (byte 5, bit 0x10) adds 10 bytes after the
+    # tag body; without the fix the parser lands on the footer's '3DI'
+    # bytes, loses sync, and raises "no mp3 frames found".
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        mp3_encode,
+        mp3_parse_metadata,
+    )
+
+    frames = mp3_encode(5, 128, 44100)
+    body = b"\x00" * 300
+    syncsafe = bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
+    tag = (
+        b"ID3\x04\x00\x10" + syncsafe + body
+        + b"3DI\x04\x00\x10" + syncsafe  # footer mirrors the header
+    )
+    m = mp3_parse_metadata(tag + frames)
+    assert (m["n_frames"], m["sample_rate"]) == (5, 44100)
+    # and a footer-less tag of the same size still parses (regression)
+    m2 = mp3_parse_metadata(mp3_encode(5, 128, 44100, id3_payload=body))
+    assert m2["n_frames"] == 5

@@ -262,3 +262,28 @@ def test_pack_sequences_conservation_and_partitioning_invariance(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, repart.collect())
     )
+
+
+def test_pack_sequences_exact_past_double_precision(spark):
+    # chunk ids use integer `div`: double division is exact only below
+    # 2^53 — at __start = 2^54 - 1 the float path rounds UP to 2^54 and
+    # misassigns the first chunk (4 instead of 3).
+    from iatlas_cbioportal_export_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    L = 2**52
+    df = spark.createDataFrame(
+        [(1, 2**54 - 1), (2, 5)], "doc_id long, n_tokens long"
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.start_in_chunk, r.n_tokens_in_chunk)
+        for r in pack_sequences(df, "n_tokens", "doc_id", seq_len=L).collect()
+    }
+    # doc a fills chunks 0..2 and all but the last token of chunk 3
+    assert out[(1, 0)] == (0, L)
+    assert out[(1, 3)] == (0, L - 1)
+    # doc b starts at global offset 2^54 - 1 = chunk 3, offset L - 1
+    assert out[(2, 3)] == (L - 1, 1)
+    assert out[(2, 4)] == (0, 4)
+    assert (2, 5) not in out and (1, 4) not in out

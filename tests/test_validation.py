@@ -502,6 +502,16 @@ def test_meta_consistency_checks_planted_violations(spark):
     assert got["meta_orphan_data_files"] == ("WARN", 1)
     assert got["meta_duplicate_stable_id"] == ("ERROR", 1)
     assert got["meta_required_files"] == ("ERROR", 1)
+    # a listing with duplicate filenames must NOT double-count orphans:
+    # the one-row-per-file contract is enforced by an internal distinct
+    dup_bundle = bundle.union(
+        spark.createDataFrame([("data_orphan_matrix.txt",)], "filename string")
+    )
+    got_dup = {
+        r["check"]: (r["status"], r["observed"])
+        for r in meta_consistency_checks(metas, dup_bundle).collect()
+    }
+    assert got_dup["meta_orphan_data_files"] == ("WARN", 1)
 
 
 def test_meta_consistency_checks_clean_bundle(spark):
