@@ -5046,6 +5046,91 @@ def q_multimodal_png_roundtrip(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg_roundtrip(spark, sf_dir):
+    """REAL baseline JPEG decode under the driver gate (round 7) — the
+    full T.81 entropy path (Annex K Huffman tables, dequantize, IDCT),
+    not just the marker layer: deterministic 16x16 images made of solid
+    8x8 tiles (tile value (media_id*13 + by*2 + bx*5 + 37) % 256;
+    grayscale for even ids, gray-in-RGB 4:4:4 for odd; restart markers
+    every MCU for ids % 3 == 0) are JPEG-encoded at quality 100 in one
+    Arrow stage and decoded by the stdlib+numpy baseline decoder. At
+    quality 100 the quantization tables are all ones, a solid block
+    carries only DC = 8·(v-128), and the DC-only IDCT path reproduces v
+    EXACTLY — so the oracle replays every pixel closed-form and the
+    Huffman coder, byte stuffing, RSTn handling, and (for odd ids) the
+    YCbCr transform are value-hash checked end to end. Payload bytes
+    never shuffle (encode and decode live in the same Arrow stages)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.jpeg_codec import (
+        jpeg_encode,
+    )
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_features,
+        stdlib_decoder,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 200)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for batch in batches:
+            payloads = []
+            for mid in batch["media_id"]:
+                mid = int(mid)
+                channels = 1 if mid % 2 == 0 else 3
+                pix = bytes(
+                    v
+                    for y in range(16)
+                    for x in range(16)
+                    for v in [(mid * 13 + (y // 8) * 2 + (x // 8) * 5 + 37) % 256]
+                    * channels
+                )
+                payloads.append(
+                    jpeg_encode(
+                        pix, 16, 16, channels=channels, quality=100,
+                        restart_interval=1 if mid % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": "image",
+                    "mime_type": "image/jpeg",
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    feats = extract_features(media, extractor=stdlib_decoder)
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).cast("long").alias("width"),
+        F.element_at("feature", 2).cast("long").alias("height"),
+        (F.size("feature") - 2).cast("long").alias("n_channels"),
+        F.element_at("feature", 3).alias("mean_c0_ppm"),
+    )
+
+
 def q_multimodal_container_metadata(spark, sf_dir):
     """REAL container-metadata extraction across the codec-stubbed formats
     (round 6): deterministic VALID mp4 / mp3 / jpeg payloads (modality by
@@ -5317,6 +5402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "bundle_cross_checks": q_bundle_cross_checks,
         "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
+        "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
         "multimodal_container_metadata": q_multimodal_container_metadata,
         "dedup_containment_capped": q_dedup_containment_capped,
         "dedup_url_canonical": q_dedup_url_canonical,
@@ -5721,6 +5807,28 @@ def _mm_lane_sql(j: int) -> str:
 def oracle_sql() -> dict[str, str]:
     d = {
         "flagship_case_lists": _FLAGSHIP_ORACLE,
+        "multimodal_jpeg_roundtrip": """
+            WITH ids AS (
+                SELECT doc_id AS media_id FROM documents WHERE doc_id < 200
+            ),
+            blocks AS (
+                SELECT i.media_id,
+                       (i.media_id * 13 + by.by * 2 + bx.bx * 5 + 37) % 256
+                           AS v
+                FROM ids i,
+                     generate_series(0, 1) AS by(by),
+                     generate_series(0, 1) AS bx(bx)
+            )
+            SELECT media_id,
+                   CAST(16 AS BIGINT) AS width,
+                   CAST(16 AS BIGINT) AS height,
+                   CAST(CASE WHEN media_id % 2 = 0 THEN 1 ELSE 3 END
+                        AS BIGINT) AS n_channels,
+                   CAST(sum(v) * 64 * 1000000 // 256 AS DOUBLE)
+                       AS mean_c0_ppm
+            FROM blocks
+            GROUP BY media_id
+        """,
         "multimodal_png_roundtrip": """
             WITH ids AS (
                 SELECT doc_id AS media_id FROM documents WHERE doc_id < 200

@@ -2,11 +2,12 @@
 
 Contract: media travel as opaque ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
-pandas stages over ``mapInPandas``. Formats stdlib can genuinely decode are
-REAL here — PCM WAV (``wave``), binary netpbm (P5/P6), and PNG (``zlib``
-inflate + scanline unfiltering incl. Paeth); kernels that need codec
-libraries NOT in this container (jpeg/mp3/mp4) are stubbed — clearly
-marked — behind ``decoder=`` hooks with a deterministic fake; the
+pandas stages over ``mapInPandas``. Formats this container can genuinely
+decode are REAL here — PCM WAV (``wave``), binary netpbm (P5/P6), PNG
+(``zlib`` inflate + scanline unfiltering incl. Paeth), and baseline JPEG
+(Huffman + IDCT in :mod:`.jpeg_codec`); kernels that need codec
+libraries NOT in this container (mp3/mp4 audio+video) are stubbed —
+clearly marked — behind ``decoder=`` hooks with a deterministic fake; the
 Spark-side plumbing (schema, partition sizing, UDF signatures, batch shapes)
 is real and tested either way.
 
@@ -440,21 +441,27 @@ def png_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
 
 
 def stdlib_resizer(payload: bytes, out_w: int, out_h: int) -> bytes:
-    """Dispatching REAL resizer: PNG by signature, binary netpbm by magic;
-    other formats raise through :func:`real_decode_stub` (honest stub)."""
+    """Dispatching REAL resizer: PNG / JPEG by signature, binary netpbm by
+    magic; other formats raise through :func:`real_decode_stub` (honest
+    stub)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_resize(payload, out_w, out_h)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg_codec import jpeg_resize
+
+        return jpeg_resize(payload, out_w, out_h)
     if payload[:2] in (b"P5", b"P6"):
         return netpbm_resize(payload, out_w, out_h)
     return real_decode_stub(payload, "unknown")  # type: ignore[return-value]
 
 
 def stdlib_decoder(payload: bytes, mime_type: str) -> list[float]:
-    """Dispatching REAL decoder for the formats stdlib can handle — WAV
-    audio, binary netpbm images, and PNG (zlib inflate + unfilter);
-    anything needing codec libraries (jpeg/mp3/mp4) raises through
-    :func:`real_decode_stub`, keeping the stub honest rather than faking
-    those paths."""
+    """Dispatching REAL decoder for every format this container can decode
+    without codec libraries — WAV audio, binary netpbm images, PNG (zlib
+    inflate + unfilter), and baseline JPEG (Huffman + IDCT, see
+    :mod:`.jpeg_codec`); compressed audio/video (mp3/mp4) still needs
+    codec libraries and raises through :func:`real_decode_stub`, keeping
+    the stub honest rather than faking those paths."""
     mt = (mime_type or "").lower()
     if mt in ("audio/wav", "audio/x-wav", "audio/wave"):
         return wav_feature_extractor(payload, mime_type)
@@ -462,6 +469,10 @@ def stdlib_decoder(payload: bytes, mime_type: str) -> list[float]:
         return netpbm_feature_extractor(payload, mime_type)
     if mt == "image/png":
         return png_feature_extractor(payload, mime_type)
+    if mt in ("image/jpeg", "image/jpg"):
+        from .jpeg_codec import jpeg_feature_extractor
+
+        return jpeg_feature_extractor(payload, mime_type)
     return real_decode_stub(payload, mime_type)  # type: ignore[return-value]
 
 
@@ -492,9 +503,10 @@ def resize_images(
 # ---------------------------------------------------------------------------
 # Container / bitstream METADATA extraction (round 6).
 #
-# Pixel/audio DECODE for jpeg/mp3/mp4 genuinely needs codec libraries absent
-# from this container (Huffman+IDCT, MDCT synthesis, AVC) and stays behind
-# real_decode_stub. The container METADATA, however, is plain big-endian
+# Audio/video DECODE for mp3/mp4 genuinely needs codec libraries absent
+# from this container (MDCT synthesis, AVC) and stays behind
+# real_decode_stub; JPEG pixel decode is REAL since round 7 (baseline
+# Huffman + IDCT in .jpeg_codec). The container METADATA is plain big-endian
 # struct parsing that stdlib handles completely — ISO-BMFF box walking
 # (ISO/IEC 14496-12), MPEG audio frame headers (ISO/IEC 11172-3), and JPEG
 # marker segments (ITU-T T.81 §B) — so a training-data pipeline can filter /
@@ -647,8 +659,9 @@ _JPEG_SOF_MARKERS = frozenset(
 def jpeg_parse_metadata(payload: bytes) -> dict:
     """REAL JPEG metadata — stdlib marker-segment walk (ITU-T T.81 §B):
     verify SOI, step length-prefixed segments, and read dimensions +
-    component count from the first SOF marker. Entropy-coded pixel DECODE
-    (Huffman + IDCT) stays stubbed; the marker layer needs no codec."""
+    component count from the first SOF marker WITHOUT entropy-decoding
+    (full pixel decode lives in :mod:`.jpeg_codec`); works on progressive
+    streams the baseline decoder honestly rejects."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG byte stream (missing SOI)")
     off = 2

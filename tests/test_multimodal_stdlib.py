@@ -78,8 +78,19 @@ def test_stdlib_decoder_dispatch_and_honest_stub():
 
     feats = stdlib_decoder(_wav_bytes([0, 0]), "audio/x-wav")
     assert len(feats) == 8
-    with pytest.raises(NotImplementedError, match="codec"):
+    # baseline JPEG is REAL since round 7 — routes to the codec, which
+    # honestly rejects a truncated stream rather than stubbing out
+    with pytest.raises(ValueError):
         stdlib_decoder(b"\xff\xd8\xff\xe0jfif...", "image/jpeg")
+    from iatlas_cbioportal_export_spark.operators.jpeg_codec import (
+        jpeg_encode,
+    )
+
+    enc = jpeg_encode(bytes([90] * 64), 8, 8, channels=1, quality=100)
+    assert stdlib_decoder(enc, "image/jpeg") == [8.0, 8.0, 90_000_000.0]
+    # compressed audio still needs codec libs: honest stub
+    with pytest.raises(NotImplementedError, match="codec"):
+        stdlib_decoder(b"\xff\xfb\x90\xc0" + bytes(100), "audio/mpeg")
 
 
 def test_extract_features_with_real_wav_decoder(spark):
@@ -202,7 +213,9 @@ def test_png_unsupported_paths():
         _png_parse(b"notapng")
     with pytest.raises(NotImplementedError):
         png_encode(b"\0", 1, 1, channels=5)
-    with pytest.raises(NotImplementedError):
+    # jpeg now routes to the REAL baseline codec, which honestly rejects
+    # a truncated stream (ValueError, not a stub NotImplementedError)
+    with pytest.raises(ValueError):
         stdlib_decoder(b"\xff\xd8\xff", "image/jpeg")
 
 
@@ -237,8 +250,12 @@ def test_stdlib_resizer_dispatch():
 
     pgm = b"P5\n4 2\n255\n" + bytes(range(8))
     assert stdlib_resizer(pgm, 2, 1) == netpbm_resize(pgm, 2, 1)
-    with pytest.raises(NotImplementedError):
+    # jpeg routes to the REAL codec (truncated stream → honest ValueError);
+    # a format with no stdlib codec still raises through the stub
+    with pytest.raises(ValueError):
         stdlib_resizer(b"\xff\xd8\xffjpeg", 2, 2)
+    with pytest.raises(NotImplementedError):
+        stdlib_resizer(b"\x00\x00\x00\x18ftypisom", 2, 2)
 
 
 def test_mp4_metadata_roundtrip_v0_and_largesize():
