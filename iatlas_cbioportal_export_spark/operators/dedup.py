@@ -1047,6 +1047,12 @@ def containment_join(
     discriminative and make the candidate df's tiny; ``ngram_n=None``
     switches to word tokens for short-text/set-valued inputs.
 
+    Candidate pruning before the array fetch (PPJoin-style length
+    filter): ``|a∩b| ≤ |b|``, so C ≥ t also forces ``|b| ≥ t·|a|`` — the
+    b-side index carries ``n_b`` and candidates failing the integer gate
+    ``n_b·1e6 ≥ t_micro·n_a`` are dropped BEFORE the (expensive,
+    array-shipping) verification join ever sees them.
+
     Verification is exact and integer-gated: fetch both sorted
     distinct-element arrays by id (candidates only), ``|a∩b|`` via
     ``array_intersect``, gate ``inter·1e6 ≥ t_micro·|a|`` in integers (no
@@ -1055,6 +1061,12 @@ def containment_join(
     Output: directed (id_a, id_b, n_a, inter, containment_ppm) rows,
     id_a ≠ id_b, C(a→b) ≥ threshold. Shuffles: (id, token) postings,
     token-keyed candidate join, id-keyed array fetch — raw text never.
+    The shingled arrays (``doc_toks``) feed candidate generation AND both
+    verification sides; a lazy ``localCheckpoint`` materializes the
+    shingling ONCE instead of re-tokenizing the corpus per subtree
+    (measured 3 full shingle passes → 1 at sf0.1; at 100 TB the
+    checkpoint is O(distinct shingles) executor-local storage, strictly
+    cheaper than recomputing the dominant string work per consumer).
     """
     t = float(threshold)
     t_micro = int(round(t * 1_000_000))
@@ -1077,6 +1089,15 @@ def containment_join(
             )
             .filter(F.size("ts") > 0)
         )
+    # Materialize the shingled arrays once: doc_toks feeds the posting
+    # subtree and BOTH verification array fetches — without the
+    # checkpoint each consumer re-runs the tokenize→ngram→distinct→sort
+    # string work over the whole corpus. EAGER, not lazy: the consumers
+    # are submitted as concurrent stages of one job, and a lazy
+    # checkpoint lets each of them race to materialize the same blocks
+    # (observed: every stage recomputes the shingling, then drops its
+    # copy on "block already exists").
+    doc_toks = doc_toks.localCheckpoint(eager=True)
     # Candidate generation runs on xxhash64 of the elements, not the
     # element STRINGS: a 5-gram shingle is ~30 chars, its hash 8 bytes, so
     # the posting/df/prefix shuffles shrink ~4x (measured 12.4MB -> 3MB at
@@ -1132,10 +1153,20 @@ def containment_join(
         )
     )
     a = prefixes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "tok")
-    b = posting_idx.select(F.col("id").alias("id_b"), "tok")
+    b = posting_idx.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"), "tok"
+    )
+    # PPJoin-style length filter: |a∩b| ≤ |b|, so C(a→b) ≥ t needs
+    # n_b ≥ t·n_a — gate in integers BEFORE dedup + array fetch.
     cands = (
         a.join(b, on="tok")
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (
+                F.col("n_b") * F.lit(1_000_000)
+                >= F.lit(t_micro) * F.col("n_a")
+            )
+        )
         .select("id_a", "n_a", "id_b")
         .distinct()
     )
