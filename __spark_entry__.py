@@ -4509,6 +4509,47 @@ def q_meta_consistency(spark, sf_dir):
     return meta_consistency_checks(metas, bundle)
 
 
+def q_header_conformance(spark, sf_dir):
+    """Clinical attribute-HEADER conformance (round 7) — the header tier of
+    cBioPortal validateData.py's clinical validator: synthetic attribute
+    rows derived from customer (datatype FLOAT planted at k%4==3,
+    non-integer priority at k%5==2, empty display names at k%11==5,
+    ragged-header files at k%6==4, duplicate column ids from the k%40
+    id space folding into k%6 files, PATIENT_ID present only in files
+    reached by k%50==0) are checked in ONE aggregate pass. The oracle
+    rebuilds the same attribute table and recounts every rule."""
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        clinical_header_conformance,
+    )
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    k = F.col("c_custkey")
+    attrs = c.select(
+        F.concat(F.lit("data_clinical_"), (k % 6).cast("string")).alias(
+            "filename"
+        ),
+        F.when(k % 50 == 0, F.lit("PATIENT_ID"))
+        .otherwise(F.concat(F.lit("COL_"), (k % 40).cast("string")))
+        .alias("column_id"),
+        F.when(k % 11 == 5, F.lit(""))
+        .otherwise(F.concat(F.lit("Attr "), k.cast("string")))
+        .alias("display_name"),
+        F.lit("desc").alias("description"),
+        F.element_at(
+            F.array(
+                F.lit("STRING"), F.lit("NUMBER"),
+                F.lit("BOOLEAN"), F.lit("FLOAT"),
+            ),
+            (k % 4 + 1).cast("int"),
+        ).alias("datatype"),
+        F.when(k % 5 == 2, F.lit("high"))
+        .otherwise((k % 10).cast("string"))
+        .alias("priority"),
+        (k % 6 != 4).alias("arity_ok"),
+    )
+    return clinical_header_conformance(attrs)
+
+
 def q_sample_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (round 6) — the GPT-style
     batching step: documents concatenated in doc_id order into one global
@@ -5216,6 +5257,310 @@ def q_multimodal_container_metadata(spark, sf_dir):
     )
 
 
+def q_multimodal_mp4_samples(spark, sf_dir):
+    """REAL ISO-BMFF demux (round 7): the sample-table layer UNDER frame
+    sampling. Deterministic single-track mp4s (3+id%5 samples; size
+    50+(id·7+i·13)%40; stts runs 512-then-1024; chunks of 2 via a
+    compressed stsc map; stss keyframes every 2+id%3) are encoded in one
+    Arrow stage and demuxed by ``mp4_sample_table`` — run-length stts
+    expansion, stsc chunk mapping, stco offset walk, stss sync lookup —
+    into one row per sample: the (offset, size) byte ranges + timestamps
+    a video pipeline needs to read ONLY chosen frames at 100 TB. Payload
+    bytes never shuffle. The oracle rebuilds every field closed-form
+    (offsets/dts as prefix-sum windows), so the whole box-walk arithmetic
+    is value-hash checked."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_mp4_samples,
+        mp4_encode_track,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 40)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for batch in batches:
+            payloads = []
+            for mid in batch["media_id"]:
+                mid = int(mid)
+                n = 3 + mid % 5
+                sizes = [50 + (mid * 7 + i * 13) % 40 for i in range(n)]
+                deltas = [512 if i < n // 2 else 1024 for i in range(n)]
+                spc = [2] * (n // 2) + ([1] if n % 2 else [])
+                payloads.append(
+                    mp4_encode_track(
+                        sizes, deltas,
+                        sync_every=2 + mid % 3,
+                        samples_per_chunk=spc,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": "video",
+                    "mime_type": "video/mp4",
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    return extract_mp4_samples(media).select(
+        "media_id", "track_id", "sample_idx", "chunk_idx",
+        "offset", "size", "dts", "duration", "is_sync",
+    )
+
+
+def q_multimodal_mp3_frames(spark, sf_dir):
+    """REAL MP3 frame indexing (round 7): the audio twin of the mp4 sample
+    table — deterministic MPEG-1 Layer III streams (2+id%6 frames at
+    96/128/160/192 kbps by id%4, behind a 20+id%30-byte ID3v2 tag) are
+    walked frame-by-frame into (offset, size, dts_ms) byte ranges that
+    parallel workers could decode independently. The oracle replays the
+    frame-length arithmetic (144·kbps·1000//rate) and syncsafe tag skip
+    closed-form."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_mp3_frames,
+        mp3_encode,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 60)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        kbps_table = (96, 128, 160, 192)
+        for batch in batches:
+            payloads = []
+            for mid in batch["media_id"]:
+                mid = int(mid)
+                payloads.append(
+                    mp3_encode(
+                        2 + mid % 6,
+                        kbps_table[mid % 4],
+                        44100,
+                        id3_payload=b"t" * (20 + mid % 30),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": "audio",
+                    "mime_type": "audio/mpeg",
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    return extract_mp3_frames(media).select(
+        "media_id", "frame_idx", "offset", "size", "dts_ms", "bitrate_kbps",
+    )
+
+
+def q_multimodal_keyframe_ranges(spark, sf_dir):
+    """Keyframe-only byte-range rollup (round 7) — the downstream use of
+    the mp4 sample table: same synthetic streams as multimodal_mp4_samples,
+    demuxed, then reduced per media to what a frame-sampling reader needs
+    to budget: total samples/bytes vs keyframe-only samples/bytes (the
+    fraction a keyframe-only pass actually reads — at 100 TB the video
+    bytes stay in object storage and ONLY these ranges are fetched). Pure
+    DataFrame algebra over the demux stage; one conditional aggregate."""
+    samples = q_multimodal_mp4_samples(spark, sf_dir)
+    return samples.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(F.when(F.col("is_sync"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_keyframes"),
+        F.sum("size").cast("long").alias("total_bytes"),
+        F.sum(F.when(F.col("is_sync"), F.col("size")).otherwise(0))
+        .cast("long")
+        .alias("keyframe_bytes"),
+    )
+
+
+def q_multimodal_audio_features(spark, sf_dir):
+    """REAL audio curation features (round 7): deterministic 16-bit mono
+    PCM square waves (amplitude 50+(id·13)%1000 — some below the silence
+    threshold, half-period 2+id%5, 40+id%7 samples at 8 kHz) are written
+    with the stdlib ``wave`` module in one Arrow stage and decoded by
+    ``wav_audio_features`` into INTEGER-EXACT gating signals: peak,
+    mean-abs ppm, mean-square energy, zero-crossing count, silence ppm.
+    The oracle reproduces every field closed-form from the square-wave
+    parameters (crossings = (n-1)//h for a block wave), so the whole
+    decode+DSP path is value-hash checked."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 120)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for batch in batches:
+            payloads = []
+            for mid in batch["media_id"]:
+                mid = int(mid)
+                amp = 50 + (mid * 13) % 1000
+                half = 2 + mid % 5
+                n = 40 + mid % 7
+                samples = [
+                    amp if (i // half) % 2 == 0 else -amp for i in range(n)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(
+                        b"".join(struct.pack("<h", s) for s in samples)
+                    )
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": "audio",
+                    "mime_type": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    return extract_audio_features(media).select(
+        "media_id", "n_samples", "sample_rate", "duration_ms", "peak",
+        "mean_abs_ppm", "energy", "zero_crossings", "silence_ppm",
+    )
+
+
+def q_multimodal_g711_stats(spark, sf_dir):
+    """REAL G.711 companded-audio decode (round 7): deterministic µ-law /
+    A-law WAV files (law by id%2; 10+id%5 samples whose code bytes are
+    (id·7+j·11)%256, mapped onto the exact G.711 lattice) are encoded and
+    then DECODED — RIFF chunk walk + the integer-exact ITU-T expansion
+    formulas, no codec library — in one Arrow stage emitting linear-PCM
+    stats. The oracle replays the µ-law (bias-132 segment shift) and
+    A-law (0x55 toggle) expansions closed-form in SQL, so the decode math
+    itself is value-hash checked."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        _ALAW_TABLE,
+        _MULAW_TABLE,
+        g711_wav_encode,
+        g711_wav_stats,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 100)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for batch in batches:
+            payloads = []
+            for mid in batch["media_id"]:
+                mid = int(mid)
+                law = "mulaw" if mid % 2 == 0 else "alaw"
+                table = _MULAW_TABLE if mid % 2 == 0 else _ALAW_TABLE
+                n = 10 + mid % 5
+                samples = [table[(mid * 7 + j * 11) % 256] for j in range(n)]
+                payloads.append(g711_wav_encode(samples, 8000, law))
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": "audio",
+                    "mime_type": "audio/basic",
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    return g711_wav_stats(media).select(
+        "media_id", "sample_rate", "n_samples", "sum_pcm", "min_pcm",
+        "max_pcm",
+    )
+
+
 def q_dedup_url_canonical(spark, sf_dir):
     """URL canonicalization → exact dedup, the first hop of web-corpus
     pipelines: deterministic URL variants derived from doc_id (scheme/host
@@ -5404,6 +5749,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
         "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
         "multimodal_container_metadata": q_multimodal_container_metadata,
+        "multimodal_mp4_samples": q_multimodal_mp4_samples,
+        "multimodal_mp3_frames": q_multimodal_mp3_frames,
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_g711_stats": q_multimodal_g711_stats,
+        "multimodal_keyframe_ranges": q_multimodal_keyframe_ranges,
         "dedup_containment_capped": q_dedup_containment_capped,
         "dedup_url_canonical": q_dedup_url_canonical,
 
@@ -5446,6 +5796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture_weights": q_sample_mixture_weights,
         "sample_pack_sequences": q_sample_pack_sequences,
         "meta_consistency": q_meta_consistency,
+        "header_conformance": q_header_conformance,
         "curation_k_anonymity": q_curation_k_anonymity,
         "text_repetition": q_text_repetition,
         "eval_confusion": q_eval_confusion,
@@ -5874,6 +6225,153 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 3 = 1
                              THEN 2 + doc_id % 5 END AS BIGINT) AS n_frames
             FROM documents WHERE doc_id < 180
+        """,
+        "multimodal_mp4_samples": """
+            WITH m AS (
+                SELECT doc_id AS media_id, 3 + doc_id % 5 AS n
+                FROM documents WHERE doc_id < 40
+            ),
+            s AS (
+                SELECT media_id, n,
+                       unnest(generate_series(0, n - 1)) AS sample_idx
+                FROM m
+            ),
+            f AS (
+                SELECT media_id, n, sample_idx,
+                       50 + (media_id * 7 + sample_idx * 13) % 40 AS size,
+                       CASE WHEN sample_idx < n // 2
+                            THEN 512 ELSE 1024 END AS duration
+                FROM s
+            )
+            SELECT media_id,
+                   CAST(1 AS BIGINT) AS track_id,
+                   CAST(sample_idx AS BIGINT) AS sample_idx,
+                   CAST(sample_idx // 2 AS BIGINT) AS chunk_idx,
+                   CAST(28 + COALESCE(SUM(size) OVER (
+                            PARTITION BY media_id ORDER BY sample_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                       AS offset,
+                   CAST(size AS BIGINT) AS size,
+                   CAST(COALESCE(SUM(duration) OVER (
+                            PARTITION BY media_id ORDER BY sample_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT) AS dts,
+                   CAST(duration AS BIGINT) AS duration,
+                   sample_idx % (2 + media_id % 3) = 0 AS is_sync
+            FROM f
+        """,
+        "multimodal_keyframe_ranges": """
+            WITH m AS (
+                SELECT doc_id AS media_id, 3 + doc_id % 5 AS n
+                FROM documents WHERE doc_id < 40
+            ),
+            s AS (
+                SELECT media_id, n,
+                       unnest(generate_series(0, n - 1)) AS sample_idx
+                FROM m
+            ),
+            f AS (
+                SELECT media_id, n, sample_idx,
+                       50 + (media_id * 7 + sample_idx * 13) % 40 AS size,
+                       sample_idx % (2 + media_id % 3) = 0 AS is_sync
+                FROM s
+            )
+            SELECT media_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(SUM(CASE WHEN is_sync THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_keyframes,
+                   CAST(SUM(size) AS BIGINT) AS total_bytes,
+                   CAST(SUM(CASE WHEN is_sync THEN size ELSE 0 END)
+                        AS BIGINT) AS keyframe_bytes
+            FROM f GROUP BY media_id
+        """,
+        "multimodal_g711_stats": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       10 + doc_id % 5 AS n,
+                       doc_id % 2 = 0 AS is_mu
+                FROM documents WHERE doc_id < 100
+            ),
+            j AS (
+                SELECT media_id, n, is_mu,
+                       unnest(generate_series(0, n - 1)) AS i
+                FROM m
+            ),
+            c AS (
+                SELECT media_id, n, is_mu,
+                       (media_id * 7 + i * 11) % 256 AS code
+                FROM j
+            ),
+            e AS (
+                SELECT media_id, n,
+                  CASE WHEN is_mu THEN
+                    CASE WHEN (255 - code) >= 128
+                      THEN 132 - (((255 - code) % 16) * 8 + 132)
+                               * (1 << (((255 - code) // 16) % 8))
+                      ELSE (((255 - code) % 16) * 8 + 132)
+                               * (1 << (((255 - code) // 16) % 8)) - 132
+                    END
+                  ELSE
+                    CASE WHEN xor(code, 85) >= 128 THEN 1 ELSE -1 END *
+                    CASE WHEN ((xor(code, 85) // 16) % 8) = 0
+                      THEN (xor(code, 85) % 16) * 16 + 8
+                      ELSE ((xor(code, 85) % 16) * 16 + 264)
+                               * (1 << (((xor(code, 85) // 16) % 8) - 1))
+                    END
+                  END AS s
+                FROM c
+            )
+            SELECT media_id,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(SUM(s) AS BIGINT) AS sum_pcm,
+                   CAST(MIN(s) AS BIGINT) AS min_pcm,
+                   CAST(MAX(s) AS BIGINT) AS max_pcm
+            FROM e GROUP BY media_id, n
+        """,
+        "multimodal_audio_features": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       50 + (doc_id * 13) % 1000 AS amp,
+                       2 + doc_id % 5 AS h,
+                       40 + doc_id % 7 AS n
+                FROM documents WHERE doc_id < 120
+            )
+            SELECT media_id,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+                   CAST(amp AS BIGINT) AS peak,
+                   CAST(amp * 1000000 AS BIGINT) AS mean_abs_ppm,
+                   CAST(amp * amp AS BIGINT) AS energy,
+                   CAST((n - 1) // h AS BIGINT) AS zero_crossings,
+                   CAST(CASE WHEN amp <= 100 THEN 1000000 ELSE 0 END
+                        AS BIGINT) AS silence_ppm
+            FROM m
+        """,
+        "multimodal_mp3_frames": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       2 + doc_id % 6 AS n,
+                       CASE doc_id % 4 WHEN 0 THEN 96 WHEN 1 THEN 128
+                                       WHEN 2 THEN 160 ELSE 192 END AS kbps
+                FROM documents WHERE doc_id < 60
+            ),
+            s AS (
+                SELECT media_id, kbps,
+                       144 * kbps * 1000 // 44100 AS frame_len,
+                       unnest(generate_series(0, n - 1)) AS frame_idx
+                FROM m
+            )
+            SELECT media_id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(30 + media_id % 30 + frame_idx * frame_len
+                        AS BIGINT) AS offset,
+                   CAST(frame_len AS BIGINT) AS size,
+                   CAST(frame_idx * 1152 * 1000 // 44100 AS BIGINT) AS dts_ms,
+                   CAST(kbps AS BIGINT) AS bitrate_kbps
+            FROM s
         """,
         "bundle_cross_checks": """
             WITH patients AS (
@@ -6384,6 +6882,71 @@ def oracle_sql() -> dict[str, str]:
                 OR count(DISTINCT positive_bal)
                    + max(CASE WHEN positive_bal IS NULL
                          THEN 1 ELSE 0 END) = 1
+        """,
+        "header_conformance": """
+            WITH a AS (
+                SELECT c_custkey AS k,
+                       'data_clinical_' || CAST(c_custkey % 6 AS VARCHAR)
+                           AS filename,
+                       CASE WHEN c_custkey % 50 = 0 THEN 'PATIENT_ID'
+                            ELSE 'COL_' || CAST(c_custkey % 40 AS VARCHAR)
+                       END AS column_id,
+                       CASE WHEN c_custkey % 11 = 5 THEN ''
+                            ELSE 'Attr ' || CAST(c_custkey AS VARCHAR)
+                       END AS display_name,
+                       CASE c_custkey % 4 WHEN 0 THEN 'STRING'
+                            WHEN 1 THEN 'NUMBER' WHEN 2 THEN 'BOOLEAN'
+                            ELSE 'FLOAT' END AS datatype,
+                       CASE WHEN c_custkey % 5 = 2 THEN 'high'
+                            ELSE CAST(c_custkey % 10 AS VARCHAR)
+                       END AS priority,
+                       c_custkey % 6 <> 4 AS arity_ok
+                FROM customer WHERE c_custkey < 300
+            ),
+            m AS (
+                SELECT
+                  SUM(CASE WHEN datatype NOT IN ('STRING','NUMBER','BOOLEAN')
+                           THEN 1 ELSE 0 END) AS bad_dt,
+                  SUM(CASE WHEN NOT regexp_matches(priority, '^[0-9]+$')
+                           THEN 1 ELSE 0 END) AS bad_pr,
+                  COUNT(*) - COUNT(DISTINCT filename || chr(9) || column_id)
+                      AS dup_ids,
+                  COUNT(DISTINCT CASE WHEN NOT arity_ok THEN filename END)
+                      AS arity_files,
+                  SUM(CASE WHEN display_name = '' THEN 1 ELSE 0 END)
+                      AS miss_dn,
+                  COUNT(DISTINCT filename)
+                    - COUNT(DISTINCT CASE WHEN column_id = 'PATIENT_ID'
+                                          THEN filename END) AS miss_req
+                FROM a
+            ),
+            rules AS (
+                SELECT 'header_datatype_vocabulary' AS check, bad_dt AS n,
+                       'ERROR' AS bad,
+                       'attrs with datatype outside STRING/NUMBER/BOOLEAN'
+                           AS detail FROM m
+                UNION ALL
+                SELECT 'header_priority_integer', bad_pr, 'ERROR',
+                       'attrs with non-integer priority' FROM m
+                UNION ALL
+                SELECT 'header_duplicate_column_id', dup_ids, 'ERROR',
+                       'duplicate column ids within a file' FROM m
+                UNION ALL
+                SELECT 'header_arity_mismatch', arity_files, 'ERROR',
+                       'files with ragged ''#'' header lines' FROM m
+                UNION ALL
+                SELECT 'header_display_name_missing', miss_dn, 'WARN',
+                       'attrs with empty display names' FROM m
+                UNION ALL
+                SELECT 'header_required_patient_id', miss_req, 'ERROR',
+                       'files missing required column PATIENT_ID' FROM m
+            )
+            SELECT "check",
+                   CASE WHEN n = 0 THEN 'OK' ELSE bad END AS status,
+                   CAST(n AS BIGINT) AS observed,
+                   CAST(0 AS BIGINT) AS expected,
+                   detail
+            FROM rules
         """,
         "meta_consistency": """
             WITH m AS (

@@ -1346,3 +1346,4 @@ def reciprocal_rank_report(
         .cast("long")
         .alias("rr_ppm"),
     )
+

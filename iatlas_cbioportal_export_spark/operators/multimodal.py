@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -887,3 +888,637 @@ def extract_container_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=CONTAINER_METADATA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample table: the demux layer under frame sampling (ISO/IEC 14496-12)
+# ---------------------------------------------------------------------------
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _mp4_full(btype: bytes, body: bytes, version: int = 0) -> bytes:
+    return _mp4_box(btype, bytes([version, 0, 0, 0]) + body)
+
+
+def _rle(values: list[int]) -> list[tuple[int, int]]:
+    """Run-length compress → [(count, value)] preserving order."""
+    runs: list[tuple[int, int]] = []
+    for v in values:
+        if runs and runs[-1][1] == v:
+            runs[-1] = (runs[-1][0] + 1, v)
+        else:
+            runs.append((1, v))
+    return runs
+
+
+def mp4_encode_track(
+    sample_sizes: list[int],
+    sample_deltas: list[int],
+    timescale: int = 90000,
+    track_id: int = 1,
+    sync_every: int = 0,
+    samples_per_chunk: list[int] | None = None,
+    brand: str = "isom",
+) -> bytes:
+    """Build a VALID single-track ISO-BMFF stream whose sample table is
+    fully populated — ``ftyp`` + ``mdat`` (mdat-FIRST layout, the
+    non-faststart file shape, so the first media byte lands at a fixed
+    offset) + ``moov`` with a complete ``stbl``: run-length-compressed
+    ``stts``, compressed ``stsc`` chunk map, per-sample ``stsz``, ``stco``
+    chunk offsets into the mdat, and an ``stss`` sync table when
+    ``sync_every`` > 0 (sample 1, 1+k, … are keyframes). Sample BYTES are a
+    deterministic per-sample fill — the demux layer never inspects them.
+
+    ``samples_per_chunk`` partitions the samples into chunks (default: one
+    chunk holding everything); sizes must sum to ``len(sample_sizes)``."""
+    n = len(sample_sizes)
+    if len(sample_deltas) != n:
+        raise ValueError("sample_sizes and sample_deltas length mismatch")
+    if samples_per_chunk is None:
+        samples_per_chunk = [n]
+    if sum(samples_per_chunk) != n or any(c <= 0 for c in samples_per_chunk):
+        raise ValueError("samples_per_chunk must partition the sample list")
+
+    ftyp = _mp4_box(
+        b"ftyp", brand.encode("ascii") + (0).to_bytes(4, "big") + b"isom"
+    )
+    mdat_body = b"".join(
+        bytes([i % 256]) * size for i, size in enumerate(sample_sizes)
+    )
+    mdat = _mp4_box(b"mdat", mdat_body)
+
+    # chunk offsets: chunks are laid out contiguously in mdat order
+    base = len(ftyp) + 8
+    chunk_offsets: list[int] = []
+    consumed = 0
+    for spc in samples_per_chunk:
+        chunk_offsets.append(base + sum(sample_sizes[:consumed]))
+        consumed += spc
+
+    stts_runs = _rle(sample_deltas)
+    stts = _mp4_full(
+        b"stts",
+        len(stts_runs).to_bytes(4, "big")
+        + b"".join(
+            c.to_bytes(4, "big") + d.to_bytes(4, "big") for c, d in stts_runs
+        ),
+    )
+    # stsc compression: emit an entry only when samples_per_chunk changes
+    stsc_entries: list[tuple[int, int]] = []
+    for idx, spc in enumerate(samples_per_chunk, start=1):
+        if not stsc_entries or stsc_entries[-1][1] != spc:
+            stsc_entries.append((idx, spc))
+    stsc = _mp4_full(
+        b"stsc",
+        len(stsc_entries).to_bytes(4, "big")
+        + b"".join(
+            fc.to_bytes(4, "big") + spc.to_bytes(4, "big") + (1).to_bytes(4, "big")
+            for fc, spc in stsc_entries
+        ),
+    )
+    stsz = _mp4_full(
+        b"stsz",
+        (0).to_bytes(4, "big")  # sample_size 0 → per-sample table
+        + n.to_bytes(4, "big")
+        + b"".join(s.to_bytes(4, "big") for s in sample_sizes),
+    )
+    stco = _mp4_full(
+        b"stco",
+        len(chunk_offsets).to_bytes(4, "big")
+        + b"".join(o.to_bytes(4, "big") for o in chunk_offsets),
+    )
+    stss = b""
+    if sync_every > 0:
+        syncs = list(range(1, n + 1, sync_every))
+        stss = _mp4_full(
+            b"stss",
+            len(syncs).to_bytes(4, "big")
+            + b"".join(s.to_bytes(4, "big") for s in syncs),
+        )
+    stsd = _mp4_full(
+        b"stsd", (1).to_bytes(4, "big") + _mp4_box(b"fake", bytes(8))
+    )
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    minf = _mp4_box(b"minf", stbl)
+    mdhd = _mp4_full(
+        b"mdhd",
+        (0).to_bytes(4, "big") * 2  # creation/modification
+        + timescale.to_bytes(4, "big")
+        + sum(sample_deltas).to_bytes(4, "big")
+        + (0x55C4).to_bytes(2, "big")  # language 'und'
+        + (0).to_bytes(2, "big"),
+    )
+    hdlr = _mp4_full(
+        b"hdlr", (0).to_bytes(4, "big") + b"vide" + bytes(12) + b"\x00"
+    )
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _mp4_full(
+        b"tkhd",
+        (0).to_bytes(4, "big") * 2
+        + track_id.to_bytes(4, "big")
+        + bytes(72),
+    )
+    mvhd_body = (
+        (0).to_bytes(4, "big") * 2
+        + timescale.to_bytes(4, "big")
+        + sum(sample_deltas).to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")
+        + (0x0100).to_bytes(2, "big")
+        + bytes(10)
+        + b"".join(
+            v.to_bytes(4, "big")
+            for v in (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        )
+        + bytes(24)
+        + (track_id + 1).to_bytes(4, "big")
+    )
+    moov = _mp4_box(b"moov", _mp4_full(b"mvhd", mvhd_body) + _mp4_box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
+def _mp4_find(payload: bytes, start: int, end: int, *path: bytes):
+    """Yield (body_start, body_end) of every box matching the nested
+    ``path`` of box types under payload[start:end]."""
+    head, rest = path[0], path[1:]
+    for btype, body, bend in _mp4_boxes(payload, start, end):
+        if btype != head:
+            continue
+        if not rest:
+            yield body, bend
+        else:
+            yield from _mp4_find(payload, body, bend, *rest)
+
+
+def mp4_sample_table(payload: bytes) -> list[dict]:
+    """REAL ISO-BMFF demux — expand each track's ``stbl`` into one row per
+    sample: ``(track_id, sample_idx, chunk_idx, offset, size, dts,
+    duration, is_sync)`` with 0-based indices, byte offsets into the file,
+    and decode timestamps in mdhd-timescale ticks. This is the layer a
+    video training pipeline needs for FRAME SAMPLING: keyframe selection
+    (``is_sync``), every-Nth decimation, and byte-range reads of chosen
+    samples — all WITHOUT touching a codec. Handles run-length ``stts``,
+    compressed ``stsc`` chunk maps, uniform and per-sample ``stsz``,
+    ``stco``/``co64`` offsets, and an optional ``stss`` (absent → every
+    sample is a sync sample, per 14496-12 §8.6.2)."""
+    rows: list[dict] = []
+    moovs = list(_mp4_find(payload, 0, len(payload), b"moov"))
+    if not moovs:
+        raise ValueError("mp4 stream has no moov box")
+    for mbody, mend in moovs:
+        for tbody, tend in _mp4_find(payload, mbody, mend, b"trak"):
+            track_id = None
+            for hb, _he in _mp4_find(payload, tbody, tend, b"tkhd"):
+                track_id = int.from_bytes(payload[hb + 12 : hb + 16], "big")
+                if payload[hb] == 1:  # version 1: 64-bit times shift id
+                    track_id = int.from_bytes(payload[hb + 20 : hb + 24], "big")
+            tables: dict[bytes, tuple[int, int]] = {}
+            for sb, se in _mp4_find(
+                payload, tbody, tend, b"mdia", b"minf", b"stbl"
+            ):
+                for btype, body, bend in _mp4_boxes(payload, sb, se):
+                    tables[btype] = (body, bend)
+            if b"stsz" not in tables or b"stco" not in tables and b"co64" not in tables:
+                continue  # hint/empty track without a usable sample table
+
+            def _u32(off: int) -> int:
+                return int.from_bytes(payload[off : off + 4], "big")
+
+            # sizes
+            body, _ = tables[b"stsz"]
+            uniform, count = _u32(body + 4), _u32(body + 8)
+            if uniform:
+                sizes = [uniform] * count
+            else:
+                sizes = [_u32(body + 12 + 4 * i) for i in range(count)]
+            # durations (stts runs → per-sample deltas → dts prefix sums)
+            body, _ = tables[b"stts"]
+            deltas: list[int] = []
+            for e in range(_u32(body + 4)):
+                c, d = _u32(body + 8 + 8 * e), _u32(body + 12 + 8 * e)
+                deltas.extend([d] * c)
+            # chunk offsets
+            if b"stco" in tables:
+                body, _ = tables[b"stco"]
+                offsets = [_u32(body + 8 + 4 * i) for i in range(_u32(body + 4))]
+            else:
+                body, _ = tables[b"co64"]
+                offsets = [
+                    int.from_bytes(payload[body + 8 + 8 * i : body + 16 + 8 * i], "big")
+                    for i in range(_u32(body + 4))
+                ]
+            # stsc chunk map: (first_chunk, samples_per_chunk) entries
+            body, _ = tables[b"stsc"]
+            stsc = [
+                (_u32(body + 8 + 12 * e), _u32(body + 12 + 12 * e))
+                for e in range(_u32(body + 4))
+            ]
+            # sync table
+            syncs: set[int] | None = None
+            if b"stss" in tables:
+                body, _ = tables[b"stss"]
+                syncs = {_u32(body + 8 + 4 * i) for i in range(_u32(body + 4))}
+
+            sample = 0
+            dts = 0
+            for ci, chunk_off in enumerate(offsets, start=1):
+                spc = 0
+                for fc, n_in in stsc:
+                    if fc <= ci:
+                        spc = n_in
+                    else:
+                        break
+                within = chunk_off
+                for _ in range(spc):
+                    if sample >= count:
+                        break
+                    delta = deltas[sample] if sample < len(deltas) else 0
+                    rows.append(
+                        {
+                            "track_id": track_id,
+                            "sample_idx": sample,
+                            "chunk_idx": ci - 1,
+                            "offset": within,
+                            "size": sizes[sample],
+                            "dts": dts,
+                            "duration": delta,
+                            "is_sync": syncs is None or (sample + 1) in syncs,
+                        }
+                    )
+                    within += sizes[sample]
+                    dts += delta
+                    sample += 1
+    return rows
+
+
+MP4_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("track_id", LongType()),
+        StructField("sample_idx", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("offset", LongType()),
+        StructField("size", LongType()),
+        StructField("dts", LongType()),
+        StructField("duration", LongType()),
+        StructField("is_sync", BooleanType()),
+    ]
+)
+
+
+def extract_mp4_samples(media: DataFrame) -> DataFrame:
+    """MP4 demux as an Arrow ``mapInPandas`` stage: binary payload in →
+    one typed row PER SAMPLE out (payload dropped — bytes never shuffle).
+    Downstream frame sampling is then pure DataFrame algebra:
+    ``filter(is_sync)`` for keyframes, ``sample_idx % n = 0`` for
+    every-Nth decimation, and the (offset, size) byte ranges drive ranged
+    reads of only the chosen samples — the 100 TB video story is 'ship
+    sample-table rows, not video bytes'."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {f.name: [] for f in MP4_SAMPLE_SCHEMA}
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                for row in mp4_sample_table(bytes(p)):
+                    out["media_id"].append(int(mid))
+                    for k, v in row.items():
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=MP4_SAMPLE_SCHEMA)
+
+
+def mp3_frame_index(payload: bytes) -> list[dict]:
+    """REAL MP3 frame index — one row per MPEG-1 Layer III frame:
+    ``(frame_idx, offset, size, dts_ms)`` with byte offsets into the file
+    and integer-exact decode timestamps (``idx·1152·1000 // rate``). This
+    is the audio twin of :func:`mp4_sample_table`: it turns an opaque CBR/
+    VBR bitstream into byte ranges that parallel workers can decode
+    independently (each frame is self-contained after the header), without
+    needing the MDCT codec that stays stubbed in this container. Walks the
+    same header grammar as :func:`mp3_parse_metadata` (syncsafe ID3v2 skip
+    incl. footer flag, bitrate/rate/padding arithmetic)."""
+    off = 0
+    if payload[:3] == b"ID3":
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        off = 10 + size
+        if payload[5] & 0x10:
+            off += 10
+    rows: list[dict] = []
+    while off + 4 <= len(payload):
+        b0, b1, b2, _b3 = payload[off : off + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        version = (b1 >> 3) & 0x3
+        layer = (b1 >> 1) & 0x3
+        if version != 3 or layer != 1:
+            raise NotImplementedError(
+                "mp3_frame_index handles MPEG-1 Layer III frames only"
+            )
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free-format/reserved mp3 header")
+        bitrate_kbps = _MP3_BITRATES_V1L3[br_idx]
+        sample_rate = _MP3_RATES_V1[sr_idx]
+        frame_len = 144 * bitrate_kbps * 1000 // sample_rate + padding
+        rows.append(
+            {
+                "frame_idx": len(rows),
+                "offset": off,
+                "size": frame_len,
+                "dts_ms": len(rows) * 1152 * 1000 // sample_rate,
+                "bitrate_kbps": bitrate_kbps,
+            }
+        )
+        off += frame_len
+    if not rows:
+        raise ValueError("no mp3 frames found")
+    return rows
+
+
+MP3_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("offset", LongType()),
+        StructField("size", LongType()),
+        StructField("dts_ms", LongType()),
+        StructField("bitrate_kbps", LongType()),
+    ]
+)
+
+
+def extract_mp3_frames(media: DataFrame) -> DataFrame:
+    """MP3 frame indexing as an Arrow ``mapInPandas`` stage: payload in →
+    one row per frame out (payload never shuffles) — the split map for
+    parallel audio decode at scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {f.name: [] for f in MP3_FRAME_SCHEMA}
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                for row in mp3_frame_index(bytes(p)):
+                    out["media_id"].append(int(mid))
+                    for k, v in row.items():
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=MP3_FRAME_SCHEMA)
+
+
+def wav_audio_features(payload: bytes, silence_threshold: int = 100) -> dict:
+    """REAL audio feature extraction over PCM WAV — the curation signals an
+    audio training pipeline gates on, all INTEGER-EXACT so any engine that
+    can see the samples reproduces them bit-for-bit: ``peak`` (max |s|),
+    ``mean_abs_ppm`` (sum|s|·1e6 // n), ``energy`` (mean square, floor),
+    ``zero_crossings`` (sign-boundary count with sign(0)=+), and
+    ``silence_ppm`` (share of samples with |s| ≤ threshold, in ppm).
+    Decodes 8/16-bit mono PCM via the stdlib ``wave`` module — no codec
+    libraries; compressed formats stay behind the honest stub."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, width, n_frames = w.getnchannels(), w.getsampwidth(), w.getnframes()
+        rate = w.getframerate()
+        raw = w.readframes(n_frames)
+    if n_ch != 1 or width not in (1, 2):
+        raise NotImplementedError(
+            f"wav_audio_features supports 8/16-bit mono PCM, got "
+            f"channels={n_ch} sampwidth={width}"
+        )
+    if width == 2:
+        samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+    else:
+        samples = [b - 128 for b in raw]
+    n = len(samples)
+    if n == 0:
+        return {
+            "n_samples": 0, "sample_rate": rate, "duration_ms": 0,
+            "peak": 0, "mean_abs_ppm": 0, "energy": 0,
+            "zero_crossings": 0, "silence_ppm": 1_000_000,
+        }
+    abs_sum = sum(abs(s) for s in samples)
+    return {
+        "n_samples": n,
+        "sample_rate": rate,
+        "duration_ms": n * 1000 // rate,
+        "peak": max(abs(s) for s in samples),
+        "mean_abs_ppm": abs_sum * 1_000_000 // n,
+        "energy": sum(s * s for s in samples) // n,
+        "zero_crossings": sum(
+            1
+            for a, b in zip(samples, samples[1:])
+            if (a >= 0) != (b >= 0)
+        ),
+        "silence_ppm": sum(
+            1 for s in samples if abs(s) <= silence_threshold
+        ) * 1_000_000 // n,
+    }
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak", LongType()),
+        StructField("mean_abs_ppm", LongType()),
+        StructField("energy", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("silence_ppm", LongType()),
+    ]
+)
+
+
+def extract_audio_features(
+    media: DataFrame, silence_threshold: int = 100
+) -> DataFrame:
+    """Audio curation features as an Arrow ``mapInPandas`` stage: WAV
+    payload in → one integer-exact feature row out (payload never
+    shuffles). The gate a speech/audio corpus runs before paying for
+    transcription: drop silent clips (``silence_ppm``), clipped clips
+    (``peak`` at full scale), and out-of-band durations."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {f.name: [] for f in AUDIO_FEATURE_SCHEMA}
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                row = wav_audio_features(bytes(p), silence_threshold)
+                out["media_id"].append(int(mid))
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded audio (µ-law / A-law): REAL compressed-audio decode —
+# integer-exact expansion formulas, no codec library required
+# ---------------------------------------------------------------------------
+
+
+def _mulaw_expand(code: int) -> int:
+    """ITU-T G.711 µ-law byte → 16-bit linear PCM (the BIAS=0x84 table
+    formula every codec ships; integer-exact)."""
+    code = ~code & 0xFF
+    sign = code & 0x80
+    exponent = (code >> 4) & 0x07
+    mantissa = code & 0x0F
+    sample = ((mantissa << 3) + 0x84) << exponent
+    sample -= 0x84
+    return -sample if sign else sample
+
+
+def _alaw_expand(code: int) -> int:
+    """ITU-T G.711 A-law byte → 16-bit linear PCM (0x55 toggle + segment
+    expansion; integer-exact)."""
+    code ^= 0x55
+    sign = code & 0x80
+    exponent = (code >> 4) & 0x07
+    mantissa = code & 0x0F
+    if exponent == 0:
+        sample = (mantissa << 4) + 8
+    else:
+        sample = ((mantissa << 4) + 0x108) << (exponent - 1)
+    # G.711 A-law: the (toggled) sign bit SET means positive (Sun codec)
+    return sample if sign else -sample
+
+
+_MULAW_TABLE = [_mulaw_expand(c) for c in range(256)]
+_ALAW_TABLE = [_alaw_expand(c) for c in range(256)]
+
+#: RIFF WAVE format tags (WAVEFORMATEX wFormatTag)
+_WAVE_FMT_PCM = 1
+_WAVE_FMT_ALAW = 6
+_WAVE_FMT_MULAW = 7
+
+
+def _riff_chunks(payload: bytes):
+    """Iterate (fourcc, body) chunks of a RIFF/WAVE stream — the stdlib
+    ``wave`` module refuses compressed format tags, so the companded
+    decoders walk the container themselves."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    off = 12
+    while off + 8 <= len(payload):
+        fourcc = payload[off : off + 4]
+        size = int.from_bytes(payload[off + 4 : off + 8], "little")
+        yield fourcc, payload[off + 8 : off + 8 + size]
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def g711_wav_decode(payload: bytes) -> tuple[int, list[int]]:
+    """REAL decode of G.711-companded WAV (µ-law format tag 7 / A-law tag
+    6, the telephony and call-center archive formats) → (sample_rate,
+    16-bit linear PCM samples). Pure stdlib: RIFF chunk walk + the G.711
+    expansion tables above — ``audioop`` (removed in Python 3.13) is not
+    needed. Mono only (telephony is mono); linear PCM tag 1 is accepted
+    too so one entry point covers a mixed archive."""
+    fmt_tag = rate = channels = bits = None
+    data = None
+    for fourcc, body in _riff_chunks(payload):
+        if fourcc == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif fourcc == b"data":
+            data = body
+    if fmt_tag is None or data is None:
+        raise ValueError("WAV stream missing fmt/data chunks")
+    if channels != 1:
+        raise NotImplementedError("g711_wav_decode supports mono only")
+    if fmt_tag == _WAVE_FMT_MULAW:
+        return rate, [_MULAW_TABLE[b] for b in data]
+    if fmt_tag == _WAVE_FMT_ALAW:
+        return rate, [_ALAW_TABLE[b] for b in data]
+    if fmt_tag == _WAVE_FMT_PCM and bits == 16:
+        import struct
+
+        return rate, list(struct.unpack(f"<{len(data) // 2}h", data))
+    raise NotImplementedError(f"unsupported WAV format tag {fmt_tag}/{bits}")
+
+
+def g711_wav_encode(
+    samples: list[int], sample_rate: int = 8000, law: str = "mulaw"
+) -> bytes:
+    """Encode 16-bit linear PCM as a G.711 WAV (µ-law or A-law): compress
+    each sample with the standard segment search (argmin over the
+    expansion table is exact and table-small), emit a RIFF/WAVE container
+    with the right format tag. Round-trips bit-exactly through
+    :func:`g711_wav_decode` for values ON the quantization lattice."""
+    table = _MULAW_TABLE if law == "mulaw" else _ALAW_TABLE
+    fmt_tag = _WAVE_FMT_MULAW if law == "mulaw" else _WAVE_FMT_ALAW
+    inverse = {}
+    for code, value in enumerate(table):
+        inverse.setdefault(value, code)
+
+    def compress(s: int) -> int:
+        if s in inverse:
+            return inverse[s]
+        # nearest lattice point, ties toward the smaller magnitude
+        return min(
+            range(256), key=lambda c: (abs(table[c] - s), abs(table[c]))
+        )
+
+    data = bytes(compress(s) for s in samples)
+    fmt = (
+        fmt_tag.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + sample_rate.to_bytes(4, "little")  # byte rate (1 byte/sample)
+        + (1).to_bytes(2, "little")  # block align
+        + (8).to_bytes(2, "little")  # bits per sample
+    )
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    body = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"data", data)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+G711_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_pcm", LongType()),
+        StructField("min_pcm", LongType()),
+        StructField("max_pcm", LongType()),
+    ]
+)
+
+
+def g711_wav_stats(media: DataFrame) -> DataFrame:
+    """G.711 decode as an Arrow ``mapInPandas`` stage: companded WAV
+    payload in → integer-exact linear-PCM stats out (count/sum/min/max —
+    the audit pass over a telephony archive before transcription). Payload
+    bytes never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {f.name: [] for f in G711_STATS_SCHEMA}
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                rate, samples = g711_wav_decode(bytes(p))
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["sum_pcm"].append(sum(samples))
+                out["min_pcm"].append(min(samples) if samples else 0)
+                out["max_pcm"].append(max(samples) if samples else 0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=G711_STATS_SCHEMA)

@@ -1241,3 +1241,150 @@ def meta_consistency_checks(
     )
 
     return findings_union(findings)
+
+
+#: cBioPortal clinical attribute datatypes (validateData's DATATYPE line
+#: vocabulary; the sink writes these at sinks.py:93-96).
+CLINICAL_HEADER_DATATYPES = ("STRING", "NUMBER", "BOOLEAN")
+
+
+def parse_clinical_header_text(name: str, text: str) -> list[dict]:
+    """Parse a cBioPortal clinical file's 5-line attribute header (four
+    ``#`` lines — display name / description / datatype / priority — then
+    the column-id line; the inverse of ``sinks.cbioportal_clinical_header``)
+    into one dict per attribute. Driver-side by design: headers are
+    KB-sized, exactly like :func:`parse_meta_text`.
+
+    ``arity_ok`` is a FILE-level flag repeated on every attribute row:
+    False when any ``#`` line's field count differs from the column line's
+    (cBioPortal's validator errors on ragged headers). Ragged lines are
+    padded with NULLs so the per-attribute rules still see every column."""
+    lines = text.splitlines()
+    hash_lines = [ln[1:].split("\t") for ln in lines[:4] if ln.startswith("#")]
+    if len(hash_lines) != 4 or len(lines) < 5 or lines[4].startswith("#"):
+        raise ValueError(
+            f"{name}: expected 4 '#' header lines then a column line"
+        )
+    col_ids = lines[4].split("\t")
+    arity_ok = all(len(h) == len(col_ids) for h in hash_lines)
+
+    def field(j: int, i: int) -> str | None:
+        return hash_lines[j][i] if i < len(hash_lines[j]) else None
+
+    return [
+        {
+            "filename": name,
+            "column_id": cid,
+            "display_name": field(0, i),
+            "description": field(1, i),
+            "datatype": field(2, i),
+            "priority": field(3, i),
+            "arity_ok": arity_ok,
+        }
+        for i, cid in enumerate(col_ids)
+    ]
+
+
+def clinical_header_conformance(
+    attrs: DataFrame,
+    required_cols: Sequence[str] = ("PATIENT_ID",),
+) -> DataFrame:
+    """Attribute-HEADER conformance — the header tier of cBioPortal
+    ``validateData.py``'s clinical validator (the reference only reaches it
+    via the subprocess call, ``validate.py:211-216``), completing the
+    native stack under :func:`clinical_value_conformance` (values) /
+    :func:`cross_file_referential_checks` (ids) /
+    :func:`meta_consistency_checks` (study descriptors).
+
+    ``attrs``: one row per (filename, column_id) attribute as produced by
+    :func:`parse_clinical_header_text` — columns ``filename, column_id,
+    display_name, description, datatype, priority, arity_ok``.
+
+    Rules (ONE aggregate pass; uniform findings schema):
+    - ``header_datatype_vocabulary`` (ERROR): datatype ∈ STRING/NUMBER/
+      BOOLEAN.
+    - ``header_priority_integer`` (ERROR): priority is a base-10 integer
+      (validateData: non-numeric priority aborts the import).
+    - ``header_duplicate_column_id`` (ERROR): column ids unique per file.
+    - ``header_arity_mismatch`` (ERROR): files whose ``#`` lines disagree
+      with the column line's field count.
+    - ``header_display_name_missing`` (WARN): empty display names load but
+      render as raw ids in the portal UI.
+    - ``header_required_<col>`` (ERROR): every file carries each of
+      ``required_cols`` (PATIENT_ID for patient files; pass SAMPLE_ID too
+      for sample files).
+
+    Scale: headers are KB-sized per file — this whole validator is a
+    single combiner-reduced aggregate over descriptor rows; it reads no
+    data-file bytes, so it costs nothing at 100 TB."""
+    dt = F.col("datatype")
+    pr = F.col("priority").cast("string")
+    dn = F.col("display_name")
+    aggs = [
+        F.sum(
+            F.when(
+                dt.isNull() | ~dt.isin(*CLINICAL_HEADER_DATATYPES), 1
+            ).otherwise(0)
+        ).alias("__bad_datatype"),
+        F.sum(
+            F.when(pr.isNull() | ~pr.rlike(r"^[0-9]+$"), 1).otherwise(0)
+        ).alias("__bad_priority"),
+        (
+            F.count(F.lit(1)) - F.countDistinct("filename", "column_id")
+        ).alias("__dup_ids"),
+        F.countDistinct(
+            F.when(~F.col("arity_ok"), F.col("filename"))
+        ).alias("__arity_files"),
+        F.sum(
+            F.when(dn.isNull() | (dn == ""), 1).otherwise(0)
+        ).alias("__missing_display"),
+        F.countDistinct("filename").alias("__n_files"),
+        *[
+            F.countDistinct(
+                F.when(F.col("column_id") == rc, F.col("filename"))
+            ).alias(f"__has_{i}")
+            for i, rc in enumerate(required_cols)
+        ],
+    ]
+    agg = attrs.agg(*aggs)
+    rules = [
+        ("header_datatype_vocabulary", F.col("__bad_datatype"), "ERROR",
+         "attrs with datatype outside STRING/NUMBER/BOOLEAN"),
+        ("header_priority_integer", F.col("__bad_priority"), "ERROR",
+         "attrs with non-integer priority"),
+        ("header_duplicate_column_id", F.col("__dup_ids"), "ERROR",
+         "duplicate column ids within a file"),
+        ("header_arity_mismatch", F.col("__arity_files"), "ERROR",
+         "files with ragged '#' header lines"),
+        ("header_display_name_missing", F.col("__missing_display"), "WARN",
+         "attrs with empty display names"),
+        *[
+            (f"header_required_{rc.lower()}",
+             F.col("__n_files") - F.col(f"__has_{i}"), "ERROR",
+             f"files missing required column {rc}")
+            for i, rc in enumerate(required_cols)
+        ],
+    ]
+    per_rule = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                n_bad.cast("long").alias("n_bad"),
+                F.lit(sev).alias("sev"),
+                F.lit(detail).alias("detail"),
+            )
+            for name, n_bad, sev, detail in rules
+        ]
+    )
+    return (
+        agg.select(F.explode(per_rule).alias("f"))
+        .select(
+            F.col("f.rule").alias("check"),
+            F.when(F.col("f.n_bad") == 0, F.lit("OK"))
+            .otherwise(F.col("f.sev"))
+            .alias("status"),
+            F.col("f.n_bad").alias("observed"),
+            F.lit(0).cast("long").alias("expected"),
+            F.col("f.detail").alias("detail"),
+        )
+    )

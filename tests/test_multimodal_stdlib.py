@@ -449,3 +449,277 @@ def test_mp3_metadata_honours_id3v2_footer_flag():
     # and a footer-less tag of the same size still parses (regression)
     m2 = mp3_parse_metadata(mp3_encode(5, 128, 44100, id3_payload=body))
     assert m2["n_frames"] == 5
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample table / MP3 frame index (round 7: the demux-under-frame-sampling
+# layer — byte ranges + timestamps without any codec)
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_sample_table_single_chunk_all_sync():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        mp4_encode_track,
+        mp4_sample_table,
+    )
+
+    p = mp4_encode_track([50, 60, 70], [100, 100, 200])
+    rows = mp4_sample_table(p)
+    assert [r["offset"] for r in rows] == [28, 78, 138]
+    assert [r["dts"] for r in rows] == [0, 100, 200]
+    assert [r["duration"] for r in rows] == [100, 100, 200]
+    assert all(r["is_sync"] for r in rows)  # no stss → every sample sync
+    assert all(r["chunk_idx"] == 0 for r in rows)
+    assert all(r["track_id"] == 1 for r in rows)
+
+
+def test_mp4_sample_table_chunked_with_sync():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        mp4_encode_track,
+        mp4_sample_table,
+    )
+
+    sizes = [10, 20, 30, 40, 50]
+    p = mp4_encode_track(
+        sizes, [512] * 5, sync_every=2, samples_per_chunk=[2, 2, 1],
+        track_id=7,
+    )
+    rows = mp4_sample_table(p)
+    assert len(rows) == 5
+    # offsets are contiguous across chunk boundaries (mdat laid out in order)
+    assert [r["offset"] for r in rows] == [28, 38, 58, 88, 128]
+    assert [r["chunk_idx"] for r in rows] == [0, 0, 1, 1, 2]
+    assert [r["is_sync"] for r in rows] == [True, False, True, False, True]
+    assert rows[0]["track_id"] == 7
+
+
+def test_mp4_sample_table_rle_stts_roundtrip():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        mp4_encode_track,
+        mp4_sample_table,
+    )
+
+    deltas = [256, 256, 256, 1024, 1024, 512]
+    p = mp4_encode_track([8] * 6, deltas)
+    rows = mp4_sample_table(p)
+    assert [r["duration"] for r in rows] == deltas
+    assert [r["dts"] for r in rows] == [0, 256, 512, 768, 1792, 2816]
+
+
+def test_mp4_sample_table_uniform_stsz_and_co64():
+    """Parser paths the encoder doesn't emit: uniform sample_size and
+    64-bit chunk offsets, built by patching an encoded stream's boxes."""
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        mp4_encode_track,
+        mp4_sample_table,
+    )
+
+    p = bytearray(mp4_encode_track([25, 25, 25], [100, 100, 100]))
+    # rewrite stsz to uniform mode: sample_size=25, keep count=3, drop table
+    i = bytes(p).find(b"stsz")
+    old_size = int.from_bytes(p[i - 4 : i], "big")
+    new_body = bytes(4) + (25).to_bytes(4, "big") + (3).to_bytes(4, "big")
+    new_box = (8 + len(new_body)).to_bytes(4, "big") + b"stsz" + new_body
+    p2 = bytes(p[: i - 4]) + new_box + bytes(p[i - 4 + old_size :])
+    # fix enclosing box sizes (stbl/minf/mdia/trak/moov each shrank)
+    shrink = old_size - len(new_box)
+    out = bytearray(p2)
+    for btype in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+        j = out.find(btype)
+        sz = int.from_bytes(out[j - 4 : j], "big")
+        out[j - 4 : j] = (sz - shrink).to_bytes(4, "big")
+    rows = mp4_sample_table(bytes(out))
+    assert [r["size"] for r in rows] == [25, 25, 25]
+    assert [r["offset"] for r in rows] == [28, 53, 78]
+
+
+def test_mp3_frame_index_offsets_and_dts():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        mp3_encode,
+        mp3_frame_index,
+    )
+
+    p = mp3_encode(3, 128, 44100, id3_payload=b"x" * 25)
+    rows = mp3_frame_index(p)
+    frame_len = 144 * 128 * 1000 // 44100  # 417
+    assert [r["offset"] for r in rows] == [35, 35 + frame_len, 35 + 2 * frame_len]
+    assert [r["size"] for r in rows] == [frame_len] * 3
+    assert [r["dts_ms"] for r in rows] == [0, 1152 * 1000 // 44100,
+                                           2 * 1152 * 1000 // 44100]
+
+
+def test_extract_mp4_samples_arrow_stage(spark):
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_mp4_samples,
+        mp4_encode_track,
+    )
+
+    payloads = [
+        (0, mp4_encode_track([10, 20], [64, 64])),
+        (1, mp4_encode_track([5, 5, 5], [100, 200, 300], sync_every=2)),
+    ]
+    media = spark.createDataFrame(
+        [(mid, "video", "video/mp4", p) for mid, p in payloads],
+        "media_id long, modality string, mime_type string, payload binary",
+    )
+    got = extract_mp4_samples(media).orderBy("media_id", "sample_idx").collect()
+    assert [(r.media_id, r.sample_idx, r.offset, r.size, r.is_sync) for r in got] == [
+        (0, 0, 28, 10, True),
+        (0, 1, 38, 20, True),
+        (1, 0, 28, 5, True),
+        (1, 1, 33, 5, False),
+        (1, 2, 38, 5, True),
+    ]
+    assert "payload" not in extract_mp4_samples(media).columns
+
+
+def test_extract_mp3_frames_arrow_stage(spark):
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_mp3_frames,
+        mp3_encode,
+    )
+
+    media = spark.createDataFrame(
+        [(0, "audio", "audio/mpeg", mp3_encode(2, 96, 44100))],
+        "media_id long, modality string, mime_type string, payload binary",
+    )
+    got = extract_mp3_frames(media).orderBy("frame_idx").collect()
+    fl = 144 * 96 * 1000 // 44100
+    assert [(r.frame_idx, r.offset, r.size) for r in got] == [
+        (0, 0, fl), (1, fl, fl)
+    ]
+
+
+def test_wav_audio_features_integer_exact():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        wav_audio_features,
+    )
+
+    samples = [500, 500, -500, -500, 500, 0, -1]
+    f = wav_audio_features(_wav_bytes(samples))
+    assert f["n_samples"] == 7
+    assert f["peak"] == 500
+    assert f["mean_abs_ppm"] == sum(abs(s) for s in samples) * 1_000_000 // 7
+    assert f["energy"] == sum(s * s for s in samples) // 7
+    # sign boundaries: (500,-500), (-500,500), (0,-1)   [sign(0) = +]
+    assert f["zero_crossings"] == 3
+    assert f["silence_ppm"] == 2 * 1_000_000 // 7  # |0| and |-1| ≤ 100
+
+
+def test_wav_audio_features_empty_clip():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        wav_audio_features,
+    )
+
+    f = wav_audio_features(_wav_bytes([]))
+    assert f["n_samples"] == 0
+    assert f["silence_ppm"] == 1_000_000
+    assert f["peak"] == 0
+
+
+def test_extract_audio_features_arrow_stage(spark):
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (0, "audio", "audio/wav", _wav_bytes([1000, -1000] * 8)),
+            (1, "audio", "audio/wav", _wav_bytes([0] * 16)),
+        ],
+        "media_id long, modality string, mime_type string, payload binary",
+    )
+    out = extract_audio_features(media)
+    assert "payload" not in out.columns
+    rows = {r.media_id: r for r in out.collect()}
+    assert rows[0].peak == 1000 and rows[0].zero_crossings == 15
+    assert rows[1].silence_ppm == 1_000_000 and rows[1].energy == 0
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law / A-law (round 7: REAL companded-audio decode, no codec libs)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_tables_match_canonical_extremes():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        _ALAW_TABLE,
+        _MULAW_TABLE,
+    )
+
+    # ITU-T G.711 reference points (identical to CPython's old audioop)
+    assert _MULAW_TABLE[0xFF] == 0
+    assert _MULAW_TABLE[0x00] == -32124
+    assert _MULAW_TABLE[0x80] == 32124
+    assert _ALAW_TABLE[0xD5] == 8
+    assert _ALAW_TABLE[0x55] == -8
+    assert max(_ALAW_TABLE) == 32256 and min(_ALAW_TABLE) == -32256
+
+
+def test_g711_wav_roundtrip_both_laws():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        _ALAW_TABLE,
+        _MULAW_TABLE,
+        g711_wav_decode,
+        g711_wav_encode,
+    )
+
+    for law, table in (("mulaw", _MULAW_TABLE), ("alaw", _ALAW_TABLE)):
+        lattice = sorted(set(table))
+        rate, decoded = g711_wav_decode(g711_wav_encode(lattice, 8000, law))
+        assert rate == 8000
+        assert decoded == lattice
+
+
+def test_g711_encode_quantizes_off_lattice():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        g711_wav_decode,
+        g711_wav_encode,
+    )
+
+    # 9 is off-lattice for µ-law; nearest lattice point is 8 (codes are ±4
+    # apart near zero on the µ-law lattice: 0, 8, 16, ...)
+    _, decoded = g711_wav_decode(g711_wav_encode([9], 8000, "mulaw"))
+    assert decoded[0] in (8, 16)
+    assert abs(decoded[0] - 9) <= 7
+
+
+def test_g711_decode_rejects_stereo_and_missing_chunks():
+    import pytest
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        g711_wav_decode,
+    )
+
+    with pytest.raises(ValueError):
+        g711_wav_decode(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        g711_wav_decode(b"not a wav at all....")
+
+
+def test_g711_decode_accepts_plain_pcm_tag():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        g711_wav_decode,
+    )
+
+    rate, samples = g711_wav_decode(_wav_bytes([5, -5, 100]))
+    assert rate == 8000
+    assert samples == [5, -5, 100]
+
+
+def test_g711_wav_stats_arrow_stage(spark):
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        _MULAW_TABLE,
+        g711_wav_encode,
+        g711_wav_stats,
+    )
+
+    lat = sorted(set(_MULAW_TABLE))[:10]
+    media = spark.createDataFrame(
+        [(0, "audio", "audio/basic", g711_wav_encode(lat, 8000, "mulaw"))],
+        "media_id long, modality string, mime_type string, payload binary",
+    )
+    row = g711_wav_stats(media).collect()[0]
+    assert row.n_samples == 10
+    assert row.sum_pcm == sum(lat)
+    assert row.min_pcm == min(lat) and row.max_pcm == max(lat)

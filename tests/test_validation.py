@@ -537,3 +537,96 @@ def test_meta_consistency_checks_clean_bundle(spark):
     out = meta_consistency_checks(metas, bundle).collect()
     assert {r["status"] for r in out} == {"OK"}
     assert len(out) == 6
+
+
+# ---------------------------------------------------------------------------
+# clinical attribute-header conformance (round 7: the header tier)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_clinical_header_roundtrip():
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        parse_clinical_header_text,
+    )
+    from iatlas_cbioportal_export_spark.sources.sinks import (
+        cbioportal_clinical_header,
+    )
+
+    meta = {
+        "PATIENT_ID": {"display_name": "Patient Identifier",
+                       "datatype": "STRING", "priority": "1"},
+        "AGE": {"display_name": "Age", "datatype": "NUMBER", "priority": "2"},
+    }
+    lines = cbioportal_clinical_header(["PATIENT_ID", "AGE"], meta)
+    text = "\n".join([*lines, "PATIENT_ID\tAGE", "P-1\t61"])
+    rows = parse_clinical_header_text("data_clinical_patient.txt", text)
+    assert [r["column_id"] for r in rows] == ["PATIENT_ID", "AGE"]
+    assert rows[0]["display_name"] == "Patient Identifier"
+    assert rows[1]["datatype"] == "NUMBER"
+    assert all(r["arity_ok"] for r in rows)
+
+
+def test_parse_clinical_header_ragged_and_missing():
+    import pytest
+
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        parse_clinical_header_text,
+    )
+
+    ragged = "#A\tB\n#d\td\n#STRING\n#1\t2\nCOL1\tCOL2\nv\tw"
+    rows = parse_clinical_header_text("f.txt", ragged)
+    assert not rows[0]["arity_ok"]
+    assert rows[1]["datatype"] is None  # padded, not dropped
+    with pytest.raises(ValueError):
+        parse_clinical_header_text("g.txt", "COL1\tCOL2\nv\tw")
+
+
+def test_clinical_header_conformance_counts(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        clinical_header_conformance,
+    )
+
+    attrs = spark.createDataFrame(
+        [
+            # fine attribute
+            ("f1", "PATIENT_ID", "Patient", "d", "STRING", "1", True),
+            # bad datatype + bad priority + empty display
+            ("f1", "AGE", "", "d", "FLOAT", "high", True),
+            # duplicate column id within f1
+            ("f1", "PATIENT_ID", "Patient", "d", "STRING", "1", True),
+            # f2 ragged, missing PATIENT_ID
+            ("f2", "COL", "C", "d", "NUMBER", "0", False),
+        ],
+        "filename string, column_id string, display_name string, "
+        "description string, datatype string, priority string, "
+        "arity_ok boolean",
+    )
+    got = {
+        r["check"]: (r["status"], r["observed"])
+        for r in clinical_header_conformance(attrs).collect()
+    }
+    assert got["header_datatype_vocabulary"] == ("ERROR", 1)
+    assert got["header_priority_integer"] == ("ERROR", 1)
+    assert got["header_duplicate_column_id"] == ("ERROR", 1)
+    assert got["header_arity_mismatch"] == ("ERROR", 1)
+    assert got["header_display_name_missing"] == ("WARN", 1)
+    assert got["header_required_patient_id"] == ("ERROR", 1)
+
+
+def test_clinical_header_conformance_all_ok(spark):
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        clinical_header_conformance,
+    )
+
+    attrs = spark.createDataFrame(
+        [
+            ("f1", "PATIENT_ID", "Patient", "d", "STRING", "1", True),
+            ("f1", "OS_MONTHS", "OS months", "d", "NUMBER", "2", True),
+        ],
+        "filename string, column_id string, display_name string, "
+        "description string, datatype string, priority string, "
+        "arity_ok boolean",
+    )
+    rows = clinical_header_conformance(attrs).collect()
+    assert all(r["status"] == "OK" for r in rows)
+    assert len(rows) == 6
