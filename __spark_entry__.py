@@ -5396,6 +5396,88 @@ def q_multimodal_mp3_frames(spark, sf_dir):
     )
 
 
+def q_multimodal_gif_roundtrip(spark, sf_dir):
+    """REAL GIF decode under the driver gate (round 7): deterministic
+    16x12 indexed images (8-color palette with channel values
+    (id·5+p·7)%256 / (id·3+p·11)%256 / (p·29+id)%256; pixel index
+    (id+3x+5y)%8; interlaced for odd ids) are GIF-encoded — real LZW with
+    variable code width — in one Arrow stage, then decoded by the stdlib
+    LZW+palette parser. The oracle recomputes the per-channel mean ppm
+    closed-form from the palette/index formulas over the 192-pixel grid,
+    so compress→decompress→palette-expand (and the interlace reorder) is
+    value-hash checked end to end."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.gif_codec import gif_encode
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_features,
+        stdlib_decoder,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 150)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for batch in batches:
+            payloads = []
+            for mid in batch["media_id"]:
+                mid = int(mid)
+                palette = [
+                    (
+                        (mid * 5 + p * 7) % 256,
+                        (mid * 3 + p * 11) % 256,
+                        (p * 29 + mid) % 256,
+                    )
+                    for p in range(8)
+                ]
+                idx = bytes(
+                    (mid + 3 * x + 5 * y) % 8
+                    for y in range(12)
+                    for x in range(16)
+                )
+                payloads.append(
+                    gif_encode(16, 12, idx, palette, interlaced=mid % 2 == 1)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": "image",
+                    "mime_type": "image/gif",
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    feats = extract_features(media, extractor=stdlib_decoder)
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).cast("long").alias("width"),
+        F.element_at("feature", 2).cast("long").alias("height"),
+        F.element_at("feature", 3).alias("mean_r_ppm"),
+        F.element_at("feature", 4).alias("mean_g_ppm"),
+        F.element_at("feature", 5).alias("mean_b_ppm"),
+    )
+
+
 def q_multimodal_keyframe_ranges(spark, sf_dir):
     """Keyframe-only byte-range rollup (round 7) — the downstream use of
     the mp4 sample table: same synthetic streams as multimodal_mp4_samples,
@@ -5754,6 +5836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_g711_stats": q_multimodal_g711_stats,
         "multimodal_keyframe_ranges": q_multimodal_keyframe_ranges,
+        "multimodal_gif_roundtrip": q_multimodal_gif_roundtrip,
         "dedup_containment_capped": q_dedup_containment_capped,
         "dedup_url_canonical": q_dedup_url_canonical,
 
@@ -6260,6 +6343,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(duration AS BIGINT) AS duration,
                    sample_idx % (2 + media_id % 3) = 0 AS is_sync
             FROM f
+        """,
+        "multimodal_gif_roundtrip": """
+            WITH m AS (
+                SELECT doc_id AS media_id FROM documents WHERE doc_id < 150
+            ),
+            px AS (
+                SELECT media_id, unnest(generate_series(0, 15)) AS x FROM m
+            ),
+            pxy AS (
+                SELECT media_id, x, unnest(generate_series(0, 11)) AS y
+                FROM px
+            ),
+            c AS (
+                SELECT media_id, (media_id + 3 * x + 5 * y) % 8 AS p
+                FROM pxy
+            ),
+            s AS (
+                SELECT media_id,
+                       SUM((media_id * 5 + p * 7) % 256) AS r,
+                       SUM((media_id * 3 + p * 11) % 256) AS g,
+                       SUM((p * 29 + media_id) % 256) AS b
+                FROM c GROUP BY media_id
+            )
+            SELECT media_id,
+                   CAST(16 AS BIGINT) AS width,
+                   CAST(12 AS BIGINT) AS height,
+                   CAST(r * 1000000 // 192 AS DOUBLE) AS mean_r_ppm,
+                   CAST(g * 1000000 // 192 AS DOUBLE) AS mean_g_ppm,
+                   CAST(b * 1000000 // 192 AS DOUBLE) AS mean_b_ppm
+            FROM s
         """,
         "multimodal_keyframe_ranges": """
             WITH m AS (

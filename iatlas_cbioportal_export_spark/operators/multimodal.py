@@ -441,16 +441,35 @@ def png_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
     return png_encode(bytes(out), out_w, out_h, channels=channels)
 
 
+def gif_feature_extractor(payload: bytes, mime_type: str) -> list[float]:
+    """REAL image decode for GIF — LZW + palette expansion via
+    :mod:`.gif_codec`. Feature shape matches the other image extractors:
+    [width, height, per-channel mean-intensity ppm over RGB]."""
+    from .gif_codec import gif_decode
+
+    width, height, rgb = gif_decode(payload)
+    n = width * height
+    means = [
+        float(sum(rgb[k] for k in range(c, len(rgb), 3)) * 1_000_000 // n)
+        for c in range(3)
+    ]
+    return [float(width), float(height), *means]
+
+
 def stdlib_resizer(payload: bytes, out_w: int, out_h: int) -> bytes:
-    """Dispatching REAL resizer: PNG / JPEG by signature, binary netpbm by
-    magic; other formats raise through :func:`real_decode_stub` (honest
-    stub)."""
+    """Dispatching REAL resizer: PNG / JPEG / GIF by signature, binary
+    netpbm by magic; other formats raise through :func:`real_decode_stub`
+    (honest stub)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_resize(payload, out_w, out_h)
     if payload[:2] == b"\xff\xd8":
         from .jpeg_codec import jpeg_resize
 
         return jpeg_resize(payload, out_w, out_h)
+    if payload[:4] == b"GIF8":
+        from .gif_codec import gif_resize
+
+        return gif_resize(payload, out_w, out_h)
     if payload[:2] in (b"P5", b"P6"):
         return netpbm_resize(payload, out_w, out_h)
     return real_decode_stub(payload, "unknown")  # type: ignore[return-value]
@@ -474,6 +493,8 @@ def stdlib_decoder(payload: bytes, mime_type: str) -> list[float]:
         from .jpeg_codec import jpeg_feature_extractor
 
         return jpeg_feature_extractor(payload, mime_type)
+    if mt == "image/gif":
+        return gif_feature_extractor(payload, mime_type)
     return real_decode_stub(payload, mime_type)  # type: ignore[return-value]
 
 
@@ -831,6 +852,10 @@ def container_metadata(payload: bytes) -> dict:
             "sample_rate": None, "n_tracks": channels, "n_frames": None,
             "width": width, "height": height,
         }
+    if payload[:4] == b"GIF8":
+        from .gif_codec import gif_parse_metadata
+
+        return gif_parse_metadata(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         import io
         import wave
