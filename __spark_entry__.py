@@ -5643,6 +5643,35 @@ def q_multimodal_g711_stats(spark, sf_dir):
     )
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level exact dedup (round 7) — the C4/Dolma sub-document
+    pass whole-doc dedup can't see: every doc carries a corpus-wide cookie
+    banner (survives only in the first doc), a family-shared paragraph
+    (doc_id//10 — survives in each family's first doc), and its own unique
+    body. First corpus-order occurrence wins via a hash-partitioned window
+    (no join back; text shuffles once), survivors reassemble per doc. The
+    oracle replays winner selection with a window over the same paragraph
+    table."""
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        dedup_paragraphs,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.lit("cookie notice please accept"),
+            F.concat(F.lit("fam "), (d / 10).cast("long").cast("string")),
+            F.concat(
+                F.lit("own "), d.cast("string"), F.lit(": "),
+                F.substring("text", 1, 60),
+            ),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(docs)
+
+
 def q_dedup_url_canonical(spark, sf_dir):
     """URL canonicalization → exact dedup, the first hop of web-corpus
     pipelines: deterministic URL variants derived from doc_id (scheme/host
@@ -5839,6 +5868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_roundtrip": q_multimodal_gif_roundtrip,
         "dedup_containment_capped": q_dedup_containment_capped,
         "dedup_url_canonical": q_dedup_url_canonical,
+        "dedup_paragraphs": q_dedup_paragraphs,
 
         "xml_roundtrip": q_xml_roundtrip,
         "zonemap_pruning": q_zonemap_pruning,
@@ -6343,6 +6373,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(duration AS BIGINT) AS duration,
                    sample_idx % (2 + media_id % 3) = 0 AS is_sync
             FROM f
+        """,
+        "dedup_paragraphs": """
+            WITH d AS (
+                SELECT doc_id,
+                       ['cookie notice please accept',
+                        'fam ' || CAST(doc_id // 10 AS VARCHAR),
+                        'own ' || CAST(doc_id AS VARCHAR) || ': '
+                            || substr(text, 1, 60)] AS ps
+                FROM documents
+            ),
+            e AS (
+                SELECT doc_id, unnest(generate_series(1, len(ps))) AS i, ps
+                FROM d
+            ),
+            p AS (
+                SELECT doc_id, i, ps[i] AS para FROM e WHERE ps[i] <> ''
+            ),
+            r AS (
+                SELECT doc_id, i, para,
+                       row_number() OVER (PARTITION BY para
+                                          ORDER BY doc_id, i) AS rn
+                FROM p
+            ),
+            k AS (SELECT doc_id, i, para FROM r WHERE rn = 1)
+            SELECT doc_id,
+                   CAST(3 AS BIGINT) AS n_paragraphs,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(para, chr(10) || chr(10) ORDER BY i) AS text
+            FROM k GROUP BY doc_id
         """,
         "multimodal_gif_roundtrip": """
             WITH m AS (

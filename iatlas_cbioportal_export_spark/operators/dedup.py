@@ -1191,3 +1191,74 @@ def containment_join(
             ),
         )
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_regex: str = r"\n\n",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup (round 7) — the C4/Dolma sub-document
+    pass: split each document on ``sep_regex``, keep only the FIRST
+    corpus-order occurrence (min (doc_id, position)) of every distinct
+    paragraph, and reassemble the documents. This is what strips repeated
+    cookie banners / license blocks / navigation chrome that whole-doc
+    dedup can't see. Empty paragraphs are dropped up front (deduping them
+    corpus-wide would mangle structure).
+
+    Scale shape: TWO shuffles, neither moving more than the text once —
+    (1) paragraphs hash-partition on ``xxhash64(para)`` for a window
+    ``row_number`` (first-occurrence pick; no join back, the window IS the
+    winner selection), (2) survivors re-group on the doc id for
+    reassembly. Hash collisions (≈ n²/2⁶⁴) would drop a false-duplicate
+    paragraph; the window ALSO orders by the paragraph text within a hash
+    bucket so a collision's effect is deterministic, and exactness can be
+    restored by keying on the paragraph string itself at the cost of
+    shuffling text as the key. Output: (id, n_paragraphs, n_kept, text);
+    a document whose every paragraph was already seen elsewhere produces
+    NO row (fully-boilerplate pages are removed, the C4 behavior).
+    """
+    from pyspark.sql import Window
+
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.split(F.col(text_col), sep_regex).alias("__arr"),
+        )
+        .select(
+            F.col(id_col),
+            # per-doc paragraph count BEFORE the explode — array-side, so
+            # it rides along instead of costing a third shuffle
+            F.size(
+                F.filter("__arr", lambda p: p != F.lit(""))
+            ).alias("__n"),
+            F.posexplode("__arr").alias("__pos", "__para"),
+        )
+        .filter(F.col("__para") != "")
+    )
+    w = Window.partitionBy(F.xxhash64("__para")).orderBy(
+        "__para", id_col, "__pos"
+    )
+    kept = paras.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.max("__n").alias("n_paragraphs"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__para"))
+                    ),
+                    lambda s: s["__para"],
+                ),
+                joiner,
+            ).alias(text_col),
+        )
+        .withColumn("n_paragraphs", F.col("n_paragraphs").cast("long"))
+        .withColumn("n_kept", F.col("n_kept").cast("long"))
+    )

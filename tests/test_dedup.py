@@ -375,3 +375,68 @@ def test_containment_join_word_mode_asymmetry(spark):
     }
     # C(2→1) = 3/3 = 1; C(1→2) = 3/10 < 0.5 → direction matters
     assert got == {(2, 1): 1_000_000}
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (round 7: the C4/Dolma sub-document pass)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        dedup_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "COOKIE BANNER\n\nalpha body\n\nshared quote"),
+            (1, "COOKIE BANNER\n\nbeta body\n\nshared quote"),
+            (2, "COOKIE BANNER"),  # fully boilerplate -> no output row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    assert set(out) == {0, 1}  # doc 2 vanished entirely
+    assert out[0].text == "COOKIE BANNER\n\nalpha body\n\nshared quote"
+    assert out[0].n_paragraphs == 3 and out[0].n_kept == 3
+    assert out[1].text == "beta body"
+    assert out[1].n_paragraphs == 3 and out[1].n_kept == 1
+
+
+def test_dedup_paragraphs_within_doc_and_empties(spark):
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        dedup_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [(5, "x\n\n\n\nx\n\ny")],  # empty paragraph + self-duplicate
+        "doc_id long, text string",
+    )
+    row = dedup_paragraphs(docs).collect()[0]
+    assert row.text == "x\n\ny"
+    assert row.n_paragraphs == 3  # empties dropped before counting
+    assert row.n_kept == 2
+
+
+def test_dedup_paragraphs_partitioning_invariant(spark):
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        dedup_paragraphs,
+    )
+
+    rows = [
+        (i, f"common header\n\nbody {i % 7}\n\ntail {i}") for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        (r.doc_id, r.n_kept, r.text)
+        for r in dedup_paragraphs(docs).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.n_kept, r.text)
+        for r in dedup_paragraphs(docs.repartition(13)).collect()
+    )
+    assert a == b
+    # "common header" survives only in doc 0; "body k" only in doc k
+    by_id = dict((d, (k, t)) for d, k, t in a)
+    assert by_id[0][1].startswith("common header")
+    assert all(not by_id[i][1].startswith("common header") for i in range(1, 60))
