@@ -5643,6 +5643,20 @@ def q_multimodal_g711_stats(spark, sf_dir):
     )
 
 
+def q_text_trigram_backoff(spark, sf_dir):
+    """Order-3 stupid-backoff LM scoring (round 7, Brants et al. 2007) —
+    completes the n-gram quality-filter family (unigram, interpolated
+    bigram, now trigram with backoff). The model trains on the doc_id%3!=0
+    TWO-THIRDS of the corpus and scores ALL docs, so held-out docs carry
+    unseen trigrams and every backoff tier (trigram ratio → α·bigram →
+    α²·unigram → floor) actually fires under the oracle gate. Decimal-lane
+    per-doc sums; the oracle replays the count tables and the exact
+    double-arithmetic order."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = docs.filter(F.col("doc_id") % 3 != 0)
+    return text_ops.trigram_backoff_score(docs, model=model)
+
+
 def q_dedup_paragraphs(spark, sf_dir):
     """Paragraph-level exact dedup (round 7) — the C4/Dolma sub-document
     pass whole-doc dedup can't see: every doc carries a corpus-wide cookie
@@ -5847,14 +5861,16 @@ def q_bundle_cross_checks(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
     checks the FIRST 50 entries only. Since round 5 every registry entry
-    has a driver-green CORRECTNESS row, so the round-6 window (the
-    ``_R6_WINDOW`` list below — applied as a reorder over the full
-    registry) is: NEW round-6 queries first, then re-check slots for
-    every query whose operator file changed this round (validation.py
-    cross-file checks, multimodal.py PNG codec, dedup.py hot-shingle cap,
-    text.py dense-GEMM exact-cosine kernel, maf.py annotator retries,
-    curation.py URL canonicalization), then freshness re-checks of the
-    LONGEST-unchecked previously-green entries (r1 greens)."""
+    has a driver-green CORRECTNESS row, so the round-7 window (the
+    ``_R7_WINDOW`` list below — applied as a reorder over the full
+    registry) is: NEW round-7 queries first (media demux / GIF / G.711 /
+    audio DSP / header validation / paragraph dedup / JPEG codec), then
+    re-check slots for every query whose operator file changed this round
+    (multimodal.py, jpeg_codec.py, dedup.py containment speed-up +
+    paragraphs, validation.py header tier + distinct fix, curation.py
+    k-anonymity NULL fix, sampling.py integer-div fix), then freshness
+    re-checks of the LONGEST-unchecked previously-green entries (r1/r2
+    greens, per CORRECTNESS_r01-r06)."""
     all_q = {
         "bundle_cross_checks": q_bundle_cross_checks,
         "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
@@ -5869,6 +5885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment_capped": q_dedup_containment_capped,
         "dedup_url_canonical": q_dedup_url_canonical,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "text_trigram_backoff": q_text_trigram_backoff,
 
         "xml_roundtrip": q_xml_roundtrip,
         "zonemap_pruning": q_zonemap_pruning,
@@ -6105,71 +6122,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_order_priority": q_tpch_q4,
         "tpch_q5_local_supplier": q_tpch_q5,
     }
-    window = [n for n in _R6_WINDOW if n in all_q]
+    window = [n for n in _R7_WINDOW if n in all_q]
     rest = [n for n in all_q if n not in set(window)]
     return {n: all_q[n] for n in [*window, *rest]}
 
 
-# Round-6 driver window (first 50 entries): 8 new r6 queries, then
-# re-check slots for every r6-touched code path, then freshness re-checks
-# of the longest-unchecked greens.
-_R6_WINDOW = [
-    # new round-6 queries
-    "bundle_cross_checks",
-    "multimodal_png_roundtrip",
+# Round-7 driver window (first 50 entries): 9 new r7 queries, then
+# re-check slots for every r7-touched code path, then freshness re-checks
+# of the longest-unchecked greens (last checked r1/r2).
+_R7_WINDOW = [
+    # new round-7 queries
+    "multimodal_mp4_samples",
+    "multimodal_mp3_frames",
+    "multimodal_audio_features",
+    "multimodal_g711_stats",
+    "multimodal_keyframe_ranges",
+    "multimodal_gif_roundtrip",
+    "multimodal_jpeg_roundtrip",
+    "header_conformance",
+    "dedup_paragraphs",
+    "text_trigram_backoff",
+    # r7-touched code paths: multimodal.py + jpeg_codec.py (demux/codecs),
+    # dedup.py (containment speed-up, paragraphs), validation.py (header
+    # tier + meta distinct fix), curation.py (k-anonymity NULL fix),
+    # sampling.py (pack integer-div fix)
     "multimodal_container_metadata",
-    "sample_pack_sequences",
-    "meta_consistency",
-    "curation_k_anonymity",
-    "dedup_containment_capped",
-    "dedup_url_canonical",
-    # r6-touched code paths: dedup.py (containment cap), text.py (dense
-    # exact-cosine kernel), maf.py (annotator retry), validation.py
-    # (cross-file checks appended), multimodal.py (PNG codec appended),
-    # curation.py (canonicalize_urls appended)
-    "dedup_containment",
-    "text_cosine_pairs",
-    "text_cosine_capped",
-    "maf_annotate_pipeline",
-    "maf_annotation_wide",
-    "maf_field_conformance",
-    "clinical_field_conformance",
-    "v_validation_suite",
-    "constraint_suite",
-    "multimodal_binary_ingest",
+    "multimodal_png_roundtrip",
     "multimodal_wav_roundtrip",
     "multimodal_image_resize",
+    "multimodal_binary_ingest",
+    "dedup_containment",
+    "dedup_containment_capped",
+    "dedup_url_canonical",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_prefix",
     "dedup_span_windows",
+    "meta_consistency",
+    "bundle_cross_checks",
+    "v_validation_suite",
+    "constraint_suite",
+    "clinical_field_conformance",
+    "maf_field_conformance",
+    "curation_k_anonymity",
     "curation_pipeline",
     "curation_pii_pseudonyms",
-    "text_nfc_normalize",
+    "sample_pack_sequences",
+    "sample_leakage_safe_splits",
+    "sample_class_balanced",
     # freshness rotation: longest-unchecked previously-green entries
-    "flagship_case_lists",
-    "clinical_e2e_preprocess",
-    "s2_union_by_name",
-    "s3_header_roundtrip",
-    "s4_chunk_assignment",
-    "p1_regex_filter_scoped",
-    "p2_neq_filter_keep_nulls",
-    "p4_patient_sample_split",
-    "p5_prune_all_null",
-    "j1_broadcast_left_join",
-    "j2_left_join_null_audit",
-    "j3_outer_join_growth_audit",
-    "j4_code_expansion",
-    "j5_semi_join",
-    "j6_keyset_equality",
-    "a1_case_lists",
-    "a2_distinct_counts",
-    "a4_null_profile",
-    "a5_duplicate_rows",
-    "a6_keyed_duplicates",
-    "a7_drop_duplicates",
-    "a8_keep_latest",
-    "f1_strip_suffix_first",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "f2_case_normalization",
+    "f3_value_recode",
+    "f4_coalesce_remap",
+    "f7_case_list_slug",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_language_id",
+    "text_language_report",
+    "text_quality_score",
+    "text_token_stats",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "asof_join_last_purchase",
 ]
 
 
@@ -10156,6 +10173,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id,
                coalesce(agg.n_bigrams, 0) AS n_bigrams,
                coalesce(round(agg.s / agg.n_bigrams, 6), -9.0) AS mean_logprob
+        FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+    d["text_trigram_backoff"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        tg AS (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+                   toks[i + 2] AS w3
+            FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+            WHERE len(toks) >= 3
+        ),
+        train AS (SELECT * FROM t WHERE doc_id % 3 <> 0),
+        ttg AS (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3,
+                   count(*) AS c123
+            FROM train, unnest(range(1, len(toks) - 1)) AS r(i)
+            WHERE len(toks) >= 3 GROUP BY 1, 2, 3
+        ),
+        tbg AS (
+            SELECT toks[i] AS a, toks[i + 1] AS b, count(*) AS cab
+            FROM train, unnest(range(1, len(toks))) AS r(i)
+            WHERE len(toks) >= 2 GROUP BY 1, 2
+        ),
+        tuni AS (
+            SELECT u.w, count(*) AS cw FROM train, unnest(toks) AS u(w)
+            GROUP BY 1
+        ),
+        tot AS (SELECT sum(cw) AS t FROM tuni),
+        lp AS (
+            SELECT tg.doc_id,
+                   CAST(log10(greatest(
+                       CASE
+                         WHEN ttg.c123 IS NOT NULL AND b12.cab IS NOT NULL
+                           THEN CAST(ttg.c123 AS DOUBLE) / b12.cab
+                         WHEN b23.cab IS NOT NULL AND u2.cw IS NOT NULL
+                           THEN CAST(0.4 AS DOUBLE) * b23.cab / u2.cw
+                         WHEN u3.cw IS NOT NULL
+                           THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                                * u3.cw / tot.t
+                         ELSE 0.0
+                       END, 1e-9)) AS DECIMAL(28,12)) AS lpd
+            FROM tg
+            LEFT JOIN ttg USING (w1, w2, w3)
+            LEFT JOIN tbg b12 ON b12.a = tg.w1 AND b12.b = tg.w2
+            LEFT JOIN tbg b23 ON b23.a = tg.w2 AND b23.b = tg.w3
+            LEFT JOIN tuni u2 ON u2.w = tg.w2
+            LEFT JOIN tuni u3 ON u3.w = tg.w3
+            CROSS JOIN tot
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n_trigrams,
+                   CAST(sum(lpd) AS DOUBLE) AS s
+            FROM lp GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(agg.n_trigrams, 0) AS n_trigrams,
+               coalesce(round(agg.s / agg.n_trigrams, 6), -9.0)
+                   AS mean_logprob
         FROM documents d LEFT JOIN agg USING (doc_id)
     """
     d["cdc_apply_changelog"] = """

@@ -122,6 +122,16 @@ EXTENDED = [
     "sample_pack_sequences",
     "meta_consistency",
     "curation_k_anonymity",
+    # round-7 promotions: the real JPEG/GIF codecs, the mp4 demux layer,
+    # G.711 decode, the header-tier validator, and paragraph dedup (the
+    # one r7 query whose work scales with the corpus)
+    "multimodal_jpeg_roundtrip",
+    "multimodal_gif_roundtrip",
+    "multimodal_mp4_samples",
+    "multimodal_g711_stats",
+    "header_conformance",
+    "dedup_paragraphs",
+    "text_trigram_backoff",
 ]
 
 # Inherently-iterative / exact-all-pairs queries whose 5-15s walls are

@@ -1642,3 +1642,166 @@ def repetition_metrics(
         .cast("long")
         .alias("dup_3gram_char_ppm"),
     )
+
+
+def trigram_backoff_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    oov_floor: float = 1e-9,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Order-3 statistical quality score with STUPID BACKOFF (Brants et
+    al. 2007 — the web-scale scheme that skips discount estimation):
+    ``S(w3|w1w2) = c(w1w2w3)/c(w1w2)`` when the trigram was seen, else
+    ``α·c(w2w3)/c(w2)``, else ``α²·c(w3)/T``, else the floor — completing
+    the n-gram family over :func:`unigram_logprob_score` (order 1) and
+    :func:`bigram_logprob_score` (order 2, interpolated). Stupid backoff
+    is NOT a probability (scores don't sum to 1) — exactly why it
+    parallelizes: every score is a ratio of two counts, no normalization
+    pass, which is the published rationale for using it at corpus scale.
+
+    Scale shape: count tables are explode → combiner-reduced groupBys
+    (observed n-grams only — Heaps-law sized); each doc's trigram events
+    join the tri/bi/uni tables on their keys (vocab-keyed shuffles,
+    deliberately not broadcast; AQE broadcasts when they measure small).
+    The per-doc sum runs in the decimal lane, exact under any
+    shuffle-merge order. ``model`` selects the training corpus (CCNet
+    deployment: train clean, score raw); docs with < 3 tokens carry zero
+    trigram events and score the floor.
+    Output: (id, n_trigrams, mean_logprob)."""
+    import math
+
+    def _tg(frame):
+        t = frame.select(F.col(id_col), T.tokens(text_col).alias("__toks"))
+        return t.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size("__toks") >= 3,
+                    F.transform(
+                        F.slice(F.col("__toks"), 1, F.size("__toks") - 2),
+                        lambda tk, i: F.struct(
+                            tk.alias("w1"),
+                            F.element_at(F.col("__toks"), i + 2).alias("w2"),
+                            F.element_at(F.col("__toks"), i + 3).alias("w3"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast(
+                        "array<struct<w1:string,w2:string,w3:string>>"
+                    )
+                )
+            ).alias("__tg"),
+        ).select(
+            F.col(id_col),
+            F.col("__tg.w1").alias("w1"),
+            F.col("__tg.w2").alias("w2"),
+            F.col("__tg.w3").alias("w3"),
+        )
+
+    def _bg_counts(frame):
+        t = frame.select(T.tokens(text_col).alias("__toks"))
+        return (
+            t.select(
+                F.explode(
+                    F.when(
+                        F.size("__toks") >= 2,
+                        F.transform(
+                            F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                            lambda tk, i: F.struct(
+                                tk.alias("a"),
+                                F.element_at(F.col("__toks"), i + 2).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast("array<struct<a:string,b:string>>")
+                    )
+                ).alias("__bg")
+            )
+            .select(F.col("__bg.a").alias("a"), F.col("__bg.b").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("__cab"))
+        )
+
+    train = model if model is not None else df
+    events = _tg(df)
+    tri = (
+        _tg(train)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("__c123"))
+    )
+    bi = _bg_counts(train)
+    uni = (
+        train.select(T.tokens(text_col).alias("__toks"))
+        .select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__cw"))
+    )
+    total = uni.agg(F.sum("__cw").alias("__t"))
+
+    score = (
+        F.when(
+            F.col("__c123").isNotNull() & F.col("__c12").isNotNull(),
+            F.col("__c123") / F.col("__c12"),
+        )
+        .when(
+            F.col("__c23").isNotNull() & F.col("__c2").isNotNull(),
+            F.lit(alpha) * F.col("__c23") / F.col("__c2"),
+        )
+        .when(
+            F.col("__c3").isNotNull(),
+            F.lit(alpha * alpha) * F.col("__c3") / F.col("__t"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    lp = F.log10(F.greatest(score, F.lit(oov_floor)))
+    scored = (
+        events.join(tri, on=["w1", "w2", "w3"], how="left")
+        .join(
+            bi.select(
+                F.col("a").alias("w1"), F.col("b").alias("w2"),
+                F.col("__cab").alias("__c12"),
+            ),
+            on=["w1", "w2"],
+            how="left",
+        )
+        .join(
+            bi.select(
+                F.col("a").alias("w2"), F.col("b").alias("w3"),
+                F.col("__cab").alias("__c23"),
+            ),
+            on=["w2", "w3"],
+            how="left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("__cw").alias("__c2")),
+            on="w2",
+            how="left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w3"), F.col("__cw").alias("__c3")),
+            on="w3",
+            how="left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), lp.cast("decimal(28,12)").alias("__lpd"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(F.sum("__lpd").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_logprob"
+        ),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+            F.coalesce(
+                F.col("mean_logprob"), F.lit(round(math.log10(oov_floor), 6))
+            ).alias("mean_logprob"),
+        )
+    )

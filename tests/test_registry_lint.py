@@ -32,6 +32,7 @@ ALLOW_NESTED_LOOP = {
     "text_length_histogram",   # corpus-total scalar: one-row broadcast join
     "sample_mixture_weights",  # one-row weight-total broadcast cross
     "text_bigram_logprob",     # corpus-total scalar: one-row broadcast join
+    "text_trigram_backoff",    # corpus-total scalar: one-row broadcast join
     "text_cooccurrence_pmi",   # pair/token totals: one-row broadcast join
     "stats_chi_square",        # r x c marginal grid: categorical-sized broadcast cross
     "stats_psi_drift",         # bin totals: one-row broadcast join

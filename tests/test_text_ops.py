@@ -770,3 +770,50 @@ def test_cosine_exact_dense_kernel_falls_back_when_oversized(spark):
     )
     # 20 distinct terms but all df=1 -> kept vocab 0 <= 1: kernel engages
     assert out2 is not None and out2.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# trigram stupid backoff (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_trigram_backoff_exercises_every_tier(spark):
+    import math
+
+    from iatlas_cbioportal_export_spark.operators.text import (
+        trigram_backoff_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c e b c d"), (1, "a b c d")], "doc_id long, text string"
+    )
+    model = docs.filter("doc_id = 1")
+    rows = {
+        r.doc_id: r for r in trigram_backoff_score(docs, model=model).collect()
+    }
+    # doc 1 = the training text: both trigrams seen, ratio 1 -> log 0
+    assert rows[1].n_trigrams == 2 and rows[1].mean_logprob == 0.0
+    # doc 0 walks every tier: seen trigram (x2), floor, unigram backoff,
+    # bigram backoff
+    expected = (
+        0.0                                 # (a,b,c): 1/1
+        + math.log10(1e-9)                  # (b,c,e): e unseen anywhere
+        + math.log10(0.4 * 0.4 * 1 / 4)    # (c,e,b): unigram tier, c(b)=1 T=4
+        + math.log10(0.4 * 1 / 1)          # (e,b,c): bigram tier, c(bc)/c(b)
+        + 0.0                               # (b,c,d): 1/1
+    ) / 5
+    assert rows[0].n_trigrams == 5
+    assert rows[0].mean_logprob == round(expected, 6)
+
+
+def test_trigram_backoff_short_docs_floor(spark):
+    from iatlas_cbioportal_export_spark.operators.text import (
+        trigram_backoff_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "only two"), (1, "a b c")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in trigram_backoff_score(docs).collect()}
+    assert rows[0].n_trigrams == 0 and rows[0].mean_logprob == -9.0
+    assert rows[1].n_trigrams == 1

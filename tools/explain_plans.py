@@ -703,6 +703,65 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
          "Window"],
     ),
+    # r7: ISO-BMFF demux — two Arrow stages (encode, sample-table expand);
+    # per-sample rows come out, payload bytes never shuffle
+    "multimodal_mp4_samples": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Exchange hashpartitioning"],
+    ),
+    # r7: MP3 frame index — same two-Arrow-stage shape as the mp4 demux
+    "multimodal_mp3_frames": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Exchange hashpartitioning"],
+    ),
+    # r7: WAV DSP features — encode + decode Arrow stages, no shuffle
+    "multimodal_audio_features": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Exchange hashpartitioning"],
+    ),
+    # r7: G.711 companded decode — encode + decode Arrow stages, no shuffle
+    "multimodal_g711_stats": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Exchange hashpartitioning"],
+    ),
+    # r7: GIF LZW roundtrip — encode + decode Arrow stages, no shuffle
+    "multimodal_gif_roundtrip": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Exchange hashpartitioning"],
+    ),
+    # r7: keyframe byte-range rollup — demux stage + ONE combiner-reduced
+    # groupBy on media_id; only sample-table rows shuffle, never payloads
+    "multimodal_keyframe_ranges": (
+        ["MapInPandas", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Window"],
+    ),
+    # r7: header-tier validator — ONE aggregate pass over KB-sized
+    # attribute rows; findings explode from a 1-row aggregate
+    "header_conformance": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Window"],
+    ),
+    # r7: paragraph dedup — winner pick is a Window over the paragraph
+    # hash (one text shuffle), reassembly one groupBy; NO self-join
+    "dedup_paragraphs": (
+        ["Window", "HashAggregate", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    # r7: stupid-backoff trigram LM — count-table builds are combiner
+    # reduced; event↔model joins are vocab-keyed (AQE broadcasts when
+    # small at this sf); only the scalar corpus total crossJoins, as a
+    # broadcast single row
+    "text_trigram_backoff": (
+        ["HashAggregate", "Generate"],
+        ["CartesianProduct"],
+    ),
 }
 
 SCAN_LINE = re.compile(r"PushedFilters: \[[^\]]*\]|ReadSchema: [^\n]*")
