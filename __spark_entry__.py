@@ -5478,6 +5478,73 @@ def q_multimodal_gif_roundtrip(spark, sf_dir):
     )
 
 
+def q_multimodal_id3_tags(spark, sf_dir):
+    """REAL ID3v2 catalog extraction (round 7): deterministic mp3 streams
+    carrying ID3v2.3 (odd ids — plain frame sizes) or ID3v2.4 (even ids —
+    syncsafe frame sizes) tags with UTF-8 TIT2/TPE1/TALB text frames are
+    parsed by the stdlib frame walker in one Arrow stage — the catalog
+    pass an audio corpus runs before any decode. The oracle rebuilds the
+    planted strings closed-form, so frame-size decoding in BOTH tag
+    versions is value-hash checked."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_id3_tags,
+        id3v2_encode,
+        mp3_encode,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 160)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for batch in batches:
+            payloads = []
+            for mid in batch["media_id"]:
+                mid = int(mid)
+                tag = id3v2_encode(
+                    {
+                        "TIT2": f"Track {mid}",
+                        "TPE1": f"Artist {mid % 7}",
+                        "TALB": f"Album {mid // 10}",
+                    },
+                    version=3 if mid % 2 else 4,
+                )
+                payloads.append(tag + mp3_encode(1, 128, 44100))
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": "audio",
+                    "mime_type": "audio/mpeg",
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    return extract_id3_tags(media).select(
+        "media_id", "title", "artist", "album"
+    )
+
+
 def q_multimodal_keyframe_ranges(spark, sf_dir):
     """Keyframe-only byte-range rollup (round 7) — the downstream use of
     the mp4 sample table: same synthetic streams as multimodal_mp4_samples,
@@ -5882,6 +5949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_g711_stats": q_multimodal_g711_stats,
         "multimodal_keyframe_ranges": q_multimodal_keyframe_ranges,
         "multimodal_gif_roundtrip": q_multimodal_gif_roundtrip,
+        "multimodal_id3_tags": q_multimodal_id3_tags,
         "dedup_containment_capped": q_dedup_containment_capped,
         "dedup_url_canonical": q_dedup_url_canonical,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -6142,6 +6210,7 @@ _R7_WINDOW = [
     "header_conformance",
     "dedup_paragraphs",
     "text_trigram_backoff",
+    "multimodal_id3_tags",
     # r7-touched code paths: multimodal.py + jpeg_codec.py (demux/codecs),
     # dedup.py (containment speed-up, paragraphs), validation.py (header
     # tier + meta distinct fix), curation.py (k-anonymity NULL fix),
@@ -6186,7 +6255,6 @@ _R7_WINDOW = [
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
-    "asof_join_last_purchase",
 ]
 
 
@@ -6419,6 +6487,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_kept,
                    string_agg(para, chr(10) || chr(10) ORDER BY i) AS text
             FROM k GROUP BY doc_id
+        """,
+        "multimodal_id3_tags": """
+            SELECT doc_id AS media_id,
+                   'Track ' || CAST(doc_id AS VARCHAR) AS title,
+                   'Artist ' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+                   'Album ' || CAST(doc_id // 10 AS VARCHAR) AS album
+            FROM documents WHERE doc_id < 160
         """,
         "multimodal_gif_roundtrip": """
             WITH m AS (

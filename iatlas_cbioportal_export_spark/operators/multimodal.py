@@ -1547,3 +1547,96 @@ def g711_wav_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=G711_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 tag frames: the textual-metadata layer of the mp3 container
+# ---------------------------------------------------------------------------
+
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def id3v2_encode(tags: dict[str, str], version: int = 4) -> bytes:
+    """Build a VALID ID3v2.3/2.4 tag from ``{frame_id: text}`` (frame ids
+    are the standard 4-char codes: TIT2 title, TPE1 artist, TALB album,
+    TDRC date…). Text frames are UTF-8 (encoding byte 3); v2.4 uses
+    syncsafe frame sizes, v2.3 plain big-endian — both shapes the parser
+    must handle."""
+    body = bytearray()
+    for fid, text in tags.items():
+        if len(fid) != 4:
+            raise ValueError(f"bad frame id {fid!r}")
+        content = b"\x03" + text.encode("utf-8")
+        size = len(content)
+        if version == 4:
+            size_bytes = bytes((size >> s) & 0x7F for s in (21, 14, 7, 0))
+        else:
+            size_bytes = size.to_bytes(4, "big")
+        body += fid.encode("ascii") + size_bytes + b"\x00\x00" + content
+    total = len(body)
+    syncsafe = bytes((total >> s) & 0x7F for s in (21, 14, 7, 0))
+    return b"ID3" + bytes([version, 0, 0]) + syncsafe + bytes(body)
+
+
+def id3v2_tags(payload: bytes) -> dict[str, str]:
+    """REAL ID3v2.3/2.4 text-frame parse — the metadata an audio corpus
+    catalogs before any decode: walk the frame list inside the tag
+    (syncsafe sizes for v2.4, plain for v2.3), decode T*** text frames by
+    their declared encoding (latin-1 / UTF-16 with BOM / UTF-16BE /
+    UTF-8), and return ``{frame_id: text}``. Non-text frames are skipped
+    by size; a missing tag returns {}."""
+    if payload[:3] != b"ID3":
+        return {}
+    version = payload[3]
+    size = 0
+    for b in payload[6:10]:
+        size = (size << 7) | (b & 0x7F)
+    off, end = 10, 10 + size
+    tags: dict[str, str] = {}
+    while off + 10 <= end:
+        fid = payload[off : off + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        raw = payload[off + 4 : off + 8]
+        if version >= 4:
+            fsize = 0
+            for b in raw:
+                fsize = (fsize << 7) | (b & 0x7F)
+        else:
+            fsize = int.from_bytes(raw, "big")
+        content = payload[off + 10 : off + 10 + fsize]
+        if fid[:1] == b"T" and content:
+            enc = _ID3_ENCODINGS.get(content[0], "latin-1")
+            text = content[1:].decode(enc, "replace").rstrip("\x00")
+            tags[fid.decode("ascii", "replace")] = text
+        off += 10 + fsize
+    return tags
+
+
+ID3_TAG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("title", StringType()),
+        StructField("artist", StringType()),
+        StructField("album", StringType()),
+    ]
+)
+
+
+def extract_id3_tags(media: DataFrame) -> DataFrame:
+    """ID3v2 catalog extraction as an Arrow ``mapInPandas`` stage: mp3
+    payload in → (title, artist, album) out from TIT2/TPE1/TALB frames
+    (NULL where absent); payload bytes never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {f.name: [] for f in ID3_TAG_SCHEMA}
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                tags = id3v2_tags(bytes(p))
+                out["media_id"].append(int(mid))
+                out["title"].append(tags.get("TIT2"))
+                out["artist"].append(tags.get("TPE1"))
+                out["album"].append(tags.get("TALB"))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=ID3_TAG_SCHEMA)

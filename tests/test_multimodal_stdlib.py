@@ -723,3 +723,55 @@ def test_g711_wav_stats_arrow_stage(spark):
     assert row.n_samples == 10
     assert row.sum_pcm == sum(lat)
     assert row.min_pcm == min(lat) and row.max_pcm == max(lat)
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 tag frames (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_id3v2_roundtrip_both_versions():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        id3v2_encode,
+        id3v2_tags,
+    )
+
+    tags = {"TIT2": "Näïve Song", "TPE1": "Artist 42", "TALB": "Album"}
+    for version in (3, 4):
+        assert id3v2_tags(id3v2_encode(tags, version=version)) == tags
+
+
+def test_id3v2_encodings_and_missing_tag():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        id3v2_tags,
+    )
+
+    # hand-built v2.4 frame with UTF-16 (BOM) text
+    content = b"\x01\xfe\xff" + "Hällo".encode("utf-16-be")
+    frame = b"TIT2" + bytes((len(content) >> s) & 0x7F for s in (21, 14, 7, 0))
+    frame += b"\x00\x00" + content
+    tag = b"ID3\x04\x00\x00" + bytes(
+        (len(frame) >> s) & 0x7F for s in (21, 14, 7, 0)
+    ) + frame
+    assert id3v2_tags(tag) == {"TIT2": "Hällo"}
+    assert id3v2_tags(b"\xff\xfb" + bytes(40)) == {}
+
+
+def test_id3v2_tag_then_frames_still_index(spark):
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_id3_tags,
+        id3v2_encode,
+        mp3_encode,
+        mp3_frame_index,
+    )
+
+    tag = id3v2_encode({"TIT2": "T", "TPE1": "A"})
+    payload = tag + mp3_encode(2, 128, 44100)
+    rows = mp3_frame_index(payload)
+    assert len(rows) == 2 and rows[0]["offset"] == len(tag)
+    media = spark.createDataFrame(
+        [(0, "audio", "audio/mpeg", payload)],
+        "media_id long, modality string, mime_type string, payload binary",
+    )
+    r = extract_id3_tags(media).collect()[0]
+    assert (r.title, r.artist, r.album) == ("T", "A", None)

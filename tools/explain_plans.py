@@ -754,6 +754,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "HashAggregate", "Generate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    # r7: ID3v2 catalog extraction — encode + parse Arrow stages, no shuffle
+    "multimodal_id3_tags": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Exchange hashpartitioning"],
+    ),
     # r7: stupid-backoff trigram LM — count-table builds are combiner
     # reduced; event↔model joins are vocab-keyed (AQE broadcasts when
     # small at this sf); only the scalar corpus total crossJoins, as a
