@@ -1118,12 +1118,15 @@ def mp4_sample_table(payload: bytes) -> list[dict]:
                 sizes = [uniform] * count
             else:
                 sizes = [_u32(body + 12 + 4 * i) for i in range(count)]
-            # durations (stts runs → per-sample deltas → dts prefix sums)
-            body, _ = tables[b"stts"]
+            # durations (stts runs → per-sample deltas → dts prefix sums);
+            # a malformed track without stts degrades to zero durations
+            # rather than raising mid-batch
             deltas: list[int] = []
-            for e in range(_u32(body + 4)):
-                c, d = _u32(body + 8 + 8 * e), _u32(body + 12 + 8 * e)
-                deltas.extend([d] * c)
+            if b"stts" in tables:
+                body, _ = tables[b"stts"]
+                for e in range(_u32(body + 4)):
+                    c, d = _u32(body + 8 + 8 * e), _u32(body + 12 + 8 * e)
+                    deltas.extend([d] * c)
             # chunk offsets
             if b"stco" in tables:
                 body, _ = tables[b"stco"]
@@ -1134,12 +1137,17 @@ def mp4_sample_table(payload: bytes) -> list[dict]:
                     int.from_bytes(payload[body + 8 + 8 * i : body + 16 + 8 * i], "big")
                     for i in range(_u32(body + 4))
                 ]
-            # stsc chunk map: (first_chunk, samples_per_chunk) entries
-            body, _ = tables[b"stsc"]
-            stsc = [
-                (_u32(body + 8 + 12 * e), _u32(body + 12 + 12 * e))
-                for e in range(_u32(body + 4))
-            ]
+            # stsc chunk map: (first_chunk, samples_per_chunk) entries;
+            # absent stsc → everything in the first chunk (degenerate but
+            # parseable, same spirit as the stts guard)
+            if b"stsc" in tables:
+                body, _ = tables[b"stsc"]
+                stsc = [
+                    (_u32(body + 8 + 12 * e), _u32(body + 12 + 12 * e))
+                    for e in range(_u32(body + 4))
+                ]
+            else:
+                stsc = [(1, count)]
             # sync table
             syncs: set[int] | None = None
             if b"stss" in tables:
@@ -1588,6 +1596,8 @@ def id3v2_tags(payload: bytes) -> dict[str, str]:
     if payload[:3] != b"ID3":
         return {}
     version = payload[3]
+    if version < 3:  # ID3v2.2 uses 3-char/6-byte frames — don't misparse
+        return {}
     size = 0
     for b in payload[6:10]:
         size = (size << 7) | (b & 0x7F)

@@ -775,3 +775,29 @@ def test_id3v2_tag_then_frames_still_index(spark):
     )
     r = extract_id3_tags(media).collect()[0]
     assert (r.title, r.artist, r.album) == ("T", "A", None)
+
+
+def test_mp4_sample_table_tolerates_missing_stts_stsc():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        mp4_encode_track,
+        mp4_sample_table,
+    )
+
+    p = bytearray(mp4_encode_track([10, 10], [64, 64]))
+    # blank out the stts and stsc box TYPES (sizes stay valid, so the box
+    # walk still steps correctly; the parser just won't find them)
+    for btype in (b"stts", b"stsc"):
+        i = bytes(p).find(btype)
+        p[i : i + 4] = b"free"
+    rows = mp4_sample_table(bytes(p))
+    assert [r["offset"] for r in rows] == [28, 38]
+    assert all(r["duration"] == 0 and r["dts"] == 0 for r in rows)
+
+
+def test_id3v22_returns_empty_not_garbage():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        id3v2_tags,
+    )
+
+    tag = b"ID3\x02\x00\x00" + bytes([0, 0, 0, 10]) + b"TT2" + bytes(7)
+    assert id3v2_tags(tag) == {}

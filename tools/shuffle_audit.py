@@ -113,6 +113,18 @@ DEFAULT_QUERIES = [
     "sample_pack_sequences",
     "meta_consistency",
     "curation_k_anonymity",
+    # round-7 additions
+    "multimodal_mp4_samples",
+    "multimodal_mp3_frames",
+    "multimodal_audio_features",
+    "multimodal_g711_stats",
+    "multimodal_keyframe_ranges",
+    "multimodal_gif_roundtrip",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_id3_tags",
+    "header_conformance",
+    "dedup_paragraphs",
+    "text_trigram_backoff",
 ]
 
 
