@@ -5087,6 +5087,77 @@ def q_multimodal_png_roundtrip(spark, sf_dir):
     )
 
 
+def q_multimodal_bmp_roundtrip(spark, sf_dir):
+    """REAL BMP decode under the driver gate (round 7): deterministic
+    16x12 images (pixel c(x,y) = (media_id*7 + y*16 + x*3 + c*11) % 256;
+    8-bit greyscale palette for even ids, 24-bit RGB for odd) are
+    BMP-encoded in one Arrow stage — bottom-up rows, BGR order, 4-byte
+    row padding, the format's three classic traps — then decoded by the
+    stdlib parser. Same oracle shape as the PNG round trip: channel-0
+    mean ppm recomputed closed-form."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        bmp_encode,
+        extract_features,
+        stdlib_decoder,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 170)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for batch in batches:
+            payloads = []
+            for mid in batch["media_id"]:
+                mid = int(mid)
+                channels = 1 if mid % 2 == 0 else 3
+                pix = bytes(
+                    (mid * 7 + y * 16 + x * 3 + c * 11) % 256
+                    for y in range(12)
+                    for x in range(16)
+                    for c in range(channels)
+                )
+                payloads.append(bmp_encode(pix, 16, 12, channels))
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": "image",
+                    "mime_type": "image/bmp",
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    feats = extract_features(media, extractor=stdlib_decoder)
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).cast("long").alias("width"),
+        F.element_at("feature", 2).cast("long").alias("height"),
+        (F.size("feature") - 2).cast("long").alias("n_channels"),
+        F.element_at("feature", 3).alias("mean_c0_ppm"),
+    )
+
+
 def q_multimodal_jpeg_roundtrip(spark, sf_dir):
     """REAL baseline JPEG decode under the driver gate (round 7) — the
     full T.81 entropy path (Annex K Huffman tables, dequantize, IDCT),
@@ -5545,6 +5616,81 @@ def q_multimodal_id3_tags(spark, sf_dir):
     )
 
 
+def q_multimodal_webdataset_index(spark, sf_dir):
+    """WebDataset shard indexing (round 7): multimodal training data
+    ships as tar shards of (image, caption, …) member groups — this is
+    the layer that turns an opaque shard into ranged-readable byte
+    ranges. Deterministic USTAR shards (2+id%3 members, sizes
+    300+(id·7+j·13)%400 so data blocks straddle the 512 boundary,
+    stdlib ``tarfile`` as the REAL encoder) are indexed by the header
+    walker; the oracle replays the 512-block arithmetic
+    (offset = 512·(j+1) + Σ ceil512(prev sizes)) closed-form, so octal
+    size decoding and block stepping are value-hash checked. Shard
+    bytes never shuffle."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_tar_index,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 30)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for batch in batches:
+            payloads = []
+            for mid in batch["media_id"]:
+                mid = int(mid)
+                buf = io.BytesIO()
+                with tarfile.open(
+                    fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+                ) as t:
+                    for j in range(2 + mid % 3):
+                        size = 300 + (mid * 7 + j * 13) % 400
+                        ti = tarfile.TarInfo(f"{mid:05d}.{j}.bin")
+                        ti.size = size
+                        ti.mtime = 0
+                        ti.uid = ti.gid = 0
+                        ti.mode = 0o644
+                        t.addfile(ti, io.BytesIO(bytes([j % 256]) * size))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": "shard",
+                    "mime_type": "application/x-tar",
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    return extract_tar_index(media).select(
+        "media_id", "name", "offset", "size", "typeflag", "mtime"
+    )
+
+
 def q_multimodal_keyframe_ranges(spark, sf_dir):
     """Keyframe-only byte-range rollup (round 7) — the downstream use of
     the mp4 sample table: same synthetic streams as multimodal_mp4_samples,
@@ -5950,6 +6096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_keyframe_ranges": q_multimodal_keyframe_ranges,
         "multimodal_gif_roundtrip": q_multimodal_gif_roundtrip,
         "multimodal_id3_tags": q_multimodal_id3_tags,
+        "multimodal_webdataset_index": q_multimodal_webdataset_index,
+        "multimodal_bmp_roundtrip": q_multimodal_bmp_roundtrip,
         "dedup_containment_capped": q_dedup_containment_capped,
         "dedup_url_canonical": q_dedup_url_canonical,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -6211,6 +6359,8 @@ _R7_WINDOW = [
     "dedup_paragraphs",
     "text_trigram_backoff",
     "multimodal_id3_tags",
+    "multimodal_webdataset_index",
+    "multimodal_bmp_roundtrip",
     # r7-touched code paths: multimodal.py + jpeg_codec.py (demux/codecs),
     # dedup.py (containment speed-up, paragraphs), validation.py (header
     # tier + meta distinct fix), curation.py (k-anonymity NULL fix),
@@ -6253,8 +6403,6 @@ _R7_WINDOW = [
     "text_quality_score",
     "text_token_stats",
     "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
 ]
 
 
@@ -6487,6 +6635,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_kept,
                    string_agg(para, chr(10) || chr(10) ORDER BY i) AS text
             FROM k GROUP BY doc_id
+        """,
+        "multimodal_bmp_roundtrip": """
+            WITH ids AS (
+                SELECT doc_id AS media_id FROM documents WHERE doc_id < 170
+            ),
+            px AS (
+                SELECT i.media_id,
+                       (i.media_id * 7 + y.y * 16 + x.x * 3) % 256 AS v
+                FROM ids i,
+                     generate_series(0, 11) AS y(y),
+                     generate_series(0, 15) AS x(x)
+            )
+            SELECT media_id,
+                   CAST(16 AS BIGINT) AS width,
+                   CAST(12 AS BIGINT) AS height,
+                   CAST(CASE WHEN media_id % 2 = 0 THEN 1 ELSE 3 END
+                        AS BIGINT) AS n_channels,
+                   CAST(sum(v) * 1000000 // 192 AS DOUBLE) AS mean_c0_ppm
+            FROM px
+            GROUP BY media_id
+        """,
+        "multimodal_webdataset_index": """
+            WITH m AS (
+                SELECT doc_id AS media_id, 2 + doc_id % 3 AS n
+                FROM documents WHERE doc_id < 30
+            ),
+            s AS (
+                SELECT media_id, unnest(generate_series(0, n - 1)) AS j
+                FROM m
+            ),
+            f AS (
+                SELECT media_id, j,
+                       300 + (media_id * 7 + j * 13) % 400 AS size
+                FROM s
+            )
+            SELECT media_id,
+                   lpad(CAST(media_id AS VARCHAR), 5, '0') || '.'
+                       || CAST(j AS VARCHAR) || '.bin' AS name,
+                   CAST(512 * (j + 1) + COALESCE(SUM((size + 511) // 512
+                            * 512) OVER (PARTITION BY media_id ORDER BY j
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                       AS offset,
+                   CAST(size AS BIGINT) AS size,
+                   '0' AS typeflag,
+                   CAST(0 AS BIGINT) AS mtime
+            FROM f
         """,
         "multimodal_id3_tags": """
             SELECT doc_id AS media_id,

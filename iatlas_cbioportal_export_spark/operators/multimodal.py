@@ -470,6 +470,8 @@ def stdlib_resizer(payload: bytes, out_w: int, out_h: int) -> bytes:
         from .gif_codec import gif_resize
 
         return gif_resize(payload, out_w, out_h)
+    if payload[:2] == b"BM":
+        return bmp_resize(payload, out_w, out_h)
     if payload[:2] in (b"P5", b"P6"):
         return netpbm_resize(payload, out_w, out_h)
     return real_decode_stub(payload, "unknown")  # type: ignore[return-value]
@@ -495,6 +497,8 @@ def stdlib_decoder(payload: bytes, mime_type: str) -> list[float]:
         return jpeg_feature_extractor(payload, mime_type)
     if mt == "image/gif":
         return gif_feature_extractor(payload, mime_type)
+    if mt in ("image/bmp", "image/x-ms-bmp"):
+        return bmp_feature_extractor(payload, mime_type)
     return real_decode_stub(payload, mime_type)  # type: ignore[return-value]
 
 
@@ -856,6 +860,13 @@ def container_metadata(payload: bytes) -> dict:
         from .gif_codec import gif_parse_metadata
 
         return gif_parse_metadata(payload)
+    if payload[:2] == b"BM":
+        channels, width, height, _pix = bmp_decode(payload)
+        return {
+            "container": "bmp", "brand": None, "duration_ms": None,
+            "sample_rate": None, "n_tracks": channels, "n_frames": None,
+            "width": width, "height": height,
+        }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         import io
         import wave
@@ -1650,3 +1661,221 @@ def extract_id3_tags(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=ID3_TAG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# TAR shard indexing: the WebDataset container layer
+# ---------------------------------------------------------------------------
+
+
+def tar_index(payload: bytes) -> list[dict]:
+    """REAL USTAR/GNU tar member index — one row per archive member:
+    ``(name, offset, size, typeflag, mtime)`` with ``offset`` pointing at
+    the member's DATA (header is the 512 bytes before it). This is the
+    WebDataset access path: multimodal training shards ship as tar files
+    of (image, caption, metadata) member groups, and the index turns an
+    opaque shard into byte ranges that ranged reads (or
+    ``substring(payload, offset+1, size)`` JVM-side) can fetch without
+    untarring. Pure header-block walk — handles octal and GNU base-256
+    size encodings, stops at the end-of-archive zero blocks; PAX extended
+    headers (typeflags x/g) are indexed like any member, so a PAX-format
+    shard still walks correctly (the pax override of a member's name is
+    NOT applied — WebDataset shards are USTAR in practice)."""
+    rows: list[dict] = []
+    off = 0
+    while off + 512 <= len(payload):
+        header = payload[off : off + 512]
+        if header == b"\x00" * 512:
+            break
+        name = header[0:100].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        prefix = header[345:500].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        if prefix:
+            name = prefix + "/" + name
+        size_field = header[124:136]
+        if size_field[0] & 0x80:  # GNU base-256 encoding for >8GB members
+            size = int.from_bytes(
+                bytes([size_field[0] & 0x7F]) + size_field[1:], "big"
+            )
+        else:
+            size = int(size_field.split(b"\x00")[0].strip() or b"0", 8)
+        mtime = int(header[136:148].split(b"\x00")[0].strip() or b"0", 8)
+        typeflag = chr(header[156]) if header[156] else "0"
+        rows.append(
+            {
+                "name": name,
+                "offset": off + 512,
+                "size": size,
+                "typeflag": typeflag,
+                "mtime": mtime,
+            }
+        )
+        off += 512 + (size + 511) // 512 * 512
+    return rows
+
+
+TAR_INDEX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("name", StringType()),
+        StructField("offset", LongType()),
+        StructField("size", LongType()),
+        StructField("typeflag", StringType()),
+        StructField("mtime", LongType()),
+    ]
+)
+
+
+def extract_tar_index(media: DataFrame) -> DataFrame:
+    """TAR shard indexing as an Arrow ``mapInPandas`` stage: shard payload
+    in → one typed row per member out (payload never shuffles). Member
+    bytes are then reachable JVM-side via
+    ``substring(payload, offset + 1, size)`` on the original frame, or by
+    object-store ranged reads at 100 TB — the shard bytes themselves
+    never need to move."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {f.name: [] for f in TAR_INDEX_SCHEMA}
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                for row in tar_index(bytes(p)):
+                    out["media_id"].append(int(mid))
+                    for k, v in row.items():
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=TAR_INDEX_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows bitmap): uncompressed 24-bit and 8-bit-palette decode/encode
+# ---------------------------------------------------------------------------
+
+
+def bmp_encode(
+    pix: bytes, width: int, height: int, channels: int = 3
+) -> bytes:
+    """Encode top-down pixel rows (grey or RGB) as an uncompressed
+    BITMAPINFOHEADER BMP — 24-bit for RGB, 8-bit greyscale-palette for
+    single-channel. BMP stores rows BOTTOM-UP with 4-byte row padding and
+    BGR channel order; every quirk is exercised by the round trip."""
+    if channels not in (1, 3):
+        raise ValueError("bmp_encode supports 1 (grey) or 3 (RGB) channels")
+    if len(pix) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    bpp = 8 if channels == 1 else 24
+    row_bytes = (width * bpp // 8 + 3) // 4 * 4
+    palette = (
+        b"".join(bytes((v, v, v, 0)) for v in range(256))
+        if channels == 1
+        else b""
+    )
+    data_off = 14 + 40 + len(palette)
+    image_size = row_bytes * height
+    header = (
+        b"BM"
+        + (data_off + image_size).to_bytes(4, "little")
+        + bytes(4)
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")  # positive = bottom-up
+        + (1).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
+        + bytes(4)  # BI_RGB
+        + image_size.to_bytes(4, "little")
+        + bytes(16)
+    )
+    out = bytearray(header + palette)
+    for y in reversed(range(height)):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            k = (y * width + x) * channels
+            if channels == 1:
+                row.append(pix[k])
+            else:
+                r, g, b = pix[k : k + 3]
+                row += bytes((b, g, r))  # BGR on disk
+        row += bytes(row_bytes - len(row))
+        out += row
+    return bytes(out)
+
+
+def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL BMP decode — stdlib only: BITMAPINFOHEADER (and the larger
+    V4/V5 headers, read by their declared size), uncompressed 8-bit
+    palette / 24-bit / 32-bit BI_RGB pixels, bottom-up AND top-down
+    (negative height) row order, 4-byte row padding. Returns
+    (channels, width, height, top-down pixel bytes); 8-bit applies the
+    palette (grey palettes collapse to 1 channel, color ones expand to
+    3)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    width = int.from_bytes(payload[18:22], "little")
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} not supported")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP not supported")
+    top_down = height < 0
+    height = abs(height)
+    palette = None
+    if bpp == 8:
+        n_colors = int.from_bytes(payload[46:50], "little") or 256
+        pal_off = 14 + hdr_size
+        palette = [
+            tuple(payload[pal_off + 4 * i : pal_off + 4 * i + 3][::-1])
+            for i in range(n_colors)
+        ]
+        grey = all(r == g == b for r, g, b in palette)
+        channels = 1 if grey else 3
+    else:
+        channels = 3
+    row_bytes = (width * bpp // 8 + 3) // 4 * 4
+    out = bytearray()
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        row = payload[data_off + src_y * row_bytes :][:row_bytes]
+        for x in range(width):
+            if bpp == 8:
+                entry = palette[row[x]]
+                out += bytes([entry[0]] if channels == 1 else entry)
+            elif bpp == 24:
+                b, g, r = row[3 * x : 3 * x + 3]
+                out += bytes((r, g, b))
+            else:
+                b, g, r = row[4 * x : 4 * x + 3]
+                out += bytes((r, g, b))
+    return channels, width, height, bytes(out)
+
+
+def bmp_feature_extractor(payload: bytes, mime_type: str) -> list[float]:
+    """Feature shape matches the other image extractors: [width, height,
+    per-channel mean-intensity ppm]."""
+    channels, width, height, pix = bmp_decode(payload)
+    n = width * height
+    means = [
+        float(sum(pix[k] for k in range(c, len(pix), channels)) * 1_000_000 // n)
+        for c in range(channels)
+    ]
+    return [float(width), float(height), *means]
+
+
+def bmp_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbour BMP resize (same ``src = x·W // out_w``
+    arithmetic as every resizer here); grey stays 8-bit-palette, color
+    re-encodes 24-bit."""
+    channels, width, height, pix = bmp_decode(payload)
+    out = bytearray()
+    for y in range(out_h):
+        sy = y * height // out_h
+        for x in range(out_w):
+            sx = x * width // out_w
+            k = (sy * width + sx) * channels
+            out += pix[k : k + channels]
+    return bmp_encode(bytes(out), out_w, out_h, channels=channels)

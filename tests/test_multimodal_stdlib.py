@@ -801,3 +801,178 @@ def test_id3v22_returns_empty_not_garbage():
 
     tag = b"ID3\x02\x00\x00" + bytes([0, 0, 0, 10]) + b"TT2" + bytes(7)
     assert id3v2_tags(tag) == {}
+
+
+# ---------------------------------------------------------------------------
+# TAR shard indexing (round 7: the WebDataset container layer)
+# ---------------------------------------------------------------------------
+
+
+def _tar_bytes(members, fmt=None):
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    kw = {"format": fmt} if fmt is not None else {}
+    with tarfile.open(fileobj=buf, mode="w", **kw) as t:
+        for name, content in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(content)
+            ti.mtime = 0
+            ti.uid = ti.gid = 0
+            ti.mode = 0o644
+            t.addfile(ti, io.BytesIO(content))
+    return buf.getvalue()
+
+
+def test_tar_index_against_stdlib_tarfile():
+    import tarfile
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        tar_index,
+    )
+
+    members = [("a.jpg", b"\xff" * 100), ("a.txt", b"x" * 600), ("b.jpg", b"y")]
+    data = _tar_bytes(members, fmt=tarfile.USTAR_FORMAT)
+    rows = tar_index(data)
+    assert [r["name"] for r in rows] == ["a.jpg", "a.txt", "b.jpg"]
+    # offsets point at the actual member bytes (the ranged-read contract)
+    for (name, content), r in zip(members, rows):
+        assert data[r["offset"] : r["offset"] + r["size"]] == content
+    # 512-block arithmetic: header + ceil512(data) per member
+    assert rows[1]["offset"] == 512 + 512 + 512  # hdr0 + data0(100→512) + hdr1
+    assert rows[2]["offset"] == rows[1]["offset"] + 1024 + 512  # 600→1024
+
+
+def test_tar_index_gnu_and_pax_walk():
+    import tarfile
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        tar_index,
+    )
+
+    for fmt in (tarfile.GNU_FORMAT, tarfile.PAX_FORMAT):
+        data = _tar_bytes([("m.bin", b"z" * 10)], fmt=fmt)
+        rows = tar_index(data)
+        payload_rows = [r for r in rows if r["typeflag"] == "0"]
+        assert payload_rows[-1]["size"] == 10
+        assert data[
+            payload_rows[-1]["offset"] : payload_rows[-1]["offset"] + 10
+        ] == b"z" * 10
+
+
+def test_tar_index_base256_size():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        tar_index,
+    )
+
+    # hand-build a header with the GNU base-256 size encoding
+    hdr = bytearray(512)
+    hdr[0:4] = b"big\x00"
+    size = 3 * 1024**3 + 17  # > 8 GiB octal limit? (no, but base-256 anyway)
+    hdr[124] = 0x80
+    hdr[125:136] = size.to_bytes(11, "big")
+    hdr[156] = ord("0")
+    rows = tar_index(bytes(hdr))
+    assert rows[0]["size"] == size and rows[0]["offset"] == 512
+
+
+def test_extract_tar_index_arrow_stage_and_member_read(spark):
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_tar_index,
+    )
+
+    data = _tar_bytes(
+        [("s.jpg", b"\x11" * 40), ("s.txt", b"caption here")],
+        fmt=tarfile.USTAR_FORMAT,
+    )
+    media = spark.createDataFrame(
+        [(0, "shard", "application/x-tar", data)],
+        "media_id long, modality string, mime_type string, payload binary",
+    )
+    idx = extract_tar_index(media)
+    assert "payload" not in idx.columns
+    rows = {r.name: r for r in idx.collect()}
+    # JVM-side ranged read of one member via substring on the binary col
+    joined = media.join(idx, "media_id").filter(F.col("name") == "s.txt")
+    got = joined.select(
+        F.substring("payload", F.col("offset") + 1, F.col("size")).alias("m")
+    ).collect()[0]["m"]
+    assert bytes(got) == b"caption here"
+    assert rows["s.jpg"].size == 40
+
+
+# ---------------------------------------------------------------------------
+# BMP codec (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_grey_and_rgb():
+    import random
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+    )
+
+    rng = random.Random(11)
+    for w, h, ch in [(7, 3, 3), (4, 4, 1), (1, 1, 3), (5, 2, 1), (16, 12, 3)]:
+        pix = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        channels, ww, hh, out = bmp_decode(bmp_encode(pix, w, h, ch))
+        assert (channels, ww, hh) == (ch, w, h)
+        assert out == pix
+
+
+def test_bmp_decode_top_down_and_32bit():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+    )
+
+    # flip an encoded bottom-up 24-bit image to top-down (negative height)
+    pix = bytes(range(2 * 2 * 3))
+    payload = bytearray(bmp_encode(pix, 2, 2, 3))
+    payload[22:26] = (-2).to_bytes(4, "little", signed=True)
+    ch, w, h, out = bmp_decode(bytes(payload))
+    assert (ch, w, h) == (3, 2, 2)
+    # top-down read of bottom-up data = vertically flipped
+    assert out == pix[6:12] + pix[0:6]
+
+
+def test_bmp_rejects_compressed_and_core_header():
+    import pytest
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+    )
+
+    payload = bytearray(bmp_encode(bytes(12), 2, 2, 3))
+    payload[30] = 1  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        bmp_decode(bytes(payload))
+    with pytest.raises(ValueError):
+        bmp_decode(b"XX" + bytes(60))
+
+
+def test_bmp_dispatch_and_resize():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+        container_metadata,
+        stdlib_decoder,
+        stdlib_resizer,
+    )
+
+    pix = bytes([0, 100, 200, 50] * 1)  # 4x1 grey
+    payload = bmp_encode(pix, 4, 1, 1)
+    feats = stdlib_decoder(payload, "image/bmp")
+    assert feats == [4.0, 1.0, float((0 + 100 + 200 + 50) * 1_000_000 // 4)]
+    meta = container_metadata(payload)
+    assert meta["container"] == "bmp" and meta["width"] == 4
+    small = stdlib_resizer(payload, 2, 1)
+    assert bmp_decode(small)[3] == bytes([0, 200])

@@ -754,6 +754,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "HashAggregate", "Generate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    # r7: BMP roundtrip — encode + decode Arrow stages, no shuffle
+    "multimodal_bmp_roundtrip": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Exchange hashpartitioning"],
+    ),
+    # r7: WebDataset tar-shard index — encode + header-walk Arrow stages,
+    # shard bytes never shuffle
+    "multimodal_webdataset_index": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Exchange hashpartitioning"],
+    ),
     # r7: ID3v2 catalog extraction — encode + parse Arrow stages, no shuffle
     "multimodal_id3_tags": (
         ["MapInPandas"],

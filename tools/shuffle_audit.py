@@ -122,6 +122,8 @@ DEFAULT_QUERIES = [
     "multimodal_gif_roundtrip",
     "multimodal_jpeg_roundtrip",
     "multimodal_id3_tags",
+    "multimodal_webdataset_index",
+    "multimodal_bmp_roundtrip",
     "header_conformance",
     "dedup_paragraphs",
     "text_trigram_backoff",
