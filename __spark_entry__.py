@@ -5087,6 +5087,77 @@ def q_multimodal_png_roundtrip(spark, sf_dir):
     )
 
 
+def q_multimodal_zip_index(spark, sf_dir):
+    """ZIP member indexing (round 7): the archive twin of the tar-shard
+    index — deterministic STORED zips (2+id%3 members named
+    {id:05d}.{j}.bin, sizes 100+(id·7+j·13)%90, stdlib ``zipfile`` as
+    the REAL encoder) are indexed by the central-directory walker, which
+    resolves data offsets through each LOCAL header (the classic
+    zip-parsing trap). The oracle replays the offset arithmetic
+    closed-form: local header = 30 + len(name) bytes, members
+    back-to-back. Archive bytes never shuffle."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_zip_index,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 30)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        for batch in batches:
+            payloads = []
+            for mid in batch["media_id"]:
+                mid = int(mid)
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as z:
+                    for j in range(2 + mid % 3):
+                        zi = zipfile.ZipInfo(
+                            f"{mid:05d}.{j}.bin",
+                            date_time=(1980, 1, 1, 0, 0, 0),
+                        )
+                        size = 100 + (mid * 7 + j * 13) % 90
+                        z.writestr(zi, bytes([j % 256]) * size)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": "shard",
+                    "mime_type": "application/zip",
+                    "payload": payloads,
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    return extract_zip_index(media).select(
+        "media_id", "name", "method", "size", "compressed_size",
+        "data_offset",
+    )
+
+
 def q_multimodal_bmp_roundtrip(spark, sf_dir):
     """REAL BMP decode under the driver gate (round 7): deterministic
     16x12 images (pixel c(x,y) = (media_id*7 + y*16 + x*3 + c*11) % 256;
@@ -6098,6 +6169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_id3_tags": q_multimodal_id3_tags,
         "multimodal_webdataset_index": q_multimodal_webdataset_index,
         "multimodal_bmp_roundtrip": q_multimodal_bmp_roundtrip,
+        "multimodal_zip_index": q_multimodal_zip_index,
         "dedup_containment_capped": q_dedup_containment_capped,
         "dedup_url_canonical": q_dedup_url_canonical,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -6361,6 +6433,7 @@ _R7_WINDOW = [
     "multimodal_id3_tags",
     "multimodal_webdataset_index",
     "multimodal_bmp_roundtrip",
+    "multimodal_zip_index",
     # r7-touched code paths: multimodal.py + jpeg_codec.py (demux/codecs),
     # dedup.py (containment speed-up, paragraphs), validation.py (header
     # tier + meta distinct fix), curation.py (k-anonymity NULL fix),
@@ -6399,7 +6472,6 @@ _R7_WINDOW = [
     "text_bpe_token_count",
     "text_fingerprint",
     "text_language_id",
-    "text_language_report",
     "text_quality_score",
     "text_token_stats",
     "tpch_q3_shipping_priority",
@@ -6635,6 +6707,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_kept,
                    string_agg(para, chr(10) || chr(10) ORDER BY i) AS text
             FROM k GROUP BY doc_id
+        """,
+        "multimodal_zip_index": """
+            WITH m AS (
+                SELECT doc_id AS media_id, 2 + doc_id % 3 AS n
+                FROM documents WHERE doc_id < 30
+            ),
+            s AS (
+                SELECT media_id, unnest(generate_series(0, n - 1)) AS j
+                FROM m
+            ),
+            f AS (
+                SELECT media_id, j,
+                       100 + (media_id * 7 + j * 13) % 90 AS size
+                FROM s
+            )
+            SELECT media_id,
+                   lpad(CAST(media_id AS VARCHAR), 5, '0') || '.'
+                       || CAST(j AS VARCHAR) || '.bin' AS name,
+                   'stored' AS method,
+                   CAST(size AS BIGINT) AS size,
+                   CAST(size AS BIGINT) AS compressed_size,
+                   CAST(41 * (j + 1) + COALESCE(SUM(size) OVER (
+                            PARTITION BY media_id ORDER BY j
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                       AS data_offset
+            FROM f
         """,
         "multimodal_bmp_roundtrip": """
             WITH ids AS (

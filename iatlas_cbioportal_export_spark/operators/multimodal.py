@@ -1879,3 +1879,85 @@ def bmp_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
             k = (sy * width + sx) * channels
             out += pix[k : k + channels]
     return bmp_encode(bytes(out), out_w, out_h, channels=channels)
+
+
+def zip_index(payload: bytes) -> list[dict]:
+    """REAL ZIP central-directory index — one row per archive member:
+    ``(name, method, size, compressed_size, data_offset)``. Walks the
+    end-of-central-directory record (scanned from the tail, comment-
+    tolerant) to the central directory, then reads each member's LOCAL
+    header to resolve the actual data offset (local name/extra lengths
+    can differ from the central entry's — the classic zip-parsing trap).
+    The archive twin of :func:`tar_index` for corpora shipped as zips;
+    STORED members are directly ranged-readable, DEFLATE members hand
+    their exact byte range to ``zlib.decompressobj(-15)``."""
+    eocd_sig = b"PK\x05\x06"
+    tail_start = max(0, len(payload) - 65_557)  # 22-byte EOCD + 64k comment
+    pos = payload.rfind(eocd_sig, tail_start)
+    if pos < 0:
+        raise ValueError("no ZIP end-of-central-directory record")
+    n_entries = int.from_bytes(payload[pos + 10 : pos + 12], "little")
+    cd_off = int.from_bytes(payload[pos + 16 : pos + 20], "little")
+    rows: list[dict] = []
+    off = cd_off
+    for _ in range(n_entries):
+        if payload[off : off + 4] != b"PK\x01\x02":
+            raise ValueError(f"bad central-directory signature at {off}")
+        method = int.from_bytes(payload[off + 10 : off + 12], "little")
+        csize = int.from_bytes(payload[off + 20 : off + 24], "little")
+        usize = int.from_bytes(payload[off + 24 : off + 28], "little")
+        name_len = int.from_bytes(payload[off + 28 : off + 30], "little")
+        extra_len = int.from_bytes(payload[off + 30 : off + 32], "little")
+        comment_len = int.from_bytes(payload[off + 32 : off + 34], "little")
+        lho = int.from_bytes(payload[off + 42 : off + 46], "little")
+        name = payload[off + 46 : off + 46 + name_len].decode(
+            "utf-8", "replace"
+        )
+        # resolve data offset via the LOCAL header's own lengths
+        if payload[lho : lho + 4] != b"PK\x03\x04":
+            raise ValueError(f"bad local-header signature at {lho}")
+        lh_name = int.from_bytes(payload[lho + 26 : lho + 28], "little")
+        lh_extra = int.from_bytes(payload[lho + 28 : lho + 30], "little")
+        rows.append(
+            {
+                "name": name,
+                "method": {0: "stored", 8: "deflate"}.get(
+                    method, str(method)
+                ),
+                "size": usize,
+                "compressed_size": csize,
+                "data_offset": lho + 30 + lh_name + lh_extra,
+            }
+        )
+        off += 46 + name_len + extra_len + comment_len
+    return rows
+
+
+ZIP_INDEX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("name", StringType()),
+        StructField("method", StringType()),
+        StructField("size", LongType()),
+        StructField("compressed_size", LongType()),
+        StructField("data_offset", LongType()),
+    ]
+)
+
+
+def extract_zip_index(media: DataFrame) -> DataFrame:
+    """ZIP indexing as an Arrow ``mapInPandas`` stage — same contract as
+    :func:`extract_tar_index`: payload in, typed member rows out, archive
+    bytes never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {f.name: [] for f in ZIP_INDEX_SCHEMA}
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                for row in zip_index(bytes(p)):
+                    out["media_id"].append(int(mid))
+                    for k, v in row.items():
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=ZIP_INDEX_SCHEMA)

@@ -976,3 +976,94 @@ def test_bmp_dispatch_and_resize():
     assert meta["container"] == "bmp" and meta["width"] == 4
     small = stdlib_resizer(payload, 2, 1)
     assert bmp_decode(small)[3] == bytes([0, 200])
+
+
+# ---------------------------------------------------------------------------
+# ZIP central-directory indexing (round 7: the archive twin of tar_index)
+# ---------------------------------------------------------------------------
+
+
+def _zip_bytes(members, compress=None):
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, content in members:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            if compress is not None:
+                zi.compress_type = compress
+            z.writestr(zi, content)
+    return buf.getvalue()
+
+
+def test_zip_index_stored_ranged_reads():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        zip_index,
+    )
+
+    members = [("a.jpg", b"\xfe" * 100), ("a.txt", b"caption"), ("b", b"")]
+    data = _zip_bytes(members)
+    rows = zip_index(data)
+    assert [r["name"] for r in rows] == ["a.jpg", "a.txt", "b"]
+    for (name, content), r in zip(members, rows):
+        assert r["method"] == "stored"
+        assert data[r["data_offset"] : r["data_offset"] + r["size"]] == content
+
+
+def test_zip_index_deflate_decompresses_from_range():
+    import zipfile
+    import zlib
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        zip_index,
+    )
+
+    content = b"hello world " * 50
+    data = _zip_bytes([("d.txt", content)], compress=zipfile.ZIP_DEFLATED)
+    r = zip_index(data)[0]
+    assert r["method"] == "deflate" and r["size"] == len(content)
+    raw = data[r["data_offset"] : r["data_offset"] + r["compressed_size"]]
+    assert zlib.decompressobj(-15).decompress(raw) == content
+
+
+def test_zip_index_tolerates_archive_comment():
+    import io
+    import zipfile
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        zip_index,
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(zipfile.ZipInfo("x", date_time=(1980, 1, 1, 0, 0, 0)), b"y")
+        z.comment = b"trailing comment " * 10
+    rows = zip_index(buf.getvalue())
+    assert rows[0]["name"] == "x" and rows[0]["size"] == 1
+
+
+def test_zip_index_rejects_non_zip():
+    import pytest
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        zip_index,
+    )
+
+    with pytest.raises(ValueError):
+        zip_index(b"not a zip archive at all")
+
+
+def test_extract_zip_index_arrow_stage(spark):
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_zip_index,
+    )
+
+    media = spark.createDataFrame(
+        [(0, "shard", "application/zip", _zip_bytes([("m.bin", b"z" * 9)]))],
+        "media_id long, modality string, mime_type string, payload binary",
+    )
+    out = extract_zip_index(media)
+    assert "payload" not in out.columns
+    r = out.collect()[0]
+    assert (r.name, r.size, r.method) == ("m.bin", 9, "stored")

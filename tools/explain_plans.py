@@ -754,6 +754,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "HashAggregate", "Generate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    # r7: ZIP member index — encode + central-directory-walk Arrow stages,
+    # archive bytes never shuffle
+    "multimodal_zip_index": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Exchange hashpartitioning"],
+    ),
     # r7: BMP roundtrip — encode + decode Arrow stages, no shuffle
     "multimodal_bmp_roundtrip": (
         ["MapInPandas"],

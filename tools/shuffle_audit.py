@@ -124,6 +124,7 @@ DEFAULT_QUERIES = [
     "multimodal_id3_tags",
     "multimodal_webdataset_index",
     "multimodal_bmp_roundtrip",
+    "multimodal_zip_index",
     "header_conformance",
     "dedup_paragraphs",
     "text_trigram_backoff",
