@@ -40,18 +40,22 @@ def strip_colname_suffixes(
     """F1 applied table-wide: for every string column, strip the first
     occurrence of ``"_" + lower(colname)`` from its values.
 
-    ``special`` overrides the suffix per column (reference special-cases
-    ``AMADEUS_STUDY`` → strip ``_amadeus``, ``clinical.py:123-126``). The
-    reference asserts the NA count is unchanged afterwards
-    (``clinical.py:129-132``) — guaranteed here because the expression is
-    NULL-preserving.
+    ``special`` adds a SECOND per-column strip applied after the default one
+    (reference special-cases ``AMADEUS_STUDY``: the general loop strips
+    ``_amadeus_study`` first, then ``clinical.py:123-126`` additionally strips
+    ``_amadeus`` — both run, in that order, pinned by the reference
+    differential test). The reference asserts the NA count is unchanged
+    afterwards (``clinical.py:129-132``) — guaranteed here because the
+    expression is NULL-preserving.
     """
     special = dict(special or {})
     exprs = []
     for field in df.schema.fields:
         if field.dataType.typeName() == "string":
-            suffix = special.get(field.name, "_" + field.name.lower())
-            exprs.append(strip_first_literal(field.name, suffix).alias(field.name))
+            expr = strip_first_literal(field.name, "_" + field.name.lower())
+            if field.name in special:
+                expr = strip_first_literal(expr, special[field.name])
+            exprs.append(expr.alias(field.name))
         else:
             exprs.append(F.col(field.name))
     return df.select(*exprs)

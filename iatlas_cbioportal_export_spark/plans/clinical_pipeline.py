@@ -82,10 +82,10 @@ def preprocess_clinical(
     for c in ("OS_MONTHS", "PFS_MONTHS"):
         if c in out.columns:
             out = out.withColumn(c, days_to_months(c))
-    # F1 suffix strip over all string columns (clinical.py:98-133)
-    out = strip_colname_suffixes(
-        out, special={"AMADEUS_Study": "_amadeus", "AMADEUS_STUDY": "_amadeus"}
-    )
+    # F1 suffix strip over all string columns (clinical.py:98-133); the
+    # reference additionally strips "_amadeus" from the exact column
+    # AMADEUS_STUDY after the general per-column strip (clinical.py:123-126)
+    out = strip_colname_suffixes(out, special={"AMADEUS_STUDY": "_amadeus"})
     # F2 case normalization driven by the mapping's Case column
     for c, mode in (case_modes or {}).items():
         if c in out.columns:

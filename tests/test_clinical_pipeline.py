@@ -61,8 +61,11 @@ def test_preprocess_clinical_end_to_end(spark, fixture):
     assert s1["OS_MONTHS"] == 7.59 and s3["OS_MONTHS"] == 11.33
     # F1: suffix strip (first occurrence of _cancer_tissue) then F2 title case
     assert s1["Cancer_Tissue"] == "Liver"
-    # F1 special: AMADEUS strip
-    assert s1["AMADEUS_Study"] == "mel"
+    # F1 special: the extra "_amadeus" strip applies ONLY to the exact
+    # reference column name AMADEUS_STUDY (clinical.py:123-126, pinned by
+    # test_reference_differential) — this column is AMADEUS_Study, so only
+    # the general "_amadeus_study" suffix strip ran and the value is kept
+    assert s1["AMADEUS_Study"] == "mel_amadeus"
     assert s3["Cancer_Tissue"] is None  # null preserved
 
 

@@ -1,0 +1,554 @@
+"""TRUE reference-differential tests: import the ACTUAL reference package
+from ``/root/reference/src/iatlascbioportalexport`` and assert whole-frame
+equality between its pandas stages and our Spark operators on shared,
+edge-case-heavy fixtures.
+
+This closes the last semantic-drift channel the DuckDB oracle can't: the
+oracle pins OUR SQL model of the reference; these tests pin the reference's
+real code (``clinical.py:74-535`` and the preprocessing composition at
+``clinical.py:290-362``).
+
+The reference needs ``synapseclient`` (not installed here) and uses flat
+intra-package imports (``import utils``), so we stub the former with a
+no-network fake and put the package dir itself on ``sys.path``. No reference
+code is copied — it is imported and EXECUTED as the expected-value model.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from types import SimpleNamespace
+from unittest import mock
+
+import numpy as np
+import pandas as pd
+import pytest
+from pandas.testing import assert_frame_equal
+from pyspark.sql import functions as F
+
+from iatlas_cbioportal_export_spark.functions.scalar import (
+    case_normalize,
+    days_to_months,
+    recode_values,
+    strip_colname_suffixes,
+)
+from iatlas_cbioportal_export_spark.operators.filters import regex_filter_scoped
+from iatlas_cbioportal_export_spark.operators.projections import (
+    split_patient_sample,
+)
+from iatlas_cbioportal_export_spark.plans.clinical_pipeline import (
+    preprocess_clinical,
+)
+
+REF_PKG_DIR = "/root/reference/src/iatlascbioportalexport"
+
+
+def _load_reference_clinical():
+    """Import the reference ``clinical`` module with a no-network Synapse
+    fake; returns None if the reference checkout is absent."""
+    import os
+
+    if not os.path.isdir(REF_PKG_DIR):
+        return None
+    if "synapseclient" not in sys.modules:
+        class _FakeSynapse:
+            def __init__(self, *a, **k):
+                pass
+
+            def login(self, *a, **k):
+                return self
+
+            def get(self, *a, **k):  # pragma: no cover - always patched
+                raise RuntimeError("no network in differential tests")
+
+        fake = types.ModuleType("synapseclient")
+        fake.Synapse = _FakeSynapse
+        sys.modules["synapseclient"] = fake
+    if REF_PKG_DIR not in sys.path:
+        sys.path.insert(0, REF_PKG_DIR)
+    import clinical  # noqa: F401 - the reference module, flat import
+
+    return clinical
+
+
+ref = _load_reference_clinical()
+pytestmark = pytest.mark.skipif(
+    ref is None, reason="reference checkout not available"
+)
+
+
+# ---------------------------------------------------------------- helpers
+def _norm(pdf: pd.DataFrame, sort_cols) -> pd.DataFrame:
+    """Canonicalize a frame for engine-neutral comparison: alphabetical
+    column order, NaN→None in object columns, sorted rows, fresh index."""
+    pdf = pdf.copy()
+    pdf = pdf[sorted(pdf.columns)]
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].where(pd.notna(pdf[c]), None)
+    pdf = pdf.sort_values(list(sort_cols), na_position="last").reset_index(
+        drop=True
+    )
+    return pdf
+
+
+def _assert_match(ref_pdf, spark_df, sort_cols=("SAMPLE_ID",)):
+    got = spark_df.toPandas()
+    # restrict the reference frame to our output's column set (the reference
+    # keeps scratch columns like study_sample_name that our DAG drops)
+    missing = set(got.columns) - set(ref_pdf.columns)
+    assert not missing, f"spark output has columns reference lacks: {missing}"
+    exp = ref_pdf[list(got.columns)]
+    assert_frame_equal(
+        _norm(exp, sort_cols),
+        _norm(got, sort_cols),
+        check_dtype=False,
+        check_exact=False,
+        rtol=0,
+        atol=1e-9,
+    )
+
+
+def _spark_from_pandas(spark, pdf: pd.DataFrame):
+    return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------- fixtures
+def _clinical_fixture(n=240, seed=77) -> pd.DataFrame:
+    """Edge-case-heavy clinical frame mirroring the reference's iATLAS input
+    shape (pre-rename column names), incl. the NA cases from reference
+    ``tests/test_clinical.py:21-193``."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    datasets = ["Anders_JITC_2022", "Gide_Cell_2019", "HugoLo_IPRES_2016"]
+    tcga = ["SKCM", "LUAD", "BRCA"]
+    amadeus = ["mel", "lung", "breast"]
+    responses = [
+        "stable_clinical_response",
+        "stable_clinical_response_clinical_response",
+        "complete",
+        None,
+        "progressive_disease_clinical_response",
+    ]
+    tissues = [
+        "liver_cancer_tissue",
+        "lung_cancer_tissue",
+        "skin",
+        None,
+        "liver_cancer_tissue_cancer_tissue",
+    ]
+    amadeus_vals = [
+        "study1_amadeus",
+        "foo_amadeus_study_amadeus",  # pins general-then-special double strip
+        "plain",
+        "bar_amadeus_study",
+        None,
+    ]
+    infix = ["", "-nd-", "-ad-", "-nr-", "-ar-", "-ND-"]
+    for i in range(n):
+        rows.append(
+            {
+                "k": i,
+                "sample_name": f"SAMP{infix[i % len(infix)]}{i:04d}",
+                "study_sample_name": (
+                    f"PUB-{i:04d}" if i % 5 != 0 else None
+                ),
+                "patient_name": f"PAT-{i % 80:03d}",
+                "study_patient_name": (
+                    f"PPAT-{i % 80:03d}" if i % 7 != 0 else None
+                ),
+                "Dataset": datasets[i % 3],
+                "TCGA_Study": tcga[i % 3],
+                "AMADEUS_Study": amadeus[i % 3],
+                "os_status": int(i % 2),
+                "pfs_status": int((i + 1) % 2),
+                "os_time": (
+                    float(rng.randint(0, 5000)) if i % 9 != 0 else np.nan
+                ),
+                "pfs_time": float(i * 13 % 4000),
+                "response": responses[i % len(responses)],
+                "cancer_tissue": tissues[i % len(tissues)],
+                "amadeus_col": amadeus_vals[i % len(amadeus_vals)],
+            }
+        )
+    # reference golden day values (tests/test_clinical.py:24-31)
+    for j, days in enumerate([231.0, 1000.0, 345.0, 706.208]):
+        rows.append(
+            {
+                "k": n + j,
+                "sample_name": f"GOLD{j}",
+                "study_sample_name": None,
+                "patient_name": f"PAT-G{j}",
+                "study_patient_name": None,
+                "Dataset": "Gide_Cell_2019",
+                "TCGA_Study": "SKCM",
+                "AMADEUS_Study": "mel",
+                "os_status": 1,
+                "pfs_status": 0,
+                "os_time": days,
+                "pfs_time": days,
+                "response": "complete",
+                "cancer_tissue": "skin",
+                "amadeus_col": "study1_amadeus",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _oncotree_fixture() -> pd.DataFrame:
+    rows = []
+    for ds in ["Anders_JITC_2022", "Gide_Cell_2019", "HugoLo_IPRES_2016"]:
+        for t, a in zip(["SKCM", "LUAD", "BRCA"], ["mel", "lung", "breast"]):
+            rows.append(
+                {
+                    "TCGA_Study": t,
+                    "AMADEUS_Study": a,
+                    "Dataset": ds,
+                    "ONCOTREE_CODE": f"{t[:3]}_{len(a)}",
+                    "junk_col": "ignored",
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def _neoantigen_fixture(clin: pd.DataFrame) -> pd.DataFrame:
+    ids = [
+        (r["study_sample_name"] or r["sample_name"])
+        for _, r in clin.iterrows()
+        if r["k"] % 4 == 0
+    ]
+    return pd.DataFrame(
+        {"Sample_ID": ids, "SNV": [float(i % 50) for i in range(len(ids))]}
+    )
+
+
+def _mapping_fixture() -> pd.DataFrame:
+    # iATLAS attr → cbioportal header, with expected Case and attr type
+    rows = [
+        ("os_status", "OS_STATUS", None, "PATIENT"),
+        ("pfs_status", "PFS_STATUS", None, "PATIENT"),
+        ("os_time", "OS_MONTHS", None, "PATIENT"),
+        ("pfs_time", "PFS_MONTHS", None, "PATIENT"),
+        ("response", "CLINICAL_RESPONSE", "Title Case", "SAMPLE"),
+        ("cancer_tissue", "Cancer_Tissue", "Title Case", "SAMPLE"),
+        ("amadeus_col", "AMADEUS_STUDY", "CAPS", "PATIENT"),
+        ("SNV", "NEOANTIGEN_COUNT", None, "SAMPLE"),
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=["iATLAS_attribute", "NORMALIZED_HEADER", "Case", "ATTRIBUTE_TYPE"],
+    )
+
+
+# ------------------------------------------------------- stage differentials
+def test_filter_non_analyses_differential(spark):
+    """clinical.py:74-95 vs regex_filter_scoped, incl. NaN SAMPLE_ID and
+    NaN Dataset (pandas keeps both; so must we)."""
+    pdf = pd.DataFrame(
+        {
+            "SAMPLE_ID": [
+                "ABC-nd-001",
+                "ABC-ad-001",
+                "ABC-nr-001",
+                "ABC-ar-001",
+                "plain",
+                "ABC-ND-001",
+                None,
+                "x-nd-",
+                "-nd-",
+                None,
+            ],
+            "Dataset": ["Anders_JITC_2022"] * 7
+            + ["Other_Dataset", "Other_Dataset", None],
+            "v": list(range(10)),
+        }
+    )
+    exp = ref.filter_out_non_analyses_samples(pdf)
+    got = regex_filter_scoped(
+        _spark_from_pandas(spark, pdf),
+        "SAMPLE_ID",
+        r"-(?:nd|ad|nr)-",
+        "Dataset",
+        "Anders_JITC_2022",
+    )
+    _assert_match(exp, got, sort_cols=("v",))
+
+
+def test_suffix_strip_differential(spark):
+    """clinical.py:98-133 vs strip_colname_suffixes — repeated suffixes,
+    the AMADEUS_STUDY general+special double strip, NaN, numeric cols."""
+    pdf = pd.DataFrame(
+        {
+            "Response": [
+                "clinical_response",
+                "clinical_response_response",
+                "x_response_y_response",
+                None,
+                "_response",
+            ],
+            "AMADEUS_STUDY": [
+                "study1_amadeus",
+                "foo_amadeus_study_amadeus",
+                "bar_amadeus_study",
+                "_amadeus_amadeus",
+                None,
+            ],
+            "Cancer_Tissue": [
+                "liver_cancer_tissue",
+                "liver_cancer_tissue_cancer_tissue",
+                "plain",
+                "",
+                None,
+            ],
+            "AGE": [45.0, 60.0, 1.0, 2.0, np.nan],
+            "SAMPLE_ID": list("abcde"),
+        }
+    )
+    exp = ref.remove_suffix_from_column_values(pdf)
+    got = strip_colname_suffixes(
+        _spark_from_pandas(spark, pdf), special={"AMADEUS_STUDY": "_amadeus"}
+    )
+    _assert_match(exp, got)
+
+
+def test_case_normalization_differential(spark):
+    """clinical.py:136-167 vs case_normalize for CAPS / Title Case /
+    passthrough (values alpha+underscore — the reference's value domain;
+    the pandas-title vs initcap hyphen edge is documented in scalar.py)."""
+    mapping = pd.DataFrame(
+        {
+            "NORMALIZED_HEADER": ["A", "B", "C"],
+            "Case": ["CAPS", "Title Case", None],
+        }
+    )
+    pdf = pd.DataFrame(
+        {
+            "A": ["not_hispanic_or_latino", "x", None, "MiXeD_case"],
+            "B": ["stable_disease", "COMPLETE_RESPONSE", None, "a_b_c"],
+            "C": ["Leave_Me", "alone", None, "UNTOUCHED"],
+            "SAMPLE_ID": list("wxyz"),
+        }
+    )
+    exp = ref.update_case_of_column_values(pdf, mapping)
+    sdf = _spark_from_pandas(spark, pdf)
+    got = sdf.withColumn("A", case_normalize("A", "CAPS")).withColumn(
+        "B", case_normalize("B", "Title Case")
+    )
+    _assert_match(exp, got)
+
+
+def test_remap_ids_differential(spark):
+    """clinical.py:170-196 vs the F4 coalesce stage in preprocess_clinical."""
+    pdf = pd.DataFrame(
+        {
+            "sample_name": ["s1", "s2", "s3", "s4"],
+            "study_sample_name": ["PUB-1", None, "PUB-3", None],
+            "patient_name": ["p1", "p2", "p3", "p4"],
+            "study_patient_name": [None, "PPAT-2", None, None],
+            "v": [1, 2, 3, 4],
+        }
+    )
+    exp = ref.remap_clinical_ids_to_paper_ids(pdf)
+    sdf = _spark_from_pandas(spark, pdf)
+    got = (
+        sdf.withColumn(
+            "SAMPLE_ID", F.coalesce("study_sample_name", "sample_name")
+        )
+        .withColumn(
+            "PATIENT_ID", F.coalesce("study_patient_name", "patient_name")
+        )
+        .drop("sample_name", "patient_name")
+    )
+    _assert_match(exp, got)
+
+
+def test_days_to_months_differential(spark):
+    """clinical.py:515-535 vs days_to_months on goldens + 500 seeded integer
+    day counts + NaN; also the missing-column no-op arm."""
+    rng = np.random.RandomState(11)
+    days = [231.0, 1000.0, 345.0, 706.208, np.nan] + [
+        float(v) for v in rng.randint(0, 40000, size=500)
+    ]
+    pdf = pd.DataFrame({"OS_MONTHS": days, "v": range(len(days))})
+    exp = ref.convert_days_to_months(pdf, "OS_MONTHS")
+    got = _spark_from_pandas(spark, pdf).withColumn(
+        "OS_MONTHS", days_to_months("OS_MONTHS")
+    )
+    # rounding-mode disagreement (pandas half-even vs Spark HALF_UP on the
+    # decimal rendering) would surface as a 0.01 gap — compare exactly
+    got_pdf = _norm(got.toPandas(), ("v",))
+    exp_pdf = _norm(exp, ("v",))
+    assert_frame_equal(exp_pdf, got_pdf, check_dtype=False, atol=1e-12)
+    # missing-column arm: reference returns the frame untouched
+    pdf2 = pdf.drop(columns=["OS_MONTHS"])
+    exp2 = ref.convert_days_to_months(pdf2, "OS_MONTHS")
+    assert_frame_equal(exp2, pdf2)
+
+
+def test_status_recode_differential(spark):
+    """clinical.py:403-422 vs recode_values. Unmapped values: pandas keeps
+    the number, Spark's one-type column casts to string (documented edge,
+    scalar.py:78) — normalized here via str()."""
+    pdf = pd.DataFrame(
+        {
+            "OS_STATUS": [0, 1, 0, 1, 2],
+            "PFS_STATUS": [1, 0, 1, 0, 3],
+            "v": range(5),
+        }
+    )
+    exp = ref.remap_column_values(pdf)
+    sdf = _spark_from_pandas(spark, pdf)
+    got = sdf
+    for c in ("OS_STATUS", "PFS_STATUS"):
+        got = got.withColumn(
+            c, recode_values(c, {0: "0:LIVING", 1: "1:DECEASED"})
+        )
+    exp_n = _norm(exp, ("v",))
+    got_n = _norm(got.toPandas(), ("v",))
+    for c in ("OS_STATUS", "PFS_STATUS"):
+        exp_n[c] = exp_n[c].map(lambda x: x if isinstance(x, str) else str(x))
+    assert_frame_equal(exp_n, got_n, check_dtype=False)
+
+
+def test_neoantigen_merge_differential(spark):
+    """clinical.py:265-287 (executed with its own syn/read_csv patched, the
+    reference's own test technique) vs the Spark outer-join stage."""
+    clin = pd.DataFrame(
+        {"SAMPLE_ID": ["S1", "S2", "S3"], "foo": [1.0, 2.0, 3.0]}
+    )
+    neo = pd.DataFrame({"Sample_ID": ["S1", "S3", "S9"], "SNV": [5.0, 6.0, 7.0]})
+    with (
+        mock.patch.object(
+            ref.syn, "get", return_value=SimpleNamespace(path="dummy.tsv")
+        ),
+        mock.patch.object(ref.pd, "read_csv", return_value=neo.copy()),
+    ):
+        exp = ref.merge_in_neoantigen_study_data(
+            clin, neoantigen_data_synid="synZ", logger=mock.Mock()
+        )
+    got = _spark_from_pandas(spark, clin).join(
+        _spark_from_pandas(spark, neo)
+        .withColumnRenamed("Sample_ID", "SAMPLE_ID")
+        .withColumn("SAMPLE_ID", F.col("SAMPLE_ID").cast("string")),
+        on="SAMPLE_ID",
+        how="outer",
+    )
+    _assert_match(exp, got)
+
+
+def test_patient_sample_split_differential(spark):
+    """clinical.py:365-400 vs split_patient_sample on a preprocessed frame
+    (reference appends Dataset to both views; modeled via the attr map)."""
+    mapping = _mapping_fixture()
+    pdf = pd.DataFrame(
+        {
+            "SAMPLE_ID": ["s1", "s2", "s3", "s4"],
+            "PATIENT_ID": ["p1", "p1", "p2", "p2"],
+            "CANCER_TYPE": ["Melanoma"] * 4,
+            "CANCER_TYPE_DETAILED": ["Cutaneous Melanoma"] * 4,
+            "OS_STATUS": ["0:LIVING", "0:LIVING", "1:DECEASED", "1:DECEASED"],
+            "PFS_STATUS": ["1:DECEASED"] * 4,
+            "OS_MONTHS": [1.0, 1.0, 2.0, 2.0],
+            "PFS_MONTHS": [3.0, 3.0, 4.0, 4.0],
+            "CLINICAL_RESPONSE": ["Stable", "Complete", "Stable", "Complete"],
+            "Cancer_Tissue": ["Liver", "Lung", "Liver", "Lung"],
+            "AMADEUS_STUDY": ["S1", "S1", "S2", "S2"],
+            "NEOANTIGEN_COUNT": [1.0, 2.0, 3.0, 4.0],
+            "Dataset": ["D1", "D1", "D2", "D2"],
+        }
+    )
+    exp = ref.split_into_patient_and_sample_data(pdf, mapping)
+    sdf = _spark_from_pandas(spark, pdf)
+    patient_attrs = {
+        h: "PATIENT"
+        for h in mapping[mapping.ATTRIBUTE_TYPE == "PATIENT"].NORMALIZED_HEADER
+    }
+    patient_attrs["Dataset"] = "PATIENT"
+    sample_attrs = {
+        h: "SAMPLE"
+        for h in mapping[mapping.ATTRIBUTE_TYPE == "SAMPLE"].NORMALIZED_HEADER
+    }
+    sample_attrs["Dataset"] = "SAMPLE"
+    patient, _ = split_patient_sample(sdf, patient_attrs)
+    _, sample = split_patient_sample(sdf, sample_attrs)
+    _assert_match(exp["patient"], patient, sort_cols=("PATIENT_ID",))
+    _assert_match(exp["sample"], sample, sort_cols=("SAMPLE_ID",))
+
+
+# ------------------------------------------------- composed-pipeline parity
+def _reference_compose(clin, onco, neo, mapping):
+    """The reference's preprocessing composition (clinical.py:290-362) with
+    the Synapse reads inlined and the two subprocess stages (oncotree code
+    expansion, attribute metadata update) excluded — exactly the slice our
+    one-DAG preprocess_clinical covers when oncotree_codes=None."""
+    merge_cols = ref.ONCOTREE_MERGE_COLS
+    merged = clin.merge(
+        onco[merge_cols + ["ONCOTREE_CODE"]], how="left", on=merge_cols
+    )
+    remapped = ref.remap_clinical_ids_to_paper_ids(merged)
+    with (
+        mock.patch.object(
+            ref.syn, "get", return_value=SimpleNamespace(path="dummy.tsv")
+        ),
+        mock.patch.object(ref.pd, "read_csv", return_value=neo.copy()),
+    ):
+        with_neo = ref.merge_in_neoantigen_study_data(
+            remapped, neoantigen_data_synid="synZ", logger=mock.Mock()
+        )
+    renames = dict(
+        zip(mapping["iATLAS_attribute"], mapping["NORMALIZED_HEADER"])
+    )
+    renamed = with_neo.rename(columns=renames)
+    filtered = ref.filter_out_non_analyses_samples(renamed)
+    recoded = ref.remap_column_values(filtered)
+    recoded = ref.convert_days_to_months(recoded, "OS_MONTHS")
+    recoded = ref.convert_days_to_months(recoded, "PFS_MONTHS")
+    cleaned = ref.remove_suffix_from_column_values(recoded)
+    cased = ref.update_case_of_column_values(cleaned, mapping)
+    return cased
+
+
+def test_whole_pipeline_differential(spark):
+    """The flagship check: reference preprocessing composition vs our
+    single-DAG preprocess_clinical, whole-frame, 244 rows with every edge
+    family (nulls, repeated suffixes, AMADEUS double strip, -nd- filter,
+    golden day values, neoantigen-only outer rows)."""
+    clin = _clinical_fixture()
+    onco = _oncotree_fixture()
+    neo = _neoantigen_fixture(clin)
+    mapping = _mapping_fixture()
+
+    exp = _reference_compose(clin, onco, neo, mapping)
+
+    case_modes = {
+        r.NORMALIZED_HEADER: r.Case
+        for r in mapping.itertuples()
+        if isinstance(r.Case, str)
+    }
+    renames = dict(
+        zip(mapping["iATLAS_attribute"], mapping["NORMALIZED_HEADER"])
+    )
+    # the frame legitimately holds BOTH AMADEUS_Study (oncotree merge col)
+    # and AMADEUS_STUDY (renamed attribute) — distinct in pandas, ambiguous
+    # under Spark's default case-insensitive resolution, so this composed
+    # check runs case-sensitive (a user with the real iATLAS schema must too)
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        got = preprocess_clinical(
+            _spark_from_pandas(spark, clin),
+            _spark_from_pandas(
+                spark, onco[ref.ONCOTREE_MERGE_COLS + ["ONCOTREE_CODE"]]
+            ),
+            neoantigen=_spark_from_pandas(spark, neo)
+            .withColumnRenamed("Sample_ID", "SAMPLE_ID")
+            .withColumnRenamed("SNV", "NEOANTIGEN_COUNT"),
+            header_renames=renames,
+            case_modes=case_modes,
+            oncotree_codes=None,
+        )
+        # our DAG renames SNV via the neoantigen input; reference renames it
+        # via the mapping dict — same column either way
+        _assert_match(exp, got)
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", "false")
