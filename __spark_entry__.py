@@ -1293,7 +1293,7 @@ def q_sequence_packing(spark, sf_dir):
     concatenated token stream (budget 512). Fully deterministic — the oracle
     reproduces the cumulative layout with a window cumsum."""
     docs = _t(spark, sf_dir, "documents")
-    return text_ops.pack_sequences(docs, budget_tokens=512)
+    return text_ops.pack_token_budget_bins(docs, budget_tokens=512)
 
 
 def q_dedup_cross_corpus(spark, sf_dir):

@@ -138,20 +138,40 @@ def keep_latest_by(
 
 
 def chunk_assignment(
-    df: DataFrame, order_col: str, max_rows: int = 40_000
+    df: DataFrame,
+    order_col: str,
+    max_rows: int = 40_000,
+    bucket_width: int = 100_000,
 ) -> DataFrame:
     """S4 as a computation: assign each row its output chunk id under a
     deterministic ordering — ceil-division semantics of the reference's
     ``split_into_chunks`` (``maf.py:39-72``: chunk i gets rows
     [i*max_rows, (i+1)*max_rows)).
 
-    Uses a global ``row_number`` window (single-direction sort); at 100 TB the
-    equivalent is ``maxRecordsPerFile`` on the writer (no global sort needed)
-    — this operator exists to make the chunking contract testable.
+    Scale shape: the global row position is an inclusive prefix COUNT,
+    computed by :func:`global_running_sum` over a constant-1 column — the
+    two-phase bucketed cumsum (within-bucket window partitioned by
+    ``order_col div bucket_width``, then a KB-sized bucket-offsets table
+    broadcast back). NO single-partition ``Window.orderBy`` anywhere, so no
+    "moving all data to a single partition" cliff; the production sink
+    (``sources/sinks.py``) still uses ``maxRecordsPerFile`` where exact
+    global positions aren't required.
+
+    Requires a UNIQUE numeric ``order_col`` (the reference chunks by a
+    positional index, which is unique): prefix-count of ties under the SQL
+    RANGE frame would place all ties in the last tie's chunk.
     """
-    w = Window.orderBy(order_col)
-    return df.withColumn(
-        "chunk_id", ((F.row_number().over(w) - 1) / F.lit(max_rows)).cast("long")
+    run = global_running_sum(
+        df.withColumn("__one", F.lit(1)),
+        order_col=order_col,
+        value_col="__one",
+        bucket_width=bucket_width,
+    )
+    return (
+        run.withColumn(
+            "chunk_id", F.expr(f"(`running___one` - 1) div {int(max_rows)}")
+        )
+        .drop("__one", "running___one")
     )
 
 
@@ -1213,8 +1233,13 @@ def global_running_sum(
         ),
     )
     totals = within.groupBy("__b").agg(F.sum(value_col).alias("__t"))
+    # the offsets window runs over bucket-count rows (KB-bounded by the
+    # bucket_width contract) — partitioning by a constant makes the
+    # intentional single-partition explicit instead of tripping WindowExec's
+    # "no partition defined" corpus-scale warning
     off_w = (
-        Window.orderBy("__b")
+        Window.partitionBy(F.lit(0))
+        .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(

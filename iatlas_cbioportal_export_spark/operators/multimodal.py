@@ -1271,6 +1271,10 @@ def mp3_frame_index(payload: bytes) -> list[dict]:
         bitrate_kbps = _MP3_BITRATES_V1L3[br_idx]
         sample_rate = _MP3_RATES_V1[sr_idx]
         frame_len = 144 * bitrate_kbps * 1000 // sample_rate + padding
+        if off + frame_len > len(payload):
+            # truncated final frame: advertising the header-derived length
+            # would drive a ranged read past end-of-payload downstream
+            break
         rows.append(
             {
                 "frame_idx": len(rows),
@@ -1609,10 +1613,25 @@ def id3v2_tags(payload: bytes) -> dict[str, str]:
     version = payload[3]
     if version < 3:  # ID3v2.2 uses 3-char/6-byte frames — don't misparse
         return {}
+    flags = payload[5]
+    if flags & 0x80:  # unsynchronisation applied to the whole tag — frame
+        return {}  # offsets below would be wrong; bail rather than corrupt
     size = 0
     for b in payload[6:10]:
         size = (size << 7) | (b & 0x7F)
     off, end = 10, 10 + size
+    if flags & 0x40 and off + 4 <= len(payload):
+        # extended header precedes the first frame; skip it or the frame
+        # walk reads it as a frame with a garbage size
+        raw = payload[off : off + 4]
+        if version >= 4:
+            ext = 0  # v2.4: syncsafe, counts the WHOLE extended header
+            for b in raw:
+                ext = (ext << 7) | (b & 0x7F)
+            off += ext
+        else:
+            # v2.3: plain int, EXCLUDES the 4 size bytes themselves
+            off += 4 + int.from_bytes(raw, "big")
     tags: dict[str, str] = {}
     while off + 10 <= end:
         fid = payload[off : off + 4]
@@ -1890,7 +1909,13 @@ def zip_index(payload: bytes) -> list[dict]:
     can differ from the central entry's — the classic zip-parsing trap).
     The archive twin of :func:`tar_index` for corpora shipped as zips;
     STORED members are directly ranged-readable, DEFLATE members hand
-    their exact byte range to ``zlib.decompressobj(-15)``."""
+    their exact byte range to ``zlib.decompressobj(-15)``.
+
+    ZIP64 is handled for real (a >4 GB shard or a >65k-member archive is
+    exactly the 100 TB-corpus case): 0xFFFF/0xFFFFFFFF sentinels in the
+    EOCD route through the ZIP64 EOCD locator → ZIP64 EOCD record for the
+    true entry count / directory offset, and per-entry sentinels resolve
+    from the 0x0001 extra field in central-header field order."""
     eocd_sig = b"PK\x05\x06"
     tail_start = max(0, len(payload) - 65_557)  # 22-byte EOCD + 64k comment
     pos = payload.rfind(eocd_sig, tail_start)
@@ -1898,6 +1923,15 @@ def zip_index(payload: bytes) -> list[dict]:
         raise ValueError("no ZIP end-of-central-directory record")
     n_entries = int.from_bytes(payload[pos + 10 : pos + 12], "little")
     cd_off = int.from_bytes(payload[pos + 16 : pos + 20], "little")
+    if n_entries == 0xFFFF or cd_off == 0xFFFFFFFF:
+        loc = payload.rfind(b"PK\x06\x07", max(0, pos - 20), pos)
+        if loc < 0:
+            raise ValueError("ZIP64 sentinel without ZIP64 EOCD locator")
+        z64 = int.from_bytes(payload[loc + 8 : loc + 16], "little")
+        if payload[z64 : z64 + 4] != b"PK\x06\x06":
+            raise ValueError(f"bad ZIP64 EOCD signature at {z64}")
+        n_entries = int.from_bytes(payload[z64 + 32 : z64 + 40], "little")
+        cd_off = int.from_bytes(payload[z64 + 48 : z64 + 56], "little")
     rows: list[dict] = []
     off = cd_off
     for _ in range(n_entries):
@@ -1913,6 +1947,32 @@ def zip_index(payload: bytes) -> list[dict]:
         name = payload[off + 46 : off + 46 + name_len].decode(
             "utf-8", "replace"
         )
+        if 0xFFFFFFFF in (csize, usize, lho):
+            # ZIP64 extra field: 8-byte values present ONLY for the fields
+            # whose 32-bit slots hold the sentinel, in usize/csize/lho order
+            extra = payload[
+                off + 46 + name_len : off + 46 + name_len + extra_len
+            ]
+            e = 0
+            while e + 4 <= len(extra):
+                hid = int.from_bytes(extra[e : e + 2], "little")
+                hlen = int.from_bytes(extra[e + 2 : e + 4], "little")
+                if hid == 0x0001:
+                    f = e + 4
+                    if usize == 0xFFFFFFFF:
+                        usize = int.from_bytes(extra[f : f + 8], "little")
+                        f += 8
+                    if csize == 0xFFFFFFFF:
+                        csize = int.from_bytes(extra[f : f + 8], "little")
+                        f += 8
+                    if lho == 0xFFFFFFFF:
+                        lho = int.from_bytes(extra[f : f + 8], "little")
+                    break
+                e += 4 + hlen
+            else:
+                raise ValueError(
+                    f"ZIP64 sentinel in entry {name!r} without 0x0001 extra"
+                )
         # resolve data offset via the LOCAL header's own lengths
         if payload[lho : lho + 4] != b"PK\x03\x04":
             raise ValueError(f"bad local-header signature at {lho}")

@@ -309,7 +309,7 @@ def chunk_documents(
     )
 
 
-def pack_sequences(
+def pack_token_budget_bins(
     df: DataFrame,
     budget_tokens: int = 2048,
     text_col: str = "text",
@@ -318,6 +318,12 @@ def pack_sequences(
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training bins by token offset
     (sequence packing for LLM batch assembly).
+
+    Named distinctly from :func:`..sampling.pack_sequences` (the
+    concat-and-chunk manifest): THIS operator bins whole documents by start
+    offset within a stratum; that one slices the global token stream into
+    fixed-length training sequences. Both are correct — but they are
+    different contracts, so they no longer share a name.
 
     Documents are laid out in deterministic ``id_col`` order WITHIN each
     stratum (e.g. source) and binned by their start offset in the
@@ -348,6 +354,11 @@ def pack_sequences(
         .cast("long")
         .alias("bin_id"),
     )
+
+
+# deprecated alias — the token-budget binner shipped as ``pack_sequences``
+# through round 7, colliding with sampling.pack_sequences' different contract
+pack_sequences = pack_token_budget_bins
 
 
 def unigram_logprob_score(

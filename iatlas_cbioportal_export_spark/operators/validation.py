@@ -1320,24 +1320,31 @@ def clinical_header_conformance(
     dt = F.col("datatype")
     pr = F.col("priority").cast("string")
     dn = F.col("display_name")
+    # F.sum over zero rows is NULL, which would make "n_bad == 0" NULL on an
+    # empty attrs frame and mis-report every sum rule as failing with a NULL
+    # count — coalesce to 0 so a vacuously clean input reads all-OK
+    zsum = lambda c, name: F.coalesce(F.sum(c), F.lit(0)).alias(name)  # noqa: E731
     aggs = [
-        F.sum(
+        zsum(
             F.when(
                 dt.isNull() | ~dt.isin(*CLINICAL_HEADER_DATATYPES), 1
-            ).otherwise(0)
-        ).alias("__bad_datatype"),
-        F.sum(
-            F.when(pr.isNull() | ~pr.rlike(r"^[0-9]+$"), 1).otherwise(0)
-        ).alias("__bad_priority"),
+            ).otherwise(0),
+            "__bad_datatype",
+        ),
+        zsum(
+            F.when(pr.isNull() | ~pr.rlike(r"^[0-9]+$"), 1).otherwise(0),
+            "__bad_priority",
+        ),
         (
             F.count(F.lit(1)) - F.countDistinct("filename", "column_id")
         ).alias("__dup_ids"),
         F.countDistinct(
             F.when(~F.col("arity_ok"), F.col("filename"))
         ).alias("__arity_files"),
-        F.sum(
-            F.when(dn.isNull() | (dn == ""), 1).otherwise(0)
-        ).alias("__missing_display"),
+        zsum(
+            F.when(dn.isNull() | (dn == ""), 1).otherwise(0),
+            "__missing_display",
+        ),
         F.countDistinct("filename").alias("__n_files"),
         *[
             F.countDistinct(

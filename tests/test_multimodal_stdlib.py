@@ -1067,3 +1067,131 @@ def test_extract_zip_index_arrow_stage(spark):
     assert "payload" not in out.columns
     r = out.collect()[0]
     assert (r.name, r.size, r.method) == ("m.bin", 9, "stored")
+
+
+def test_mp3_frame_index_drops_truncated_final_frame():
+    # a truncated file's last header-derived range must not extend past
+    # end-of-payload (downstream ranged reads would over-read)
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        mp3_encode,
+        mp3_frame_index,
+    )
+
+    p = mp3_encode(3, 128, 44100)
+    rows = mp3_frame_index(p[:-10])
+    assert len(rows) == 2
+    assert all(r["offset"] + r["size"] <= len(p) - 10 for r in rows)
+    # untruncated still yields 3
+    assert len(mp3_frame_index(p)) == 3
+
+
+def _id3_text_frame(fid: str, text: str, version: int) -> bytes:
+    content = b"\x03" + text.encode("utf-8")
+    if version == 4:
+        size = bytes((len(content) >> s) & 0x7F for s in (21, 14, 7, 0))
+    else:
+        size = len(content).to_bytes(4, "big")
+    return fid.encode() + size + b"\x00\x00" + content
+
+
+def _id3_tag(frames: bytes, version: int, flags: int, ext: bytes = b"") -> bytes:
+    total = len(ext) + len(frames)
+    syncsafe = bytes((total >> s) & 0x7F for s in (21, 14, 7, 0))
+    return b"ID3" + bytes([version, 0, flags]) + syncsafe + ext + frames
+
+
+def test_id3v2_extended_header_skipped_v23_and_v24():
+    from iatlas_cbioportal_export_spark.operators.multimodal import id3v2_tags
+
+    frames3 = _id3_text_frame("TIT2", "Title", 3) + _id3_text_frame(
+        "TPE1", "Artist", 3
+    )
+    # v2.3 extended header: 4-byte size EXCLUDING itself (6) + flags + pad
+    ext3 = (6).to_bytes(4, "big") + b"\x00\x00" + (0).to_bytes(4, "big")
+    tag3 = _id3_tag(frames3, version=3, flags=0x40, ext=ext3)
+    assert id3v2_tags(tag3) == {"TIT2": "Title", "TPE1": "Artist"}
+
+    frames4 = _id3_text_frame("TIT2", "Title", 4) + _id3_text_frame(
+        "TALB", "Album", 4
+    )
+    # v2.4 extended header: syncsafe size INCLUDING the whole header (6)
+    ext4 = bytes((6 >> s) & 0x7F for s in (21, 14, 7, 0)) + b"\x01\x00"
+    tag4 = _id3_tag(frames4, version=4, flags=0x40, ext=ext4)
+    assert id3v2_tags(tag4) == {"TIT2": "Title", "TALB": "Album"}
+
+
+def test_id3v2_unsynchronisation_flag_bails_to_empty():
+    from iatlas_cbioportal_export_spark.operators.multimodal import id3v2_tags
+
+    frames = _id3_text_frame("TIT2", "Title", 3)
+    tag = _id3_tag(frames, version=3, flags=0x80)
+    assert id3v2_tags(tag) == {}
+
+
+def _zip64_archive(members: list[tuple[str, bytes]]) -> bytes:
+    """Hand-built ZIP64 archive: per-entry 0x0001 extras carry the real
+    usize/csize/local-header offset; the EOCD holds 0xFFFF/0xFFFFFFFF
+    sentinels routed through the ZIP64 EOCD locator + record."""
+    out = bytearray()
+    centrals = []
+    for name, data in members:
+        nb = name.encode()
+        lho = len(out)
+        out += b"PK\x03\x04" + (45).to_bytes(2, "little") + b"\x00\x00"
+        out += (0).to_bytes(2, "little")  # stored
+        out += bytes(4)  # time/date
+        out += bytes(4)  # crc (unchecked by the indexer)
+        out += len(data).to_bytes(4, "little") * 2
+        out += len(nb).to_bytes(2, "little") + (0).to_bytes(2, "little")
+        out += nb + data
+        # central entry with ALL THREE sentinels + zip64 extra
+        extra = (
+            (0x0001).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + len(data).to_bytes(8, "little")  # usize
+            + len(data).to_bytes(8, "little")  # csize
+            + lho.to_bytes(8, "little")
+        )
+        c = bytearray()
+        c += b"PK\x01\x02" + (45).to_bytes(2, "little") * 2 + b"\x00\x00"
+        c += (0).to_bytes(2, "little") + bytes(4) + bytes(4)
+        c += (0xFFFFFFFF).to_bytes(4, "little") * 2  # csize/usize sentinels
+        c += len(nb).to_bytes(2, "little")
+        c += len(extra).to_bytes(2, "little")
+        c += (0).to_bytes(2, "little")  # comment
+        c += bytes(4)  # disk/attrs
+        c += bytes(4)  # ext attrs
+        c += (0xFFFFFFFF).to_bytes(4, "little")  # lho sentinel
+        c += nb + extra
+        centrals.append(bytes(c))
+    cd_off = len(out)
+    for c in centrals:
+        out += c
+    cd_size = len(out) - cd_off
+    z64_off = len(out)
+    out += b"PK\x06\x06" + (44).to_bytes(8, "little")
+    out += (45).to_bytes(2, "little") * 2 + bytes(8)  # versions + disks
+    out += len(members).to_bytes(8, "little") * 2
+    out += cd_size.to_bytes(8, "little") + cd_off.to_bytes(8, "little")
+    out += b"PK\x06\x07" + bytes(4) + z64_off.to_bytes(8, "little")
+    out += (1).to_bytes(4, "little")
+    out += b"PK\x05\x06" + bytes(4)
+    out += (0xFFFF).to_bytes(2, "little") * 2
+    out += (0xFFFFFFFF).to_bytes(4, "little") * 2
+    out += (0).to_bytes(2, "little")
+    return bytes(out)
+
+
+def test_zip_index_zip64_sentinels_resolved():
+    from iatlas_cbioportal_export_spark.operators.multimodal import zip_index
+
+    members = [("a.txt", b"hello zip64"), ("dir/b.bin", bytes(range(200)))]
+    payload = _zip64_archive(members)
+    rows = zip_index(payload)
+    assert [(r["name"], r["size"], r["method"]) for r in rows] == [
+        ("a.txt", 11, "stored"),
+        ("dir/b.bin", 200, "stored"),
+    ]
+    for row, (_, data) in zip(rows, members):
+        got = payload[row["data_offset"] : row["data_offset"] + row["size"]]
+        assert got == data

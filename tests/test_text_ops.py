@@ -144,7 +144,7 @@ def test_chunk_documents_windows_and_overlap(spark):
 
 
 def test_pack_sequences_offsets_and_bins(spark):
-    from iatlas_cbioportal_export_spark.operators.text import pack_sequences
+    from iatlas_cbioportal_export_spark.operators.text import pack_token_budget_bins as pack_sequences
 
     df = spark.createDataFrame(
         [
@@ -164,7 +164,7 @@ def test_pack_sequences_offsets_and_bins(spark):
 
 
 def test_pack_sequences_deterministic_under_partitioning(spark):
-    from iatlas_cbioportal_export_spark.operators.text import pack_sequences
+    from iatlas_cbioportal_export_spark.operators.text import pack_token_budget_bins as pack_sequences
 
     df = spark.createDataFrame(
         [(i, " ".join(["w"] * (i % 5 + 1)), f"s{i % 3}") for i in range(60)],
@@ -817,3 +817,11 @@ def test_trigram_backoff_short_docs_floor(spark):
     rows = {r.doc_id: r for r in trigram_backoff_score(docs).collect()}
     assert rows[0].n_trigrams == 0 and rows[0].mean_logprob == -9.0
     assert rows[1].n_trigrams == 1
+
+
+def test_pack_sequences_deprecated_alias():
+    # the token-budget binner shipped as pack_sequences through round 7;
+    # the alias must keep old importers working
+    from iatlas_cbioportal_export_spark.operators import text
+
+    assert text.pack_sequences is text.pack_token_budget_bins

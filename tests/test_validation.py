@@ -630,3 +630,23 @@ def test_clinical_header_conformance_all_ok(spark):
     rows = clinical_header_conformance(attrs).collect()
     assert all(r["status"] == "OK" for r in rows)
     assert len(rows) == 6
+
+
+def test_clinical_header_conformance_empty_input_all_ok(spark):
+    # sum over zero rows is NULL in SQL; without the coalesce every
+    # sum-based rule would mis-report ERROR/WARN with a NULL count on a
+    # vacuously clean (empty) attribute table
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        clinical_header_conformance,
+    )
+
+    attrs = spark.createDataFrame(
+        [],
+        "filename string, column_id string, display_name string, "
+        "description string, datatype string, priority string, "
+        "arity_ok boolean",
+    )
+    rows = clinical_header_conformance(attrs).collect()
+    assert len(rows) == 6
+    assert all(r["status"] == "OK" for r in rows)
+    assert all(r["observed"] == 0 for r in rows)

@@ -201,7 +201,7 @@ def main() -> None:
             d, n=3, num_hashes=16, bands=8, threshold=0.2
         ).count(),
         "text_quality+lang": lambda d: cur_ops.gopher_quality(d).count(),
-        "sequence_packing": lambda d: text_ops.pack_sequences(d).count(),
+        "sequence_packing": lambda d: text_ops.pack_token_budget_bins(d).count(),
         "chunking": lambda d: text_ops.chunk_documents(d).count(),
     }
     emb_cases = {
