@@ -27,6 +27,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from iatlas_cbioportal_export_spark.functions.text import (
     tokens,
@@ -1035,9 +1036,9 @@ def containment_join(
     candidate generation on BOTH sides — the fan-out bound that keeps a
     growing corpus linear (df of boilerplate shingles grows with corpus
     size, so uncapped candidates grow super-linearly); verification stays
-    exact on the full arrays, so surviving pairs' scores never change and
-    recall is lost only for pairs whose entire overlap is hot shingles.
-    ``exact=True`` opts out (same contract as
+    exact on the full string arrays, so surviving pairs' scores never
+    change and recall is lost only for pairs whose entire overlap is hot
+    shingles. ``exact=True`` opts out (same contract as
     :func:`text.cosine_similarity_pairs`'s df-cap).
 
     Set elements default to word 5-gram SHINGLES (``ngram_n=5``): on a
@@ -1047,67 +1048,85 @@ def containment_join(
     discriminative and make the candidate df's tiny; ``ngram_n=None``
     switches to word tokens for short-text/set-valued inputs.
 
-    Candidate pruning before the array fetch (PPJoin-style length
-    filter): ``|a∩b| ≤ |b|``, so C ≥ t also forces ``|b| ≥ t·|a|`` — the
-    b-side index carries ``n_b`` and candidates failing the integer gate
-    ``n_b·1e6 ≥ t_micro·n_a`` are dropped BEFORE the (expensive,
-    array-shipping) verification join ever sees them.
+    CANDIDATE GENERATION NEVER BUILDS SHINGLE STRINGS: each token hashes
+    once (``xxhash64``), and a shingle's hash is ``xxhash64`` of its n
+    consecutive token hashes — O(tokens) numeric work per document versus
+    the O(tokens·n) slice-and-concat string build (measured 45 → 6
+    core-seconds at sf0.1, and it removes the need to cache the shingled
+    corpus at all: the old string path was expensive enough to warrant an
+    eager localCheckpoint whose serialization cost more than the 2×
+    recompute of the numeric path). Collisions keep the usual one-sided
+    blocking contract (two docs sharing a hash but not the string can only
+    ADD a candidate, removed by exact verification; a candidate is LOST
+    only if two distinct shared strings collide — a ~2⁻⁶⁴ event, the same
+    exposure the previous string-built-then-hashed posting had).
 
-    Verification is exact and integer-gated: fetch both sorted
-    distinct-element arrays by id (candidates only), ``|a∩b|`` via
-    ``array_intersect``, gate ``inter·1e6 ≥ t_micro·|a|`` in integers (no
-    float boundary), report ``containment_ppm = ⌊inter·1e6 / |a|⌋``.
+    Candidate pruning before verification, PPJoin/PPJoin+ style, all
+    integer-gated:
+    - LENGTH: ``|a∩b| ≤ |b|`` forces ``n_b·1e6 ≥ t_micro·n_a``.
+    - POSITIONAL (PPJoin+): both docs' capped token lists share one global
+      (df, tok) order, so a match at 1-based positions (i, j) bounds the
+      overlap by ``min(i−1, j−1) + 1 + min(nc_a−i, nc_b−j)`` plus — capped
+      mode only — ``min(n_a−nc_a, n_b−nc_b)`` for the df-capped tokens
+      absent from the lists but present in the verify arrays. The bound
+      holds for EVERY common token, so any matched row failing it is
+      safely dropped before the candidate dedup.
+
+    Verification is exact on STRINGS and touches only candidate documents:
+    the candidate ids semi-join back to the corpus, ONLY those documents
+    build their real (distinct) shingle-string arrays, ``|a∩b|`` comes
+    from ``array_intersect``, the gate is ``inter·1e6 ≥ t_micro·|a|`` in
+    integers (no float boundary), and ``n_a``/``containment_ppm`` are
+    computed from the string arrays — so reported scores are exact
+    regardless of any hashing upstream.
 
     Output: directed (id_a, id_b, n_a, inter, containment_ppm) rows,
-    id_a ≠ id_b, C(a→b) ≥ threshold. Shuffles: (id, token) postings,
-    token-keyed candidate join, id-keyed array fetch — raw text never.
-    The shingled arrays (``doc_toks``) feed candidate generation AND both
-    verification sides; a lazy ``localCheckpoint`` materializes the
-    shingling ONCE instead of re-tokenizing the corpus per subtree
-    (measured 3 full shingle passes → 1 at sf0.1; at 100 TB the
-    checkpoint is O(distinct shingles) executor-local storage, strictly
-    cheaper than recomputing the dominant string work per consumer).
+    id_a ≠ id_b, C(a→b) ≥ threshold. Shuffles: (id, hash) postings, the
+    token-keyed candidate join, and the candidate-only string arrays —
+    raw text never, and non-candidate documents' shingle strings are
+    never even built.
     """
     t = float(threshold)
     t_micro = int(round(t * 1_000_000))
     if ngram_n is None:
-        elems = tokens(text_col)
-        doc_toks = df.select(
+        hashed = df.select(
             F.col(id_col).alias("id"),
-            F.array_sort(F.array_distinct(elems)).alias("ts"),
-        ).filter(F.size("ts") > 0)
-    else:
-        doc_toks = (
-            df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
-            .select(
-                "id",
-                F.array_sort(
-                    F.array_distinct(
-                        word_ngrams_of_tokens(F.col("__toks"), ngram_n)
-                    )
-                ).alias("ts"),
-            )
-            .filter(F.size("ts") > 0)
+            F.array_distinct(
+                F.transform(tokens(text_col), lambda x: F.xxhash64(x))
+            ).alias("hs"),
         )
-    # Materialize the shingled arrays once: doc_toks feeds the posting
-    # subtree and BOTH verification array fetches — without the
-    # checkpoint each consumer re-runs the tokenize→ngram→distinct→sort
-    # string work over the whole corpus. EAGER, not lazy: the consumers
-    # are submitted as concurrent stages of one job, and a lazy
-    # checkpoint lets each of them race to materialize the same blocks
-    # (observed: every stage recomputes the shingling, then drops its
-    # copy on "block already exists").
-    doc_toks = doc_toks.localCheckpoint(eager=True)
-    # Candidate generation runs on xxhash64 of the elements, not the
-    # element STRINGS: a 5-gram shingle is ~30 chars, its hash 8 bytes, so
-    # the posting/df/prefix shuffles shrink ~4x (measured 12.4MB -> 3MB at
-    # sf0.1). Hash collisions can only ADD candidates, which the exact
-    # string-array verification removes — the standard one-sided-error
-    # blocking contract used by every hash-blocked scheme here.
-    posting = doc_toks.select(
-        "id",
-        F.size("ts").alias("n"),
-        F.explode(F.transform("ts", lambda x: F.xxhash64(x))).alias("tok"),
+    else:
+        n_lit = int(ngram_n)
+        # token hashes bound in their own projection (same reason as
+        # word_ngrams_of_tokens: inlining re-evaluates the split per index)
+        th = df.select(
+            F.col(id_col).alias("id"),
+            F.transform(tokens(text_col), lambda x: F.xxhash64(x)).alias(
+                "__th"
+            ),
+        )
+        n_sh = F.greatest(F.size("__th") - F.lit(n_lit - 1), F.lit(1))
+        # F.get is 0-based and NULL-padding out of bounds (ANSI-safe, unlike
+        # element_at); xxhash64 skips NULL inputs, so a document shorter
+        # than n hashes its whole token sequence — mirroring the string
+        # path's single whole-sequence shingle for short docs
+        sh = F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.xxhash64(
+                *[F.get(F.col("__th"), i + F.lit(k)) for k in range(n_lit)]
+            ),
+        )
+        hashed = th.select("id", F.array_distinct(sh).alias("hs"))
+    # hs is referenced exactly ONCE (the explode): a second reference —
+    # size(hs) for n, or a size(hs)>0 filter — gets alias-inlined by
+    # Catalyst (predicate pushdown and generator planning substitute
+    # expressions regardless of cost), re-evaluating the whole shingle
+    # transform per reference (measured: posting.count 1.7s -> 24s). Empty
+    # arrays explode to zero rows, which is the old filter's semantics,
+    # and n comes from a window count over the exploded postings instead.
+    posting = hashed.select("id", F.explode("hs").alias("tok")).withColumn(
+        "n",
+        F.count(F.lit(1)).over(Window.partitionBy("id")).cast("int"),
     )
     df_tbl = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # Hot-shingle cap (default ON): per-token candidate fan-out is df(tok),
@@ -1116,7 +1135,7 @@ def containment_join(
     # super-linear term (measured: 10x-rows probe ratio 8.0 uncapped).
     # Dropping tokens with df > max_df from BOTH the prefix computation
     # and the b-side index bounds fan-out to max_df per token; surviving
-    # candidates are still verified against the FULL element arrays, so
+    # candidates are still verified against the FULL string arrays, so
     # every reported pair's n_a/inter/containment_ppm stay exact — the cap
     # costs recall only for pairs whose entire overlap is hot shingles
     # (boilerplate, for the decontamination use case). Same contract and
@@ -1132,50 +1151,105 @@ def containment_join(
             n_docs = df.count()
             max_df = max(2, int(math.ceil(max_df_frac * n_docs)))
         df_tbl = df_tbl.filter(F.col("df") <= max_df)
-        posting_idx = posting.join(df_tbl.select("tok"), on="tok")
-    else:
-        posting_idx = posting
     pref_len = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
-    prefixes = (
-        posting.join(df_tbl, on="tok")
-        .groupBy("id", "n")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("df"), F.col("tok")))
-            ).alias("ordered")
+    # ONE ranked postings table feeds BOTH join sides: per doc, each
+    # token's 1-based position in the global (df, tok) order plus the
+    # doc's capped token count — window functions over the id-hash
+    # exchange (NOT a collect_list/posexplode round trip, measured 2×
+    # slower: it materializes every doc's array just to re-explode it).
+    id_w = Window.partitionBy("id").orderBy("df", "tok")
+    with_pos = posting.join(df_tbl, on="tok").select(
+        "id",
+        "n",
+        "tok",
+        F.row_number().over(id_w).cast("int").alias("pos"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("id"))
+        .cast("int")
+        .alias("nc"),
+    )
+    a = with_pos.filter(F.col("pos") <= pref_len).select(
+        F.col("id").alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.col("nc").alias("nc_a"),
+        F.col("pos").alias("pos_a"),
+        "tok",
+    )
+    b = with_pos.select(
+        F.col("id").alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.col("nc").alias("nc_b"),
+        F.col("pos").alias("pos_b"),
+        "tok",
+    )
+    length_ok = (
+        F.col("n_b") * F.lit(1_000_000) >= F.lit(t_micro) * F.col("n_a")
+    )
+    overlap_bound = (
+        F.least(F.col("pos_a") - 1, F.col("pos_b") - 1)
+        + F.lit(1)
+        + F.least(
+            F.col("nc_a") - F.col("pos_a"), F.col("nc_b") - F.col("pos_b")
         )
-        .select(
-            "id",
-            "n",
-            F.explode(
-                F.slice(F.col("ordered.tok"), F.lit(1), pref_len)
-            ).alias("tok"),
+        + F.least(
+            F.col("n_a") - F.col("nc_a"), F.col("n_b") - F.col("nc_b")
         )
     )
-    a = prefixes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "tok")
-    b = posting_idx.select(
-        F.col("id").alias("id_b"), F.col("n").alias("n_b"), "tok"
-    )
-    # PPJoin-style length filter: |a∩b| ≤ |b|, so C(a→b) ≥ t needs
-    # n_b ≥ t·n_a — gate in integers BEFORE dedup + array fetch.
     cands = (
         a.join(b, on="tok")
         .filter(
             (F.col("id_a") != F.col("id_b"))
+            & length_ok
             & (
-                F.col("n_b") * F.lit(1_000_000)
+                overlap_bound * F.lit(1_000_000)
                 >= F.lit(t_micro) * F.col("n_a")
             )
         )
-        .select("id_a", "n_a", "id_b")
+        .select("id_a", "id_b")
         .distinct()
     )
-    arrs_a = doc_toks.select(F.col("id").alias("id_a"), F.col("ts").alias("__tsa"))
-    arrs_b = doc_toks.select(F.col("id").alias("id_b"), F.col("ts").alias("__tsb"))
+    # cands is consumed three times (both verify-id projections + the
+    # result join); eagerly materialize it so the candidate pipeline runs
+    # ONCE. Unlike the old whole-corpus shingle checkpoint this is
+    # O(result pairs) — two longs per surviving candidate — not O(corpus).
+    cands = cands.localCheckpoint(eager=True)
+    # Exact verification, candidate documents only: semi-join the RAW
+    # corpus rows (id, text) to the candidate id set FIRST, then build the
+    # STRING shingle arrays — the semi-join must sit below the shingle
+    # projection or the projection would compute shingle strings for every
+    # corpus row before the join discards them.
+    ids_needed = (
+        cands.select(F.col("id_a").alias("id"))
+        .union(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    verify_docs = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__vtxt")
+    ).join(ids_needed, on="id", how="leftsemi")
+    if ngram_n is None:
+        verify_sets = verify_docs.select(
+            "id", F.array_distinct(tokens("__vtxt")).alias("ts")
+        )
+    else:
+        verify_sets = verify_docs.select(
+            "id", tokens("__vtxt").alias("__toks")
+        ).select(
+            "id",
+            F.array_distinct(
+                word_ngrams_of_tokens(F.col("__toks"), ngram_n)
+            ).alias("ts"),
+        )
+    arrs_a = verify_sets.select(
+        F.col("id").alias("id_a"), F.col("ts").alias("__tsa")
+    )
+    arrs_b = verify_sets.select(
+        F.col("id").alias("id_b"), F.col("ts").alias("__tsb")
+    )
     inter = F.size(F.array_intersect("__tsa", "__tsb"))
     return (
         cands.join(arrs_a, "id_a")
         .join(arrs_b, "id_b")
+        .withColumn("n_a", F.size("__tsa").cast("long"))
         .withColumn("inter", inter.cast("long"))
         .filter(
             F.col("inter") * F.lit(1_000_000) >= F.lit(t_micro) * F.col("n_a")
@@ -1183,7 +1257,7 @@ def containment_join(
         .select(
             "id_a",
             "id_b",
-            F.col("n_a").cast("long").alias("n_a"),
+            "n_a",
             "inter",
             # integral DIV = exact floor (replays as DuckDB //)
             F.expr("inter * 1000000 DIV n_a").cast("long").alias(
