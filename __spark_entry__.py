@@ -5158,6 +5158,139 @@ def q_multimodal_zip_index(spark, sf_dir):
     )
 
 
+def q_multimodal_zip64_index(spark, sf_dir):
+    """ZIP64 central-directory indexing (round 8): the >4GB / >65k-member
+    archive layout a 100 TB corpus shard actually hits. Archives are
+    hand-assembled with the ZIP64 EOCD locator + record and per-entry
+    0x0001 extra fields carrying the real usize/csize/local-header offset
+    behind 0xFFFFFFFF sentinels — the routing ``zip_index`` must take
+    (stdlib ``zipfile`` won't emit ZIP64 structures for small archives,
+    so the builder writes the format directly). Member naming/sizing is
+    identical to the r7 ``multimodal_zip_index`` query, so the oracle
+    replays the same closed-form offset arithmetic: local header =
+    30 + len(name) bytes, members back-to-back."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_zip_index,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 30)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        def build(mid: int) -> bytes:
+            out = bytearray()
+            centrals = []
+            for j in range(2 + mid % 3):
+                name = f"{mid:05d}.{j}.bin".encode()
+                data = bytes([j % 256]) * (100 + (mid * 7 + j * 13) % 90)
+                lho = len(out)
+                out += b"PK\x03\x04" + (45).to_bytes(2, "little")
+                out += b"\x00\x00" + (0).to_bytes(2, "little")
+                out += bytes(4) + bytes(4)
+                out += len(data).to_bytes(4, "little") * 2
+                out += len(name).to_bytes(2, "little")
+                out += (0).to_bytes(2, "little")
+                out += name + data
+                extra = (
+                    (0x0001).to_bytes(2, "little")
+                    + (24).to_bytes(2, "little")
+                    + len(data).to_bytes(8, "little") * 2
+                    + lho.to_bytes(8, "little")
+                )
+                c = bytearray()
+                c += b"PK\x01\x02" + (45).to_bytes(2, "little") * 2
+                c += b"\x00\x00" + (0).to_bytes(2, "little")
+                c += bytes(4) + bytes(4)
+                c += (0xFFFFFFFF).to_bytes(4, "little") * 2
+                c += len(name).to_bytes(2, "little")
+                c += len(extra).to_bytes(2, "little")
+                c += (0).to_bytes(2, "little")
+                c += bytes(4) + bytes(4)
+                c += (0xFFFFFFFF).to_bytes(4, "little")
+                c += name + extra
+                centrals.append(bytes(c))
+            cd_off = len(out)
+            for c in centrals:
+                out += c
+            cd_size = len(out) - cd_off
+            z64 = len(out)
+            out += b"PK\x06\x06" + (44).to_bytes(8, "little")
+            out += (45).to_bytes(2, "little") * 2 + bytes(8)
+            out += len(centrals).to_bytes(8, "little") * 2
+            out += cd_size.to_bytes(8, "little")
+            out += cd_off.to_bytes(8, "little")
+            out += b"PK\x06\x07" + bytes(4) + z64.to_bytes(8, "little")
+            out += (1).to_bytes(4, "little")
+            out += b"PK\x05\x06" + bytes(4)
+            out += (0xFFFF).to_bytes(2, "little") * 2
+            out += (0xFFFFFFFF).to_bytes(4, "little") * 2
+            out += (0).to_bytes(2, "little")
+            return bytes(out)
+
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": "shard",
+                    "mime_type": "application/zip",
+                    "payload": [build(int(m)) for m in batch["media_id"]],
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    return extract_zip_index(media).select(
+        "media_id", "name", "method", "size", "compressed_size",
+        "data_offset",
+    )
+
+
+def q_dedup_containment_word(spark, sf_dir):
+    """Word-token containment (round 8): ``containment_join`` in its
+    ``ngram_n=None`` short-text/set-valued mode, ``exact=True`` (no df
+    cap) so the oracle replays plain all-pairs distinct-word containment.
+    Probes are 60-char excerpts of every 21st doc: an excerpt's distinct
+    words are (modulo the cut word) a subset of its source's, so true
+    containments surface at t=0.8 while unrelated docs stay below. This
+    pins the round-8 hash-first candidate path end-to-end in word mode
+    (token-hash postings, PPJoin+ positional filter, candidate-only
+    string verification)."""
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        containment_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    body = docs.select("doc_id", "text")
+    probes = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.substring("text", 1, 60).alias("text"),
+    )
+    corpus = body.unionByName(probes)
+    return containment_join(
+        corpus, threshold=0.8, ngram_n=None, exact=True
+    ).orderBy("id_a", "id_b")
+
+
 def q_multimodal_bmp_roundtrip(spark, sf_dir):
     """REAL BMP decode under the driver gate (round 7): deterministic
     16x12 images (pixel c(x,y) = (media_id*7 + y*16 + x*3 + c*11) % 256;
@@ -6145,16 +6278,16 @@ def q_bundle_cross_checks(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
     checks the FIRST 50 entries only. Since round 5 every registry entry
-    has a driver-green CORRECTNESS row, so the round-7 window (the
-    ``_R7_WINDOW`` list below — applied as a reorder over the full
-    registry) is: NEW round-7 queries first (media demux / GIF / G.711 /
-    audio DSP / header validation / paragraph dedup / JPEG codec), then
-    re-check slots for every query whose operator file changed this round
-    (multimodal.py, jpeg_codec.py, dedup.py containment speed-up +
-    paragraphs, validation.py header tier + distinct fix, curation.py
-    k-anonymity NULL fix, sampling.py integer-div fix), then freshness
-    re-checks of the LONGEST-unchecked previously-green entries (r1/r2
-    greens, per CORRECTNESS_r01-r06)."""
+    has a driver-green CORRECTNESS row, so the round-8 window (the
+    ``_R8_WINDOW`` list below — applied as a reorder over the full
+    registry) is: NEW round-8 queries first (ZIP64 indexing, word-mode
+    containment), then re-check slots for every query whose operator file
+    changed this round (dedup.py containment rewrite; aggregates.py
+    chunk_assignment + global_running_sum; scalar.py/clinical_pipeline.py
+    suffix-strip reference fix; multimodal.py zip64/id3/mp3 edges;
+    validation.py header coalesce; text.py/sampling.py pack rename), then
+    freshness re-checks of the LONGEST-unchecked previously-green entries
+    (per CORRECTNESS_r01-r07)."""
     all_q = {
         "bundle_cross_checks": q_bundle_cross_checks,
         "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
@@ -6170,6 +6303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_webdataset_index": q_multimodal_webdataset_index,
         "multimodal_bmp_roundtrip": q_multimodal_bmp_roundtrip,
         "multimodal_zip_index": q_multimodal_zip_index,
+        "multimodal_zip64_index": q_multimodal_zip64_index,
+        "dedup_containment_word": q_dedup_containment_word,
         "dedup_containment_capped": q_dedup_containment_capped,
         "dedup_url_canonical": q_dedup_url_canonical,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -6410,71 +6545,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_order_priority": q_tpch_q4,
         "tpch_q5_local_supplier": q_tpch_q5,
     }
-    window = [n for n in _R7_WINDOW if n in all_q]
+    window = [n for n in _R8_WINDOW if n in all_q]
     rest = [n for n in all_q if n not in set(window)]
     return {n: all_q[n] for n in [*window, *rest]}
 
 
-# Round-7 driver window (first 50 entries): 9 new r7 queries, then
-# re-check slots for every r7-touched code path, then freshness re-checks
-# of the longest-unchecked greens (last checked r1/r2).
-_R7_WINDOW = [
-    # new round-7 queries
-    "multimodal_mp4_samples",
-    "multimodal_mp3_frames",
-    "multimodal_audio_features",
-    "multimodal_g711_stats",
-    "multimodal_keyframe_ranges",
-    "multimodal_gif_roundtrip",
-    "multimodal_jpeg_roundtrip",
-    "header_conformance",
-    "dedup_paragraphs",
-    "text_trigram_backoff",
-    "multimodal_id3_tags",
-    "multimodal_webdataset_index",
-    "multimodal_bmp_roundtrip",
-    "multimodal_zip_index",
-    # r7-touched code paths: multimodal.py + jpeg_codec.py (demux/codecs),
-    # dedup.py (containment speed-up, paragraphs), validation.py (header
-    # tier + meta distinct fix), curation.py (k-anonymity NULL fix),
-    # sampling.py (pack integer-div fix)
-    "multimodal_container_metadata",
-    "multimodal_png_roundtrip",
-    "multimodal_wav_roundtrip",
-    "multimodal_image_resize",
-    "multimodal_binary_ingest",
+# Round-8 driver window (first 50 entries): 2 new r8 queries, then
+# re-check slots for every r8-touched code path, then freshness re-checks
+# of the longest-unchecked greens.
+_R8_WINDOW = [
+    # new round-8 queries
+    "multimodal_zip64_index",
+    "dedup_containment_word",
+    # dedup.py: containment hash-first rewrite + PPJoin+ positional filter
     "dedup_containment",
     "dedup_containment_capped",
-    "dedup_url_canonical",
+    "dedup_paragraphs",
     "dedup_exact",
+    "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_jaccard_prefix",
-    "dedup_span_windows",
-    "meta_consistency",
-    "bundle_cross_checks",
-    "v_validation_suite",
-    "constraint_suite",
-    "clinical_field_conformance",
-    "maf_field_conformance",
-    "curation_k_anonymity",
-    "curation_pipeline",
-    "curation_pii_pseudonyms",
-    "sample_pack_sequences",
-    "sample_leakage_safe_splits",
-    "sample_class_balanced",
-    # freshness rotation: longest-unchecked previously-green entries
-    "dedup_exact_groups",
     "dedup_ngram_jaccard",
+    "dedup_span_windows",
+    "dedup_simhash",
+    # aggregates.py: chunk_assignment two-phase rewrite + the
+    # global_running_sum constant-partition offsets window (its consumers)
+    "s4_chunk_assignment",
+    "running_revenue",
+    "sample_pack_sequences",
+    "a4_null_profile",
+    "a5_duplicate_rows",
+    "a7_drop_duplicates",
+    "a8_keep_latest",
+    "exact_quantiles",
+    # scalar.py + clinical_pipeline.py: reference-exact AMADEUS suffix strip
+    "clinical_e2e_preprocess",
+    "f1_strip_suffix_first",
     "f2_case_normalization",
     "f3_value_recode",
-    "f4_coalesce_remap",
+    "f5_days_to_months",
     "f7_case_list_slug",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_stats",
-    "tpch_q3_shipping_priority",
+    "p1_regex_filter_scoped",
+    "flagship_case_lists",
+    "clinical_kaplan_meier",
+    "clinical_logrank",
+    # multimodal.py: zip64 support, id3v2 extended header, mp3 truncation
+    "multimodal_zip_index",
+    "multimodal_id3_tags",
+    "multimodal_mp3_frames",
+    "multimodal_mp4_samples",
+    "multimodal_webdataset_index",
+    "multimodal_container_metadata",
+    "multimodal_keyframe_ranges",
+    "multimodal_bmp_roundtrip",
+    "multimodal_audio_features",
+    "multimodal_g711_stats",
+    # validation.py: header empty-input coalesce
+    "header_conformance",
+    "v_validation_suite",
+    "meta_consistency",
+    "bundle_cross_checks",
+    "clinical_field_conformance",
+    # text.py: pack_token_budget_bins rename (query path unchanged)
+    "sequence_packing",
+    "text_trigram_backoff",
+    # freshness rotation: longest-unchecked previously-green entries
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "j2_left_join_null_audit",
+    "j3_outer_join_growth_audit",
 ]
 
 
@@ -6707,6 +6846,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_kept,
                    string_agg(para, chr(10) || chr(10) ORDER BY i) AS text
             FROM k GROUP BY doc_id
+        """,
+        "multimodal_zip64_index": """
+            -- identical member naming/sizing to multimodal_zip_index; the
+            -- hand-built ZIP64 local headers carry no extra field, so the
+            -- same closed-form offset arithmetic applies
+            WITH m AS (
+                SELECT doc_id AS media_id, 2 + doc_id % 3 AS n
+                FROM documents WHERE doc_id < 30
+            ),
+            s AS (
+                SELECT media_id, unnest(generate_series(0, n - 1)) AS j
+                FROM m
+            ),
+            f AS (
+                SELECT media_id, j,
+                       100 + (media_id * 7 + j * 13) % 90 AS size
+                FROM s
+            )
+            SELECT media_id,
+                   lpad(CAST(media_id AS VARCHAR), 5, '0') || '.'
+                       || CAST(j AS VARCHAR) || '.bin' AS name,
+                   'stored' AS method,
+                   CAST(size AS BIGINT) AS size,
+                   CAST(size AS BIGINT) AS compressed_size,
+                   CAST(41 * (j + 1) + COALESCE(SUM(size) OVER (
+                            PARTITION BY media_id ORDER BY j
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                       AS data_offset
+            FROM f
+        """,
+        "dedup_containment_word": """
+            WITH src AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id + 1000000, substring(text, 1, 60)
+                FROM documents WHERE doc_id % 7 = 0 AND doc_id % 3 = 0
+            ),
+            ts AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '')) AS ts
+                FROM src
+            ),
+            ne AS (SELECT * FROM ts WHERE len(ts) > 0)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(a.ts) AS BIGINT) AS n_a,
+                   CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+                   CAST(len(list_intersect(a.ts, b.ts)) * 1000000
+                        // len(a.ts) AS BIGINT) AS containment_ppm
+            FROM ne a JOIN ne b ON a.doc_id <> b.doc_id
+            WHERE len(list_intersect(a.ts, b.ts)) * 1000000
+                  >= 800000 * len(a.ts)
         """,
         "multimodal_zip_index": """
             WITH m AS (

@@ -754,6 +754,19 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "HashAggregate", "Generate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    # r8: ZIP64 member index — same no-shuffle Arrow-stage shape as the
+    # 32-bit zip index; the sentinel routing is parser-internal
+    "multimodal_zip64_index": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Exchange hashpartitioning"],
+    ),
+    # r8: word-mode containment (exact=True) — hash-first postings, window
+    # positions, candidate-only string verify; no nested loop
+    "dedup_containment_word": (
+        ["HashAggregate", "Window", "codegen id"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # r7: ZIP member index — encode + central-directory-walk Arrow stages,
     # archive bytes never shuffle
     "multimodal_zip_index": (

@@ -128,6 +128,9 @@ DEFAULT_QUERIES = [
     "header_conformance",
     "dedup_paragraphs",
     "text_trigram_backoff",
+    # round-8 additions
+    "multimodal_zip64_index",
+    "dedup_containment_word",
 ]
 
 
