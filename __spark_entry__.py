@@ -805,16 +805,24 @@ def q_f8_case_list_render(spark, sf_dir):
 _V1_BUNDLE_CACHE: dict[str, tuple[int, int]] = {}
 
 
-def reset_bench_caches() -> None:
+def reset_bench_caches(spark=None) -> None:
     """Clear the per-process result caches (V1 scratch bundle, layout
     compaction) so a benchmark rep pays the REAL work of its query instead
     of re-asserting a previous rep's artifact checks. bench.py calls this at
     the top of every rep: medians then measure the same work the r1/r2
-    single-shot baselines measured, keeping the core total apples-to-apples."""
+    single-shot baselines measured, keeping the core total apples-to-apples.
+
+    When a SparkSession is passed, Spark's DataFrame cache is cleared too:
+    operators that persist() an intermediate (containment_join's with_pos
+    since r8) would otherwise be re-served from the previous rep's cache —
+    the CacheManager matches plans by canonicalized sameResult, so even a
+    freshly-built identical query hits it."""
     _V1_BUNDLE_CACHE.clear()
     _COMPACTION_CACHE.clear()
     _ZONEMAP_CACHE.clear()
     _MM_INGEST_CACHE.clear()
+    if spark is not None:
+        spark.catalog.clearCache()
 
 
 def q_v_validation_suite(spark, sf_dir):

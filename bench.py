@@ -172,7 +172,7 @@ def main() -> None:
     # a cold rep drags the median. The timed reps then measure steady-state
     # throughput (the 100 TB-relevant number); rep_totals still expose
     # ambient spread.
-    entrymod.reset_bench_caches()
+    entrymod.reset_bench_caches(spark)
     for name in names:
         queries[name](spark, sf_dir).count()
     reps: list[dict[str, float]] = []
@@ -181,7 +181,7 @@ def main() -> None:
         # the layout compaction are cached per process for interactive use,
         # but a cached rep would exclude work the r1/r2 single-shot
         # baselines included — clear before every rep.
-        entrymod.reset_bench_caches()
+        entrymod.reset_bench_caches(spark)
         timings: dict[str, float] = {}
         for name in names:
             fn = queries[name]

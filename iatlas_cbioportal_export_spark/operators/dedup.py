@@ -1072,10 +1072,10 @@ def containment_join(
       holds for EVERY common token, so any matched row failing it is
       safely dropped before the candidate dedup.
 
-    Verification is exact on STRINGS and touches only candidate documents:
-    the candidate ids semi-join back to the corpus, ONLY those documents
-    build their real (distinct) shingle-string arrays, ``|a∩b|`` comes
-    from ``array_intersect``, the gate is ``inter·1e6 ≥ t_micro·|a|`` in
+    Verification is exact on STRINGS and touches only candidate rows: the
+    candidate pairs join to both sides' raw text, ONLY those rows build
+    their real (distinct) shingle-string arrays, ``|a∩b|`` comes from
+    ``array_intersect``, the gate is ``inter·1e6 ≥ t_micro·|a|`` in
     integers (no float boundary), and ``n_a``/``containment_ppm`` are
     computed from the string arrays — so reported scores are exact
     regardless of any hashing upstream.
@@ -1168,6 +1168,19 @@ def containment_join(
         .cast("int")
         .alias("nc"),
     )
+    # with_pos feeds BOTH join sides; without materialization the whole
+    # posting→window pipeline runs twice (measured ~2x the wall at sf1 —
+    # exchange reuse does NOT kick in here: each tokens()/transform call
+    # mints fresh lambda exprIds, so the twin subplans never canonicalize
+    # equal). Materialize it ONCE via persist + eager count: five numeric
+    # columns per posting row (~40 B/row — this is exactly why candidate
+    # generation carries hashes, not shingle strings), so the columnar
+    # cache build is cheap (measured 2.5s vs localCheckpoint's 6s at
+    # sf0.1), MEMORY_AND_DISK evicts safely under pressure, and the full
+    # pipeline stays visible to plan audits (InMemoryRelation keeps its
+    # child plan; a checkpoint erases it).
+    with_pos = with_pos.persist()
+    with_pos.count()
     a = with_pos.filter(F.col("pos") <= pref_len).select(
         F.col("id").alias("id_a"),
         F.col("n").alias("n_a"),
@@ -1208,49 +1221,48 @@ def containment_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    # cands is consumed three times (both verify-id projections + the
-    # result join); eagerly materialize it so the candidate pipeline runs
-    # ONCE. Unlike the old whole-corpus shingle checkpoint this is
-    # O(result pairs) — two longs per surviving candidate — not O(corpus).
-    cands = cands.localCheckpoint(eager=True)
-    # Exact verification, candidate documents only: semi-join the RAW
-    # corpus rows (id, text) to the candidate id set FIRST, then build the
-    # STRING shingle arrays — the semi-join must sit below the shingle
-    # projection or the projection would compute shingle strings for every
-    # corpus row before the join discards them.
-    ids_needed = (
-        cands.select(F.col("id_a").alias("id"))
-        .union(cands.select(F.col("id_b").alias("id")))
-        .distinct()
+    # Exact verification, candidate rows only: join the candidate pairs to
+    # the RAW texts of both sides, then build the STRING shingle arrays in
+    # projections OVER THE JOINED (candidate-only) rows — the string work
+    # is bounded by the candidate count, cands is consumed exactly once
+    # (no checkpoint, so the whole pipeline stays visible to plan audits),
+    # and the joins ship only candidate documents' text.
+    va = df.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
     )
-    verify_docs = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__vtxt")
-    ).join(ids_needed, on="id", how="leftsemi")
+    vb = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
+    )
+    joined = cands.join(va, "id_a").join(vb, "id_b")
     if ngram_n is None:
-        verify_sets = verify_docs.select(
-            "id", F.array_distinct(tokens("__vtxt")).alias("ts")
-        )
+        joined = joined.withColumn(
+            "__tsa", F.array_distinct(tokens("__ta"))
+        ).withColumn("__tsb", F.array_distinct(tokens("__tb")))
     else:
-        verify_sets = verify_docs.select(
-            "id", tokens("__vtxt").alias("__toks")
-        ).select(
-            "id",
-            F.array_distinct(
-                word_ngrams_of_tokens(F.col("__toks"), ngram_n)
-            ).alias("ts"),
+        # token arrays bound first so the shingle transform doesn't
+        # re-evaluate the split per index (see word_ngrams_of_tokens)
+        joined = (
+            joined.withColumn("__ka", tokens("__ta"))
+            .withColumn("__kb", tokens("__tb"))
+            .withColumn(
+                "__tsa",
+                F.array_distinct(
+                    word_ngrams_of_tokens(F.col("__ka"), ngram_n)
+                ),
+            )
+            .withColumn(
+                "__tsb",
+                F.array_distinct(
+                    word_ngrams_of_tokens(F.col("__kb"), ngram_n)
+                ),
+            )
         )
-    arrs_a = verify_sets.select(
-        F.col("id").alias("id_a"), F.col("ts").alias("__tsa")
-    )
-    arrs_b = verify_sets.select(
-        F.col("id").alias("id_b"), F.col("ts").alias("__tsb")
-    )
-    inter = F.size(F.array_intersect("__tsa", "__tsb"))
     return (
-        cands.join(arrs_a, "id_a")
-        .join(arrs_b, "id_b")
-        .withColumn("n_a", F.size("__tsa").cast("long"))
-        .withColumn("inter", inter.cast("long"))
+        joined.withColumn("n_a", F.size("__tsa").cast("long"))
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("__tsa", "__tsb")).cast("long"),
+        )
         .filter(
             F.col("inter") * F.lit(1_000_000) >= F.lit(t_micro) * F.col("n_a")
         )
