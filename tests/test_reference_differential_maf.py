@@ -1,0 +1,216 @@
+"""Reference-differential tests for the MAF/validate side: import the
+actual reference ``maf`` and ``validate`` modules (same no-network Synapse
+fake as ``test_reference_differential``) and pin our Spark operators
+against their real pandas behavior on shared fixtures.
+
+Covers: chrM postprocessing filter (P2 NaN semantics), ceil-division MAF
+chunking (S4), folder merge with outer column alignment (S2), neoantigen↔
+maf key-set equality (J6), and the allele-freq NA gate."""
+
+from __future__ import annotations
+
+import sys
+from types import SimpleNamespace
+from unittest import mock
+
+import numpy as np
+import pandas as pd
+import pytest
+from pandas.testing import assert_frame_equal
+from pyspark.sql import functions as F
+
+from iatlas_cbioportal_export_spark.operators.aggregates import (
+    chunk_assignment,
+)
+from iatlas_cbioportal_export_spark.operators.filters import (
+    neq_filter_keep_nulls,
+)
+from iatlas_cbioportal_export_spark.operators.joins import keyset_equality
+from iatlas_cbioportal_export_spark.sources.readers import read_maf_folder
+from tests.test_reference_differential import REF_PKG_DIR, _load_reference_clinical
+
+
+def _load_reference(modname: str):
+    if _load_reference_clinical() is None:
+        return None
+    import importlib
+
+    return importlib.import_module(modname)
+
+
+ref_maf = _load_reference("maf")
+ref_val = _load_reference("validate")
+pytestmark = pytest.mark.skipif(
+    ref_maf is None, reason="reference checkout not available"
+)
+
+
+def test_chrm_postprocessing_differential(spark):
+    """maf.py:181-196: pandas `!=` keeps NaN chromosomes — so must we."""
+    pdf = pd.DataFrame(
+        {
+            "Chromosome": ["chr1", "chrM", None, "chrM", "chr22", "chrm"],
+            "v": list(range(6)),
+        }
+    )
+    exp = ref_maf.postprocessing(pdf)
+    got = neq_filter_keep_nulls(
+        spark.createDataFrame(pdf), "Chromosome", "chrM"
+    ).toPandas()
+    exp = exp.sort_values("v").reset_index(drop=True)
+    got = got.sort_values("v").reset_index(drop=True)
+    for c in ("Chromosome",):
+        exp[c] = exp[c].where(pd.notna(exp[c]), None)
+        got[c] = got[c].where(pd.notna(got[c]), None)
+    assert_frame_equal(exp, got, check_dtype=False)
+
+
+@pytest.mark.parametrize("n_rows,max_rows", [(10, 4), (40, 40), (1, 7), (12, 3)])
+def test_chunking_differential(spark, tmp_path, n_rows, max_rows):
+    """maf.py:39-72: ceil-division positional chunking — the reference's
+    written chunk files must have exactly the row counts chunk_assignment
+    derives (chunk i gets rows [i*max_rows, (i+1)*max_rows))."""
+    (tmp_path / "add-clinical-header" / "ds").mkdir(parents=True)
+    pdf = pd.DataFrame({"k": range(n_rows), "x": [f"v{i}" for i in range(n_rows)]})
+    n_chunks = ref_maf.split_into_chunks(
+        "ds", pdf, str(tmp_path), max_rows=max_rows
+    )
+    ref_sizes = {
+        i: len(
+            pd.read_csv(
+                tmp_path / "add-clinical-header" / "ds" / f"data_mutations_{i + 1}.txt",
+                sep="\t",
+            )
+        )
+        for i in range(n_chunks)
+    }
+    got = (
+        chunk_assignment(spark.createDataFrame(pdf), "k", max_rows=max_rows)
+        .groupBy("chunk_id")
+        .count()
+        .collect()
+    )
+    got_sizes = {int(r["chunk_id"]): r["count"] for r in got}
+    assert got_sizes == ref_sizes
+
+
+def test_maf_folder_merge_differential(spark, tmp_path):
+    """maf.py:14-36: .maf files only, '#' comments skipped, columns
+    outer-aligned by name via pd.concat — vs read_maf_folder."""
+    (tmp_path / "a.maf").write_text(
+        "#version 2.4\nHugo_Symbol\tChromosome\nTP53\tchr17\nKRAS\tchr12\n"
+    )
+    (tmp_path / "b.maf").write_text(
+        "Hugo_Symbol\tt_alt_count\nBRAF\t7\n"
+    )
+    (tmp_path / "ignored.txt").write_text("Hugo_Symbol\nNOPE\n")
+
+    children = [
+        {"name": "a.maf", "id": "syn1"},
+        {"name": "ignored.txt", "id": "syn2"},
+        {"name": "b.maf", "id": "syn3"},
+    ]
+    paths = {"syn1": str(tmp_path / "a.maf"), "syn3": str(tmp_path / "b.maf")}
+    with (
+        mock.patch.object(ref_maf.syn, "getChildren", return_value=children, create=True),
+        mock.patch.object(
+            ref_maf.syn,
+            "get",
+            side_effect=lambda sid: SimpleNamespace(path=paths[sid]),
+        ),
+    ):
+        exp = ref_maf.read_and_merge_maf_files("synFolder")
+    got = read_maf_folder(spark, str(tmp_path)).toPandas()
+    exp = exp.sort_values("Hugo_Symbol").reset_index(drop=True)
+    got = got[sorted(got.columns)].sort_values("Hugo_Symbol").reset_index(drop=True)
+    exp = exp[sorted(exp.columns)]
+    for c in exp.columns:
+        if exp[c].dtype == object:
+            exp[c] = exp[c].where(pd.notna(exp[c]), None)
+        if got[c].dtype == object:
+            got[c] = got[c].where(pd.notna(got[c]), None)
+    assert_frame_equal(exp, got, check_dtype=False)
+
+
+def test_maf_folder_empty_returns_none(spark, tmp_path):
+    """Both sides return None for a folder with no .maf files."""
+    (tmp_path / "notes.txt").write_text("x\n")
+    with mock.patch.object(
+        ref_maf.syn, "getChildren", return_value=[{"name": "notes.txt", "id": "s"}],
+        create=True,
+    ):
+        assert ref_maf.read_and_merge_maf_files("synFolder") is None
+    assert read_maf_folder(spark, str(tmp_path)) is None
+
+
+@pytest.mark.parametrize(
+    "maf_ids,neo_ids,expect_error",
+    [
+        (["S1", "S2"], ["S1", "S2"], False),
+        (["S1", "S2", "S2"], ["S2", "S1"], False),  # set semantics
+        (["S1"], ["S1", "S3"], True),
+        ([1, 2], ["1", "2"], False),  # astype(str) standardization
+    ],
+)
+def test_neoantigen_keyset_differential(spark, maf_ids, neo_ids, expect_error):
+    """validate.py:135-157: set-equality of Tumor_Sample_Barcode vs
+    Sample_ID (both astype(str)) — the reference errs iff the sets differ;
+    keyset_equality's two anti-join sides are both empty iff they match."""
+    maf_pdf = pd.DataFrame({"Tumor_Sample_Barcode": maf_ids})
+    neo_pdf = pd.DataFrame({"Sample_ID": neo_ids, "SNV": range(len(neo_ids))})
+    logger = mock.Mock()
+    with (
+        mock.patch.object(
+            ref_val.syn, "get", return_value=SimpleNamespace(path="d.tsv")
+        ),
+        mock.patch.object(ref_val.pd, "read_csv", return_value=neo_pdf.copy()),
+    ):
+        ref_val.validate_that_neoantigen_maf_ids_are_equal(
+            maf_pdf.copy(), "synN", logger=logger
+        )
+    assert logger.error.called == expect_error
+
+    left = spark.createDataFrame(maf_pdf).select(
+        F.col("Tumor_Sample_Barcode").cast("string").alias("k")
+    )
+    right = spark.createDataFrame(neo_pdf).select(
+        F.col("Sample_ID").cast("string").alias("k")
+    )
+    lo, ro = keyset_equality(left, "k", right, "k")
+    ours_unequal = bool(lo.count() or ro.count())
+    assert ours_unequal == expect_error
+
+
+@pytest.mark.parametrize(
+    "t_ref,t_alt,has_cols,expect_error",
+    [
+        ([10.0, 20.0], [1.0, 2.0], True, False),
+        ([10.0, np.nan], [1.0, 2.0], True, True),
+        ([10.0, 20.0], [np.nan, 2.0], True, True),
+        (None, None, False, False),  # columns absent → reference no-ops
+    ],
+)
+def test_allele_freq_na_gate_differential(
+    spark, t_ref, t_alt, has_cols, expect_error
+):
+    """maf.py:250-269: ERROR iff any NA in t_ref_count/t_alt_count when
+    both columns exist — vs the equivalent Spark null-count gate."""
+    if has_cols:
+        pdf = pd.DataFrame({"t_ref_count": t_ref, "t_alt_count": t_alt})
+    else:
+        pdf = pd.DataFrame({"other": [1, 2]})
+    logger = mock.Mock()
+    ref_maf.validate_that_allele_freq_are_not_na(pdf, logger=logger)
+    assert logger.error.called == expect_error
+
+    sdf = spark.createDataFrame(pdf)
+    cols = [c for c in ("t_ref_count", "t_alt_count") if c in sdf.columns]
+    if len(cols) == 2:
+        n_na = sdf.select(
+            sum(
+                F.count(F.when(F.col(c).isNull(), 1)) for c in cols
+            ).alias("n")
+        ).collect()[0]["n"]
+        assert (n_na > 0) == expect_error
+    else:
+        assert not expect_error
