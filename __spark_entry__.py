@@ -5299,6 +5299,144 @@ def q_dedup_containment_word(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_multimodal_image_dhash(spark, sf_dir):
+    """Perceptual image dedup (round 8): planted 16x12 P6 duplicate
+    groups (content key = media_id % 12; horizontal slope 3+8*key so
+    groups differ STRUCTURALLY — dHash is brightness-shift invariant by
+    design) are hashed by the integer-exact dHash (9x8 nearest-neighbour
+    grid, BT.601 fixed-point luma, 64 comparison bits split into two
+    32-bit halves) and grouped. The oracle replays the entire hash
+    closed-form — sampling indices, luma, comparisons, bit packing — and
+    groups by the recomputed hash, so even accidental cross-key hash
+    collisions stay consistent. Pixels never shuffle; only 64-bit
+    sketches do."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        dhash_duplicate_groups,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 96)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        def ppm(key: int) -> bytes:
+            w, h = 16, 12
+            pix = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    base = y * 16 + x * (3 + 8 * key)
+                    pix += bytes(
+                        [base % 256, (base + 11) % 256, (base + 22) % 256]
+                    )
+            return b"P6\n%d %d\n255\n" % (w, h) + bytes(pix)
+
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": "image",
+                    "mime_type": "image/x-portable-pixmap",
+                    "payload": [ppm(int(m) % 12) for m in batch["media_id"]],
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    return dhash_duplicate_groups(media).select(
+        "dhash_hi", "dhash_lo", "member_ids", "n_copies"
+    )
+
+
+def q_multimodal_vad_segments(spark, sf_dir):
+    """Energy-VAD speech segmentation (round 8): deterministic 16-bit
+    mono PCM with block-aligned speech/silence patterns — even ids use
+    3-speech-1-silence blocks (exercises the consecutive-frame MERGE),
+    odd ids alternate (isolated segments) — segmented by the integer
+    frame-energy VAD. The oracle replays the segment starts/lengths
+    closed-form from the planting arithmetic. Audio bytes never shuffle;
+    downstream speech selection range-reads (start_ms, duration_ms)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_vad_segments,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 200)
+    )
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("mime_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        def synth(mid: int) -> bytes:
+            nb = 2 + mid % 3  # frames per block
+            amp = 300 + (mid * 37) % 500
+            frame_len = 160  # 20ms at 8kHz
+            samples = []
+            for b in range(8):
+                speech = (b % 4 != 3) if mid % 2 == 0 else ((b + mid) % 2 == 0)
+                samples += [amp if speech else 0] * (nb * frame_len)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+            return buf.getvalue()
+
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "modality": "audio",
+                    "mime_type": "audio/wav",
+                    "payload": [synth(int(m)) for m in batch["media_id"]],
+                }
+            )
+
+    media = ids.mapInPandas(encode, schema=media_schema)
+    return extract_vad_segments(media, frame_ms=20, threshold=200)
+
+
 def q_multimodal_bmp_roundtrip(spark, sf_dir):
     """REAL BMP decode under the driver gate (round 7): deterministic
     16x12 images (pixel c(x,y) = (media_id*7 + y*16 + x*3 + c*11) % 256;
@@ -6313,6 +6451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_zip_index": q_multimodal_zip_index,
         "multimodal_zip64_index": q_multimodal_zip64_index,
         "dedup_containment_word": q_dedup_containment_word,
+        "multimodal_image_dhash": q_multimodal_image_dhash,
+        "multimodal_vad_segments": q_multimodal_vad_segments,
         "dedup_containment_capped": q_dedup_containment_capped,
         "dedup_url_canonical": q_dedup_url_canonical,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -6565,6 +6705,8 @@ _R8_WINDOW = [
     # new round-8 queries
     "multimodal_zip64_index",
     "dedup_containment_word",
+    "multimodal_image_dhash",
+    "multimodal_vad_segments",
     # dedup.py: containment hash-first rewrite + PPJoin+ positional filter
     "dedup_containment",
     "dedup_containment_capped",
@@ -6854,6 +6996,84 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_kept,
                    string_agg(para, chr(10) || chr(10) ORDER BY i) AS text
             FROM k GROUP BY doc_id
+        """,
+        "multimodal_image_dhash": """
+            -- replay the dHash closed-form: 9x8 nearest-neighbour grid over
+            -- the planted 16x12 P6 gradients (key = media_id % 12), BT.601
+            -- fixed-point luma, 64 horizontal comparison bits packed into
+            -- two 32-bit halves; group by the RECOMPUTED hash
+            WITH keys AS (SELECT unnest(generate_series(0, 11)) AS k),
+            grid AS (
+                SELECT keys.k, gy.y AS gy, gx.x AS gx,
+                       ((gy.y * 12 // 8) * 16
+                        + (gx.x * 16 // 9) * (3 + 8 * keys.k)) AS base
+                FROM keys,
+                     generate_series(0, 7) AS gy(y),
+                     generate_series(0, 8) AS gx(x)
+            ),
+            lum AS (
+                SELECT k, gy, gx,
+                       (299 * (base % 256) + 587 * ((base + 11) % 256)
+                        + 114 * ((base + 22) % 256)) // 1000 AS lum
+                FROM grid
+            ),
+            bits AS (
+                SELECT l.k, l.gy, l.gx,
+                       CASE WHEN l.lum < r.lum THEN 1 ELSE 0 END AS b
+                FROM lum l JOIN lum r
+                  ON l.k = r.k AND l.gy = r.gy AND r.gx = l.gx + 1
+                WHERE l.gx < 8
+            ),
+            hashes AS (
+                SELECT k,
+                       SUM(CASE WHEN gy >= 4
+                           THEN b * (CAST(1 AS BIGINT) << ((gy - 4) * 8 + gx))
+                           ELSE 0 END) AS dhash_hi,
+                       SUM(CASE WHEN gy < 4
+                           THEN b * (CAST(1 AS BIGINT) << (gy * 8 + gx))
+                           ELSE 0 END) AS dhash_lo
+                FROM bits GROUP BY k
+            ),
+            members AS (
+                SELECT doc_id AS media_id, doc_id % 12 AS k
+                FROM documents WHERE doc_id < 96
+            )
+            SELECT CAST(h.dhash_hi AS BIGINT) AS dhash_hi,
+                   CAST(h.dhash_lo AS BIGINT) AS dhash_lo,
+                   list_sort(list(m.media_id)) AS member_ids,
+                   COUNT(*) AS n_copies
+            FROM members m JOIN hashes h USING (k)
+            GROUP BY h.dhash_hi, h.dhash_lo
+            HAVING COUNT(*) > 1
+        """,
+        "multimodal_vad_segments": """
+            -- closed-form replay of the planted speech patterns: even ids
+            -- 3-speech-1-silence blocks (two merged 3*nb-frame segments),
+            -- odd ids alternate (four isolated nb-frame segments);
+            -- nb = 2 + id % 3 frames per block, 20ms frames
+            WITH ids AS (
+                SELECT doc_id AS media_id, 2 + doc_id % 3 AS nb
+                FROM documents WHERE doc_id < 200
+            ),
+            even_segs AS (
+                SELECT media_id, CAST(s.k AS BIGINT) AS segment_idx,
+                       CAST(s.k * 4 * nb AS BIGINT) AS start_frame,
+                       CAST(3 * nb AS BIGINT) AS n_frames
+                FROM ids, generate_series(0, 1) AS s(k)
+                WHERE media_id % 2 = 0
+            ),
+            odd_segs AS (
+                SELECT media_id, CAST(s.k AS BIGINT) AS segment_idx,
+                       CAST((2 * s.k + 1) * nb AS BIGINT) AS start_frame,
+                       CAST(nb AS BIGINT) AS n_frames
+                FROM ids, generate_series(0, 3) AS s(k)
+                WHERE media_id % 2 = 1
+            ),
+            segs AS (SELECT * FROM even_segs UNION ALL SELECT * FROM odd_segs)
+            SELECT media_id, segment_idx, start_frame, n_frames,
+                   start_frame * 20 AS start_ms,
+                   n_frames * 20 AS duration_ms
+            FROM segs
         """,
         "multimodal_zip64_index": """
             -- identical member naming/sizing to multimodal_zip_index; the

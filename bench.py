@@ -132,9 +132,11 @@ EXTENDED = [
     "header_conformance",
     "dedup_paragraphs",
     "text_trigram_backoff",
-    # round-8 promotion: ZIP64 indexing (fixed-cardinality media query,
-    # same no-shuffle demux shape as the r7 zip index)
+    # round-8 promotions: ZIP64 indexing, perceptual image dedup, energy
+    # VAD (fixed-cardinality media queries, payloads never shuffle)
     "multimodal_zip64_index",
+    "multimodal_image_dhash",
+    "multimodal_vad_segments",
 ]
 
 # Inherently-iterative / exact-all-pairs queries whose 5-15s walls are

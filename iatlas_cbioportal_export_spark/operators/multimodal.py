@@ -2021,3 +2021,215 @@ def extract_zip_index(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=ZIP_INDEX_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (round 8): dHash over the stdlib decoders —
+# the image-level twin of text dedup's SimHash. A 100 TB image corpus
+# dedups on a 64-bit difference hash long before anyone trains on pixels.
+# ---------------------------------------------------------------------------
+
+
+def decode_image_pixels(
+    payload: bytes, mime_type: str | None = None
+) -> tuple[int, int, int, bytes]:
+    """Dispatch by MAGIC BYTES to every REAL stdlib image decoder in this
+    package (binary netpbm, PNG, BMP, GIF first frame, baseline JPEG) →
+    ``(channels, width, height, top-down interleaved pixel bytes)``.
+    Formats without a stdlib decoder raise through the honest stub."""
+    if payload[:2] in (b"P5", b"P6"):
+        channels, width, height, _maxval, pix = _netpbm_parse(payload)
+        return channels, width, height, pix
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_parse(payload)
+    if payload[:2] == b"BM":
+        return bmp_decode(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif_codec import gif_decode
+
+        width, height, rgb = gif_decode(payload)
+        return 3, width, height, rgb
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg_codec import jpeg_decode
+
+        return jpeg_decode(payload)
+    return real_decode_stub(payload, mime_type or "")  # type: ignore[return-value]
+
+
+def image_dhash(payload: bytes) -> tuple[int, int, int, int]:
+    """Difference hash (dHash): decode, integer-luma grayscale, 9×8
+    nearest-neighbour grid (``sx = x·W // 9``, ``sy = y·H // 8`` — the
+    same integer sampling as every resizer here, so any engine replays
+    which pixels survive), then 64 horizontal brightness comparisons
+    ``bit(y·8+x) = grid[y][x] < grid[y][x+1]``. Returns
+    ``(width, height, hash_hi, hash_lo)`` with the 64 bits split into two
+    unsigned 32-bit halves (bits 32-63 / 0-31) so both engines and the
+    DuckDB oracle stay inside non-overflowing BIGINT arithmetic.
+
+    Integer-exact end to end: luma is the BT.601 fixed-point form
+    ``(299·r + 587·g + 114·b) // 1000``; no float enters the hash, so
+    equal pixels ⇒ equal hash on every platform."""
+    channels, width, height, pix = decode_image_pixels(payload)
+
+    def grey(sx: int, sy: int) -> int:
+        k = (sy * width + sx) * channels
+        if channels <= 2:  # grey or grey+alpha: luma is the first byte
+            return pix[k]
+        return (299 * pix[k] + 587 * pix[k + 1] + 114 * pix[k + 2]) // 1000
+
+    grid = [
+        [grey(x * width // 9, y * height // 8) for x in range(9)]
+        for y in range(8)
+    ]
+    hi = lo = 0
+    for y in range(8):
+        for x in range(8):
+            if grid[y][x] < grid[y][x + 1]:
+                idx = y * 8 + x
+                if idx < 32:
+                    lo |= 1 << idx
+                else:
+                    hi |= 1 << (idx - 32)
+    return width, height, hi, lo
+
+
+IMAGE_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("dhash_hi", LongType()),
+        StructField("dhash_lo", LongType()),
+    ]
+)
+
+
+def extract_image_dhash(media: DataFrame) -> DataFrame:
+    """dHash extraction as an Arrow ``mapInPandas`` stage: payloads in,
+    (width, height, dhash_hi, dhash_lo) out — image bytes never shuffle;
+    only 64-bit sketches continue downstream (the multimodal twin of the
+    text-dedup contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {f.name: [] for f in IMAGE_DHASH_SCHEMA}
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                w, h, hi, lo = image_dhash(bytes(p))
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["dhash_hi"].append(hi)
+                out["dhash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=IMAGE_DHASH_SCHEMA)
+
+
+def dhash_duplicate_groups(media: DataFrame) -> DataFrame:
+    """Image duplicate groups by exact dHash: one groupBy on the 64-bit
+    sketch (the pixel payloads never shuffle — they die inside the
+    extraction stage's tasks). Output: (dhash_hi, dhash_lo, member_ids,
+    n_copies) for groups of ≥2. Near-dup variants bucket the same hashes
+    by Hamming bands exactly like :func:`~.dedup.simhash` — exact grouping
+    is the oracle-checkable core."""
+    return (
+        extract_image_dhash(media)
+        .groupBy("dhash_hi", "dhash_lo")
+        .agg(
+            F.sort_array(F.collect_list("media_id")).alias("member_ids"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Energy-based voice-activity detection (round 8): frame-energy
+# segmentation over PCM — the audio curation step that selects speech
+# spans for ranged reads, no codec libraries required.
+# ---------------------------------------------------------------------------
+
+
+def wav_vad_segments(
+    payload: bytes, frame_ms: int = 20, threshold: int = 200
+) -> list[dict]:
+    """REAL energy VAD over 8/16-bit mono PCM WAV: split samples into
+    ``frame_ms`` frames, mark a frame speech iff its integer mean |s|
+    exceeds ``threshold``, and merge consecutive speech frames into
+    segments. Returns one dict per segment: ``segment_idx`` (0-based),
+    ``start_frame``, ``n_frames``, ``start_ms``, ``duration_ms`` — all
+    integer-exact (frame times quantize to the frame grid; the final
+    partial frame counts if non-empty), so a SQL oracle replays the
+    segmentation closed-form."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, width, n_frames = w.getnchannels(), w.getsampwidth(), w.getnframes()
+        rate = w.getframerate()
+        raw = w.readframes(n_frames)
+    if n_ch != 1 or width not in (1, 2):
+        raise NotImplementedError("wav_vad_segments supports 8/16-bit mono PCM")
+    if width == 2:
+        samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+    else:
+        samples = [b - 128 for b in raw]
+    frame_len = max(1, rate * frame_ms // 1000)
+    speech = []
+    for off in range(0, len(samples), frame_len):
+        chunk = samples[off : off + frame_len]
+        speech.append(sum(abs(s) for s in chunk) // len(chunk) > threshold)
+    segments: list[dict] = []
+    start = None
+    for f, is_speech in enumerate([*speech, False]):  # sentinel closes tail
+        if is_speech and start is None:
+            start = f
+        elif not is_speech and start is not None:
+            segments.append(
+                {
+                    "segment_idx": len(segments),
+                    "start_frame": start,
+                    "n_frames": f - start,
+                    "start_ms": start * frame_ms,
+                    "duration_ms": (f - start) * frame_ms,
+                }
+            )
+            start = None
+    return segments
+
+
+VAD_SEGMENT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("segment_idx", LongType()),
+        StructField("start_frame", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("start_ms", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def extract_vad_segments(
+    media: DataFrame, frame_ms: int = 20, threshold: int = 200
+) -> DataFrame:
+    """VAD as an Arrow ``mapInPandas`` stage: audio payloads in, typed
+    speech-segment rows out. Payload bytes never shuffle — downstream
+    selection joins on (media_id, start_ms, duration_ms) and range-reads
+    only the speech spans, the same ship-the-index-not-the-media shape as
+    the mp4 sample table."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {f.name: [] for f in VAD_SEGMENT_SCHEMA}
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                for seg in wav_vad_segments(
+                    bytes(p), frame_ms=frame_ms, threshold=threshold
+                ):
+                    out["media_id"].append(int(mid))
+                    for k, v in seg.items():
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=VAD_SEGMENT_SCHEMA)

@@ -1195,3 +1195,125 @@ def test_zip_index_zip64_sentinels_resolved():
     for row, (_, data) in zip(rows, members):
         got = payload[row["data_offset"] : row["data_offset"] + row["size"]]
         assert got == data
+
+
+def test_image_dhash_deterministic_and_format_invariant():
+    # the same pixels encoded as netpbm, PNG, and BMP must hash identically
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        bmp_encode,
+        image_dhash,
+        png_encode,
+    )
+
+    w, h = 16, 12
+    pix = bytes((7 * (y * w + x)) % 256 for y in range(h) for x in range(w))
+    pgm = b"P5\n%d %d\n255\n" % (w, h) + pix
+    hashes = {
+        image_dhash(p)
+        for p in (pgm, png_encode(pix, w, h, channels=1), bmp_encode(pix, w, h, channels=1))
+    }
+    assert len(hashes) == 1
+    width, height, hi, lo = hashes.pop()
+    assert (width, height) == (w, h)
+    assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+    # a genuinely different image hashes differently
+    pix2 = bytes(255 - b for b in pix)
+    assert image_dhash(b"P5\n%d %d\n255\n" % (w, h) + pix2)[2:] != (hi, lo)
+
+
+def test_image_dhash_known_grid():
+    # 9x8 image = the grid itself; row y: strictly increasing for even y,
+    # strictly decreasing for odd y -> bits are all-ones / all-zeros rows
+    from iatlas_cbioportal_export_spark.operators.multimodal import image_dhash
+
+    w, h = 9, 8
+    pix = bytes(
+        (x * 10 if y % 2 == 0 else 80 - x * 10)
+        for y in range(h)
+        for x in range(w)
+    )
+    _, _, hi, lo = image_dhash(b"P5\n%d %d\n255\n" % (w, h) + pix)
+    assert lo == 0x00FF00FF  # rows 0,2 rising (bits 0-7, 16-23)
+    assert hi == 0x00FF00FF  # rows 4,6 rising
+
+
+def test_dhash_duplicate_groups_spark(spark):
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        dhash_duplicate_groups,
+    )
+
+    def pgm(key):
+        # dHash is brightness-shift invariant, so duplicates must differ in
+        # STRUCTURE: the horizontal slope (and thus the comparison bits)
+        # depends on the content key, not just a constant offset
+        w, h = 16, 12
+        pix = bytes(
+            (y * 16 + x * (3 + 8 * key) + (x * x if key == 2 else 0)) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        return b"P5\n%d %d\n255\n" % (w, h) + pix
+
+    rows = [(mid, "image", "image/x-portable-graymap", pgm(mid % 3)) for mid in range(9)]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, mime_type string, payload binary"
+    )
+    groups = {tuple(r["member_ids"]): r["n_copies"] for r in dhash_duplicate_groups(media).collect()}
+    assert groups == {(0, 3, 6): 3, (1, 4, 7): 3, (2, 5, 8): 3}
+
+
+def _vad_wav(pattern, amp=1000, frame_len=160, rate=8000):
+    import io
+    import struct
+    import wave
+
+    samples = []
+    for block in pattern:
+        samples += [amp if block else 0] * frame_len
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_wav_vad_segments_merge_and_tail():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        wav_vad_segments,
+    )
+
+    # speech,speech,silence,speech  (frame grid = block grid at 20ms/8kHz)
+    segs = wav_vad_segments(_vad_wav([1, 1, 0, 1]))
+    assert [(s["segment_idx"], s["start_frame"], s["n_frames"]) for s in segs] == [
+        (0, 0, 2),
+        (1, 3, 1),
+    ]
+    assert segs[0]["start_ms"] == 0 and segs[0]["duration_ms"] == 40
+    assert segs[1]["start_ms"] == 60 and segs[1]["duration_ms"] == 20
+    # all-silence and all-speech edges
+    assert wav_vad_segments(_vad_wav([0, 0])) == []
+    assert [
+        (s["start_frame"], s["n_frames"]) for s in wav_vad_segments(_vad_wav([1, 1, 1]))
+    ] == [(0, 3)]
+
+
+def test_extract_vad_segments_spark(spark):
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        extract_vad_segments,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (0, "audio", "audio/wav", _vad_wav([1, 0, 1, 0])),
+            (1, "audio", "audio/wav", _vad_wav([0, 1, 1, 0])),
+        ],
+        "media_id long, modality string, mime_type string, payload binary",
+    )
+    got = [
+        (r["media_id"], r["segment_idx"], r["start_frame"], r["n_frames"])
+        for r in extract_vad_segments(media).orderBy("media_id", "segment_idx").collect()
+    ]
+    assert got == [(0, 0, 0, 1), (0, 1, 2, 1), (1, 0, 1, 2)]
+    assert "payload" not in extract_vad_segments(media).columns

@@ -754,6 +754,18 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["Window", "HashAggregate", "Generate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    # r8: dHash dedup — encode+hash Arrow stages, ONE groupBy on the
+    # 64-bit sketch halves; pixels never shuffle
+    "multimodal_image_dhash": (
+        ["MapInPandas", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    # r8: energy VAD — synth+segment Arrow stages, no shuffle at all
+    "multimodal_vad_segments": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Exchange hashpartitioning"],
+    ),
     # r8: ZIP64 member index — same no-shuffle Arrow-stage shape as the
     # 32-bit zip index; the sentinel routing is parser-internal
     "multimodal_zip64_index": (

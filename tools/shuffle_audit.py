@@ -131,6 +131,8 @@ DEFAULT_QUERIES = [
     # round-8 additions
     "multimodal_zip64_index",
     "dedup_containment_word",
+    "multimodal_image_dhash",
+    "multimodal_vad_segments",
 ]
 
 
