@@ -424,13 +424,36 @@ def simhash_buckets(
     only (id, sketch) tuples shuffle, ``rotations``× — and pairs found by
     several rotations dedup once. Output: (id_a, id_b, hamming).
     """
-    sk = simhash_sketches(df, text_col, id_col, n)
+    sk = simhash_sketches(df, text_col, id_col, n).withColumnRenamed(
+        "simhash", "sketch"
+    )
+    return hamming_bucket_pairs(
+        sk,
+        prefix_bits=prefix_bits,
+        max_hamming=max_hamming,
+        rotations=rotations,
+    )
+
+
+def hamming_bucket_pairs(
+    sk: DataFrame,
+    prefix_bits: int = 16,
+    max_hamming: int = 8,
+    rotations: int = 1,
+) -> DataFrame:
+    """The rotation-prefix Hamming-bucket join shared by every 64-bit
+    sketch family (text SimHash, image dHash): bucket ``(id, sketch)``
+    rows on the top ``prefix_bits`` of each of ``rotations`` bit-rotations
+    of the sketch, join bucket-mates, verify ``bit_count(xor) ≤
+    max_hamming``. Only (id, sketch) longs shuffle. Input: columns
+    ``id``, ``sketch``. Output: (id_a, id_b, hamming), id_a < id_b,
+    deduplicated across rotations."""
     if rotations <= 1:
         bucketed = sk.withColumn(
-            "bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+            "bucket", F.shiftrightunsigned("sketch", 64 - prefix_bits)
         )
-        a = bucketed.withColumnsRenamed({"id": "id_a", "simhash": "sim_a"})
-        b = bucketed.withColumnsRenamed({"id": "id_b", "simhash": "sim_b"})
+        a = bucketed.withColumnsRenamed({"id": "id_a", "sketch": "sim_a"})
+        b = bucketed.withColumnsRenamed({"id": "id_b", "sketch": "sim_b"})
         return (
             a.join(b, on="bucket")
             .filter(F.col("id_a") < F.col("id_b"))
@@ -441,7 +464,7 @@ def simhash_buckets(
             .select("id_a", "id_b", "hamming")
         )
     step = 64 // rotations
-    sim = F.col("simhash")
+    sim = F.col("sketch")
 
     def _rotated(r: int):
         s = (r * step) % 64
@@ -460,10 +483,10 @@ def simhash_buckets(
         ]
     )
     bucketed = sk.select(
-        "id", "simhash", F.explode(rot_buckets).alias("rb")
-    ).select("id", "simhash", "rb.rot", "rb.bucket")
-    a = bucketed.withColumnsRenamed({"id": "id_a", "simhash": "sim_a"})
-    b = bucketed.withColumnsRenamed({"id": "id_b", "simhash": "sim_b"})
+        "id", "sketch", F.explode(rot_buckets).alias("rb")
+    ).select("id", "sketch", "rb.rot", "rb.bucket")
+    a = bucketed.withColumnsRenamed({"id": "id_a", "sketch": "sim_a"})
+    b = bucketed.withColumnsRenamed({"id": "id_b", "sketch": "sim_b"})
     return (
         a.join(b, on=["rot", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -2233,3 +2233,32 @@ def extract_vad_segments(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=VAD_SEGMENT_SCHEMA)
+
+
+def dhash_near_duplicates(
+    media: DataFrame,
+    prefix_bits: int = 16,
+    max_hamming: int = 6,
+    rotations: int = 4,
+) -> DataFrame:
+    """NEAR-duplicate image pairs: combine the dHash halves into one
+    64-bit sketch and reuse the rotation-prefix Hamming-bucket join shared
+    with text SimHash (:func:`~.dedup.hamming_bucket_pairs`) — bucket on
+    rotated prefixes, verify ``bit_count(xor) ≤ max_hamming``. Catches
+    re-encodes, mild crops/brightness edits, and thumbnail variants that
+    exact-hash grouping misses; only (id, sketch) longs shuffle. Output:
+    (id_a, id_b, hamming)."""
+    from .dedup import hamming_bucket_pairs
+
+    sk = extract_image_dhash(media).select(
+        F.col("media_id").alias("id"),
+        F.shiftleft(F.col("dhash_hi"), 32)
+        .bitwiseOR(F.col("dhash_lo"))
+        .alias("sketch"),
+    )
+    return hamming_bucket_pairs(
+        sk,
+        prefix_bits=prefix_bits,
+        max_hamming=max_hamming,
+        rotations=rotations,
+    )

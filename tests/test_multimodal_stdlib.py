@@ -1317,3 +1317,39 @@ def test_extract_vad_segments_spark(spark):
     ]
     assert got == [(0, 0, 0, 1), (0, 1, 2, 1), (1, 0, 1, 2)]
     assert "payload" not in extract_vad_segments(media).columns
+
+
+def test_dhash_near_duplicates_spark(spark):
+    # 9x8 images where the grid IS the image: twin differs from its base in
+    # exactly one sampled pixel -> exactly one comparison bit flips
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        dhash_near_duplicates,
+    )
+
+    def pgm(key, flip=None):
+        w, h = 9, 8
+        pix = bytearray(
+            (key * 37 + y * 8 + x * (1 + key % 5)) % 251
+            for y in range(h)
+            for x in range(w)
+        )
+        if flip is not None:
+            fx, fy = flip
+            pix[fy * w + fx] = 0
+        return b"P5\n%d %d\n255\n" % (w, h) + bytes(pix)
+
+    rows = []
+    for k in range(6):
+        rows.append((k, "image", "image/x-portable-graymap", pgm(k)))
+        rows.append((k + 100, "image", "image/x-portable-graymap",
+                     pgm(k, flip=(1 + k % 7, k % 8))))
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, mime_type string, payload binary"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_near_duplicates(media, max_hamming=3).collect()
+    }
+    for k in range(6):
+        assert (k, k + 100) in pairs, f"twin pair for {k} missed"
+        assert pairs[(k, k + 100)] <= 3
