@@ -1924,9 +1924,19 @@ def zip_index(payload: bytes) -> list[dict]:
     n_entries = int.from_bytes(payload[pos + 10 : pos + 12], "little")
     cd_off = int.from_bytes(payload[pos + 16 : pos + 20], "little")
     if n_entries == 0xFFFF or cd_off == 0xFFFFFFFF:
+        # 0xFFFF is also a LEGITIMATE literal count for a real
+        # 65535-member non-ZIP64 archive — the sentinel reading requires
+        # the ZIP64 EOCD locator actually preceding the EOCD; without it
+        # the literal values stand (true corruption still fails the
+        # central-directory signature check below)
         loc = payload.rfind(b"PK\x06\x07", max(0, pos - 20), pos)
+        if loc < 0 and cd_off == 0xFFFFFFFF:
+            raise ValueError("ZIP64 cd-offset sentinel without EOCD locator")
         if loc < 0:
-            raise ValueError("ZIP64 sentinel without ZIP64 EOCD locator")
+            loc = None
+    else:
+        loc = None
+    if loc is not None:
         z64 = int.from_bytes(payload[loc + 8 : loc + 16], "little")
         if payload[z64 : z64 + 4] != b"PK\x06\x06":
             raise ValueError(f"bad ZIP64 EOCD signature at {z64}")
