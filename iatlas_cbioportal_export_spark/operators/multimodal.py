@@ -2175,16 +2175,28 @@ def wav_vad_segments(
     import struct
     import wave
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        n_ch, width, n_frames = w.getnchannels(), w.getsampwidth(), w.getnframes()
-        rate = w.getframerate()
-        raw = w.readframes(n_frames)
-    if n_ch != 1 or width not in (1, 2):
-        raise NotImplementedError("wav_vad_segments supports 8/16-bit mono PCM")
-    if width == 2:
-        samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+    fmt_tag = None
+    for fourcc, body in _riff_chunks(payload):
+        if fourcc == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            break
+    if fmt_tag in (_WAVE_FMT_MULAW, _WAVE_FMT_ALAW):
+        # telephony archives: expand G.711 companded samples to linear PCM
+        rate, samples = g711_wav_decode(payload)
     else:
-        samples = [b - 128 for b in raw]
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_ch, width = w.getnchannels(), w.getsampwidth()
+            n_frames = w.getnframes()
+            rate = w.getframerate()
+            raw = w.readframes(n_frames)
+        if n_ch != 1 or width not in (1, 2):
+            raise NotImplementedError(
+                "wav_vad_segments supports 8/16-bit mono PCM and G.711"
+            )
+        if width == 2:
+            samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+        else:
+            samples = [b - 128 for b in raw]
     frame_len = max(1, rate * frame_ms // 1000)
     speech = []
     for off in range(0, len(samples), frame_len):

@@ -1353,3 +1353,16 @@ def test_dhash_near_duplicates_spark(spark):
     for k in range(6):
         assert (k, k + 100) in pairs, f"twin pair for {k} missed"
         assert pairs[(k, k + 100)] <= 3
+
+
+def test_wav_vad_segments_g711_mulaw():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        g711_wav_encode,
+        wav_vad_segments,
+    )
+
+    # one speech frame (loud), one silent, one speech — 160-sample frames
+    samples = [8000] * 160 + [0] * 160 + [-8000] * 160
+    payload = g711_wav_encode(samples, 8000, "mulaw")
+    segs = wav_vad_segments(payload)
+    assert [(s["start_frame"], s["n_frames"]) for s in segs] == [(0, 1), (2, 1)]
