@@ -230,8 +230,12 @@ def file_presence_findings(
 def required_columns_present(
     df: DataFrame, required: Sequence[str], check: str = "required_columns_present"
 ) -> DataFrame:
-    """V12: exact required-column presence (reference ``validate.py:159-172``
-    checks the 118-column MAF schema). Schema-only — no data scan."""
+    """V12 (subset form): every required column present — extra columns are
+    fine. Schema-only, no data scan. The reference's own check
+    (``validate.py:159-172``) is stricter — SET equality, so extra columns
+    also fire — see :func:`schema_matches_exactly` for the faithful form;
+    this subset form backs the "these columns must exist" contracts
+    (v_validation_suite's lineitem_schema etc.)."""
     missing = [c for c in required if c not in df.columns]
     return df.sparkSession.range(1).select(
         *_finding_row(
@@ -240,6 +244,34 @@ def required_columns_present(
             F.lit(len(missing)),
             F.lit(0),
             F.lit("missing: " + ",".join(missing) if missing else ""),
+        )
+    )
+
+
+def schema_matches_exactly(
+    df: DataFrame, required: Sequence[str], check: str = "schema_matches_exactly"
+) -> DataFrame:
+    """V12 (reference-faithful form): the column SET must equal ``required``
+    — reference ``validate.py:159-172`` errs on ``set(required) !=
+    set(columns)``, i.e. EXTRA columns fail too (its message lists only the
+    missing side; the detail here lists both). Schema-only, no data scan;
+    pinned against the actual reference function by the differential
+    suite."""
+    missing = [c for c in required if c not in df.columns]
+    req = set(required)
+    extra = [c for c in df.columns if c not in req]
+    parts = []
+    if missing:
+        parts.append("missing: " + ",".join(missing))
+    if extra:
+        parts.append("extra: " + ",".join(extra))
+    return df.sparkSession.range(1).select(
+        *_finding_row(
+            check,
+            F.lit(not (missing or extra)),
+            F.lit(len(missing) + len(extra)),
+            F.lit(0),
+            F.lit("; ".join(parts)),
         )
     )
 

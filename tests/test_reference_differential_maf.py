@@ -214,3 +214,34 @@ def test_allele_freq_na_gate_differential(
         assert (n_na > 0) == expect_error
     else:
         assert not expect_error
+
+
+@pytest.mark.parametrize(
+    "cols,required,expect_error",
+    [
+        (["A", "B"], ["A", "B"], False),
+        (["A"], ["A", "B"], True),          # missing
+        (["A", "B", "C"], ["A", "B"], True),  # EXTRA also fires (set !=)
+        (["B", "A"], ["A", "B"], False),    # order-insensitive
+    ],
+)
+def test_required_columns_set_equality_differential(
+    spark, cols, required, expect_error
+):
+    """validate.py:159-172 errs on SET inequality — extra columns too, not
+    just missing ones — vs schema_matches_exactly."""
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        schema_matches_exactly,
+    )
+
+    pdf = pd.DataFrame({c: [1] for c in cols})
+    logger = mock.Mock()
+    ref_val.validate_that_required_columns_are_present(
+        pdf, "f.txt", list(required), logger=logger
+    )
+    assert logger.error.called == expect_error
+
+    (row,) = schema_matches_exactly(
+        spark.createDataFrame(pdf), list(required)
+    ).collect()
+    assert (row["status"] != "OK") == expect_error
