@@ -5361,8 +5361,14 @@ def q_multimodal_image_dhash(spark, sf_dir):
             )
 
     media = ids.mapInPandas(encode, schema=media_schema)
+    # member list as CSV — the repo's array-column oracle pattern
+    # (plain-session toPandas stringifies lists and DuckDB stringifies
+    # numpy arrays DIFFERENTLY, so raw array columns can't value-hash)
     return dhash_duplicate_groups(media).select(
-        "dhash_hi", "dhash_lo", "member_ids", "n_copies"
+        "dhash_hi",
+        "dhash_lo",
+        F.concat_ws(",", "member_ids").alias("member_ids_csv"),
+        "n_copies",
     )
 
 
@@ -7040,7 +7046,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(h.dhash_hi AS BIGINT) AS dhash_hi,
                    CAST(h.dhash_lo AS BIGINT) AS dhash_lo,
-                   list_sort(list(m.media_id)) AS member_ids,
+                   array_to_string(list_sort(list(m.media_id)), ',')
+                       AS member_ids_csv,
                    COUNT(*) AS n_copies
             FROM members m JOIN hashes h USING (k)
             GROUP BY h.dhash_hi, h.dhash_lo
