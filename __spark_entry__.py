@@ -8836,10 +8836,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS INT) AS n_ids,
                    'cancer_study_identifier: iatlas_demo' || chr(10) ||
                    'stable_id: iatlas_demo_' || cancer_type || chr(10) ||
-                   'case_list_name: ' || cancer_type || ' samples' || chr(10) ||
-                   'case_list_description: All ' || cancer_type || ' samples ('
-                       || CAST(n AS VARCHAR) || ')' || chr(10) ||
-                   'case_list_ids: ' || ids || chr(10) AS rendered
+                   'case_list_name: Tumor Type: ' || cancer_type || chr(10) ||
+                   'case_list_description: All tumors with cancer type '
+                       || cancer_type || chr(10) ||
+                   'case_list_ids: ' || ids AS rendered
             FROM g
         """,
         "v_validation_suite": """

@@ -151,7 +151,15 @@ def write_study_bundle(
 
     path = os.path.join(case_list_dir, "cases_all.txt")
     with open(path, "w") as fh:
-        fh.write(render_case_list_text(study_id, "all", sorted(all_ids))[1])
+        fh.write(
+            render_case_list_text(
+                study_id,
+                "all",
+                sorted(all_ids),
+                name="All samples",
+                description=f"All samples ({len(all_ids)})",
+            )[1]
+        )
     artifacts["case_lists/cases_all.txt"] = path
 
     # cases_sequenced: samples present in the mutation data (J5 semi-join).
@@ -169,7 +177,15 @@ def write_study_bundle(
         seq_ids = sorted(r[sample_id_col] for r in sequenced)
         path = os.path.join(case_list_dir, "cases_sequenced.txt")
         with open(path, "w") as fh:
-            fh.write(render_case_list_text(study_id, "sequenced", seq_ids)[1])
+            fh.write(
+                render_case_list_text(
+                    study_id,
+                    "sequenced",
+                    seq_ids,
+                    name="Sequenced samples",
+                    description=f"Samples with mutation data ({len(seq_ids)})",
+                )[1]
+            )
         artifacts["case_lists/cases_sequenced.txt"] = path
 
     clinical_patient.unpersist()

@@ -25,12 +25,15 @@ from collections.abc import Iterable, Mapping
 
 from pyspark.sql import DataFrame
 
+# Byte-identical to the reference's template (clinical.py:56-62): five
+# key:value lines, NO trailing newline — pinned by the rendering
+# differential against the actual reference writer.
 CASE_LIST_TEXT_TEMPLATE = (
     "cancer_study_identifier: {study_id}\n"
     "stable_id: {stable_id}\n"
     "case_list_name: {name}\n"
     "case_list_description: {description}\n"
-    "case_list_ids: {ids}\n"
+    "case_list_ids: {ids}"
 )
 
 
@@ -181,22 +184,31 @@ def render_case_list_text(
     study_id: str,
     cancer_type: str,
     sample_ids: Iterable[str],
-    description_suffix: str = "samples",
+    name: str | None = None,
+    description: str | None = None,
 ) -> tuple[str, str]:
-    """F7+F8: slugify a cancer type and render the case-list document.
-
-    Slug rules (reference ``clinical.py:699-705``): spaces→``_``, commas
-    removed, ``/``→``_``; empty/NA cancer type becomes ``no_oncotree_code``.
-    Returns (filename_stem, rendered_text).
-    """
-    ct = cancer_type if cancer_type not in (None, "", "NA") else "no_oncotree_code"
+    """F7+F8: slugify a cancer type and render the case-list document,
+    REFERENCE-EXACT (``clinical.py:683-718``, pinned byte-for-byte by the
+    rendering differential): empty cancer type displays as ``NA``; the slug
+    is spaces→``_``, commas removed, ``/``→``_``, and a resulting ``NA``
+    becomes ``no_oncotree_code``; name/description default to the
+    reference's "Tumor Type: <ct>" / "All tumors with cancer type <ct>"
+    (the ``name``/``description`` overrides exist for the cases_all /
+    cases_sequenced lists, which the reference delegates to the external
+    datahub tool). Returns (filename_stem, rendered_text)."""
+    ct = "NA" if cancer_type in (None, "") else cancer_type
     slug = ct.replace(" ", "_").replace(",", "").replace("/", "_")
+    slug = "no_oncotree_code" if slug == "NA" else slug
     ids = list(sample_ids)
     text = CASE_LIST_TEXT_TEMPLATE.format(
         study_id=study_id,
         stable_id=f"{study_id}_{slug}",
-        name=f"{ct} {description_suffix}",
-        description=f"All {ct} {description_suffix} ({len(ids)})",
+        name=name if name is not None else "Tumor Type: " + ct,
+        description=(
+            description
+            if description is not None
+            else "All tumors with cancer type " + ct
+        ),
         ids="\t".join(ids),
     )
     return slug, text
