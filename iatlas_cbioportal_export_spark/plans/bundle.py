@@ -117,18 +117,21 @@ def write_study_bundle(
             )
         artifacts["meta_mutations_extended.txt"] = meta_path
 
-    # meta_study.txt (reference clinical.py:645-656: hg38).
+    # meta_study.txt — byte-identical to the reference's native writer
+    # (clinical.py:645-656: exact key order, TBD/PLACEHOLDER fields and
+    # all; pinned by the rendering differential).
     meta_study_path = os.path.join(out_dir, "meta_study.txt")
     with open(meta_study_path, "w") as fh:
         fh.write(
             render_meta_file(
                 {
-                    "type_of_cancer": "mixed",
                     "cancer_study_identifier": study_id,
-                    "name": f"iAtlas {dataset}",
-                    "description": f"iAtlas {dataset} immunotherapy trial export",
+                    "type_of_cancer": "mixed",
+                    "name": "TBD",
+                    "pmid": "29033130",
                     "reference_genome": "hg38",
-                    "add_global_case_list": "true",
+                    "citation": "PLACEHOLDER",
+                    "description": "PLACEHOLDER",
                 }
             )
         )

@@ -93,3 +93,28 @@ def test_all_na_column_prune_differential(spark):
     exp_cols = ref.get_all_non_na_columns(pdf)
     got = prune_all_null_columns(spark.createDataFrame(pdf))
     assert got.columns == exp_cols
+
+
+def test_meta_study_byte_identical(tmp_path):
+    """clinical.py:645-656's native meta_study.txt vs our bundle writer's
+    — same bytes (the reference's preceding subprocess call is check=False
+    against a missing tool, so the native tail still runs)."""
+    from iatlas_cbioportal_export_spark.sources.sinks import render_meta_file
+
+    (tmp_path / "add-clinical-header" / "ds").mkdir(parents=True)
+    ref.generate_meta_files("ds", str(tmp_path))
+    ref_bytes = (
+        tmp_path / "add-clinical-header" / "ds" / "meta_study.txt"
+    ).read_bytes()
+    ours = render_meta_file(
+        {
+            "cancer_study_identifier": "iatlas_ds",
+            "type_of_cancer": "mixed",
+            "name": "TBD",
+            "pmid": "29033130",
+            "reference_genome": "hg38",
+            "citation": "PLACEHOLDER",
+            "description": "PLACEHOLDER",
+        }
+    )
+    assert ours.encode() == ref_bytes
