@@ -440,3 +440,79 @@ def test_dedup_paragraphs_partitioning_invariant(spark):
     by_id = dict((d, (k, t)) for d, k, t in a)
     assert by_id[0][1].startswith("common header")
     assert all(not by_id[i][1].startswith("common header") for i in range(1, 60))
+
+
+def test_containment_join_randomized_bruteforce_differential(spark):
+    """The r8 hash-first rewrite vs a straight-Python brute force on a
+    seeded random corpus, BOTH modes: every (id_a, id_b, n_a, inter,
+    containment_ppm) row must match the exact set arithmetic (exact=True
+    so no df-cap enters; collisions in the 64-bit candidate space would
+    only ADD candidates, which exact verification removes)."""
+    import random
+
+    from iatlas_cbioportal_export_spark.operators.dedup import (
+        containment_join,
+    )
+
+    rng = random.Random(991)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(36):
+        n = rng.randint(1, 18)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant a few true containments: short excerpts of longer docs
+    for j, (src, text) in enumerate(docs[:6]):
+        words = text.split()
+        k = max(1, len(words) * 3 // 4)
+        docs.append((100 + j, " ".join(words[:k])))
+
+    def brute(pairs_n, t):
+        sets = {i: frozenset(t2.split()) for i, t2 in pairs_n if t2.split()}
+        out = set()
+        for a, sa in sets.items():
+            for b, sb in sets.items():
+                if a == b:
+                    continue
+                inter = len(sa & sb)
+                if inter * 1_000_000 >= int(round(t * 1e6)) * len(sa):
+                    out.add((a, b, len(sa), inter, inter * 1_000_000 // len(sa)))
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.6, 0.85):
+        got = {
+            (r["id_a"], r["id_b"], r["n_a"], r["inter"], r["containment_ppm"])
+            for r in containment_join(
+                df, threshold=t, ngram_n=None, exact=True
+            ).collect()
+        }
+        assert got == brute(docs, t), f"word mode t={t}"
+
+    # shingle mode (n=3) against brute force over 3-gram shingle sets
+    def shingles(text, n=3):
+        w = text.split()
+        if not w:
+            return frozenset()
+        if len(w) < n:
+            return frozenset([" ".join(w)])
+        return frozenset(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))
+
+    def brute_sh(pairs_n, t):
+        sets = {i: shingles(t2) for i, t2 in pairs_n if shingles(t2)}
+        out = set()
+        for a, sa in sets.items():
+            for b, sb in sets.items():
+                if a == b:
+                    continue
+                inter = len(sa & sb)
+                if inter * 1_000_000 >= int(round(t * 1e6)) * len(sa):
+                    out.add((a, b, len(sa), inter, inter * 1_000_000 // len(sa)))
+        return out
+
+    got = {
+        (r["id_a"], r["id_b"], r["n_a"], r["inter"], r["containment_ppm"])
+        for r in containment_join(
+            df, threshold=0.7, ngram_n=3, exact=True
+        ).collect()
+    }
+    assert got == brute_sh(docs, 0.7)

@@ -1366,3 +1366,40 @@ def test_wav_vad_segments_g711_mulaw():
     payload = g711_wav_encode(samples, 8000, "mulaw")
     segs = wav_vad_segments(payload)
     assert [(s["start_frame"], s["n_frames"]) for s in segs] == [(0, 1), (2, 1)]
+
+
+def test_image_dhash_brightness_shift_invariant():
+    # dHash compares ADJACENT pixels, so a uniform brightness offset (no
+    # wraparound) must not change the hash — the property that makes it a
+    # near-dup sketch rather than a checksum
+    from iatlas_cbioportal_export_spark.operators.multimodal import image_dhash
+
+    w, h = 16, 12
+    base = [((y * 16 + x * 3) % 180) for y in range(h) for x in range(w)]
+    h0 = image_dhash(b"P5\n%d %d\n255\n" % (w, h) + bytes(base))[2:]
+    for off in (10, 40, 75):
+        shifted = bytes(v + off for v in base)
+        assert image_dhash(b"P5\n%d %d\n255\n" % (w, h) + shifted)[2:] == h0
+
+
+def test_wav_vad_segments_partition_property():
+    # segments exactly cover the speech frames, don't overlap, don't touch
+    # (touching segments would have been merged), over random patterns
+    import random
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        wav_vad_segments,
+    )
+
+    rng = random.Random(4242)
+    for _ in range(25):
+        pattern = [rng.random() < 0.5 for _ in range(rng.randint(1, 14))]
+        segs = wav_vad_segments(_vad_wav(pattern))
+        covered = []
+        for s in segs:
+            covered.extend(range(s["start_frame"], s["start_frame"] + s["n_frames"]))
+        expected = [i for i, sp in enumerate(pattern) if sp]
+        assert covered == expected, pattern
+        for a, b in zip(segs, segs[1:]):
+            assert a["start_frame"] + a["n_frames"] < b["start_frame"]
+        assert [s["segment_idx"] for s in segs] == list(range(len(segs)))
