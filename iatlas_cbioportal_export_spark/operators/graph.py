@@ -795,13 +795,21 @@ def sssp_distances(
     1. frontier ⋈ edges (keyed on node ids, AQE re-plannable) →
        map-side-combined ``min(dist + w)`` per destination;
     2. one node-table-sized full-outer merge stamps improved distances;
-    3. ``localCheckpoint(eager=False)`` truncates lineage (the iterative-
-       join discipline shared with pagerank/bfs).
+    3. the merged state is persisted (eager count) and the PREVIOUS
+       round's state unpersisted — r8 change from per-round lazy
+       localCheckpoints, which accumulated block-storage RDDs across
+       repeated runs in one session (measured: a periodic ~40 s GC spike
+       every few runs) and cost more to write than the columnar cache
+       (same finding as containment_join's postings table). dist and
+       frontier are PROJECTIONS of one cached frame, so each round
+       materializes once, plan growth stays bounded at one cached hop,
+       and only the final round's cache outlives the call (evictable
+       MEMORY_AND_DISK, the same class as every persist here).
 
     Edges are symmetrized and parallel edges collapsed to their min weight
-    first. A fixed round bound is the honest distributed contract (it is
-    the graph diameter cap); convergence-detection would add a count()
-    action per round for no result change within the bound.
+    first (cached — both the per-round joins and any reuse read it). A
+    fixed round bound is the honest distributed contract (it is the graph
+    diameter cap); the per-round count doubles as eager materialization.
 
     Output: (node, dist) for every node reachable within ``rounds``
     relaxation rounds, dist = exact min path weight.
@@ -822,10 +830,11 @@ def sssp_distances(
         )
         .groupBy("s", "t")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     dist = spark.createDataFrame([(int(source), 0)], "node long, dist long")
     frontier = dist
+    previous = None
     for _ in range(rounds):
         cand = (
             frontier.join(e, frontier["node"] == e["s"])
@@ -839,12 +848,14 @@ def sssp_distances(
                 F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
             ).alias("__improved"),
         )
-        dist = merged.select("node", "dist").localCheckpoint(eager=False)
-        frontier = (
-            merged.filter("__improved")
-            .select("node", "dist")
-            .localCheckpoint(eager=False)
-        )
+        merged = merged.persist()
+        merged.count()
+        if previous is not None:
+            previous.unpersist()
+        previous = merged
+        dist = merged.select("node", "dist")
+        frontier = merged.filter("__improved").select("node", "dist")
+    e.unpersist()
     return dist
 
 
