@@ -5299,6 +5299,32 @@ def q_dedup_containment_word(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_f9_remove_pandas_float(spark, sf_dir):
+    """F9 under the driver gate (round 8 — previously documented as dead
+    code in the reference, now implemented natively for completeness):
+    render a small ordered frame as TSV text with the reference's blunt
+    textual .0 strip (utils.py:133-153) and return the whole document as
+    one scalar row; the oracle rebuilds the identical text with
+    string_agg + replace. Driver-side by design — the reference
+    materializes the frame into one string for KB-scale artifacts."""
+    from iatlas_cbioportal_export_spark.sources.sinks import (
+        tsv_text_remove_pandas_float,
+    )
+
+    frame = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 50)
+        .select(
+            "c_custkey",
+            (F.col("c_custkey") % 5).cast("double").alias("f"),
+            "c_name",
+        )
+        .orderBy("c_custkey")
+    )
+    text = tsv_text_remove_pandas_float(frame, header=True)
+    return spark.createDataFrame([(text,)], "rendered string")
+
+
 def q_multimodal_image_dhash(spark, sf_dir):
     """Perceptual image dedup (round 8): planted 16x12 P6 duplicate
     groups (content key = media_id % 12; horizontal slope 3+8*key so
@@ -6457,6 +6483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_zip_index": q_multimodal_zip_index,
         "multimodal_zip64_index": q_multimodal_zip64_index,
         "dedup_containment_word": q_dedup_containment_word,
+        "f9_remove_pandas_float": q_f9_remove_pandas_float,
         "multimodal_image_dhash": q_multimodal_image_dhash,
         "multimodal_vad_segments": q_multimodal_vad_segments,
         "dedup_containment_capped": q_dedup_containment_capped,
@@ -6713,6 +6740,7 @@ _R8_WINDOW = [
     "dedup_containment_word",
     "multimodal_image_dhash",
     "multimodal_vad_segments",
+    "f9_remove_pandas_float",
     # dedup.py: containment hash-first rewrite + PPJoin+ positional filter
     "dedup_containment",
     "dedup_containment_capped",
@@ -7002,6 +7030,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_kept,
                    string_agg(para, chr(10) || chr(10) ORDER BY i) AS text
             FROM k GROUP BY doc_id
+        """,
+        "f9_remove_pandas_float": """
+            WITH rows AS (
+                SELECT c_custkey,
+                       CAST(c_custkey % 5 AS DOUBLE) AS f,
+                       c_name
+                FROM customer WHERE c_custkey <= 50
+            ),
+            body AS (
+                SELECT string_agg(
+                           CAST(c_custkey AS VARCHAR) || chr(9)
+                               || CAST(f AS VARCHAR) || chr(9) || c_name,
+                           chr(10) ORDER BY c_custkey) AS b
+                FROM rows
+            )
+            SELECT replace(replace(
+                       'c_custkey' || chr(9) || 'f' || chr(9) || 'c_name'
+                           || chr(10) || b || chr(10),
+                       '.0' || chr(9), chr(9)),
+                       '.0' || chr(10), chr(10)) AS rendered
+            FROM body
         """,
         "multimodal_image_dhash": """
             -- replay the dHash closed-form: 9x8 nearest-neighbour grid over

@@ -219,3 +219,36 @@ def render_meta_file(fields: Mapping[str, object]) -> str:
     ``clinical.py:645-656`` renders e.g. study id ``iatlas_{dataset}``,
     reference genome hg38)."""
     return "".join(f"{k}: {v}\n" for k, v in fields.items())
+
+
+def tsv_text_remove_pandas_float(df: DataFrame, header: bool = True) -> str:
+    """F9 (reference ``utils.py:133-153``): render a frame as TSV text with
+    the reference's textual ``.0`` strip — its cure for pandas promoting
+    integers to floats in mixed-dtype frames. Reference-exact, pinned by
+    the differential suite, INCLUDING the blunt edges: the replace is
+    purely textual, so a STRING cell ending in ``.0`` at a field boundary
+    is clipped too, and a genuinely fractional value (``2.5``) survives.
+
+    Driver-side by design: the reference materializes the entire frame
+    into one string (it feeds KB-scale artifact files); the typed Spark
+    sinks (:func:`write_tsv`, :func:`write_chunked_tsv`) make this
+    obsolete for data files — schemas keep integers integral — which is
+    why F9 is dead code in the reference too. It exists here so a
+    reference user can run the same call natively."""
+    import math
+
+    def cell(v: object) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, float) and math.isnan(v):
+            return ""  # pandas to_csv renders NaN as empty
+        return str(v)
+
+    cols = df.columns
+    lines = []
+    if header:
+        lines.append("\t".join(cols))
+    for row in df.collect():
+        lines.append("\t".join(cell(row[c]) for c in cols))
+    text = "\n".join(lines) + "\n"
+    return text.replace(".0\t", "\t").replace(".0\n", "\n")

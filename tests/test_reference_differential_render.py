@@ -118,3 +118,31 @@ def test_meta_study_byte_identical(tmp_path):
         }
     )
     assert ours.encode() == ref_bytes
+
+
+def test_remove_pandas_float_differential(spark):
+    """utils.py:133-153 vs tsv_text_remove_pandas_float: identical TSV
+    text, INCLUDING the blunt textual edges — integral floats stripped,
+    fractional kept, a string cell ending in '.0' clipped at a field
+    boundary, NaN rendered empty — with and without header."""
+    import importlib
+
+    utils = importlib.import_module("utils")
+    pdf = pd.DataFrame(
+        {
+            "ID": ["a", "b", "c", "d"],
+            "MIXED": [1.0, 2.5, np.nan, 100.0],
+            "COUNT": [7, 8, 9, 10],
+            "NOTE": ["v1.0", "plain", "x.0", "dot.0.mid"],
+            "FLAG": [True, False, True, False],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    from iatlas_cbioportal_export_spark.sources.sinks import (
+        tsv_text_remove_pandas_float,
+    )
+
+    for header in (True, False):
+        exp = utils.remove_pandas_float(pdf, header=header)
+        got = tsv_text_remove_pandas_float(sdf, header=header)
+        assert got == exp, f"header={header}"
