@@ -285,6 +285,7 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise NotImplementedError("not a PNG byte stream")
     width = height = bitdepth = colortype = interlace = None
+    plte = None
     idat = bytearray()
     i = 8
     while i + 8 <= len(payload):
@@ -296,6 +297,12 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytes]:
             width, height, bitdepth, colortype, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"tRNS":
+            # palette transparency would add an alpha channel the indexed
+            # expansion below doesn't produce — honest rejection
+            raise NotImplementedError("png tRNS transparency not supported")
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -307,9 +314,14 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytes]:
             f"png decode supports 8-bit non-interlaced only, got "
             f"bitdepth={bitdepth} interlace={interlace}"
         )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(colortype)
+    # color type 3 (indexed): one palette index per pixel; unfilter at one
+    # byte/pixel, expand through PLTE afterwards (r8 — palette PNGs are
+    # the dominant icon/sprite form in real corpora)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype)
     if channels is None:
         raise NotImplementedError(f"png color type {colortype} not supported")
+    if colortype == 3 and plte is None:
+        raise ValueError("indexed png without a PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
     if len(raw) != (stride + 1) * height:
@@ -343,6 +355,16 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytes]:
             raise NotImplementedError(f"png filter type {ft} not supported")
         out += row
         prev = bytes(row)
+    if colortype == 3:
+        # expand indices through the palette — grey palettes collapse to
+        # one channel, color ones to RGB (the bmp_decode convention)
+        triples = [plte[k : k + 3] for k in range(0, len(plte), 3)]
+        grey = all(t[0] == t[1] == t[2] for t in triples)
+        expanded = bytearray()
+        for idx in out:
+            t = triples[idx]
+            expanded += t[:1] if grey else t
+        return (1 if grey else 3), width, height, bytes(expanded)
     return channels, width, height, bytes(out)
 
 

@@ -1403,3 +1403,57 @@ def test_wav_vad_segments_partition_property():
         for a, b in zip(segs, segs[1:]):
             assert a["start_frame"] + a["n_frames"] < b["start_frame"]
         assert [s["segment_idx"] for s in segs] == list(range(len(segs)))
+
+
+def _palette_png(indices: bytes, w: int, h: int, palette: list) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(t) for t in palette)
+    raw = b"".join(b"\x00" + indices[y * w : (y + 1) * w] for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_palette_decode_color_and_grey():
+    from iatlas_cbioportal_export_spark.operators.multimodal import _png_parse
+
+    # color palette -> RGB expansion
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    idx = bytes([0, 1, 2, 3, 3, 2, 1, 0])
+    ch, w, h, pix = _png_parse(_palette_png(idx, 4, 2, pal))
+    assert (ch, w, h) == (3, 4, 2)
+    assert pix[:6] == bytes([255, 0, 0, 0, 255, 0])
+    assert pix[-3:] == bytes([255, 0, 0])
+    # grey palette collapses to one channel
+    gpal = [(v, v, v) for v in (0, 85, 170, 255)]
+    ch, w, h, pix = _png_parse(_palette_png(idx, 4, 2, gpal))
+    assert (ch, w, h) == (1, 4, 2)
+    assert pix == bytes([0, 85, 170, 255, 255, 170, 85, 0])
+
+
+def test_png_palette_feeds_dhash_and_features():
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        image_dhash,
+        png_feature_extractor,
+    )
+
+    pal = [(v, v, v) for v in range(0, 256, 16)]
+    idx = bytes((y + x) % 16 for y in range(12) for x in range(16))
+    payload = _palette_png(idx, 16, 12, pal)
+    w, h, hi, lo = image_dhash(payload)
+    assert (w, h) == (16, 12)
+    feats = png_feature_extractor(payload, "image/png")
+    assert feats[0:2] == [16.0, 12.0]
