@@ -271,14 +271,65 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+#: Adam7 pass lattice: (x0, y0, dx, dy) per pass (RFC 2083 §2.6)
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, pos: int, width: int, height: int, channels: int
+) -> tuple[bytes, int]:
+    """Undo PNG per-scanline filtering for one (sub-)image starting at
+    ``pos`` in the inflated stream; returns (pixels, next pos). Shared by
+    the sequential and Adam7 paths — each interlace pass is its own
+    independently-filtered image."""
+    stride = width * channels
+    out = bytearray()
+    prev = bytes(stride)
+    for _y in range(height):
+        ft = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ft == 1:  # Sub
+            for k in range(channels, stride):
+                row[k] = (row[k] + row[k - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for k in range(stride):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif ft == 3:  # Average
+            for k in range(stride):
+                left = row[k - channels] if k >= channels else 0
+                row[k] = (row[k] + (left + prev[k]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for k in range(stride):
+                left = row[k - channels] if k >= channels else 0
+                corner = prev[k - channels] if k >= channels else 0
+                row[k] = (row[k] + _paeth(left, prev[k], corner)) & 0xFF
+        elif ft != 0:
+            raise NotImplementedError(f"png filter type {ft} not supported")
+        out += row
+        prev = bytes(row)
+    return bytes(out), pos
+
+
 def _png_parse(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL PNG decode — pure stdlib (``zlib`` inflate + scanline
-    unfiltering, RFC 2083): parse the chunk stream (IHDR / IDAT+ / IEND),
-    inflate the concatenated IDAT payload, and undo the per-scanline filter
-    (None/Sub/Up/Average/Paeth) to recover raw pixels. Supports the
-    non-interlaced 8-bit truecolor/greyscale types (color types 0, 2, 4, 6);
-    palette (3), 16-bit, and Adam7 interlace raise NotImplementedError.
-    Returns ``(channels, width, height, pixel bytes)``."""
+    unfiltering, RFC 2083): parse the chunk stream (IHDR / PLTE? / IDAT+ /
+    IEND), inflate the concatenated IDAT payload, and undo the per-scanline
+    filter (None/Sub/Up/Average/Paeth) to recover raw pixels. Supports all
+    five 8-bit color types — greyscale (0), truecolor (2), indexed (3, PLTE
+    expansion with grey-palette collapse), grey+alpha (4), RGBA (6) — both
+    sequential and Adam7-interlaced (seven independently-filtered passes
+    scattered by lattice). 16-bit depth and tRNS transparency raise
+    NotImplementedError. Returns ``(channels, width, height, pixel bytes)``."""
     import struct
     import zlib
 
@@ -309,9 +360,9 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None:
         raise NotImplementedError("PNG stream has no IHDR chunk")
-    if bitdepth != 8 or interlace != 0:
+    if bitdepth != 8 or interlace not in (0, 1):
         raise NotImplementedError(
-            f"png decode supports 8-bit non-interlaced only, got "
+            f"png decode supports 8-bit only, got "
             f"bitdepth={bitdepth} interlace={interlace}"
         )
     # color type 3 (indexed): one palette index per pixel; unfilter at one
@@ -323,38 +374,37 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytes]:
     if colortype == 3 and plte is None:
         raise ValueError("indexed png without a PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise NotImplementedError(
-            f"png IDAT length {len(raw)} != expected {(stride + 1) * height}"
-        )
-    out = bytearray()
-    prev = bytes(stride)
-    pos = 0
-    for _y in range(height):
-        ft = raw[pos]
-        pos += 1
-        row = bytearray(raw[pos : pos + stride])
-        pos += stride
-        if ft == 1:  # Sub
-            for k in range(channels, stride):
-                row[k] = (row[k] + row[k - channels]) & 0xFF
-        elif ft == 2:  # Up
-            for k in range(stride):
-                row[k] = (row[k] + prev[k]) & 0xFF
-        elif ft == 3:  # Average
-            for k in range(stride):
-                left = row[k - channels] if k >= channels else 0
-                row[k] = (row[k] + (left + prev[k]) // 2) & 0xFF
-        elif ft == 4:  # Paeth
-            for k in range(stride):
-                left = row[k - channels] if k >= channels else 0
-                corner = prev[k - channels] if k >= channels else 0
-                row[k] = (row[k] + _paeth(left, prev[k], corner)) & 0xFF
-        elif ft != 0:
-            raise NotImplementedError(f"png filter type {ft} not supported")
-        out += row
-        prev = bytes(row)
+    if interlace == 0:
+        expected = (width * channels + 1) * height
+        if len(raw) != expected:
+            raise NotImplementedError(
+                f"png IDAT length {len(raw)} != expected {expected}"
+            )
+        out, _pos = _png_unfilter(raw, 0, width, height, channels)
+    else:
+        # Adam7 (r8): seven independently-filtered sub-images, scattered
+        # into the full grid by each pass's (x0, y0, dx, dy) lattice;
+        # empty passes contribute no bytes.
+        out = bytearray(width * height * channels)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub, pos = _png_unfilter(raw, pos, wp, hp, channels)
+            for ry in range(hp):
+                oy = y0 + ry * dy
+                for rx in range(wp):
+                    ox = x0 + rx * dx
+                    s = (ry * wp + rx) * channels
+                    d = (oy * width + ox) * channels
+                    out[d : d + channels] = sub[s : s + channels]
+        if pos != len(raw):
+            raise NotImplementedError(
+                f"png Adam7 IDAT length {len(raw)} != consumed {pos}"
+            )
+        out = bytes(out)
     if colortype == 3:
         # expand indices through the palette — grey palettes collapse to
         # one channel, color ones to RGB (the bmp_decode convention)

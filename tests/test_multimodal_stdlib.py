@@ -1457,3 +1457,57 @@ def test_png_palette_feeds_dhash_and_features():
     assert (w, h) == (16, 12)
     feats = png_feature_extractor(payload, "image/png")
     assert feats[0:2] == [16.0, 12.0]
+
+
+def _adam7_png(pix: bytes, w: int, h: int, channels: int) -> bytes:
+    """Minimal Adam7 encoder for tests: scatter-inverse into seven passes,
+    filter type 0 rows."""
+    import struct
+    import zlib
+
+    from iatlas_cbioportal_export_spark.operators.multimodal import (
+        _ADAM7_PASSES,
+    )
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    colortype = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 1)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        for ry in range(hp):
+            raw += b"\x00"
+            oy = y0 + ry * dy
+            for rx in range(wp):
+                ox = x0 + rx * dx
+                s = (oy * w + ox) * channels
+                raw += pix[s : s + channels]
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("size", [(16, 12), (9, 5), (1, 1), (3, 10)])
+def test_png_adam7_decode_matches_pixels(channels, size):
+    from iatlas_cbioportal_export_spark.operators.multimodal import _png_parse
+
+    w, h = size
+    pix = bytes(
+        (y * 31 + x * 7 + c * 11) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(channels)
+    )
+    ch, ww, hh, out = _png_parse(_adam7_png(pix, w, h, channels))
+    assert (ch, ww, hh) == (channels, w, h)
+    assert out == pix
