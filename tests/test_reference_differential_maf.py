@@ -245,3 +245,47 @@ def test_required_columns_set_equality_differential(
         spark.createDataFrame(pdf), list(required)
     ).collect()
     assert (row["status"] != "OK") == expect_error
+
+
+@pytest.mark.parametrize(
+    "inp,out,errors",
+    [
+        ([10, 20, 20], [10, 20], {"rows"}),           # unequal rows
+        ([10, 10, 30], [10, 10, 30], {"dups"}),       # output duplicates
+        ([10, 23, 30], [10, 20, 30], {"barcodes"}),   # key sets differ
+        ([10, 20, 30], [10, 20, 30], set()),          # clean
+    ],
+    ids=["unequal_rows", "dups", "barcode_mismatch", "clean"],
+)
+def test_validate_export_files_differential(spark, inp, out, errors):
+    """maf.py:219-247's three export checks (row counts, whole-row dups,
+    barcode key-set equality — the reference's own test cases verbatim,
+    tests/test_maf.py:98-121) vs our V2/V9/V13 findings operators."""
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        count_equality,
+        keyset_preserved,
+        no_duplicate_rows,
+    )
+
+    in_pdf = pd.DataFrame({"Tumor_Sample_Barcode": inp})
+    out_pdf = pd.DataFrame({"Tumor_Sample_Barcode": out})
+    logger = mock.Mock()
+    ref_maf.validate_export_files(in_pdf, out_pdf, logger=logger)
+    msgs = " ".join(str(c.args[0]) for c in logger.error.call_args_list)
+    assert ("not equal to input rows" in msgs) == ("rows" in errors)
+    assert ("duplicates in the output" in msgs) == ("dups" in errors)
+    assert ("Tumor_Sample_Barcode values are not equal" in msgs) == (
+        "barcodes" in errors
+    )
+
+    sin = spark.createDataFrame(in_pdf)
+    sout = spark.createDataFrame(out_pdf)
+    findings = {
+        "rows": count_equality(sin, sout).collect()[0],
+        "dups": no_duplicate_rows(sout).collect()[0],
+        "barcodes": keyset_preserved(
+            sout, "Tumor_Sample_Barcode", sin, "Tumor_Sample_Barcode"
+        ).collect()[0],
+    }
+    for key, row in findings.items():
+        assert (row["status"] != "OK") == (key in errors), key
