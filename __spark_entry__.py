@@ -6741,6 +6741,12 @@ _R8_WINDOW = [
     "multimodal_image_dhash",
     "multimodal_vad_segments",
     "f9_remove_pandas_float",
+    # r8-changed semantics/impl that MUST sit inside the driver's window:
+    # reference-exact case-list render (oracle text changed), the sssp
+    # persist rewrite, and the PNG decoder's unfilter refactor
+    "f8_case_list_render",
+    "graph_sssp",
+    "multimodal_png_roundtrip",
     # dedup.py: containment hash-first rewrite + PPJoin+ positional filter
     "dedup_containment",
     "dedup_containment_capped",
