@@ -3,6 +3,7 @@ chunk-assignment ceiling-division boundary cases (reference
 tests/test_maf.py:51-84)."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from iatlas_cbioportal_export_spark.operators.aggregates import (
     case_list_groups,
@@ -555,13 +556,38 @@ def test_global_running_sum_no_global_window_over_corpus(spark):
     )
 
     df = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
-    plan = global_running_sum(df, "k", "v", bucket_width=8)._jdf.queryExecution().executedPlan().toString()
-    # the only unpartitioned window runs over the bucket-totals table, which
-    # is fed by a HashAggregate — the corpus-sized window is partitioned
-    assert "Window" in plan
+    out_df = global_running_sum(df, "k", "v", bucket_width=8)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    # r9: the ONLY window in the plan is the bucket-partitioned phase-1
+    # window — phase 2 (bucket offsets) is a driver-side prefix sum stamped
+    # back as a literal map, so there is NO no-partition window (the r8
+    # partitionBy(lit(0)) was constant-folded away and still warned) and NO
+    # offsets join at all.
+    assert plan.count("Window") >= 1
+    assert "partitionspec=[__b" in plan.lower().replace(" ", "") or "__b" in plan
 
-    out = {r["k"]: r["running_v"] for r in global_running_sum(df, "k", "v", bucket_width=8).collect()}
+    out = {r["k"]: r["running_v"] for r in out_df.collect()}
     assert out[0] == 1 and out[7] == 8 and out[8] == 9 and out[99] == 100
+
+
+def test_global_running_sum_rejects_non_numeric_and_null_order(spark):
+    from pyspark.sql import functions as F
+
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        global_running_sum,
+    )
+
+    strings = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v long"
+    )
+    with pytest.raises(TypeError, match="numeric order column"):
+        global_running_sum(strings, "k", "v", bucket_width=8)
+
+    with_null = spark.createDataFrame(
+        [(1, 1), (None, 2), (3, 3)], "k long, v long"
+    )
+    with pytest.raises(ValueError, match="contains NULLs"):
+        global_running_sum(with_null, "k", "v", bucket_width=8).count()
 
 
 def test_global_running_sum_empty(spark):

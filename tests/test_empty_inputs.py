@@ -45,11 +45,19 @@ def test_text_ops_on_empty_corpus(spark):
 
 
 def test_aggregates_on_empty(spark):
-    df = spark.createDataFrame([], "CANCER_TYPE string, SAMPLE_ID string")
+    df = spark.createDataFrame(
+        [], "CANCER_TYPE string, SAMPLE_ID string, row_idx long"
+    )
     assert case_list_groups(df).count() == 0
-    assert chunk_assignment(df, "SAMPLE_ID").count() == 0
+    # chunk_assignment requires a NUMERIC order column (r9: the bucket key
+    # is CAST(order AS BIGINT); a string column would silently NULL-bucket)
+    assert chunk_assignment(df, "row_idx").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="numeric order column"):
+        chunk_assignment(df, "SAMPLE_ID")
     profile = null_profile(df)
-    assert profile.count() == 2  # one row per column, zero counts
+    assert profile.count() == 3  # one row per column, zero counts
     assert all(r["n_non_null"] == 0 for r in profile.collect())
 
 
