@@ -1108,6 +1108,17 @@ def containment_join(
     token-keyed candidate join, and the candidate-only string arrays —
     raw text never, and non-candidate documents' shingle strings are
     never even built.
+
+    CACHE LIFETIME: the internal postings table is ``persist()``-ed
+    (MEMORY_AND_DISK, eagerly materialized) and stays registered after
+    this function returns — the returned DataFrame references it twice
+    (left/right side of the candidate join), so unpersisting here would
+    force a full recompute on every action. In a long-lived session that
+    calls this operator repeatedly, evict consumed entries with
+    ``returned_df.sparkSession.catalog.clearCache()`` (what the bench
+    harness does between reps) or track/unpersist via
+    ``spark.catalog`` once the result has been written out. The entries
+    are evictable (storage-level spill-safe), so they degrade, not OOM.
     """
     t = float(threshold)
     t_micro = int(round(t * 1_000_000))

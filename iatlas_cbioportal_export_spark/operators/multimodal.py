@@ -410,6 +410,14 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, bytes]:
         # one channel, color ones to RGB (the bmp_decode convention)
         triples = [plte[k : k + 3] for k in range(0, len(plte), 3)]
         grey = all(t[0] == t[1] == t[2] for t in triples)
+        n_entries = len(triples)
+        if max(out, default=0) >= n_entries:
+            # explicit format error, not a bare IndexError (r9 ADVICE fix):
+            # a palette index past the PLTE table means a corrupt stream
+            raise ValueError(
+                f"png palette index {max(out)} out of range for "
+                f"{n_entries}-entry PLTE"
+            )
         expanded = bytearray()
         for idx in out:
             t = triples[idx]
@@ -1692,9 +1700,14 @@ def id3v2_tags(payload: bytes) -> dict[str, str]:
     for b in payload[6:10]:
         size = (size << 7) | (b & 0x7F)
     off, end = 10, 10 + size
-    if flags & 0x40 and off + 4 <= len(payload):
+    if flags & 0x40:
         # extended header precedes the first frame; skip it or the frame
-        # walk reads it as a frame with a garbage size
+        # walk reads it as a frame with a garbage size. If the payload is
+        # truncated before its size field, there is nothing safe to parse
+        # at all — bail to {} (the unsynchronisation convention) instead
+        # of walking the extended-header bytes as frames (r9 ADVICE fix).
+        if off + 4 > len(payload):
+            return {}
         raw = payload[off : off + 4]
         if version >= 4:
             ext = 0  # v2.4: syncsafe, counts the WHOLE extended header

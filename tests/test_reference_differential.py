@@ -43,14 +43,46 @@ from iatlas_cbioportal_export_spark.plans.clinical_pipeline import (
 
 REF_PKG_DIR = "/root/reference/src/iatlascbioportalexport"
 
+# Content pin for the UNTRUSTED reference checkout (r9 ADVICE): importing
+# the reference executes its module-level code in the test process, so we
+# refuse to import a tree whose bytes differ from the ones these
+# differentials were written against — a swapped/tampered checkout skips
+# with a clear message instead of running arbitrary code.
+_REF_MODULE_SHA256 = {
+    "clinical.py": "e40b64b7e0c2fe7d7a45a67a337cdb817d6a1686ace117d8b8c4a33e8364b4f9",
+    "maf.py": "e771cf7e266b53074bccb4f263b6c246f032cdf9a260e28a7c18413cd0e6f3a9",
+    "utils.py": "2c577430016d656184aff25e3a778398a761ceb20f804a024b5ebdac7a76410a",
+    "validate.py": "59888ca1a1ebcb22e207a26648219f441b5395895e6f4dcb63d3a399ddc60f46",
+    "load.py": "209998c8f01432a62d7fad846c84999ff6232aec15347de930e12d857973d2ca",
+}
+skip_reason = "reference checkout not available"
+
 
 def _load_reference_clinical():
     """Import the reference ``clinical`` module with a no-network Synapse
-    fake; returns None if the reference checkout is absent."""
+    fake; returns None (with ``skip_reason`` set) if the reference checkout
+    is absent or its content hash doesn't match the pinned tree."""
+    global skip_reason
+    import hashlib
     import os
 
     if not os.path.isdir(REF_PKG_DIR):
         return None
+    for fname, want in _REF_MODULE_SHA256.items():
+        fpath = os.path.join(REF_PKG_DIR, fname)
+        try:
+            with open(fpath, "rb") as fh:
+                got = hashlib.sha256(fh.read()).hexdigest()
+        except OSError:
+            got = "<unreadable>"
+        if got != want:
+            skip_reason = (
+                f"reference module {fname} hash {got[:12]}… != pinned"
+                f" {want[:12]}… — refusing to import/execute an unexpected"
+                " reference tree; re-pin _REF_MODULE_SHA256 after auditing"
+                " the new checkout"
+            )
+            return None
     if "synapseclient" not in sys.modules:
         class _FakeSynapse:
             def __init__(self, *a, **k):
@@ -73,9 +105,7 @@ def _load_reference_clinical():
 
 
 ref = _load_reference_clinical()
-pytestmark = pytest.mark.skipif(
-    ref is None, reason="reference checkout not available"
-)
+pytestmark = pytest.mark.skipif(ref is None, reason=skip_reason)
 
 
 # ---------------------------------------------------------------- helpers

@@ -40,9 +40,9 @@ def _load_reference(modname: str):
 
 ref_maf = _load_reference("maf")
 ref_val = _load_reference("validate")
-pytestmark = pytest.mark.skipif(
-    ref_maf is None, reason="reference checkout not available"
-)
+from tests import test_reference_differential as _refmod
+
+pytestmark = pytest.mark.skipif(ref_maf is None, reason=_refmod.skip_reason)
 
 
 def test_chrm_postprocessing_differential(spark):

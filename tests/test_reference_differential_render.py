@@ -15,9 +15,9 @@ from iatlas_cbioportal_export_spark.sources.sinks import render_case_list_text
 from tests.test_reference_differential import _load_reference_clinical
 
 ref = _load_reference_clinical()
-pytestmark = pytest.mark.skipif(
-    ref is None, reason="reference checkout not available"
-)
+from tests import test_reference_differential as _refmod
+
+pytestmark = pytest.mark.skipif(ref is None, reason=_refmod.skip_reason)
 
 EDGE_CANCER_TYPES = [
     "Melanoma",
