@@ -41,6 +41,7 @@ from iatlas_cbioportal_export_spark.sources.sinks import (
     render_meta_file,
     write_cbioportal_clinical,
     write_chunked_tsv,
+    write_single_tsv,
 )
 
 
@@ -64,6 +65,9 @@ def write_study_bundle(
     cancer_type_col: str = "CANCER_TYPE",
     barcode_col: str = "Tumor_Sample_Barcode",
     max_maf_rows: int = 40_000,
+    clinical_merged: DataFrame | None = None,
+    pandas_float_format: bool = False,
+    order_by: Mapping[str, list[str]] | None = None,
 ) -> dict[str, str]:
     """Write one dataset's complete cBioPortal study bundle; returns
     artifact name → path.
@@ -73,6 +77,15 @@ def write_study_bundle(
     persist each action re-runs the whole upstream preprocess DAG, so both
     views are cached for the bundle's lifetime (memory-and-disk: safe when a
     dataset slice outgrows executor memory) and released before returning.
+
+    Reference byte-parity knobs (r9, pinned by the full-bundle
+    differential): ``clinical_merged`` writes the reference's
+    ``data_clinical_merged.txt`` (headerless single TSV,
+    ``clinical.py:611-620``); ``pandas_float_format=True`` renders float
+    columns with the reference's ``%.12g``; ``order_by`` gives each view a
+    deterministic global row order (keys ``"patient"``/``"sample"``/
+    ``"merged"`` → sort columns) so single-file artifacts are reproducible
+    byte-for-byte.
     """
     study_id = f"iatlas_{dataset}"
     os.makedirs(out_dir, exist_ok=True)
@@ -83,20 +96,41 @@ def write_study_bundle(
     clinical_patient = clinical_patient.persist()
     clinical_sample = clinical_sample.persist()
 
+    order_by = order_by or {}
+
     # Clinical views: prune 100%-null columns (P5), then header'd single file.
-    for name, view in (
-        ("data_clinical_patient.txt", clinical_patient),
-        ("data_clinical_sample.txt", clinical_sample),
+    for name, view, okey in (
+        ("data_clinical_patient.txt", clinical_patient, "patient"),
+        ("data_clinical_sample.txt", clinical_sample, "sample"),
     ):
         pruned = prune_all_null_columns(view)
         path = os.path.join(out_dir, name)
-        artifacts[name] = write_cbioportal_clinical(pruned, path, attr_meta)
+        artifacts[name] = write_cbioportal_clinical(
+            pruned,
+            path,
+            attr_meta,
+            pandas_float_format=pandas_float_format,
+            order_by=order_by.get(okey),
+        )
         meta_name = "meta_" + name[len("data_") :]
         datatype = "PATIENT_ATTRIBUTES" if "patient" in name else "SAMPLE_ATTRIBUTES"
         meta_path = os.path.join(out_dir, meta_name)
         with open(meta_path, "w") as fh:
             fh.write(render_meta_file(_meta_clinical(study_id, datatype, name)))
         artifacts[meta_name] = meta_path
+
+    # data_clinical_merged.txt — the pre-split frame the reference keeps
+    # next to the two views (clinical.py:611-620; it also feeds the
+    # reference's case-list reader). Headerless single TSV, no pruning (the
+    # reference writes the merged subset as-is, minus Dataset).
+    if clinical_merged is not None:
+        merged_path = os.path.join(out_dir, "data_clinical_merged.txt")
+        artifacts["data_clinical_merged.txt"] = write_single_tsv(
+            clinical_merged,
+            merged_path,
+            pandas_float_format=pandas_float_format,
+            order_by=order_by.get("merged"),
+        )
 
     # Mutations: chunked distributed TSV + meta descriptor.
     if mutations is not None:

@@ -37,8 +37,53 @@ CASE_LIST_TEXT_TEMPLATE = (
 )
 
 
-def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """S5: header'd tab-separated sink. Typed schema replaces ``%.12g``."""
+def _with_pandas_float_format(df: DataFrame) -> DataFrame:
+    """Render every float/double column with C's ``%.12g`` — byte-identical
+    to the reference's ``to_csv(float_format="%.12g")``
+    (``clinical.py:585-620``), which routes through the same C formatter via
+    Python's ``%`` operator. NaN and null both render as empty (pandas'
+    ``na_rep``). Arrow-batched ``pandas_udf`` — the one place Python touches
+    the rows, used ONLY by artifact writers that promise reference byte
+    parity; analytical sinks keep typed columns (see :func:`write_tsv`'s
+    module docstring)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    float_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("double", "float")
+    ]
+    if not float_cols:
+        return df
+
+    @pandas_udf("string")
+    def _g12(s):
+        import pandas as pd
+
+        return s.map(lambda v: None if pd.isna(v) else "%.12g" % v)
+
+    for c in float_cols:
+        df = df.withColumn(c, _g12(F.col(c)))
+    return df
+
+
+def write_tsv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    pandas_float_format: bool = False,
+    order_by: Iterable[str] | None = None,
+) -> None:
+    """S5: header'd tab-separated sink. Typed schema replaces ``%.12g`` by
+    default; ``pandas_float_format=True`` opts into the reference's exact
+    float rendering for byte-parity artifacts. ``order_by`` gives the output
+    a deterministic global row order (range-partitioned sort, so
+    filename-ordered part concatenation preserves it)."""
+    if pandas_float_format:
+        df = _with_pandas_float_format(df)
+    if order_by:
+        df = df.orderBy(*order_by)
     (
         df.write.mode(mode)
         .option("sep", "\t")
@@ -100,29 +145,18 @@ def cbioportal_clinical_header(
     ]
 
 
-def write_cbioportal_clinical(
-    df: DataFrame,
-    path: str,
-    attr_meta: Mapping[str, Mapping[str, object]],
-) -> str:
-    """Write a clinical table as ONE cBioPortal file: 4 ``#`` header lines,
-    then the column header, then tab-separated rows.
-
-    cBioPortal ingests a single file per datatype, so the final artifact is a
-    driver-side merge of the task outputs — the heavy lifting (row formatting)
-    still happens distributed via the csv sink; the driver only concatenates
-    part files and prepends ~4 lines. Returns the file path written.
-    """
-    tmp = path + ".parts"
-    write_tsv(df, tmp)
-    header_lines = cbioportal_clinical_header(df.columns, attr_meta)
+def _concat_csv_parts(parts_dir: str, out_path: str, head_lines: list[str]) -> str:
+    """Driver-side merge of a csv sink's part files into ONE artifact file:
+    ``head_lines`` first, then the column header from the first part, then
+    every part's data rows in filename order (= global order when the frame
+    was written sorted)."""
     part_files = sorted(
-        os.path.join(tmp, f)
-        for f in os.listdir(tmp)
+        os.path.join(parts_dir, f)
+        for f in os.listdir(parts_dir)
         if f.startswith("part-") and f.endswith(".csv")
     )
-    with open(path, "w") as out:
-        for line in header_lines:
+    with open(out_path, "w") as out:
+        for line in head_lines:
             out.write(line + "\n")
         wrote_col_header = False
         for pf in part_files:
@@ -133,7 +167,47 @@ def write_cbioportal_clinical(
                     wrote_col_header = True
                 for line in fh:
                     out.write(line)
-    return path
+    return out_path
+
+
+def write_single_tsv(
+    df: DataFrame,
+    path: str,
+    pandas_float_format: bool = False,
+    order_by: Iterable[str] | None = None,
+) -> str:
+    """ONE header'd TSV file (no ``#`` metadata lines) — the shape of the
+    reference's ``data_clinical_merged.txt`` (``clinical.py:611-620``). Row
+    formatting runs distributed via the csv sink; the driver only
+    concatenates part files. Returns the file path written."""
+    tmp = path + ".parts"
+    write_tsv(
+        df, tmp, pandas_float_format=pandas_float_format, order_by=order_by
+    )
+    return _concat_csv_parts(tmp, path, [])
+
+
+def write_cbioportal_clinical(
+    df: DataFrame,
+    path: str,
+    attr_meta: Mapping[str, Mapping[str, object]],
+    pandas_float_format: bool = False,
+    order_by: Iterable[str] | None = None,
+) -> str:
+    """Write a clinical table as ONE cBioPortal file: 4 ``#`` header lines,
+    then the column header, then tab-separated rows.
+
+    cBioPortal ingests a single file per datatype, so the final artifact is a
+    driver-side merge of the task outputs — the heavy lifting (row formatting)
+    still happens distributed via the csv sink; the driver only concatenates
+    part files and prepends ~4 lines. Returns the file path written.
+    """
+    tmp = path + ".parts"
+    write_tsv(
+        df, tmp, pandas_float_format=pandas_float_format, order_by=order_by
+    )
+    header_lines = cbioportal_clinical_header(df.columns, attr_meta)
+    return _concat_csv_parts(tmp, path, header_lines)
 
 
 def write_partitioned_datasets(
