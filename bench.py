@@ -3,12 +3,13 @@
 JSON line: {"metric": ..., "value": core_total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Noise handling (round-3): ambient load on a shared box swings single-shot
-timings by ±50% (r1/r2 notes), which is wider than the regression gate —
-so every query now runs THREE times (whole-suite round-robin, so a load
-spike hits different queries in different reps) and reports the per-query
-MEDIAN. The JSON additionally carries the three per-rep wall totals
-("rep_totals") so the spread is visible next to the value.
+Noise handling (round-3, hardened round-9): ambient load on a shared box
+swings single-shot timings by ±50% (r1/r2 notes), which is wider than the
+regression gate — so every query runs FIVE times (whole-suite round-robin,
+so a load spike hits different queries in different reps) and reports the
+per-query MEDIAN (robust to one polluted rep). The JSON carries every
+per-rep per-query wall ("rep_values"), the per-rep totals ("rep_totals"),
+and the total spread ("rep_spread_pct") so the noise is auditable.
 
 Scoring keys:
 - "value"          — sum of per-query medians over CORE (the same 20-query
@@ -155,7 +156,11 @@ HEAVY = [
     "dedup_containment_capped",
 ]
 
-N_REPS = 3
+# r9 (judge ask): 5 timed reps — the median of 5 survives one polluted rep
+# even when a load spike hits (the r7/r8 runs showed a 3x first rep despite
+# the warm pass); every per-rep value is recorded so the spread is auditable
+# instead of narrated.
+N_REPS = 5
 
 
 def main() -> None:
@@ -204,8 +209,11 @@ def main() -> None:
     # to head truncation). The complete object is also persisted to
     # BENCH_LOCAL.json next to this script so no evidence depends on
     # stdout capture at all.
+    rep_totals = [round(sum(r.values()), 3) for r in reps]
     result = {
         "queries": medians,
+        # full per-rep per-query walls — the evidence behind every median
+        "rep_values": {name: [r[name] for r in reps] for name in names},
         "io_baseline": {
             # Dedicated baseline for the two queries whose r4 numbers
             # changed when per-rep cache resets made the bench honest
@@ -214,7 +222,10 @@ def main() -> None:
             "v_validation_suite": medians["v_validation_suite"],
             "layout_compaction": medians["layout_compaction"],
         },
-        "rep_totals": [round(sum(r.values()), 3) for r in reps],
+        "rep_totals": rep_totals,
+        "rep_spread_pct": round(
+            100.0 * (max(rep_totals) - min(rep_totals)) / min(rep_totals), 1
+        ),
         "reps": N_REPS,
         "sf": float(sf),
         "extended_total": extended_total,

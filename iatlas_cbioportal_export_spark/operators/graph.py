@@ -863,12 +863,18 @@ def sssp_distances(
         # on ReusedExchange for the lazy round — was ~1.7x SLOWER at sf0.1;
         # the per-round persist+count stays.)
         merged = merged.persist()
-        merged.count()
+        # the materializing action doubles as the convergence probe: when NO
+        # distance improved this round the frontier is empty and every later
+        # round is a no-op — stop early (r9; `rounds` is a CAP — the honest
+        # diameter bound — not a quota, and the result is identical)
+        n_improved = merged.filter("__improved").count()
         for c in live_caches:
             c.unpersist()
         live_caches = [merged]
         dist = merged.select("node", "dist")
         frontier = merged.filter("__improved").select("node", "dist")
+        if n_improved == 0:
+            break
     e.unpersist()
     return dist
 

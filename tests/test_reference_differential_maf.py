@@ -289,3 +289,104 @@ def test_validate_export_files_differential(spark, inp, out, errors):
     }
     for key, row in findings.items():
         assert (row["status"] != "OK") == (key in errors), key
+
+
+def test_error_report_assembly_differential(spark, tmp_path):
+    """maf.py:133-178 (``concatenate_mafs``): the reference's failed-row
+    error-report assembly — per-chunk annotated + error TSVs concatenated,
+    the annotated side chrM-postprocessed, the error side passed through
+    UNfiltered — vs our one-DAG equivalent (``split_annotation_errors`` +
+    ``drop_chrm`` over a single unioned frame). Whole-frame equality on
+    BOTH outputs, with planted failures, a chrM row (must vanish from the
+    annotated side only), float/NaN columns, and a chunk-2-only error
+    column (pins pd.concat's outer column alignment)."""
+    import os
+
+    from iatlas_cbioportal_export_spark.operators.maf import (
+        drop_chrm,
+        split_annotation_errors,
+    )
+
+    datahub = tmp_path / "datahub"
+    ds_dir = datahub / "add-clinical-header" / "DSX"
+    os.makedirs(ds_dir)
+
+    ann_chunks = [
+        pd.DataFrame(
+            {
+                "Tumor_Sample_Barcode": ["s1", "s2", "s3"],
+                "Chromosome": ["chr1", "chrM", "chr2"],
+                "Start_Position": [100, 200, 300],
+                "t_alt_count": [12.0, 7.5, np.nan],
+                "Annotation_Status": ["SUCCESS"] * 3,
+            }
+        ),
+        pd.DataFrame(
+            {
+                "Tumor_Sample_Barcode": ["s4", "s5"],
+                "Chromosome": ["chr3", "chrX"],
+                "Start_Position": [400, 500],
+                "t_alt_count": [3.0, 4.25],
+                "Annotation_Status": ["SUCCESS"] * 2,
+            }
+        ),
+    ]
+    err_chunks = [
+        pd.DataFrame(
+            {
+                "Tumor_Sample_Barcode": ["e1"],
+                "Chromosome": ["chr9"],
+                "Start_Position": [900],
+                "Failure_Reason": ["no genome nexus response"],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "Tumor_Sample_Barcode": ["e2", "e3"],
+                "Chromosome": ["chrM", "chr11"],
+                "Start_Position": [910, 920],
+                "Failure_Reason": ["timeout", "bad allele"],
+                "Attempts": [3, 1],  # chunk-2-only column
+            }
+        ),
+    ]
+    for i, (a, e) in enumerate(zip(ann_chunks, err_chunks), start=1):
+        a.to_csv(
+            ds_dir / f"data_mutations_annotated_{i}.txt", sep="\t", index=False
+        )
+        e.to_csv(
+            ds_dir / f"data_mutations_error_report_{i}.txt", sep="\t", index=False
+        )
+
+    out = ref_maf.concatenate_mafs("DSX", 2, str(datahub))
+    exp_ok = ref_maf.postprocessing(out["annotated_maf"])
+    exp_err = out["error_maf"]
+
+    # engine: ONE frame — annotated rows SUCCESS, planted failures FAILED —
+    # split into the two side-bands, chrM dropped from the ok side only
+    eng_ann = pd.concat(ann_chunks)
+    eng_err = pd.concat(err_chunks)
+    eng_err["Annotation_Status"] = "FAILED"
+    unioned = spark.createDataFrame(eng_ann).unionByName(
+        spark.createDataFrame(eng_err), allowMissingColumns=True
+    )
+    ok, failed = split_annotation_errors(unioned)
+    ok = drop_chrm(ok)
+
+    got_ok = ok.select(*exp_ok.columns).toPandas()
+    sort = ["Tumor_Sample_Barcode"]
+    assert_frame_equal(
+        exp_ok.sort_values(sort).reset_index(drop=True),
+        got_ok.sort_values(sort).reset_index(drop=True),
+        check_dtype=False,
+    )
+    got_err = failed.select(*exp_err.columns).toPandas()
+    assert_frame_equal(
+        exp_err.sort_values(sort).reset_index(drop=True),
+        got_err.sort_values(sort).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # the written artifacts exist and the error report kept EVERY failure
+    # (including the chrM one — postprocessing must not touch the error side)
+    assert (ds_dir / "data_mutations_error_report.txt").exists()
+    assert len(exp_err) == 3 and "chrM" in set(exp_err["Chromosome"])
