@@ -5325,6 +5325,53 @@ def q_f9_remove_pandas_float(spark, sf_dir):
     return spark.createDataFrame([(text,)], "rendered string")
 
 
+def q_maf_error_report(spark, sf_dir):
+    """r9: the error side-band as a first-class output. The reference
+    routes failed annotations into a separate error report
+    (``maf.py:133-178``: per-chunk ``data_mutations_error_report_{i}.txt``
+    concatenated, UNfiltered by the chrM postprocessing); here the FAILED
+    rows (null variant key → Annotation_Status FAILED, every annotation
+    NULL) split from the annotated frame via ``split_annotation_errors``
+    and carry their identifying columns. Whole-frame semantics pinned
+    against the actual reference assembly by the r9 differential
+    (tests/test_reference_differential_maf.py::test_error_report_assembly
+    _differential)."""
+    ann = maf_ops.annotate(_maf_shaped(spark, sf_dir))
+    _ok, failed = maf_ops.split_annotation_errors(ann)
+    return failed.select(
+        "variant_id",
+        "Chromosome",
+        "Start_Position",
+        "Tumor_Sample_Barcode",
+        "Annotation_Status",
+        "HGVSp_Short",
+    )
+
+
+def q_s5_float_g_format(spark, sf_dir):
+    """r9: the reference's artifact float rendering — C ``%.12g``
+    (``to_csv(float_format="%.12g")``, ``clinical.py:585-620``) — as a
+    value-hash-checked query over lineitem doubles: an integral double
+    must render bare ("17", not "17.0") and a long fraction must round to
+    12 significant digits, exactly as the oracle's C-style ``printf``
+    does. The formatter is the Arrow-batched ``pandas_udf`` the bundle
+    writer uses (``sources/sinks.py:with_pandas_float_format``), so the
+    driver gate covers the byte-parity path itself."""
+    from iatlas_cbioportal_export_spark.sources.sinks import (
+        with_pandas_float_format,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("qty_g"),
+        (F.col("l_extendedprice").cast("double") / F.lit(3.0)).alias(
+            "frac_g"
+        ),
+    )
+    return with_pandas_float_format(li)
+
+
 def q_multimodal_image_dhash(spark, sf_dir):
     """Perceptual image dedup (round 8): planted 16x12 P6 duplicate
     groups (content key = media_id % 12; horizontal slope 3+8*key so
@@ -6548,6 +6595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maf_field_conformance": q_maf_field_conformance,
         "maf_annotate_pipeline": q_maf_annotate_pipeline,
         "maf_annotation_wide": q_maf_annotation_wide,
+        "maf_error_report": q_maf_error_report,
+        "s5_float_g_format": q_s5_float_g_format,
         "sim_ivf_topk": q_sim_ivf_topk,
         "v_validation_suite": q_v_validation_suite,
         "sim_semantic_dedup": q_sim_semantic_dedup,
@@ -6726,84 +6775,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_order_priority": q_tpch_q4,
         "tpch_q5_local_supplier": q_tpch_q5,
     }
-    window = [n for n in _R8_WINDOW if n in all_q]
+    assert len(_R9_WINDOW) <= 50, (
+        f"driver checks only the first 50 registry slots; window has "
+        f"{len(_R9_WINDOW)} entries (r9 ADVICE: entries past 50 are "
+        "silently unchecked)"
+    )
+    window = [n for n in _R9_WINDOW if n in all_q]
+    assert len(window) == len(_R9_WINDOW), (
+        f"window names missing from registry: "
+        f"{set(_R9_WINDOW) - set(all_q)}"
+    )
     rest = [n for n in all_q if n not in set(window)]
     return {n: all_q[n] for n in [*window, *rest]}
 
 
-# Round-8 driver window (first 50 entries): 2 new r8 queries, then
-# re-check slots for every r8-touched code path, then freshness re-checks
-# of the longest-unchecked greens.
-_R8_WINDOW = [
-    # new round-8 queries
-    "multimodal_zip64_index",
-    "dedup_containment_word",
-    "multimodal_image_dhash",
-    "multimodal_vad_segments",
-    "f9_remove_pandas_float",
-    # r8-changed semantics/impl that MUST sit inside the driver's window:
-    # reference-exact case-list render (oracle text changed), the sssp
-    # persist rewrite, and the PNG decoder's unfilter refactor
-    "f8_case_list_render",
-    "graph_sssp",
-    "multimodal_png_roundtrip",
-    # dedup.py: containment hash-first rewrite + PPJoin+ positional filter
-    "dedup_containment",
-    "dedup_containment_capped",
-    "dedup_paragraphs",
-    "dedup_exact",
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
-    "dedup_jaccard_prefix",
-    "dedup_ngram_jaccard",
-    "dedup_span_windows",
-    "dedup_simhash",
-    # aggregates.py: chunk_assignment two-phase rewrite + the
-    # global_running_sum constant-partition offsets window (its consumers)
+# Round-9 driver window (first 50 entries, asserted <=50): 2 new r9
+# queries, then re-check slots for every r9-touched code path
+# (aggregates/sampling running-sum rewrite; graph.py sssp repartition +
+# early-exit; multimodal id3/png guards; sinks %.12g + single-file writer
+# refactor; the maf error side-band), then freshness re-checks of entries
+# with no driver-window check since r4 or earlier.
+_R9_WINDOW = [
+    # new round-9 queries
+    "maf_error_report",
+    "s5_float_g_format",
+    # aggregates.py/sampling.py: driver-side bucket offsets in
+    # global_running_sum + numeric order-col validation (its consumers)
     "s4_chunk_assignment",
     "running_revenue",
     "sample_pack_sequences",
-    "a4_null_profile",
-    "a5_duplicate_rows",
-    "a7_drop_duplicates",
-    "a8_keep_latest",
-    "exact_quantiles",
-    # scalar.py + clinical_pipeline.py: reference-exact AMADEUS suffix strip
-    "clinical_e2e_preprocess",
-    "f1_strip_suffix_first",
-    "f2_case_normalization",
-    "f3_value_recode",
-    "f5_days_to_months",
-    "f7_case_list_slug",
-    "p1_regex_filter_scoped",
-    "flagship_case_lists",
-    "clinical_kaplan_meier",
-    "clinical_logrank",
-    # multimodal.py: zip64 support, id3v2 extended header, mp3 truncation
-    "multimodal_zip_index",
+    "sequence_packing",
+    # graph.py: sssp edge repartition + convergence early-exit (same file:
+    # hits/pagerank share the layout/checkpoint helpers)
+    "graph_sssp",
+    "graph_hits",
+    "graph_pagerank",
+    # multimodal.py: id3v2 truncated-extended-header bail, PNG palette
+    # bounds check, ZIP64 interop pinning
+    "multimodal_png_roundtrip",
     "multimodal_id3_tags",
     "multimodal_mp3_frames",
-    "multimodal_mp4_samples",
-    "multimodal_webdataset_index",
-    "multimodal_container_metadata",
-    "multimodal_keyframe_ranges",
-    "multimodal_bmp_roundtrip",
-    "multimodal_audio_features",
-    "multimodal_g711_stats",
-    # validation.py: header empty-input coalesce
-    "header_conformance",
+    "multimodal_zip_index",
+    "multimodal_zip64_index",
+    "multimodal_image_dhash",
+    # sinks.py/bundle.py: %.12g formatter, write_single_tsv, part-concat
+    # refactor, merged-artifact writer (their query-surface consumers)
+    "f8_case_list_render",
+    "f9_remove_pandas_float",
     "v_validation_suite",
-    "meta_consistency",
     "bundle_cross_checks",
-    "clinical_field_conformance",
-    # text.py: pack_token_budget_bins rename (query path unchanged)
-    "sequence_packing",
-    "text_trigram_backoff",
-    # freshness rotation: longest-unchecked previously-green entries
+    "meta_consistency",
+    "header_conformance",
+    "flagship_case_lists",
+    # maf.py query surface sharing the new error-report path
+    "maf_annotate_pipeline",
+    "maf_annotation_wide",
+    # freshness rotation: no driver-window slot since r4 or earlier
+    "tpch_q1_pricing_summary",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
-    "j2_left_join_null_audit",
-    "j3_outer_join_growth_audit",
+    "maf_annotate_by_variant",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh",
+    "sim_mips_topk",
+    "sim_ivf_topk",
+    "sim_semantic_dedup",
+    "text_tfidf",
+    "text_bm25",
+    "text_cooccurrence_pmi",
+    "text_vocab_growth",
+    "sketch_hll_distinct",
+    "sketch_bloom_prefilter",
+    "sketch_count_min",
+    "events_sessionize",
+    "stream_hourly_counts",
+    "events_session_window",
+    "fuzzy_join_names",
+    "dedup_components",
+    "dedup_cross_corpus",
+    "pii_redaction",
+    "decontamination",
+    "asof_join_last_purchase",
+    "window_topk_per_group",
 ]
 
 
@@ -10476,6 +10529,27 @@ def oracle_sql() -> dict[str, str]:
         FROM lab GROUP BY component_id ORDER BY component_id
     """
     d["maf_annotate_by_variant"] = d["maf_annotation_wide"]
+    # r9: failed-annotation error report — _maf_shaped's null-chromosome
+    # rows (k%17==0 except the k%25==0 chrM branch, which wins the CASE)
+    d["maf_error_report"] = """
+        SELECT o_orderkey AS variant_id,
+               CAST(NULL AS VARCHAR) AS Chromosome,
+               CAST(o_orderkey % 100000 + 1 AS BIGINT) AS Start_Position,
+               'TSB-' || CAST(o_orderkey % 500 AS VARCHAR)
+                   AS Tumor_Sample_Barcode,
+               'FAILED' AS Annotation_Status,
+               CAST(NULL AS VARCHAR) AS HGVSp_Short
+        FROM orders
+        WHERE o_orderkey % 17 = 0 AND o_orderkey % 25 <> 0
+    """
+    # r9: %.12g artifact float rendering vs DuckDB's C-style printf
+    d["s5_float_g_format"] = """
+        SELECT l_orderkey, l_linenumber,
+               printf('%.12g', CAST(l_quantity AS DOUBLE)) AS qty_g,
+               printf('%.12g', CAST(l_extendedprice AS DOUBLE) / 3.0)
+                   AS frac_g
+        FROM lineitem
+    """
     d["emb_l2_normalize"] = """
         WITH v AS (
             SELECT vec_id,

@@ -37,7 +37,7 @@ CASE_LIST_TEXT_TEMPLATE = (
 )
 
 
-def _with_pandas_float_format(df: DataFrame) -> DataFrame:
+def with_pandas_float_format(df: DataFrame) -> DataFrame:
     """Render every float/double column with C's ``%.12g`` — byte-identical
     to the reference's ``to_csv(float_format="%.12g")``
     (``clinical.py:585-620``), which routes through the same C formatter via
@@ -81,7 +81,7 @@ def write_tsv(
     a deterministic global row order (range-partitioned sort, so
     filename-ordered part concatenation preserves it)."""
     if pandas_float_format:
-        df = _with_pandas_float_format(df)
+        df = with_pandas_float_format(df)
     if order_by:
         df = df.orderBy(*order_by)
     (
