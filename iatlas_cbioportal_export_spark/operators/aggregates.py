@@ -1271,6 +1271,15 @@ def global_running_sum(
             f"global_running_sum: {order_col!r} contains NULLs — a NULL"
             " order key has no position in the global order."
         )
+    if len(totals) > 65_536:
+        # the offsets ship back as a literal map — KB-to-MB scale by the
+        # bucket_width contract; a six-figure bucket count means the width
+        # was picked from the row count instead of the key range
+        raise ValueError(
+            f"global_running_sum: {len(totals)} buckets exceed the literal-"
+            f"map contract (<=65536); raise bucket_width={bucket_width} so"
+            " the key range divides into thousands of buckets, not more."
+        )
     running = 0
     offset_by_bucket: dict[int, int] = {}
     for r in sorted(totals, key=lambda r: r["__b"]):

@@ -124,6 +124,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["LeftSemi"], ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     "maf_annotate_pipeline": (["MapInPandas", "ArrowEvalPython|MapInPandas"], []),
+    # the error side-band is a filter over the same mapInPandas stage —
+    # no extra scan, no join
+    "maf_error_report": (
+        ["MapInPandas"], ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # %.12g rendering is a NARROW Arrow-batched projection — a shuffle
+    # here would mean the formatter moved data to format it
+    "s5_float_g_format": (["ArrowEvalPython"], ["Exchange"]),
     # top-k over the n-gram dictionary must be heap-based, never a full sort
     "text_top_ngrams": (["TakeOrderedAndProject"], ["CartesianProduct"]),
     # dedup stage joins keepers back by semi-join; no fact-side blowup
@@ -441,9 +449,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # two-phase running sum: corpus window is PARTITIONED (by bucket); the
-    # offsets come back through a broadcast join, never a corpus-wide sort
+    # bucket offsets are a driver-side prefix sum stamped back as a literal
+    # map (r9) — NO offsets join and NO unpartitioned window in the plan
     "running_revenue": (
-        ["Window", "BroadcastHashJoin"],
+        ["Window", "codegen id"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # salted fact side joins the 16x-replicated dim on (key, salt)
@@ -684,10 +693,10 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
     ),
     # r6: concat-and-chunk packing — two-phase cumsum (bucket window +
-    # broadcast offsets) then sequence/explode; the only unpartitioned
-    # window runs over the KB-bounded bucket-totals table
+    # literal-map offsets, r9) then sequence/explode; no offsets join and
+    # no unpartitioned window anywhere
     "sample_pack_sequences": (
-        ["BroadcastHashJoin", "Generate"],
+        ["Generate", "Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
     # melt + ONE combiner-reduced count agg + min-struct argmax; shuffled
