@@ -817,9 +817,11 @@ def sssp_distances(
     relaxation rounds exchange only the frontier side — the edge table is
     shuffled once at build instead of once per round (the bucketed-table
     pattern from ``sources/bucketing.py``, applied in-session via a cached
-    repartition). A fixed round bound is the honest distributed contract
-    (it is the graph diameter cap); the per-round count doubles as eager
-    materialization.
+    repartition). The round bound is a CAP — the honest distributed
+    contract (it is the graph diameter bound); the per-round materializing
+    count doubles as a convergence probe and relaxation stops the first
+    round no distance improves (r9), so a generous cap costs nothing on a
+    small-diameter graph.
 
     Output: (node, dist) for every node reachable within ``rounds``
     relaxation rounds, dist = exact min path weight.
