@@ -740,6 +740,13 @@ def hits(
 
     hub = nodes.select("node", F.lit(scale).cast("long").alias("h"))
     auth = None
+    # r9: scores are SPARSE between rounds — a node absent from a_raw/h_raw
+    # has score exactly 0, and 0-score nodes contribute nothing to either
+    # the Σ-total (L1 rescale divides by the same sum with or without
+    # zero rows) or the next half-round's edge-join sums (missing join
+    # partner ≡ +0). So the per-round nodes-table zero-fill left-joins
+    # (2 per round) are deleted; only the FINAL output densifies. Output
+    # values are bit-identical (oracle hash unchanged).
     for i in range(iterations):
         a_raw = (
             e.join(hub, e["src"] == hub["node"])
@@ -747,24 +754,14 @@ def hits(
             .groupBy("node")
             .agg(F.sum("__c").alias("a"))
         )
-        auth = _l1_rescale(
-            nodes.join(a_raw, "node", "left").select(
-                "node", F.coalesce("a", F.lit(0)).alias("a")
-            ),
-            "a",
-        )
+        auth = _l1_rescale(a_raw, "a")
         h_raw = (
             e.join(auth, e["dst"] == auth["node"])
             .select(F.col("src").alias("node"), F.col("a").alias("__c"))
             .groupBy("node")
             .agg(F.sum("__c").alias("h"))
         )
-        hub = _l1_rescale(
-            nodes.join(h_raw, "node", "left").select(
-                "node", F.coalesce("h", F.lit(0)).alias("h")
-            ),
-            "h",
-        )
+        hub = _l1_rescale(h_raw, "h")
         if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
             hub = hub.localCheckpoint(eager=False)
             auth = auth.localCheckpoint(eager=False)
