@@ -41,6 +41,7 @@ from unittest import mock
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from iatlas_cbioportal_export_spark.plans.bundle import write_study_bundle
 from tests.test_reference_differential import (
@@ -306,3 +307,95 @@ def test_bundle_prunes_all_na_per_dataset(spark, tmp_path):
         with open(os.path.join(eng_dirs[ds], "data_clinical_patient.txt")) as fh:
             header_cols = fh.read().splitlines()[4].split("\t")
         assert ("ALL_NA_ATTR" in header_cols) is present, (ds, header_cols)
+
+
+def test_reference_validator_accepts_engine_bundle(spark, tmp_path):
+    """INTEROP gate (r9): the reference's OWN ``validate_export_files``
+    (``clinical.py:765-839``) — file-presence walk, before/after row,
+    sample and patient counts, NA checks, all-NA-column checks — runs
+    with its real ``ErrorFlagHandler`` against OUR bundle output
+    directory. A clean engine bundle must gate clean (``had_error``
+    False); a planted row drop must flip BOTH the reference's gate and
+    our ``count_equality`` finding. This is the reference's validator
+    accepting our artifacts as a drop-in, headers and all (it reads the
+    clinical files with ``skiprows=4``)."""
+    import logging
+
+    from iatlas_cbioportal_export_spark.operators.validation import (
+        count_equality,
+    )
+
+    merged = _bundle_fixture()
+    mapping = _bundle_mapping()
+    cli_dfs = ref.split_into_patient_and_sample_data(
+        input_data=merged, cli_to_cbio_mapping=mapping
+    )
+    eng_dirs = _run_engine_bundle(tmp_path, spark, cli_dfs)
+    ds = DATASETS[1]
+    out_dir = eng_dirs[ds]
+
+    # the reference resolves {datahub}/add-clinical-header/{ds}; point that
+    # at our engine output via a symlink
+    datahub = tmp_path / "engine_datahub"
+    ach = datahub / "add-clinical-header"
+    os.makedirs(ach)
+    os.symlink(out_dir, ach / ds)
+    # clinical-only bundle: cases_sequenced needs mutation data (the maf
+    # CLI's output) — stub its presence for the file walk
+    with open(os.path.join(out_dir, "case_lists", "cases_sequenced.txt"), "w"):
+        pass
+
+    # the validator reads the pre-rename INPUT from Synapse: write the
+    # fixture as a TSV and patch syn.get to hand its path back
+    input_tsv = tmp_path / "input_clinical.tsv"
+    merged.rename(
+        columns={"SAMPLE_ID": "sample_name", "PATIENT_ID": "patient_name"}
+    ).to_csv(input_tsv, sep="\t", index=False)
+
+    def run_validator() -> bool:
+        flagger = ref.utils.ErrorFlagHandler()
+        logger = logging.getLogger("bundle_gating_test")
+        logger.handlers = [flagger]
+        logger.propagate = False
+        with mock.patch.object(
+            ref.syn, "get", return_value=mock.Mock(path=str(input_tsv))
+        ):
+            ref.validate_export_files(
+                input_df_synid="synX",
+                dataset_name=ds,
+                datahub_tools_path=str(datahub),
+                logger=logger,
+            )
+        return flagger.had_error
+
+    assert run_validator() is False, "clean engine bundle flagged by the reference validator"
+
+    # our side of the same gate, clean
+    out_sample = (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .option("comment", "#")
+        .csv(os.path.join(out_dir, "data_clinical_sample.txt"))
+    )
+    in_subset = spark.createDataFrame(merged[merged["Dataset"] == ds])
+    assert (
+        count_equality(in_subset, out_sample).collect()[0]["status"] == "OK"
+    )
+
+    # planted failure: drop the last data row of the sample file
+    sample_path = os.path.join(out_dir, "data_clinical_sample.txt")
+    with open(sample_path) as fh:
+        lines = fh.readlines()
+    with open(sample_path, "w") as fh:
+        fh.writelines(lines[:-1])
+    assert run_validator() is True, "row drop not flagged by the reference validator"
+    out_sample_broken = (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .option("comment", "#")
+        .csv(sample_path)
+    )
+    assert (
+        count_equality(in_subset, out_sample_broken).collect()[0]["status"]
+        != "OK"
+    )
