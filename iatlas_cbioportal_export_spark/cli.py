@@ -75,7 +75,24 @@ def cmd_clinical(args: argparse.Namespace) -> int:
         # non-key column as a sample attribute (documented degraded mode)
         attr_types = {c: "SAMPLE" for c in pre.columns if c not in ("PATIENT_ID",)}
     patient, sample = split_patient_sample(pre, attr_types)
-    artifacts = write_study_bundle(args.out, args.dataset, patient, sample)
+    bundle_kwargs: dict = {}
+    if getattr(args, "reference_artifacts", False):
+        # r9: byte-parity artifact mode — matches the reference main()'s
+        # output surface exactly: data_clinical_merged.txt next to the two
+        # views, %.12g float rendering, deterministic key-sorted rows
+        # (pinned by tests/test_reference_differential_bundle.py)
+        bundle_kwargs = {
+            "clinical_merged": pre,
+            "pandas_float_format": True,
+            "order_by": {
+                "patient": ["PATIENT_ID"],
+                "sample": ["SAMPLE_ID"],
+                "merged": ["SAMPLE_ID"],
+            },
+        }
+    artifacts = write_study_bundle(
+        args.out, args.dataset, patient, sample, **bundle_kwargs
+    )
     print(f"wrote {len(artifacts)} artifacts to {args.out}")
     return 0
 
@@ -400,6 +417,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("--dataset", required=True)
     c.add_argument("--out", required=True)
+    c.add_argument(
+        "--reference-artifacts",
+        action="store_true",
+        default=False,
+        help="byte-parity artifact mode: also write data_clinical_merged"
+        ".txt, render floats with the reference's %%.12g, and sort rows by"
+        " their id columns (reproducible single-file artifacts)",
+    )
     c.set_defaults(fn=cmd_clinical)
 
     m = sub.add_parser("maf", help="annotate and export mutation data")

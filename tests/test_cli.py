@@ -298,3 +298,47 @@ def test_cli_curate_min_quality_gate(tmp_path, spark):
         for line in p.read_text().splitlines()
     }
     assert kept == {1}
+
+
+def test_cli_clinical_reference_artifacts_mode(spark, tmp_path):
+    """r9: --reference-artifacts writes the reference main()'s full
+    per-dataset surface — data_clinical_merged.txt next to the two views,
+    %.12g floats, key-sorted reproducible rows (two invocations byte-equal)."""
+    clinical, oncotree, codes, _maf = _write_inputs(tmp_path)
+
+    def run(out: str) -> None:
+        rc = main(
+            [
+                "clinical",
+                "--clinical", str(clinical),
+                "--oncotree", str(oncotree),
+                "--codes", str(codes),
+                "--dataset", "Demo",
+                "--out", out,
+                "--reference-artifacts",
+            ]
+        )
+        assert rc == 0
+
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    run(b1)
+    merged_path = os.path.join(b1, "data_clinical_merged.txt")
+    assert os.path.exists(merged_path)
+    with open(merged_path) as fh:
+        lines = fh.read().splitlines()
+    header, data = lines[0].split("\t"), lines[1:]
+    sid = header.index("SAMPLE_ID")
+    ids = [ln.split("\t")[sid] for ln in data]
+    assert ids == sorted(ids) and len(ids) == 3
+    # reproducibility: a second run produces byte-identical artifacts
+    run(b2)
+    for name in (
+        "data_clinical_merged.txt",
+        "data_clinical_patient.txt",
+        "data_clinical_sample.txt",
+    ):
+        with open(os.path.join(b1, name), "rb") as fh:
+            one = fh.read()
+        with open(os.path.join(b2, name), "rb") as fh:
+            two = fh.read()
+        assert one == two, name
