@@ -102,3 +102,39 @@ def test_bundle_maf_chunking(spark, tmp_path):
     parts = [f for f in os.listdir(maf_dir) if f.endswith(".csv")]
     # 4 rows at ≤2 rows/file → ≥2 part files (ceil-division, maf.py:43,63)
     assert len(parts) >= 2
+
+
+def test_single_tsv_global_order_across_many_partitions(spark, tmp_path):
+    """r9 byte-parity plumbing under REAL parallelism: write_single_tsv with
+    order_by over a 5000-row, 32-partition frame must produce ONE file in
+    global key order (orderBy range-partitions; filename-ordered part
+    concatenation preserves the total order) with %.12g float rendering
+    (integral doubles bare, NaN empty)."""
+    import pyspark.sql.functions as F
+
+    from iatlas_cbioportal_export_spark.sources.sinks import write_single_tsv
+
+    n = 5000
+    df = (
+        spark.range(n)
+        .repartition(32)
+        .select(
+            # keys arrive shuffled across partitions, zero-padded for
+            # lexicographic == numeric order
+            F.format_string("k%05d", (F.col("id") * 2654435761 % n)).alias("k"),
+            F.when(F.col("id") % 11 == 0, None)
+            .otherwise((F.col("id") % 7).cast("double"))
+            .alias("v"),
+        )
+    )
+    path = str(tmp_path / "single.tsv")
+    write_single_tsv(df, path, pandas_float_format=True, order_by=["k"])
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    assert lines[0] == "k\tv"
+    keys = [ln.split("\t")[0] for ln in lines[1:]]
+    assert len(keys) == n
+    assert keys == sorted(keys), "single-file artifact lost the global order"
+    vals = {ln.split("\t")[1] for ln in lines[1:]}
+    # integral doubles render bare; nulls render empty
+    assert vals <= {"", "0", "1", "2", "3", "4", "5", "6"}, vals
