@@ -1217,7 +1217,9 @@ def global_running_sum(
     bucket to its total (combiner-reduced, bucket-count rows, collected —
     the same KB-bounded decision-scalar class as dimension lookups), does
     the prefix sum DRIVER-SIDE, and stamps each bucket's preceding-buckets
-    offset back as a literal-map projection. Final value = within-bucket
+    offset back — as a literal-map projection up to 4096 buckets (keeps
+    codegen under the JVM 64KB method limit), as a broadcast hash join on
+    a tiny offsets frame beyond that. Final value = within-bucket
     running + bucket offset. No unpartitioned window ANYWHERE: the r8
     attempt to make phase 2's window "explicitly constant-partitioned" via
     ``partitionBy(lit(0))`` was constant-folded by Catalyst back into a
@@ -1251,19 +1253,30 @@ def global_running_sum(
             " and rows would silently drop from the result."
         )
     b = F.expr(f"CAST({order_col} AS BIGINT) div {int(bucket_width)}")
-    within = df.withColumn("__b", b).withColumn(
-        "__run",
-        F.sum(value_col).over(
-            Window.partitionBy("__b").orderBy(order_col)
-        ),
+    # Persisted: phase 2's totals collect AND the caller's final action
+    # both read THIS materialization, so a non-deterministic upstream
+    # (sampling, non-stable source) cannot diverge between the two — the
+    # r9 shape collected totals from a fresh evaluation of ``df``, which
+    # silently double-executed the upstream DAG and could stamp offsets
+    # for buckets the second evaluation never produced. The cache is left
+    # in place for the caller's action (it is the exact frame the result
+    # reads); Spark evicts it LRU-wise afterwards.
+    within = (
+        df.withColumn("__b", b)
+        .withColumn(
+            "__run",
+            F.sum(value_col).over(
+                Window.partitionBy("__b").orderBy(order_col)
+            ),
+        )
+        .persist()
     )
     # Phase 2: bucket totals are bucket-count rows by the bucket_width
-    # contract — collect them (one combiner-reduced aggregate job) and do
-    # the prefix sum in plain Python.
+    # contract — collect them (one combiner-reduced aggregate job over the
+    # persisted frame) and do the prefix sum in plain Python.
     totals = (
-        df.select(b.alias("__b"), F.col(value_col).alias("__v"))
-        .groupBy("__b")
-        .agg(F.sum("__v").alias("__t"))
+        within.groupBy("__b")
+        .agg(F.sum(value_col).alias("__t"))
         .collect()
     )
     if any(r["__b"] is None for r in totals):
@@ -1272,31 +1285,52 @@ def global_running_sum(
             " order key has no position in the global order."
         )
     if len(totals) > 65_536:
-        # the offsets ship back as a literal map — KB-to-MB scale by the
-        # bucket_width contract; a six-figure bucket count means the width
-        # was picked from the row count instead of the key range
+        # offsets are a collected dim — a six-figure bucket count means the
+        # width was picked from the row count instead of the key range
         raise ValueError(
-            f"global_running_sum: {len(totals)} buckets exceed the literal-"
-            f"map contract (<=65536); raise bucket_width={bucket_width} so"
+            f"global_running_sum: {len(totals)} buckets exceed the offsets"
+            f" contract (<=65536); raise bucket_width={bucket_width} so"
             " the key range divides into thousands of buckets, not more."
         )
     running = 0
-    offset_by_bucket: dict[int, int] = {}
+    offset_rows: list[tuple[int, int]] = []
     for r in sorted(totals, key=lambda r: r["__b"]):
-        offset_by_bucket[r["__b"]] = running
+        offset_rows.append((r["__b"], running))
         running += r["__t"] or 0
-    if not offset_by_bucket:
-        off = F.lit(0)
-    else:
+    if not offset_rows:
+        off_frame = within.withColumn("__off", F.lit(0))
+    elif len(offset_rows) <= 4_096:
+        # literal-map path: a few thousand entries keeps Catalyst analysis
+        # fast and the generated code inside the JVM's 64KB method limit —
+        # beyond that create_map's ~2N literal expressions fall out of
+        # whole-stage codegen, so larger counts take the join path below
         mapping = F.create_map(
-            *[F.lit(x) for kv in offset_by_bucket.items() for x in kv]
+            *[F.lit(x) for kv in offset_rows for x in kv]
         )
-        # every __b in `within` exists in the map by construction (both
-        # derive from the same deterministic bucket expression over df)
-        off = F.element_at(mapping, F.col("__b"))
+        off_frame = within.withColumn(
+            "__off", F.element_at(mapping, F.col("__b"))
+        )
+    else:
+        offsets_df = within.sparkSession.createDataFrame(
+            offset_rows, schema="__b bigint, __off bigint"
+        )
+        off_frame = within.join(F.broadcast(offsets_df), "__b", "left")
+    # every __b exists in the offsets by construction (totals came from the
+    # SAME persisted frame) — the raise_error guard turns any residual
+    # cache-eviction + non-determinism race into a loud failure instead of
+    # silently NULL running sums
+    off = F.coalesce(
+        F.col("__off"),
+        F.raise_error(
+            F.lit(
+                "global_running_sum: bucket offset missing — the frame "
+                "changed between the totals collect and the final action"
+            )
+        ).cast("bigint"),
+    )
     return (
-        within.withColumn(f"running_{value_col}", F.col("__run") + off)
-        .drop("__b", "__run")
+        off_frame.withColumn(f"running_{value_col}", F.col("__run") + off)
+        .drop("__b", "__run", "__off")
     )
 
 

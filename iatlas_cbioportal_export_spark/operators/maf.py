@@ -19,7 +19,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Columns the annotator adds — the representative ~40-column Genome Nexus /
@@ -524,23 +524,28 @@ def oncoprint_matrix(
 
     Plan: gene ranking is one countDistinct aggregate + TakeOrderedAndProject
     (per-partition heaps, k rows to the driver-side merge — never a full
-    sort); the top-gene set then BROADCASTS back as a semi-join filter so
-    the matrix aggregate only shuffles rows of the N selected genes.
+    sort); the ≤N ranked rows are COLLECTED in their already-computed order
+    and rank is stamped driver-side into a literal (gene, gene_rank) frame
+    — r10: this deletes the plan's last single-partition window (the r9
+    ``row_number().over(Window.orderBy(...))`` fired ``WindowExec: No
+    Partition Defined``; bounded at ≤N rows but warning-level and
+    derivable for free from the TakeOrderedAndProject order). The tiny
+    rank frame then BROADCASTS back as a semi-join filter so the matrix
+    aggregate only shuffles rows of the N selected genes.
     Output: (gene, gene_rank, sample, n_mutations).
     """
-    gene_rank = (
+    ranked = (
         maf.groupBy(F.col(gene_col).alias("gene"))
         .agg(F.count_distinct(F.col(sample_col)).alias("n_samples"))
         .orderBy(F.desc("n_samples"), "gene")
         .limit(top_genes)
-        .select(
-            "gene",
-            F.row_number()
-            .over(
-                Window.orderBy(F.desc("n_samples"), "gene")
-            )
-            .alias("gene_rank"),
-        )
+        .select("gene")
+        .collect()
+    )
+    gene_type = maf.schema[gene_col].dataType.simpleString()
+    gene_rank = maf.sparkSession.createDataFrame(
+        [(r["gene"], i + 1) for i, r in enumerate(ranked)],
+        schema=f"gene {gene_type}, gene_rank int",
     )
     return (
         maf.select(

@@ -80,8 +80,11 @@ def write_study_bundle(
 
     Reference byte-parity knobs (r9, pinned by the full-bundle
     differential): ``clinical_merged`` writes the reference's
-    ``data_clinical_merged.txt`` (headerless single TSV,
-    ``clinical.py:611-620``); ``pandas_float_format=True`` renders float
+    ``data_clinical_merged.txt`` (a single header'd TSV — column header but
+    none of the 4 ``#`` metadata lines; the reference's ``to_csv`` with the
+    ``header=True`` default, ``clinical.py:611-620``, after unconditionally
+    dropping the ``Dataset`` bookkeeping column — we drop it here too when
+    present); ``pandas_float_format=True`` renders float
     columns with the reference's ``%.12g``; ``order_by`` gives each view a
     deterministic global row order (keys ``"patient"``/``"sample"``/
     ``"merged"`` → sort columns) so single-file artifacts are reproducible
@@ -121,9 +124,14 @@ def write_study_bundle(
 
     # data_clinical_merged.txt — the pre-split frame the reference keeps
     # next to the two views (clinical.py:611-620; it also feeds the
-    # reference's case-list reader). Headerless single TSV, no pruning (the
-    # reference writes the merged subset as-is, minus Dataset).
+    # reference's case-list reader). Single header'd TSV (column header,
+    # no # metadata lines), no pruning: the reference writes the merged
+    # subset as-is, minus the Dataset bookkeeping column, which it drops
+    # unconditionally (clinical.py:615) — mirror that here so callers that
+    # pass the pre-split frame straight through (the CLI) stay byte-equal.
     if clinical_merged is not None:
+        if "Dataset" in clinical_merged.columns:
+            clinical_merged = clinical_merged.drop("Dataset")
         merged_path = os.path.join(out_dir, "data_clinical_merged.txt")
         artifacts["data_clinical_merged.txt"] = write_single_tsv(
             clinical_merged,
@@ -186,6 +194,12 @@ def write_study_bundle(
             fh.write(text)
         artifacts[f"case_lists/cases_{slug}.txt"] = path
 
+    # cases_all: the reference delegates this to the external datahub
+    # generate_case_lists.py (load.py:28-35); the name/description follow
+    # that tool's conf conventions ("All samples" / "... (NUM samples)",
+    # NUM = id count) over the same documented case-list template the
+    # reference's native per-type writer uses — byte-pinned by the bundle
+    # differential's documented-format re-statement of the tool.
     path = os.path.join(case_list_dir, "cases_all.txt")
     with open(path, "w") as fh:
         fh.write(
@@ -194,7 +208,7 @@ def write_study_bundle(
                 "all",
                 sorted(all_ids),
                 name="All samples",
-                description=f"All samples ({len(all_ids)})",
+                description=f"All samples ({len(all_ids)} samples)",
             )[1]
         )
     artifacts["case_lists/cases_all.txt"] = path
@@ -220,7 +234,9 @@ def write_study_bundle(
                     "sequenced",
                     seq_ids,
                     name="Sequenced samples",
-                    description=f"Samples with mutation data ({len(seq_ids)})",
+                    description=(
+                        f"Samples with mutation data ({len(seq_ids)} samples)"
+                    ),
                 )[1]
             )
         artifacts["case_lists/cases_sequenced.txt"] = path

@@ -162,6 +162,11 @@ def _concat_csv_parts(parts_dir: str, out_path: str, head_lines: list[str]) -> s
         for pf in part_files:
             with open(pf) as fh:
                 first = fh.readline()
+                if not first:
+                    # empty part (Spark's csv sink creates the file even for
+                    # an empty partition) — skipping it here keeps the REAL
+                    # column header from a later part from being dropped
+                    continue
                 if not wrote_col_header:
                     out.write(first)
                     wrote_col_header = True

@@ -601,6 +601,32 @@ def test_global_running_sum_empty(spark):
     assert global_running_sum(df, "k", "v", bucket_width=8).count() == 0
 
 
+def test_global_running_sum_broadcast_join_path_above_4096_buckets(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        global_running_sum,
+    )
+
+    # width 1 over 0..4999 → 5000 buckets: above the 4096 literal-map cap,
+    # below the 65536 offsets contract — exercises the broadcast-join path
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") % 5 + 1).alias("v")
+    ).repartition(8)
+    got = global_running_sum(df, "k", "v", bucket_width=1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    want = df.withColumn("running_v", F.sum("v").over(Window.orderBy("k")))
+    assert (
+        got.select("k", "v", "running_v")
+        .exceptAll(want.select("k", "v", "running_v"))
+        .count()
+        == 0
+    )
+    assert got.count() == want.count()
+
+
 def test_multi_linear_fit_recovers_planted_plane(spark):
     from iatlas_cbioportal_export_spark.operators.aggregates import (
         grouped_multi_linear_fit,

@@ -138,3 +138,25 @@ def test_single_tsv_global_order_across_many_partitions(spark, tmp_path):
     vals = {ln.split("\t")[1] for ln in lines[1:]}
     # integral doubles render bare; nulls render empty
     assert vals <= {"", "0", "1", "2", "3", "4", "5", "6"}, vals
+
+
+def test_concat_csv_parts_survives_empty_leading_part(tmp_path):
+    """r10 (ADVICE): an empty (0-byte) part-*.csv sorting FIRST must not
+    have its '' readline consumed as the column header — that used to emit
+    a headerless artifact and drop the real header from the next part.
+    (This Spark build writes header-only files for empty partitions, but
+    older/other writers produce 0-byte parts; the merge is defensive.)"""
+    from iatlas_cbioportal_export_spark.sources.sinks import _concat_csv_parts
+
+    parts = tmp_path / "x.parts"
+    parts.mkdir()
+    (parts / "part-00000-a.csv").write_text("")  # empty partition's file
+    (parts / "part-00001-b.csv").write_text("k\tv\nz1\t1\n")
+    (parts / "part-00002-c.csv").write_text("k\tv\nz2\t2\n")
+    out = str(tmp_path / "x.tsv")
+    _concat_csv_parts(str(parts), out, ["# meta"])
+    with open(out) as fh:
+        lines = fh.read().splitlines()
+    assert lines[0] == "# meta"
+    assert lines[1] == "k\tv", "column header lost to an empty leading part"
+    assert lines[2:] == ["z1\t1", "z2\t2"]

@@ -327,6 +327,11 @@ def test_cli_clinical_reference_artifacts_mode(spark, tmp_path):
     with open(merged_path) as fh:
         lines = fh.read().splitlines()
     header, data = lines[0].split("\t"), lines[1:]
+    # r10 (ADVICE): the reference drops the Dataset bookkeeping column
+    # unconditionally before writing data_clinical_merged.txt
+    # (clinical.py:615) — the canonical CLI input carries Dataset (the
+    # oncotree join needs it), so the merged header must NOT retain it
+    assert "Dataset" not in header
     sid = header.index("SAMPLE_ID")
     ids = [ln.split("\t")[sid] for ln in data]
     assert ids == sorted(ids) and len(ids) == 3

@@ -18,15 +18,30 @@ suite does:
   pruning (a real drift surface: if either side prunes differently the
   header width disagrees with the data) — not the metadata values, which
   are shared by construction.
-- ``generate_meta_files.py`` (external) is a no-op; the natively-written
-  ``meta_study.txt`` (``clinical.py:645-656``) IS byte-compared.
+- ``generate_meta_files.py`` (external) is faked with a re-statement of
+  cBioPortal's documented clinical meta-file format — for each
+  ``data_clinical_{patient,sample}.txt`` present it writes
+  ``meta_clinical_*.txt`` with the documented key order
+  (cancer_study_identifier / genetic_alteration_type / datatype /
+  data_filename); study id parsed from the real subprocess cmd's ``-s``
+  flag. The natively-written ``meta_study.txt`` (``clinical.py:645-656``)
+  is byte-compared as before.
+- ``generate_case_lists.py`` (external, invoked by ``load.py:28-35``) is
+  faked with a re-statement of the same documented case-list template the
+  reference's own per-type writer uses (``clinical.py:56-62``), with the
+  tool's conf wording for cases_all ("All samples" /
+  "All samples (NUM samples)", suffix ``all``) shared with the engine by
+  construction — the byte comparison pins the stable_id construction, key
+  order, tab-joined ids and newline handling. ``load.py`` itself cannot be
+  imported here (module scope does ``synapseclient`` import +
+  ``synapse_login()``), so its subprocess cmd (``load.py:28-35``) is
+  re-stated verbatim in ``_run_reference_bundle``.
 
-Documented order-insensitive / set exceptions (each asserted explicitly):
+r10: the r9 exception list (meta_clinical_*, cases_all) is EMPTY — every
+file either side writes is byte-compared.
 
-- ours-only ``meta_clinical_patient.txt`` / ``meta_clinical_sample.txt``:
-  the reference delegates these to the mocked external tool;
-- ours-only ``case_lists/cases_all.txt``: the reference's clinical CLI
-  writes only per-cancer-type lists (cases_all comes from other tooling);
+Documented order conventions:
+
 - row/ID ordering: the reference preserves input-frame order, we write a
   deterministic sort — the fixture is pre-sorted by the same keys so both
   orders coincide (SURVEY.md §7's order convention).
@@ -155,9 +170,59 @@ def _fake_insert_clinical_metadata(dataset_dir: str) -> None:
             fh.write("\n".join(lines) + "\n" + content)
 
 
+def _fake_generate_meta_files(dataset_dir: str, study_id: str) -> None:
+    """Re-statement of the external generate-meta-files tool's documented
+    output: for each clinical data file present, a ``meta_clinical_*.txt``
+    with cBioPortal's documented clinical meta keys IN DOCUMENTED ORDER
+    (file-formats docs: cancer_study_identifier, genetic_alteration_type,
+    datatype, data_filename), ``key: value`` lines, trailing newline."""
+    for fname, datatype in (
+        ("data_clinical_patient.txt", "PATIENT_ATTRIBUTES"),
+        ("data_clinical_sample.txt", "SAMPLE_ATTRIBUTES"),
+    ):
+        if not os.path.exists(os.path.join(dataset_dir, fname)):
+            continue
+        meta_name = "meta_" + fname[len("data_") :]
+        with open(os.path.join(dataset_dir, meta_name), "w") as fh:
+            fh.write(
+                f"cancer_study_identifier: {study_id}\n"
+                "genetic_alteration_type: CLINICAL\n"
+                f"datatype: {datatype}\n"
+                f"data_filename: {fname}\n"
+            )
+
+
+def _fake_generate_case_lists(
+    case_list_dir: str, staging_dir: str, study_id: str
+) -> None:
+    """Re-statement of the external generate-case-lists tool: reads the
+    staging dir's clinical file for sample ids and renders cases_all.txt
+    with the documented case-list template (the same key order as the
+    reference's native ``CASE_LIST_TEXT_TEMPLATE``, ``clinical.py:56-62``)
+    and the tool conf's cases_all wording ("All samples" /
+    "All samples (NUM samples)" with NUM = id count, stable_id suffix
+    ``all``). Ids are written sorted — the engine's deterministic-order
+    convention; the fixture ids arrive pre-sorted either way."""
+    import csv
+
+    merged = os.path.join(staging_dir, "data_clinical_merged.txt")
+    with open(merged, newline=None) as fh:
+        ids = [r["SAMPLE_ID"] for r in csv.DictReader(fh, dialect="excel-tab")]
+    ids = sorted(ids)
+    os.makedirs(case_list_dir, exist_ok=True)
+    with open(os.path.join(case_list_dir, "cases_all.txt"), "w") as fh:
+        fh.write(
+            f"cancer_study_identifier: {study_id}\n"
+            f"stable_id: {study_id}_all\n"
+            "case_list_name: All samples\n"
+            f"case_list_description: All samples ({len(ids)} samples)\n"
+            "case_list_ids: " + "\t".join(ids)
+        )
+
+
 def _run_reference_bundle(tmp_path, cli_dfs) -> dict[str, str]:
-    """Execute the reference's per-dataset output tail with its two external
-    subprocesses mocked; returns dataset -> output dir."""
+    """Execute the reference's per-dataset output tail with its three
+    external subprocess tools mocked; returns dataset -> output dir."""
     datahub = str(tmp_path / "datahub")
     os.makedirs(os.path.join(datahub, "add-clinical-header"), exist_ok=True)
 
@@ -166,9 +231,15 @@ def _run_reference_bundle(tmp_path, cli_dfs) -> dict[str, str]:
         assert m, f"unparseable subprocess cmd: {cmd}"
         if "insert_clinical_metadata" in cmd:
             _fake_insert_clinical_metadata(m.group(1))
-        # generate_meta_files.py: external datatypes meta writer — no-op
-        # (its outputs are excluded from the comparison set; meta_study.txt
-        # is written natively by the reference AFTER this call)
+        elif "generate_meta_files" in cmd:
+            s = re.search(r"-s\s+(\S+)", cmd)
+            assert s, f"generate_meta_files cmd without -s: {cmd}"
+            _fake_generate_meta_files(m.group(1), s.group(1))
+        elif "generate_case_lists" in cmd:
+            s = re.search(r"-s\s+(\S+)", cmd)
+            i = re.search(r"-i\s+(\S+)", cmd)
+            assert s and i, f"generate_case_lists cmd missing -s/-i: {cmd}"
+            _fake_generate_case_lists(m.group(1), s.group(1), i.group(1))
         return mock.Mock(returncode=0)
 
     out = {}
@@ -190,7 +261,24 @@ def _run_reference_bundle(tmp_path, cli_dfs) -> dict[str, str]:
                 study_id=f"iatlas_{ds}",
             )
             ref.generate_meta_files(dataset_name=ds, datahub_tools_path=datahub)
-            out[ds] = f"{datahub}/add-clinical-header/{ds}"
+            # load.py's write_case_lists_all_and_sequenced (load.py:28-35)
+            # re-stated verbatim: load.py itself cannot be imported (module
+            # scope runs synapseclient import + synapse_login()), so its
+            # subprocess cmd is reproduced here and routed through the same
+            # mocked runner.
+            dataset_dir = f"{datahub}/add-clinical-header/{ds}"
+            ref.subprocess.run(
+                f"""
+    python3 {datahub}/generate-case-lists/generate_case_lists.py \\
+        -c {datahub}/generate-case-lists/case_list_conf.txt \\
+        -d {dataset_dir}/case_lists \\
+        -s {dataset_dir} \\
+        -i iatlas_{ds}
+    """,
+                shell=True,
+                executable="/bin/bash",
+            )
+            out[ds] = dataset_dir
     return out
 
 
@@ -244,12 +332,10 @@ def _file_set(root: str) -> set[str]:
     return found
 
 
-#: files only our bundle writes — each with the reason it is excluded
-ENGINE_ONLY = {
-    "meta_clinical_patient.txt",  # reference: external generate-meta-files
-    "meta_clinical_sample.txt",  # reference: external generate-meta-files
-    "case_lists/cases_all.txt",  # reference clinical CLI: per-type lists only
-}
+#: r10: EMPTY — the three r9 exceptions (meta_clinical_patient/sample,
+#: cases_all) are now produced on the reference side by documented-format
+#: re-statements of the external datahub tools and byte-compared.
+ENGINE_ONLY: set[str] = set()
 
 
 def test_full_bundle_byte_differential(spark, tmp_path):
@@ -283,12 +369,16 @@ def test_full_bundle_byte_differential(spark, tmp_path):
                 f"{ds}/{rel} differs:\nREF:\n{want.decode(errors='replace')!r}"
                 f"\nENGINE:\n{got.decode(errors='replace')!r}"
             )
-        # sanity: the comparison actually covered the full surface
+        # sanity: the comparison actually covered the full surface —
+        # including the three files that were r9's asserted exceptions
         assert {
             "data_clinical_patient.txt",
             "data_clinical_sample.txt",
             "data_clinical_merged.txt",
             "meta_study.txt",
+            "meta_clinical_patient.txt",
+            "meta_clinical_sample.txt",
+            "case_lists/cases_all.txt",
         } <= ref_files
         assert any(r.startswith("case_lists/cases_") for r in ref_files)
 
