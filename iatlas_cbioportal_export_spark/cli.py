@@ -341,9 +341,19 @@ def cmd_validate(args: argparse.Namespace) -> int:
 
 
 def cmd_load(args: argparse.Namespace) -> int:
-    # S7: the reference uploads to Synapse (load.py:38-82); here the bundle
-    # is copied to the destination store path (driver-side, kilobyte metas +
-    # already-distributed data files).
+    # The reference's load stage first generates cases_all/cases_sequenced
+    # from the exported artifacts (load.py:12-35, the external
+    # generate_case_lists.py), THEN uploads; mirror that ordering so a
+    # clinical+maf bundle leaves load complete. Upload itself (Synapse,
+    # load.py:38-82) becomes a copy to the destination store path
+    # (driver-side, kilobyte metas + already-distributed data files).
+    from iatlas_cbioportal_export_spark.plans.bundle import (
+        write_load_stage_case_lists,
+    )
+
+    written = write_load_stage_case_lists(_spark(), args.bundle)
+    if written:
+        print(f"wrote {len(written)} case lists: {sorted(written)}")
     shutil.copytree(args.bundle, args.dest, dirs_exist_ok=True)
     print(f"loaded bundle {args.bundle} -> {args.dest}")
     return 0

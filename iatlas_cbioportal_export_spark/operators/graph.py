@@ -670,7 +670,10 @@ def hits(
     src_col: str = "src",
     dst_col: str = "dst",
     scale: int = 10**6,
-    checkpoint_interval: int = 2,
+    checkpoint_interval: int = 2,  # kept for API stability; unused since
+    # r10 — every half-round materializes into a persisted frame, so
+    # execution always reads the latest cache and no interval
+    # checkpointing is needed
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) over a directed edge list
     in EXACT integer units — the link-analysis dual of :func:`pagerank`
@@ -687,16 +690,23 @@ def hits(
     integer. The ``a_raw·scale`` products run in DECIMAL(38,0): with 1e9+
     edges ``Σ a_raw`` alone passes 1e15, and BIGINT·scale would overflow
     (Spark ``div`` on decimals returns the BIGINT quotient, which here is
-    ≤ scale by construction). Σ-totals are one-row aggregates broadcast
-    back with a crossJoin — the text_tfidf scalar pattern, 2 per round.
+    ≤ scale by construction). r10: each Σ-total is a DRIVER-COLLECTED
+    scalar stamped back as a literal (the ``global_running_sum``
+    decision-scalar pattern) — the r9 shape broadcast each total with a
+    crossJoin, and every broadcast subtree ran as its own job
+    re-executing the round lineage; now each half-round's raw frame is
+    persisted, the total collect materializes it ONCE, and the rescale is
+    a narrow projection over the cache (one job per half-round, zero
+    redundant lineage execution). Prior half-rounds' caches unpersist as
+    soon as the next half-round materializes; the final round's two raw
+    frames stay cached because the returned (lazy) output projects them.
 
     Plan shape is :func:`pagerank`'s: the edge list is laid out once
     (repartition + localCheckpoint), each half-round is one equi-join
-    moving (node, score) pairs + one map-side-combined groupBy, rounds
-    nest into a single plan with lineage truncated every
-    ``checkpoint_interval`` rounds. Output: ``(node, hub_int, auth_int)``
-    — on bipartite graphs source nodes carry auth 0 and sink nodes hub 0
-    after round 1, matching the definition.
+    moving (node, score) pairs + one map-side-combined groupBy. Output:
+    ``(node, hub_int, auth_int)`` — on bipartite graphs source nodes
+    carry auth 0 and sink nodes hub 0 after round 1, matching the
+    definition.
     """
     e = (
         edges.select(
@@ -722,24 +732,29 @@ def hits(
     dec = "decimal(38,0)"
 
     def _l1_rescale(raw: DataFrame, col: str) -> DataFrame:
-        """(node, raw) → (node, (raw·scale) div Σraw), 0-total-safe."""
-        total = raw.agg(F.sum(F.col(col).cast(dec)).alias("__total"))
-        return raw.crossJoin(F.broadcast(total)).select(
+        """(node, raw) → (node, (raw·scale) div Σraw), 0-total-safe.
+
+        ``raw`` must be persisted by the caller: the total collect is the
+        job that materializes it, and the returned projection reads the
+        cache. The literal total replays exactly (integer decimal)."""
+        total = raw.agg(
+            F.sum(F.col(col).cast(dec)).alias("__total")
+        ).collect()[0]["__total"]
+        if not total:
+            return raw.select("node", F.lit(0).cast("long").alias(col))
+        return raw.select(
             "node",
-            F.when(
-                F.col("__total") > 0,
-                F.expr(
-                    f"(CAST({col} AS {dec}) * CAST({scale} AS {dec}))"
-                    " div __total"
-                ),
+            F.expr(
+                f"(CAST({col} AS {dec}) * CAST({scale} AS {dec}))"
+                f" div CAST('{int(total)}' AS {dec})"
             )
-            .otherwise(F.lit(0))
             .cast("long")
             .alias(col),
         )
 
     hub = nodes.select("node", F.lit(scale).cast("long").alias("h"))
     auth = None
+    a_raw = h_raw = None
     # r9: scores are SPARSE between rounds — a node absent from a_raw/h_raw
     # has score exactly 0, and 0-score nodes contribute nothing to either
     # the Σ-total (L1 rescale divides by the same sum with or without
@@ -748,23 +763,32 @@ def hits(
     # (2 per round) are deleted; only the FINAL output densifies. Output
     # values are bit-identical (oracle hash unchanged).
     for i in range(iterations):
+        prev_h_raw = h_raw
         a_raw = (
             e.join(hub, e["src"] == hub["node"])
             .select(F.col("dst").alias("node"), F.col("h").alias("__c"))
             .groupBy("node")
             .agg(F.sum("__c").alias("a"))
+            .persist()
         )
-        auth = _l1_rescale(a_raw, "a")
+        auth = _l1_rescale(a_raw, "a")  # materializes a_raw
+        if prev_h_raw is not None:
+            # the previous round's hub backing — a_raw is cached now, so
+            # nothing downstream re-reads it
+            prev_h_raw.unpersist()
         h_raw = (
             e.join(auth, e["dst"] == auth["node"])
             .select(F.col("src").alias("node"), F.col("a").alias("__c"))
             .groupBy("node")
             .agg(F.sum("__c").alias("h"))
+            .persist()
         )
-        hub = _l1_rescale(h_raw, "h")
-        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
-            hub = hub.localCheckpoint(eager=False)
-            auth = auth.localCheckpoint(eager=False)
+        hub = _l1_rescale(h_raw, "h")  # materializes h_raw
+        if (i + 1) < iterations:
+            # auth is only an input to the (already materialized) h_raw
+            # on non-final rounds; the final round's a_raw backs the
+            # returned output and stays cached
+            a_raw.unpersist()
     return (
         nodes.join(hub, "node", "left")
         .join(auth, "node", "left")

@@ -244,3 +244,108 @@ def write_study_bundle(
     clinical_patient.unpersist()
     clinical_sample.unpersist()
     return artifacts
+
+
+def write_load_stage_case_lists(
+    spark,
+    bundle_dir: str,
+    sample_id_col: str = "SAMPLE_ID",
+    barcode_col: str = "Tumor_Sample_Barcode",
+) -> dict[str, str]:
+    """The reference's LOAD-stage case-list generation
+    (``load.py:12-35``, ``write_case_lists_all_and_sequenced`` → external
+    ``generate_case_lists.py``): ``cases_all.txt`` and — when the bundle
+    carries mutation data — ``cases_sequenced.txt`` (J5 semi-join), written
+    from the already-exported bundle artifacts right before upload. The
+    study id is parsed from the bundle's own ``meta_study.txt``; sample ids
+    come from ``data_clinical_merged.txt`` when present (the staging file
+    the external tool reads) else ``data_clinical_sample.txt``.
+
+    Scale shape: only the distinct sample-id list is collected (the same
+    KB/MB-bounded id-list class as the bundle writer's case lists); the
+    semi-join and distincts run distributed. Returns artifact → path for
+    whatever it wrote (empty dict when the bundle has no clinical file)."""
+    from iatlas_cbioportal_export_spark.sources.readers import (
+        read_tsv,
+        read_tsv_skip_cbioportal_header,
+    )
+
+    meta_study = os.path.join(bundle_dir, "meta_study.txt")
+    study_id = None
+    if os.path.exists(meta_study):
+        with open(meta_study) as fh:
+            for line in fh:
+                if line.startswith("cancer_study_identifier:"):
+                    study_id = line.split(":", 1)[1].strip()
+                    break
+    if study_id is None:
+        return {}
+
+    merged_path = os.path.join(bundle_dir, "data_clinical_merged.txt")
+    sample_path = os.path.join(bundle_dir, "data_clinical_sample.txt")
+    if os.path.exists(merged_path):
+        samples = read_tsv(spark, merged_path)
+    elif os.path.exists(sample_path):
+        samples = read_tsv_skip_cbioportal_header(spark, sample_path)
+    else:
+        return {}
+    if sample_id_col not in samples.columns:
+        return {}
+    samples = samples.select(sample_id_col).distinct()
+
+    case_list_dir = os.path.join(bundle_dir, "case_lists")
+    os.makedirs(case_list_dir, exist_ok=True)
+    artifacts: dict[str, str] = {}
+
+    ids = sorted(r[sample_id_col] for r in samples.collect())
+    path = os.path.join(case_list_dir, "cases_all.txt")
+    with open(path, "w") as fh:
+        fh.write(
+            render_case_list_text(
+                study_id,
+                "all",
+                ids,
+                name="All samples",
+                description=f"All samples ({len(ids)} samples)",
+            )[1]
+        )
+    artifacts["case_lists/cases_all.txt"] = path
+
+    maf_path = None
+    for n in ("data_mutations_extended", "data_mutations_extended.txt",
+              "data_mutations.txt"):
+        p = os.path.join(bundle_dir, n)
+        if os.path.exists(p):
+            maf_path = p
+            break
+    if maf_path is not None:
+        if os.path.isdir(maf_path):
+            maf = (
+                spark.read.option("sep", "\t")
+                .option("header", True)
+                .csv(maf_path)
+            )
+        else:
+            maf = read_tsv(spark, maf_path, comment="#")
+        if barcode_col in maf.columns:
+            sequenced = semi_join_sequenced(
+                samples, maf,
+                clinical_key=sample_id_col, mutation_key=barcode_col,
+            ).collect()
+            seq_ids = sorted(r[sample_id_col] for r in sequenced)
+            path = os.path.join(case_list_dir, "cases_sequenced.txt")
+            with open(path, "w") as fh:
+                fh.write(
+                    render_case_list_text(
+                        study_id,
+                        "sequenced",
+                        seq_ids,
+                        name="Sequenced samples",
+                        description=(
+                            f"Samples with mutation data "
+                            f"({len(seq_ids)} samples)"
+                        ),
+                    )[1]
+                )
+            artifacts["case_lists/cases_sequenced.txt"] = path
+    return artifacts

@@ -90,6 +90,73 @@ def test_cli_validate_fails_on_missing_file(tmp_path):
     assert main(["validate", "--bundle", str(tmp_path / "nope")]) == 1
 
 
+def test_cli_full_pipeline_reference_gate(spark, tmp_path):
+    """r10 (VERDICT #5): ONE chained run of the REAL CLI over a synthetic
+    study — clinical → maf → validate → load — where load lands the bundle
+    in a datahub-shaped store and generates the load-stage case lists the
+    reference's ``write_case_lists_all_and_sequenced`` would
+    (``load.py:12-35``). The LOADED bundle must gate clean under BOTH our
+    ``validate`` command and the reference's own ``validate_export_files``
+    + ``ErrorFlagHandler`` (``clinical.py:765-839``)."""
+    import logging
+    from unittest import mock
+
+    from tests import test_reference_differential as refdiff
+
+    ref = refdiff._load_reference_clinical()
+    if ref is None:
+        pytest.skip(refdiff.skip_reason)
+
+    clinical, oncotree, codes, maf_dir = _write_inputs(tmp_path)
+    bundle = str(tmp_path / "bundle")
+    assert main(
+        ["clinical", "--clinical", str(clinical), "--oncotree", str(oncotree),
+         "--codes", str(codes), "--dataset", "Demo", "--out", bundle,
+         "--reference-artifacts"]
+    ) == 0
+    assert main(
+        ["maf", "--maf-folder", str(maf_dir), "--out", bundle,
+         "--dataset", "Demo"]
+    ) == 0
+    assert main(["validate", "--bundle", bundle]) == 0
+
+    # load into the datahub layout the reference validator resolves
+    # ({datahub}/add-clinical-header/{dataset})
+    datahub = tmp_path / "datahub"
+    ach = datahub / "add-clinical-header"
+    os.makedirs(ach)
+    dest = str(ach / "Demo")
+    assert main(["load", "--bundle", bundle, "--dest", dest]) == 0
+
+    # load generated the case lists the reference's load stage writes;
+    # cases_sequenced is the J5 semi-join of clinical samples vs surviving
+    # (post-chrM-filter) mutation barcodes
+    for f in ("cases_all.txt", "cases_sequenced.txt"):
+        assert os.path.exists(os.path.join(dest, "case_lists", f)), f
+    with open(os.path.join(dest, "case_lists", "cases_sequenced.txt")) as fh:
+        seq_ids = fh.read().splitlines()[-1].split(": ")[1].split("\t")
+    assert seq_ids == ["s1", "s3"]  # s2's only variant is chrM-filtered
+
+    # our validate gates the LOADED copy green too
+    assert main(["validate", "--bundle", dest]) == 0
+
+    # the reference's own validator accepts the loaded bundle as a drop-in
+    flagger = ref.utils.ErrorFlagHandler()
+    logger = logging.getLogger("cli_pipeline_gate")
+    logger.handlers = [flagger]
+    logger.propagate = False
+    with mock.patch.object(
+        ref.syn, "get", return_value=mock.Mock(path=str(clinical))
+    ):
+        ref.validate_export_files(
+            input_df_synid="synX",
+            dataset_name="Demo",
+            datahub_tools_path=str(datahub),
+            logger=logger,
+        )
+    assert flagger.had_error is False
+
+
 def test_cli_clinical_with_mapping_splits_patient_attrs(spark, tmp_path):
     # --mapping drives header renames + the PATIENT/SAMPLE attribute split
     # (reference clinical.py:334-340, 381-395): os_status is renamed to
