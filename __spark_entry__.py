@@ -6503,16 +6503,15 @@ def q_bundle_cross_checks(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
     checks the FIRST 50 entries only. Since round 5 every registry entry
-    has a driver-green CORRECTNESS row, so the round-8 window (the
-    ``_R8_WINDOW`` list below — applied as a reorder over the full
-    registry) is: NEW round-8 queries first (ZIP64 indexing, word-mode
-    containment), then re-check slots for every query whose operator file
-    changed this round (dedup.py containment rewrite; aggregates.py
-    chunk_assignment + global_running_sum; scalar.py/clinical_pipeline.py
-    suffix-strip reference fix; multimodal.py zip64/id3/mp3 edges;
-    validation.py header coalesce; text.py/sampling.py pack rename), then
+    has a driver-green CORRECTNESS row, so the round-10 window (the
+    ``_R10_WINDOW`` list below — applied as a reorder over the full
+    registry) is: re-check slots for every query whose operator file
+    changed this round (graph.py hits normalization; maf.py oncoprint
+    literal rank; aggregates.py running-sum persist/fallback; sinks.py
+    part-concat guard; plans/bundle.py case-list changes), then
     freshness re-checks of the LONGEST-unchecked previously-green entries
-    (per CORRECTNESS_r01-r07)."""
+    (per CORRECTNESS_r01-r09: the r1/r2 TPC-H-and-friends cohort, then
+    r3)."""
     all_q = {
         "bundle_cross_checks": q_bundle_cross_checks,
         "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
@@ -6775,15 +6774,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_order_priority": q_tpch_q4,
         "tpch_q5_local_supplier": q_tpch_q5,
     }
-    assert len(_R9_WINDOW) <= 50, (
+    assert len(_R10_WINDOW) <= 50, (
         f"driver checks only the first 50 registry slots; window has "
-        f"{len(_R9_WINDOW)} entries (r9 ADVICE: entries past 50 are "
+        f"{len(_R10_WINDOW)} entries (r9 ADVICE: entries past 50 are "
         "silently unchecked)"
     )
-    window = [n for n in _R9_WINDOW if n in all_q]
-    assert len(window) == len(_R9_WINDOW), (
+    window = [n for n in _R10_WINDOW if n in all_q]
+    assert len(window) == len(_R10_WINDOW), (
         f"window names missing from registry: "
-        f"{set(_R9_WINDOW) - set(all_q)}"
+        f"{set(_R10_WINDOW) - set(all_q)}"
     )
     rest = [n for n in all_q if n not in set(window)]
     return {n: all_q[n] for n in [*window, *rest]}
@@ -6857,6 +6856,75 @@ _R9_WINDOW = [
     "decontamination",
     "asof_join_last_purchase",
     "window_topk_per_group",
+]
+
+
+# Round-10 driver window (first 50 entries, asserted <=50): re-check
+# slots for every r10-touched code path first (graph.py hits
+# normalization rewrite; maf.py oncoprint literal-rank; aggregates.py
+# running-sum persist + broadcast-offsets fallback; sinks.py empty-part
+# concat guard; plans/bundle.py Dataset drop + load-stage case lists +
+# cases_all wording), then PURE freshness: the registry's
+# longest-undriven cohort. CORRECTNESS_r01-r09 show the oldest
+# last-checked entries are the r1/r2 cohort (text_language_report r1;
+# the TPC-H tail, rollup/cube, window_moving_avg, attribution, ivf
+# r2) and then r3 — older than the r5-r6 cohort VERDICT r9 suggested,
+# so the window follows the data. Per-entry last-checked rounds are
+# listed in STATUS.md.
+_R10_WINDOW = [
+    # r10-touched code paths
+    "graph_hits",
+    "maf_oncoprint",
+    "running_revenue",
+    "sample_pack_sequences",
+    "sequence_packing",
+    "flagship_case_lists",
+    "a1_case_lists",
+    "j5_semi_join",
+    "f8_case_list_render",
+    "meta_consistency",
+    "bundle_cross_checks",
+    "v_validation_suite",
+    "s5_float_g_format",
+    "s4_chunk_assignment",
+    # freshness: last driver-checked r1/r2
+    "text_language_report",
+    "cube_revenue",
+    "embedding_near_dup",
+    "events_attribution",
+    "events_json_extract",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "percentiles_by_segment",
+    "range_join_qty_size",
+    "rollup_revenue",
+    "sim_ivf_trained",
+    "text_top_ngrams",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_priority",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_brand_bands",
+    "tpch_q20_excess_shipping",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "window_moving_avg",
+    # freshness: last driver-checked r3
+    "cdc_apply_changelog",
+    "data_splits",
+    "dedup_components_star",
+    "dedup_keep_best",
+    "emb_l2_normalize",
 ]
 
 

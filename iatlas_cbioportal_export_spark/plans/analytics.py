@@ -857,24 +857,39 @@ def global_sales_opportunity(
 
 
 def daily_revenue_moving_avg(orders: DataFrame, window_days: int = 7) -> DataFrame:
-    """Trailing N-day moving average of daily order revenue via a RANGE
-    window frame over the day number (existing days only — identical to a
-    correlated ±(N-1)-day self-join).
+    """Trailing N-day moving average of daily order revenue over existing
+    days only — identical to a RANGE ``-(N-1)..0`` frame on the day number.
 
-    The frame runs over the DAILY AGGREGATE (a calendar-sized table, ~2.4k
-    rows even for a decade of data), never the order fact, so the
-    unpartitioned window is a deliberate single-partition op on a tiny
-    input; the fact table contributes one keyed-shuffle groupBy first.
+    r10 plan: instead of an unpartitioned RANGE window over the daily
+    aggregate (single-partition sort — bounded here by the calendar, but
+    the one shape the no-global-window sweep forbids), each day's total
+    CONTRIBUTES to the N target days it falls inside
+    (``explode(sequence(day, day+N-1))`` — a fixed ×N fanout of the
+    calendar-sized frame), target-day sums are one keyed groupBy, and an
+    equi-join back to the daily frame keeps exactly the existing days (the
+    RANGE frame's "present days only" denominator falls out as the
+    contribution COUNT). Fully partitioned at every step; the fact table
+    still contributes only the first keyed-shuffle groupBy.
     """
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(_dec("o_totalprice")).alias("rev_dec")
     )
-    w = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-(window_days - 1), 0)
-    return daily.select(
+    dn = F.unix_date(F.col("day"))
+    contrib = daily.select(
+        F.explode(
+            F.sequence(dn, dn + F.lit(int(window_days) - 1))
+        ).alias("__target"),
+        F.col("rev_dec").alias("__rev"),
+    )
+    win = contrib.groupBy("__target").agg(
+        F.sum("__rev").alias("__win_rev"),
+        F.count(F.lit(1)).alias("__win_days"),
+    )
+    return daily.join(win, dn == F.col("__target")).select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.round("rev_dec", 2).cast("double").alias("day_revenue"),
         F.round(
-            F.sum("rev_dec").over(w).cast("double") / F.count(F.lit(1)).over(w), 4
+            F.col("__win_rev").cast("double") / F.col("__win_days"), 4
         ).alias("ma7"),
     )
 

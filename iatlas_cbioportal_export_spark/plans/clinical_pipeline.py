@@ -193,12 +193,17 @@ def logrank_test(
     the time-decay op uses. Counts stay integers end-to-end.
 
     Plan: one groupBy(time) over the two groups' per-time death/total
-    counts (conditional sums — no pivot), reverse running sums for the two
-    risk sets over the joint grid, one single-row final aggregate.
+    counts (conditional sums — no pivot); the two risk sets (reverse
+    running sums over the joint grid) come from ONE bucketed two-phase
+    running sum (:func:`~iatlas_cbioportal_export_spark.operators.
+    aggregates.global_running_sums` — r10: the r9 shape ran an
+    unpartitioned reverse window over the grid, one task for every
+    distinct event time; fractional durations make that grid
+    corpus-sized) via the suffix identity
+    ``n(t) = total − prefix_incl(t) + c(t)`` (exact on the distinct-time
+    grid, where ROWS ≡ RANGE); then one single-row final aggregate.
     Output: (group_a, group_b, observed_a, expected_a, variance, z).
     """
-    from pyspark.sql import Window
-
     two = df.filter(F.col(group_col).isin([group_a, group_b]))
     per_t = two.groupBy(F.col(duration_col).alias("t")).agg(
         F.sum(
@@ -207,18 +212,35 @@ def logrank_test(
         F.sum(F.col(event_col).cast("long")).alias("d"),
         F.count(F.when(F.col(group_col) == group_a, F.lit(1))).alias("c_a"),
         F.count(F.lit(1)).alias("c"),
-    )
-    w_rev = (
-        Window.orderBy("t")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    grid = per_t.select(
-        "t",
-        "d_a",
-        "d",
-        F.sum("c_a").over(w_rev).alias("n_a"),
-        F.sum("c").over(w_rev).alias("n"),
-    ).filter(F.col("d") > 0)
+    ).persist()
+    mm = per_t.agg(
+        F.min(F.expr("CAST(t AS BIGINT)")).alias("lo"),
+        F.max(F.expr("CAST(t AS BIGINT)")).alias("hi"),
+    ).collect()[0]
+    if mm["lo"] is None:
+        grid = per_t.select(
+            "t", "d_a", "d",
+            F.col("c_a").alias("n_a"), F.col("c").alias("n"),
+        )
+    else:
+        from iatlas_cbioportal_export_spark.operators.aggregates import (
+            global_running_sums,
+        )
+
+        width = max(1, (int(mm["hi"]) - int(mm["lo"])) // 2048 + 1)
+        run, tot = global_running_sums(per_t, "t", ["c_a", "c"], width)
+        grid = run.select(
+            "t",
+            "d_a",
+            "d",
+            (F.lit(tot["c_a"]) - F.col("running_c_a") + F.col("c_a"))
+            .cast("long")
+            .alias("n_a"),
+            (F.lit(tot["c"]) - F.col("running_c") + F.col("c"))
+            .cast("long")
+            .alias("n"),
+        )
+    grid = grid.filter(F.col("d") > 0)
     ratio = F.col("n_a").cast("double") / F.col("n")
     e_term = F.round(F.col("d") * ratio, 9).cast("decimal(28,9)")
     v_term = F.round(

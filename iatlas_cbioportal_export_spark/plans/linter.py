@@ -98,3 +98,57 @@ def assert_scale_safe(df: DataFrame, **allow) -> None:
             "plan is not scale-safe:\n"
             + "\n".join(f"  [{code}] {msg}" for _sev, code, msg in errors)
         )
+
+
+_WINDOW_LINE = re.compile(r"^[\s:+\-*]*Window (\[)")
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """EXACT single-partition-window detector on the OPTIMIZED LOGICAL
+    plan (r10). A logical ``Window`` node prints
+    ``Window [exprs], [partitionSpec], [orderSpec]``; the no-PARTITION-BY
+    form has only two top-level bracket groups. This is distinct from
+    :func:`lint_plan`'s physical heuristic, which can false-positive when
+    a scalar aggregate's ``Exchange SinglePartition`` coexists with a
+    correctly partitioned window elsewhere in the plan (and which matched
+    ``WindowGroupLimit`` lines — the pushed-down top-k group limit, whose
+    FIRST bracket group is the partition spec).
+
+    Returns the offending plan lines (empty list = no unpartitioned
+    window anywhere in the logical plan).
+    """
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    bad: list[str] = []
+    for line in logical.splitlines():
+        if not _WINDOW_LINE.match(line):
+            continue
+        rest = line[line.index("Window ") + len("Window ") :]
+        depth = 0
+        start = -1
+        groups: list[str] = []
+        for i, ch in enumerate(rest):
+            if ch == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(rest[start : i + 1])
+                elif depth < 0:
+                    depth = 0
+        # 3 groups → [exprs], [partitionSpec], [orderSpec]: partitioned.
+        # 2 groups is ambiguous: `PARTITION BY x` without ORDER BY prints
+        # `[exprs], [partCols]`, while `ORDER BY x` without PARTITION BY
+        # prints `[exprs], [orderSpec]` — only the order spec carries the
+        # ` ASC NULLS `/` DESC NULLS ` sort markers.
+        if len(groups) >= 3:
+            continue
+        second = groups[1] if len(groups) > 1 else ""
+        if " ASC NULLS " in second or " DESC NULLS " in second:
+            bad.append(line.strip()[:160])
+        elif len(groups) < 2:
+            # truncated/unexpected print shape — flag loudly rather than
+            # silently passing
+            bad.append(line.strip()[:160])
+    return bad

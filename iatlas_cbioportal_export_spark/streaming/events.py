@@ -814,11 +814,19 @@ def time_to_convert(
     take" readout next to the funnel's "how many convert".
 
     All integers: epoch-second truncation (both engines floor), one
-    conditional-min aggregate per user, rank-and-pick percentiles over the
-    (small — one row per converted user) gap table. Output: one row
-    (n_converted, median_seconds, p90_seconds).
+    conditional-min aggregate per user, then exact discrete percentiles by
+    CUMULATIVE-COUNT threshold over the distinct-gap grid: the k-th order
+    statistic of the gap multiset is the smallest gap whose cumulative
+    count reaches k, so the r9 global ``row_number()`` rank (an
+    unpartitioned window — one task for the whole gap table, which grows
+    with the converted-user count) is replaced by per-gap counts + ONE
+    bucketed two-phase running sum (:func:`~iatlas_cbioportal_export_spark.
+    operators.aggregates.global_running_sums`) + two TakeOrdered(1) picks.
+    Values are identical: rank ties on equal gaps are interchangeable for
+    the picked VALUE. Output: one row (n_converted, median_seconds,
+    p90_seconds).
     """
-    from pyspark.sql import Window
+    import math
 
     sec = F.col(ts_col).cast("timestamp").cast("long")
     per_user = (
@@ -840,26 +848,50 @@ def time_to_convert(
         .agg(F.min("s").alias("fp"))
         .select("u", (F.col("fp") - F.col("fv")).alias("gap"))
     )
-    ranked = seconds.select(
-        "gap",
-        F.row_number().over(Window.orderBy("gap", "u")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        global_running_sums,
     )
-    return ranked.agg(
-        F.max("n").alias("n_converted"),
-        F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.col("n") / 2).cast("long"),
-                F.col("gap"),
-            )
-        ).alias("median_seconds"),
-        F.max(
-            F.when(
-                F.col("rn")
-                == F.ceil(F.lit(0.9) * F.col("n")).cast("long"),
-                F.col("gap"),
-            )
-        ).alias("p90_seconds"),
+
+    gcounts = seconds.groupBy("gap").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).persist()
+    mm = gcounts.agg(
+        F.min("gap").alias("lo"), F.max("gap").alias("hi")
+    ).collect()[0]
+    spark = events.sparkSession
+    if mm["lo"] is None:
+        # no conversions: aggregate-over-empty shape (one row of NULLs),
+        # matching the r9 version's agg over an empty ranked frame
+        return spark.createDataFrame(
+            [(None, None, None)],
+            "n_converted long, median_seconds long, p90_seconds long",
+        )
+    width = max(1, (int(mm["hi"]) - int(mm["lo"])) // 2048 + 1)
+    run, tot = global_running_sums(gcounts, "gap", ["__c"], width)
+    n = tot["__c"]
+    k_med = math.ceil(n / 2)
+    k_p90 = math.ceil(0.9 * n)
+    med = (
+        run.filter(F.col("running___c") >= k_med)
+        .orderBy("gap")
+        .limit(1)
+        .select(F.col("gap").alias("median_seconds"))
+    )
+    p90 = (
+        run.filter(F.col("running___c") >= k_p90)
+        .orderBy("gap")
+        .limit(1)
+        .select(F.col("gap").alias("p90_seconds"))
+    )
+    # two one-row picks broadcast-crossed with the literal count — the
+    # registry's standard scalar-assembly shape
+    return (
+        med.crossJoin(F.broadcast(p90))
+        .select(
+            F.lit(n).cast("long").alias("n_converted"),
+            "median_seconds",
+            "p90_seconds",
+        )
     )
 
 

@@ -46,7 +46,7 @@ ALLOW_NESTED_LOOP = {
     "sim_association_rules",   # basket-count scalar: one-row broadcast join
     "graph_label_propagation", # checkpointed per-round state scans
     "stats_mutual_information",# marginal/total one-row broadcast crosses
-    "events_time_to_convert",  # converted-user gap table: global rank window
+    "events_time_to_convert",  # two 1-row percentile picks broadcast-crossed
     "profile_key_skew",        # (total, n_keys) scalar: one-row broadcast join
     "sim_mips_topk",           # scoring vs broadcast query set (= bruteforce)
     "text_vocab_growth",       # two 1-row aggregates crossed (curve assembly)
@@ -60,8 +60,18 @@ _QUERIES = entrymod.queries()
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_registry_query_plan_is_scale_safe(spark, name):
+    from iatlas_cbioportal_export_spark.plans.linter import (
+        unpartitioned_windows,
+    )
+
     df = _QUERIES[name](spark, SF_DIR)
     assert_scale_safe(df, allow_nested_loop=name in ALLOW_NESTED_LOOP)
+    # r10: ZERO single-partition windows registry-wide, no exceptions —
+    # the last five (ks ECDF, logrank risk sets, time-to-convert ranks,
+    # key-skew rank, moving-avg RANGE frame) were rewritten onto bucketed
+    # running sums / TakeOrdered literal ranks / explode-contribution
+    bad = unpartitioned_windows(df)
+    assert not bad, f"single-partition window(s) in {name}: {bad}"
 
 
 def test_every_oracle_has_a_registered_query():

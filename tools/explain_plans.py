@@ -877,6 +877,52 @@ def main() -> int:
         )
         print(("OK   " if not any(f.startswith(name) for f in failures) else "FAIL ") + name)
 
+    # --- registry-wide single-partition-window sweep (r10) -----------------
+    from iatlas_cbioportal_export_spark.plans.linter import (
+        unpartitioned_windows,
+    )
+
+    # plan SHAPE is scale-independent; sweep at the smallest sf so queries
+    # whose construction runs eager decision scalars stay cheap
+    win_sf = "/root/testdata/sf0.001"
+    win_bad: dict[str, list[str]] = {}
+    for name, fn in qs.items():
+        try:
+            offending = unpartitioned_windows(fn(spark, win_sf))
+        except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
+            offending = [f"(query construction raised: {ex!r})"]
+        if offending:
+            win_bad[name] = offending
+    if win_bad:
+        for name, lines in win_bad.items():
+            failures.append(f"window-sweep {name}: {lines[0]}")
+    sections.append(
+        "## no_single_partition_window (registry-wide)\n\n"
+        f"Every registry query's OPTIMIZED LOGICAL plan ({len(qs)} queries)\n"
+        "checked for `Window` nodes with an empty PARTITION BY — the shape\n"
+        "that plans `Exchange SinglePartition` and moves its whole input to\n"
+        "one task (`plans/linter.py::unpartitioned_windows`; exact logical-\n"
+        "node detection, no physical-plan heuristics). r10 removed the last\n"
+        "five (oncoprint gene rank, KS ECDF, log-rank risk sets,\n"
+        "time-to-convert percentiles, key-skew rank, daily moving average) —\n"
+        "rewritten onto bucketed two-phase running sums, TakeOrdered literal\n"
+        "ranks, and explode-contribution reshuffles.\n\n"
+        + (
+            "**VIOLATIONS:**\n"
+            + "\n".join(
+                f"- `{n}`: `{v[0]}`" for n, v in sorted(win_bad.items())
+            )
+            if win_bad
+            else f"- [x] 0 single-partition windows across {len(qs)} "
+            "registry queries"
+        )
+        + "\n"
+    )
+    print(
+        ("OK   " if not win_bad else "FAIL ")
+        + f"no_single_partition_window ({len(qs)} queries)"
+    )
+
     # --- bucketed co-located join (not a registry query: needs a write) ----
     from iatlas_cbioportal_export_spark.sources.bucketing import (
         bucketed_join,
