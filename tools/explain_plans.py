@@ -100,8 +100,14 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     # rollup = ONE Expand + ONE aggregate — not a shuffle per grouping level
     "rollup_revenue": (["Expand", "HashAggregate"], ["CartesianProduct"]),
     "cube_revenue": (["Expand", "HashAggregate"], ["CartesianProduct"]),
-    # RANGE frame over the daily aggregate, fact table grouped first
-    "window_moving_avg": (["Window", "specifiedwindowframe(RangeFrame"], ["CartesianProduct"]),
+    # r10: explode-contribution reshuffle — each day's total fans out to
+    # its N target days (Generate), target sums are a keyed groupBy, and
+    # the join back to the daily frame keeps existing days; NO window at
+    # all (the old RANGE frame was the last deliberate single-partition op)
+    "window_moving_avg": (
+        ["Generate", "HashAggregate"],
+        ["CartesianProduct", "Window"],
+    ),
     "percentiles_by_segment": (["Window", "row_number"], ["CartesianProduct"]),
     # interval predicate must ride the user_id equi-join, never a nested loop
     "events_attribution": (
@@ -261,10 +267,13 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
         ["CartesianProduct"],
     ),
     "clinical_logrank": (["Window", "HashAggregate"], ["CartesianProduct"]),
-    # gene ranking is a heap (no full sort); matrix filter broadcasts
+    # r10: gene ranking runs EAGERLY at construction (TakeOrdered heap,
+    # collected, rank stamped driver-side) so the returned plan is the
+    # matrix aggregate joined to a literal rank frame — broadcast, no
+    # window, no sort
     "maf_oncoprint": (
-        ["TakeOrderedAndProject", "BroadcastHashJoin"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        ["BroadcastHashJoin", "Scan ExistingRDD", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
     ),
     "stats_chi_square": (["HashAggregate"], ["CartesianProduct"]),
     "events_streaks": (["Window", "HashAggregate"], ["CartesianProduct"]),
@@ -332,11 +341,12 @@ EXPECTATIONS: dict[str, tuple[list[str], list[str]]] = {
     ),
     # entirely narrow: split/filter/fold per row, no exchange before the agg
     "text_char_entropy": (["codegen id"], ["Exchange", "CartesianProduct"]),
-    # one map-side-combined groupBy over the raw table; the totals join is a
-    # 1-row broadcast; top-k is a heap, never a full sort shuffle
+    # r10: the groupBy/totals/TakeOrdered all run EAGERLY at construction
+    # and the ≤k ranked rows come back as a literal frame — the returned
+    # plan is a pure LocalTableScan (rank stamped driver-side, no window)
     "profile_key_skew": (
-        ["HashAggregate", "TakeOrderedAndProject"],
-        ["CartesianProduct", "SortMergeJoin"],
+        ["Scan ExistingRDD"],
+        ["CartesianProduct", "SortMergeJoin", "Window", "Exchange"],
     ),
     # reads back the COMPACTED files; one aggregate, no joins at all
     "layout_compaction": (
