@@ -956,6 +956,9 @@ def ks_two_sample(
         )
     width = max(1, (int(mm["hi"]) - int(mm["lo"])) // 2048 + 1)
     run, tot = global_running_sums(grid, "v", ["c1", "c2"], width)
+    # the helper's persisted phase-1 frame (a superset of grid) is
+    # materialized by its totals collect — grid's own cache is redundant now
+    grid.unpersist()
     n1, n2 = tot["c1"], tot["c2"]
     return run.select(
         F.lit(n1).cast("long").alias("__n1"),

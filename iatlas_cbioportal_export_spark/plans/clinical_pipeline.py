@@ -229,6 +229,8 @@ def logrank_test(
 
         width = max(1, (int(mm["hi"]) - int(mm["lo"])) // 2048 + 1)
         run, tot = global_running_sums(per_t, "t", ["c_a", "c"], width)
+        # the helper's persisted frame supersedes per_t's cache
+        per_t.unpersist()
         grid = run.select(
             "t",
             "d_a",

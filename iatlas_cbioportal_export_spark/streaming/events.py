@@ -868,6 +868,8 @@ def time_to_convert(
         )
     width = max(1, (int(mm["hi"]) - int(mm["lo"])) // 2048 + 1)
     run, tot = global_running_sums(gcounts, "gap", ["__c"], width)
+    # the helper's persisted frame supersedes gcounts' cache
+    gcounts.unpersist()
     n = tot["__c"]
     k_med = math.ceil(n / 2)
     k_p90 = math.ceil(0.9 * n)
