@@ -54,3 +54,55 @@ def test_global_window_warned(spark):
                for _s, c, _m in lint_plan(df))
     # warns only — assert_scale_safe still passes
     assert_scale_safe(df)
+
+
+def test_unpartitioned_windows_detector(spark):
+    """r10: the exact logical-plan detector behind the registry-wide
+    no-single-partition-window invariant — must flag ORDER-BY-only
+    windows, pass PARTITION-BY windows (with or without ORDER BY), and
+    not be fooled by WindowGroupLimit (whose first bracket group is the
+    partition spec) or by scalar aggregates elsewhere in the plan."""
+    from pyspark.sql import Window
+
+    from iatlas_cbioportal_export_spark.plans.linter import (
+        unpartitioned_windows,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
+    )
+
+    # ORDER BY only -> flagged
+    bad = df.withColumn("rn", F.row_number().over(Window.orderBy("v")))
+    assert unpartitioned_windows(bad), "global window not detected"
+
+    # PARTITION BY + ORDER BY -> clean
+    ok = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("v"))
+    )
+    assert unpartitioned_windows(ok) == []
+
+    # PARTITION BY without ORDER BY (count over partition) -> clean;
+    # this shape also prints only TWO bracket groups, the case that
+    # false-positived the first r10 sweep
+    ok2 = df.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    assert unpartitioned_windows(ok2) == []
+
+    # rank()<=k filter optimizes to WindowGroupLimit above the Window —
+    # still a partitioned plan, must stay clean
+    ok3 = (
+        df.withColumn(
+            "rk",
+            F.rank().over(Window.partitionBy("g").orderBy(F.desc("v"))),
+        )
+        .filter(F.col("rk") <= 2)
+    )
+    assert unpartitioned_windows(ok3) == []
+
+    # a scalar aggregate (SinglePartition exchange) NEXT TO a partitioned
+    # window — the physical-plan heuristic's false-positive shape
+    agg = df.groupBy().agg(F.sum("v").alias("t"))
+    mixed = ok.crossJoin(F.broadcast(agg))
+    assert unpartitioned_windows(mixed) == []

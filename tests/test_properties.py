@@ -808,3 +808,50 @@ def test_golden_record_is_mode_with_min_tiebreak(spark, data):
             cnt = Counter(nn)
             expect = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
             assert out[c]["f"] == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-500, max_value=500),  # order key (can tie)
+            st.integers(min_value=-50, max_value=50),    # value a
+            st.integers(min_value=0, max_value=9),       # value b
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    width=st.sampled_from([1, 3, 7, 50, 1000]),
+)
+def test_global_running_sums_match_python_reference(spark, rows, width):
+    """r10 core primitive: the multi-column bucketed two-phase running sum
+    must equal the single-partition SQL RANGE cumulative (computed here as
+    a driver-side Python reference) for BOTH columns, under arbitrary
+    signed/tied order keys and bucket widths — including width 1 (one
+    bucket per key) and widths larger than the key range (one bucket
+    total). Also checks the returned grand totals."""
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        global_running_sums,
+    )
+
+    df = spark.createDataFrame(rows, "k long, a long, b long").repartition(7)
+    out, totals = global_running_sums(df, "k", ["a", "b"], width)
+    got = [
+        (r["k"], r["a"], r["b"], r["running_a"], r["running_b"])
+        for r in out.collect()
+    ]
+    # SQL RANGE frame: every row's cumulative includes ALL rows with key <= k
+    ref_a = {
+        k: sum(a for kk, a, _ in rows if kk <= k) for k, _, _ in rows
+    }
+    ref_b = {
+        k: sum(b for kk, _, b in rows if kk <= k) for k, _, _ in rows
+    }
+    assert len(got) == len(rows)
+    for k, _a, _b, ra, rb in got:
+        assert ra == ref_a[k], (k, ra, ref_a[k])
+        assert rb == ref_b[k], (k, rb, ref_b[k])
+    assert totals == {
+        "a": sum(a for _, a, _ in rows),
+        "b": sum(b for _, _, b in rows),
+    }
