@@ -701,13 +701,29 @@ def test_containment_join_matches_bruteforce(spark, docs, t):
             inter = len(sa & sb)
             if inter * 1_000_000 >= t_micro * len(sa):
                 expected[(a, b)] = (len(sa), inter, inter * 1_000_000 // len(sa))
+    # exact=True is the uncapped path — the only one the uncapped brute
+    # force models (the default df-cap is documented to LOSE pairs whose
+    # entire overlap is hot tokens, e.g. three copies of one token shared
+    # by every doc: df=3 > max_df=2 drops it from candidate generation).
     got = {
+        (r["id_a"], r["id_b"]): (r["n_a"], r["inter"], r["containment_ppm"])
+        for r in containment_join(
+            _df(spark, docs), threshold=t, ngram_n=None, exact=True
+        ).collect()
+    }
+    assert got == expected
+    # The DEFAULT (df-capped) path must stay SOUND: a subset of the
+    # brute-force pairs with identical exact scores (verification runs on
+    # full string arrays, so surviving pairs never change value).
+    capped = {
         (r["id_a"], r["id_b"]): (r["n_a"], r["inter"], r["containment_ppm"])
         for r in containment_join(
             _df(spark, docs), threshold=t, ngram_n=None
         ).collect()
     }
-    assert got == expected
+    assert set(capped) <= set(expected)
+    for key, val in capped.items():
+        assert val == expected[key]
 
 
 @settings(**_SETTINGS)
