@@ -818,9 +818,12 @@ def sssp_distances(
     result is identical to relaxing everything, rounds just get cheaper as
     the frontier shrinks). Per round:
 
-    1. frontier ⋈ edges (keyed on node ids, AQE re-plannable) →
-       map-side-combined ``min(dist + w)`` per destination;
-    2. one node-table-sized full-outer merge stamps improved distances;
+    1. frontier ⋈ edges (keyed on node ids, AQE re-plannable) emits the
+       relaxation candidates ``(t, dist + w)``;
+    2. candidates and the current state table union into ONE
+       map-side-combined ``min`` per node (r10 — replaces the old
+       groupBy-then-full-outer-merge, which cost a second exchange plus
+       two sorts per round because FullOuter SMJ forgets partitioning);
     3. the merged state is persisted (eager count) and the PREVIOUS
        round's state unpersisted — r8 change from per-round lazy
        localCheckpoints, which accumulated block-storage RDDs across
@@ -853,6 +856,13 @@ def sssp_distances(
         F.col(right_col).cast("long").alias("t"),
         F.col(weight_col).cast("long").alias("w"),
     )
+    # r10: ONE shuffle builds the laid-out edge table — repartition("s")
+    # FIRST, then collapse parallel edges: HashPartitioning(s) satisfies
+    # the groupBy(s, t) clustering requirement (s is a prefix of the
+    # grouping key), so the aggregate runs partition-local with no second
+    # exchange and the cached output keeps the s-layout every round's
+    # join needs (was: groupBy exchange on (s,t) + repartition exchange
+    # on s — two full passes of the symmetrized edge list).
     e = (
         half.union(
             pairs.select(
@@ -861,26 +871,52 @@ def sssp_distances(
                 F.col(weight_col).cast("long"),
             )
         )
+        .repartition("s")
         .groupBy("s", "t")
         .agg(F.min("w").alias("w"))
-        .repartition("s")
         .persist()
     )
     dist = spark.createDataFrame([(int(source), 0)], "node long, dist long")
     frontier = dist
     live_caches: list[DataFrame] = []
     for i in range(rounds):
-        cand = (
-            frontier.join(e, frontier["node"] == e["s"])
-            .groupBy(F.col("t").alias("node"))
-            .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+        # r10 merge fusion: the old shape was groupBy(t) over the
+        # relaxation candidates (exchange 1) then a full-outer
+        # SortMergeJoin against the state table (exchange 2 + two sorts —
+        # FullOuter SMJ output partitioning is Unknown, so every round
+        # re-exchanged the cached state). min-plus relaxation is a pure
+        # MIN per node, so state rows and candidate contributions union
+        # into ONE map-side-combined groupBy: half the exchanges, no
+        # sorts, and the candidate rows partial-aggregate before they
+        # ever shuffle (guide §2.3 "aggregate before you shuffle").
+        # __improved reproduces the full-outer semantics exactly:
+        # __od (the node's previous dist) is NULL only for newly reached
+        # nodes (improved), and a non-improving round leaves
+        # __nd < __od false-or-null — identical under the filter.
+        contrib = frontier.join(e, frontier["node"] == e["s"]).select(
+            F.col("t").alias("node"),
+            (F.col("dist") + F.col("w")).alias("d"),
+            F.lit(False).alias("__old"),
         )
-        merged = dist.join(cand, on="node", how="full_outer").select(
-            "node",
-            F.least(F.col("dist"), F.col("nd")).alias("dist"),
-            (
-                F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
-            ).alias("__improved"),
+        state = dist.select(
+            "node", F.col("dist").alias("d"), F.lit(True).alias("__old")
+        )
+        merged = (
+            state.unionByName(contrib)
+            .groupBy("node")
+            .agg(
+                F.min("d").alias("dist"),
+                F.min(F.when(F.col("__old"), F.col("d"))).alias("__od"),
+                F.min(F.when(~F.col("__old"), F.col("d"))).alias("__nd"),
+            )
+            .select(
+                "node",
+                "dist",
+                (
+                    F.col("__od").isNull()
+                    | (F.col("__nd") < F.col("__od"))
+                ).alias("__improved"),
+            )
         )
         # (r9 measured: materializing every SECOND round instead — relying
         # on ReusedExchange for the lazy round — was ~1.7x SLOWER at sf0.1;
