@@ -68,30 +68,45 @@ def connected_components(
         "label", F.col("id")
     )
     for _ in range(max_iterations):
-        neighbor_min = (
+        # r10 merge fusion (same rewrite as sssp_distances): the label
+        # update is a pure MIN per node, so the node's own state row and
+        # its neighbor contributions union into ONE map-side-combined
+        # groupBy — replaces the old groupBy-then-left-join shape (two
+        # exchanges + a join per round). __changed reproduces the old
+        # ``coalesce(nbr_label, label) < label`` exactly: __ol is the
+        # node's own (unique) previous label, __nl the neighborhood min
+        # (NULL for isolated nodes → null/false under the count filter).
+        contrib = (
             edges.join(labels, edges["dst"] == labels["id"])
-            .select(F.col("src").alias("id"), "label")
-            .groupBy("id")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        updated = (
-            labels.join(neighbor_min, on="id", how="left")
             .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (
-                    F.coalesce(F.col("nbr_label"), F.col("label"))
-                    < F.col("label")
-                ).alias("__changed"),
+                F.col("src").alias("id"),
+                "label",
+                F.lit(False).alias("__own"),
             )
         )
-        # localCheckpoint per round: truncates the per-iteration plan growth
-        # (each round would otherwise nest every previous round's joins) and
-        # materializes the (id, label) state; the changed-label count is the
-        # one tiny driver round-trip per round.
-        updated = updated.localCheckpoint(eager=True)
+        state = labels.select("id", "label", F.lit(True).alias("__own"))
+        updated = (
+            state.unionByName(contrib)
+            .groupBy("id")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("__own"), F.col("label"))).alias("__ol"),
+                F.min(F.when(~F.col("__own"), F.col("label"))).alias("__nl"),
+            )
+            .select(
+                "id",
+                "label",
+                (F.col("__nl") < F.col("__ol")).alias("__changed"),
+            )
+        )
+        # r10: LAZY localCheckpoint + count — the count is the single
+        # materializing job per round (the eager form ran a separate
+        # checkpoint job first, i.e. two jobs per round), and the
+        # LogicalRDD wrapper still truncates the per-round plan growth
+        # at construction time (each round references the previous state
+        # twice — own row + neighbor contributions — so an untruncated
+        # state grows analysis exponentially with rounds).
+        updated = updated.localCheckpoint(eager=False)
         n_changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if n_changed == 0:
@@ -147,9 +162,13 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # all_ids is consumed exactly once (the final densifying join) and
+    # derives from the already-checkpointed edge list — r10 drops its
+    # eager checkpoint (one whole job) and lets the final action compute
+    # it where it overlaps with the join's other stages.
     all_ids = edges.select(F.col("u").alias("id")).union(
         edges.select("v")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
 
     def _signature(e: DataFrame) -> tuple[int, int]:
         # decimal(38,0) accumulator: a long sum of 64-bit hashes overflows
@@ -192,7 +211,15 @@ def connected_components_star(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        edges = small.localCheckpoint(eager=True)
+        # r10: LAZY localCheckpoint + signature-collect — the collect is
+        # the single materializing job per round (the eager form ran a
+        # separate checkpoint job first), and the LogicalRDD wrapper
+        # still truncates the plan at round granularity. Plan truncation
+        # is NOT optional here: each round references its predecessor
+        # several times (union + window reuse), so a persist-only round
+        # state was measured to blow analysis up exponentially
+        # (sim_grid_dbscan 3s → 47s before this was caught).
+        edges = small.localCheckpoint(eager=False)
         new_sig = _signature(edges)
         if new_sig == sig:
             break

@@ -551,15 +551,28 @@ def embedding_near_duplicates(
     )
     a = sig.withColumnsRenamed({"id": "id_a"})
     b = sig.withColumnsRenamed({"id": "id_b"})
+    # r10: no dropDuplicates — each id carries exactly ONE signature (a
+    # single hyperplane sign vector, unlike banded MinHash), so the
+    # bucket equi-join emits every (id_a, id_b) pair at most once by
+    # construction; the old dedup was a full exchange+aggregate no-op
+    # (guide §2.4: "a distinct on data that is already unique").
+    # persist: the candidate pair list is referenced FIVE times per action
+    # (the verify join below, plus twice via each side's cand_ids
+    # semi-join) and the subtrees never canonicalize equal — without the
+    # cache the signature self-join ran up to 5x. (id, id) longs only;
+    # evictable MEMORY_AND_DISK, cleared by callers via clearCache().
     cand = (
         a.join(b, on="__sig")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .persist()
     )
+    # No .distinct() either: the left_semi join below dedups by itself
+    # (build side is hashed into a set; duplicate probe keys can't
+    # multiply rows), so the exchange the distinct cost bought nothing.
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select("id_b")
-    ).distinct()
+    )
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec")).join(
         cand_ids, "id", "left_semi"
     )
