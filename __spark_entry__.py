@@ -110,8 +110,37 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(key, value)
 
 
+# r10 (guide §6 file listing / §1 fixed costs): `spark.read.parquet` re-runs
+# file listing + footer schema inference on EVERY call — pure metadata work,
+# measured ~50-80 ms per table access, which multiplied by ~1-6 tables per
+# query and 67 bench queries was costing whole seconds per bench rep. Cache
+# the LAZY scan DataFrame per (session, path): a DataFrame is an immutable
+# plan, so reusing it changes nothing about execution — every action still
+# scans the parquet files; this is the in-process equivalent of a catalog
+# table's cached schema, NOT result caching. Keyed on the session id so a
+# new session (driver harness, tests) never sees another session's plans.
+_SCAN_CACHE: dict[tuple[str, int, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
+    # applicationId + id(): the app id distinguishes a NEW JVM/context that
+    # happens to reuse a garbage-collected session's address, id() keeps two
+    # live sessions on one context apart.
+    key = (
+        spark.sparkContext.applicationId,
+        id(spark),
+        os.path.join(sf_dir, f"{name}.parquet"),
+    )
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _t_uncached(spark, sf_dir, name)
+    _SCAN_CACHE[key] = df
+    return df
+
+
+def _t_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # The driver's testdata has stored ``ts`` two ways across rounds:

@@ -267,16 +267,26 @@ def minhash_near_duplicates(
     (semi-join pushdown), so the exact pass is linear in candidates, not
     quadratic in corpus. Output: (id_a, id_b, jaccard).
     """
+    # r10 (guide §5 caching): the candidate pair list is referenced THREE
+    # times per action (both cand_ids branches + the verify join) and the
+    # shingle/signature/band-join lineage behind it would re-execute for
+    # each — persist the (id_a, id_b, n_bands) longs once. Same for `sh`:
+    # the semi-joined shingle sets feed both the id_a and id_b sides of
+    # the verify join, and each side would otherwise re-tokenize the
+    # corpus and re-run the semi-join. Both caches are candidate-bounded
+    # (pairs + their shingle sets, never the corpus), evictable
+    # MEMORY_AND_DISK, cleared by callers via clearCache().
     cands = minhash_lsh_candidates(
         df, text_col, id_col, n=n, num_hashes=num_hashes, bands=bands
-    )
+    ).persist()
     shingled = _shingle_sets(df, text_col, id_col, n)
-    cand_ids = (
-        cands.select(F.col("id_a").alias("id"))
-        .union(cands.select("id_b"))
-        .distinct()
+    # No .distinct(): the left_semi join's build side dedups by itself
+    # (build keys hash into a set; duplicates cannot multiply probe rows),
+    # so the distinct's exchange bought nothing.
+    cand_ids = cands.select(F.col("id_a").alias("id")).union(
+        cands.select("id_b")
     )
-    sh = shingled.join(cand_ids, "id", "left_semi")
+    sh = shingled.join(cand_ids, "id", "left_semi").persist()
     pairs = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
@@ -333,6 +343,12 @@ def minhash_cross_corpus_duplicates(
             "id", "band.band_id", "band.band_hash"
         )
 
+    # r10: persist the candidate pairs — referenced three times (two
+    # semi-join key branches + the verify join); the dropDuplicates here
+    # is REQUIRED (a pair colliding in several bands must verify once).
+    # The .distinct() on each semi-join key side is not (left_semi build
+    # sides dedup by construction). Candidate-bounded cache, evictable,
+    # cleared by callers via clearCache().
     cands = (
         banded(sig_b)
         .withColumnsRenamed({"id": "batch_id"})
@@ -342,12 +358,13 @@ def minhash_cross_corpus_duplicates(
         )
         .select("batch_id", "corpus_id")
         .dropDuplicates(["batch_id", "corpus_id"])
+        .persist()
     )
     sh_b = _shingle_sets(batch, text_col, id_col, n).join(
-        cands.select(F.col("batch_id").alias("id")).distinct(), "id", "left_semi"
+        cands.select(F.col("batch_id").alias("id")), "id", "left_semi"
     )
     sh_c = _shingle_sets(corpus, text_col, id_col, n).join(
-        cands.select(F.col("corpus_id").alias("id")).distinct(), "id", "left_semi"
+        cands.select(F.col("corpus_id").alias("id")), "id", "left_semi"
     )
     return (
         cands.join(

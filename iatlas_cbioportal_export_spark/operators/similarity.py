@@ -1177,36 +1177,42 @@ def covariance_matrix(
 
     Output: (i, j, n, cov 9dp) for i ≤ j, ordered.
     """
-    x = lambda i: (  # noqa: E731
-        F.element_at(vec_col, i + 1).cast("double").cast("decimal(18,9)")
+    # r10 (guide §1 fixed costs): two changes, results bit-identical.
+    # (a) quantize each coordinate ONCE in a narrow projection instead of
+    # inlining element_at+double+decimal casts into every product — the
+    # dims·(dims+1)/2 product expressions then reference plain columns,
+    # shrinking the aggregate's expression tree ~5x (analysis + codegen)
+    # and cutting per-row work from ~2·dims² element_at/cast evaluations
+    # to dims. (b) build the expressions as SQL strings (one JVM parse
+    # per expression) instead of ~600 chained Column DSL calls — every
+    # DSL operator is a py4j round trip, and constructing this frame
+    # alone measured ~1.4 s of pure driver time, independent of scale.
+    quant = df.selectExpr(
+        *[
+            f"CAST(CAST(element_at({vec_col}, {i + 1}) AS double)"
+            f" AS decimal(18,9)) AS x_{i}"
+            for i in range(dims)
+        ]
     )
-    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs = [F.expr("count(1) AS n")]
     for i in range(dims):
-        aggs.append(F.sum(x(i)).alias(f"s_{i}"))
+        aggs.append(F.expr(f"sum(x_{i}) AS s_{i}"))
     for i in range(dims):
         for j in range(i, dims):
-            aggs.append(F.sum(x(i) * x(j)).alias(f"s_{i}_{j}"))
-    wide = df.agg(*aggs)
-    nd = F.col("n").cast("double")
+            aggs.append(F.expr(f"sum(x_{i} * x_{j}) AS s_{i}_{j}"))
+    wide = quant.agg(*aggs)
     structs = []
     for i in range(dims):
         for j in range(i, dims):
-            cov = (
-                F.col(f"s_{i}_{j}").cast("double")
-                - F.col(f"s_{i}").cast("double")
-                * F.col(f"s_{j}").cast("double")
-                / nd
-            ) / (nd - F.lit(1.0))
             structs.append(
-                F.struct(
-                    F.lit(i).alias("i"),
-                    F.lit(j).alias("j"),
-                    F.col("n").alias("n"),
-                    F.round(cov, 9).alias("cov"),
-                )
+                f"struct({i} AS i, {j} AS j, n, "
+                f"round((CAST(s_{i}_{j} AS double)"
+                f" - CAST(s_{i} AS double) * CAST(s_{j} AS double)"
+                f" / CAST(n AS double))"
+                f" / (CAST(n AS double) - CAST(1.0 AS double)), 9) AS cov)"
             )
     return (
-        wide.select(F.explode(F.array(*structs)).alias("c"))
+        wide.selectExpr(f"explode(array({', '.join(structs)})) AS c")
         .select("c.*")
         .orderBy("i", "j")
     )

@@ -183,6 +183,9 @@ def test_genome_nexus_annotator_retry_then_succeed(spark, gn_server):
 
     # single partition -> one task -> the first request 500s, the retry
     # lands; the batch must come back fully annotated.
+    # widen_parallelism=False pins the one-task layout (the default
+    # round-robin widening would split the batch across tasks and the
+    # call count would become task-count-dependent).
     _GNHandler.fail_first_n = 1
     df = _maf_df(spark).coalesce(1)
     ann = annotate(
@@ -190,6 +193,7 @@ def test_genome_nexus_annotator_retry_then_succeed(spark, gn_server):
         annotator=genome_nexus_annotator(
             gn_server, retries=2, backoff_s=0.01
         ),
+        widen_parallelism=False,
     )
     rows = {r["Chromosome"]: r for r in ann.collect()}
     assert rows["chr7"]["Annotation_Status"] == "SUCCESS"
@@ -210,6 +214,7 @@ def test_genome_nexus_annotator_request_size_knob(spark, gn_server):
         annotator=genome_nexus_annotator(
             gn_server, max_variants_per_request=1
         ),
+        widen_parallelism=False,
     )
     rows = {r["Chromosome"]: r for r in ann.collect()}
     assert rows["chr7"]["Annotation_Status"] == "SUCCESS"
