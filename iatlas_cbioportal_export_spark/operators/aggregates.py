@@ -441,7 +441,7 @@ def exact_order_statistic(
     df: DataFrame,
     col: str,
     q: float,
-    n_buckets: int = 1024,
+    n_buckets: int = 65536,
 ) -> tuple[int, int, int]:
     """EXACT q-quantile (k-th order statistic, k = ceil(q·n)) of an integral
     column at any scale, via iterative histogram refinement — the
@@ -470,7 +470,7 @@ def exact_order_statistics(
     df: DataFrame,
     col: str,
     qs: Sequence[float],
-    n_buckets: int = 1024,
+    n_buckets: int = 65536,
 ) -> tuple[int, list[tuple[int, int]]]:
     """Multi-quantile :func:`exact_order_statistic`: ALL requested
     quantiles refine through the SAME histogram passes — each pass is one
@@ -478,7 +478,15 @@ def exact_order_statistics(
     still-active candidate range the value falls in (an exploded array of
     ≤ |qs| structs, combiner-reduced to ≤ |qs|·n_buckets counter rows).
     p50/p90/p99 of a 100 TB column therefore cost the same 2-3 scans as
-    one quantile, not 3×. Returns (n, [(k, value) per q])."""
+    one quantile, not 3×. Returns (n, [(k, value) per q]).
+
+    ``n_buckets`` trades passes against counter cardinality: passes =
+    ceil(log_b(range)) after the stats pass, and EVERY pass is a full
+    column scan — at a 64-bit range, b=65536 needs 4 scans where the old
+    b=1024 needed 7 (r10; measured one full pass saved on the cents
+    domain). Per-task partial-agg state stays KB-to-MB (≤ |qs|·b long
+    counters) and the driver collect is bounded by the NON-EMPTY bucket
+    count (≤ min(b, distinct-in-range) per quantile)."""
     import math
 
     row = df.select(
@@ -546,15 +554,17 @@ def equi_depth_buckets(
     qs: Sequence[float] = (0.25, 0.5, 0.75),
 ) -> tuple[list[int], DataFrame]:
     """Equal-frequency (equi-depth) binning at scale: boundaries are EXACT
-    order statistics from :func:`exact_order_statistic` (a few narrow
-    histogram passes each — never a global sort, never ``ntile`` over one
-    giant window partition), then bucket assignment is a pure narrow CASE
-    expression over the literal boundaries.
+    order statistics from :func:`exact_order_statistics` (all quantiles
+    share the same few narrow histogram passes — never a global sort,
+    never ``ntile`` over one giant window partition; r10 replaced the
+    per-quantile refinement chains), then bucket assignment is a pure
+    narrow CASE expression over the literal boundaries.
 
     Returns (boundaries, df + ``bucket`` column); bucket b means
     ``boundary[b-1] < value <= boundary[b]`` with open ends.
     """
-    bounds = [exact_order_statistic(df, col, q)[2] for q in qs]
+    _, res = exact_order_statistics(df, col, qs)
+    bounds = [v for _k, v in res]
     c = F.col(col)
     bucket = F.lit(0)
     for i, b in enumerate(bounds):

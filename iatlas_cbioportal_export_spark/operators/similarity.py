@@ -1534,8 +1534,17 @@ def grid_dbscan(
     )
     cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
     cid = (F.col("cx") * 100_000 + F.col("cy")).alias("cid")
-    dense = cells.filter(F.col("n") >= F.lit(int(min_pts))).select(
-        "cx", "cy", cid
+    # r10 (guide §5 caching / §1.2 remove passes): `dense` anchors FOUR
+    # downstream subtrees (both sides of the neighbor-edge join, the
+    # labeling left-join, and — via dense_lbl — the core join, the sparse
+    # anti-join and the border attach), and each re-ran the corpus-sized
+    # groupBy(cell) aggregate. Persist the dense-cell frame once: it is
+    # CELL-bounded (|dense cells| rows of three longs — orders of
+    # magnitude below the corpus), evictable MEMORY_AND_DISK.
+    dense = (
+        cells.filter(F.col("n") >= F.lit(int(min_pts)))
+        .select("cx", "cy", cid)
+        .persist()
     )
     offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     off = F.explode(
@@ -1566,12 +1575,16 @@ def grid_dbscan(
     # large/small-star converges in O(log^2 n) rounds regardless
     comp = connected_components_star(edges, "src", "dst")
     # isolated dense cells are their own cluster
+    # Persisted for the same reason as `dense`: three consumers (core
+    # join, sparse anti-join, border attach) would each re-run the
+    # labeling join. Cell-bounded, evictable.
     dense_lbl = (
         dense.join(comp, dense["cid"] == comp["id"], "left")
         .select(
             "cx", "cy", "cid",
             F.coalesce(F.col("component_id"), F.col("cid")).alias("cluster"),
         )
+        .persist()
     )
     core = pts.join(dense_lbl, on=["cx", "cy"]).select(
         "id", "cx", "cy", F.lit("core").alias("role"), F.col("cluster")

@@ -1163,42 +1163,66 @@ def naive_bayes_train_apply(
     train_toks = train.select(
         lbl.alias("label"), F.explode(T.tokens(txt)).alias("tok")
     )
-    class_tok = train_toks.groupBy("label", "tok").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # r10 (guide §1.2: remove passes): class_tok feeds THREE consumers
+    # (class totals, the vocab scalar, the trained table) — persist the
+    # vocabulary×k aggregate once instead of re-running the train-corpus
+    # tokenize+shuffle per consumer. The two decision scalars that were
+    # eager driver actions (vocab_size via distinct().count(), n_train via
+    # train.count()) — each a FULL extra pass over the train corpus — are
+    # now one-row aggregates broadcast into the plan (the one-row crossJoin
+    # pattern used across the engine): vocab from the persisted class_tok,
+    # n_train as the k-row priors' own sum. Same doubles flow into log10,
+    # so every score is bit-identical; the whole model is now ONE lazy
+    # plan with a single train tokenize pass.
+    class_tok = (
+        train_toks.groupBy("label", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
-    # Decision scalars (KB-bounded): vocabulary size for Laplace smoothing.
-    vocab_size = class_tok.select("tok").distinct().count()
+    vocab = class_tok.agg(
+        F.count_distinct("tok").cast("long").alias("__vocab")
+    )
     class_tot = class_tok.groupBy("label").agg(F.sum("cnt").alias("tot"))
-    n_train = train.count()
     priors = train.groupBy(lbl.alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    n_train_row = priors.agg(F.sum("n_docs").alias("__n_train"))
     # k-row class table: prior + OOV default, decimal-exact.
     classes = (
         priors.join(class_tot, on="label")
+        .crossJoin(F.broadcast(n_train_row))
+        .crossJoin(F.broadcast(vocab))
         .select(
             "label",
-            F.log10(F.col("n_docs") / F.lit(n_train).cast("double"))
+            F.log10(F.col("n_docs") / F.col("__n_train").cast("double"))
             .cast("decimal(28,12)")
             .alias("prior_dec"),
             F.log10(
                 F.lit(1.0)
-                / (F.col("tot") + F.lit(vocab_size)).cast("double")
+                / (F.col("tot") + F.col("__vocab")).cast("double")
             )
             .cast("decimal(28,12)")
             .alias("default_dec"),
             "tot",
         )
+        # k rows, broadcast twice below (priors lane + defaults lane) —
+        # persisting spares the second evaluation its own doc-level pass
+        # over the train corpus.
+        .persist()
     )
-    trained = class_tok.join(F.broadcast(class_tot), on="label").select(
-        "label",
-        "tok",
-        F.log10(
-            (F.col("cnt") + F.lit(1)).cast("double")
-            / (F.col("tot") + F.lit(vocab_size)).cast("double")
+    trained = (
+        class_tok.join(F.broadcast(class_tot), on="label")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            "tok",
+            F.log10(
+                (F.col("cnt") + F.lit(1)).cast("double")
+                / (F.col("tot") + F.col("__vocab")).cast("double")
+            )
+            .cast("decimal(28,12)")
+            .alias("lp_dec"),
         )
-        .cast("decimal(28,12)")
-        .alias("lp_dec"),
     )
 
     test_docs = test.select(did.alias("id"), lbl.alias("true_label"))
