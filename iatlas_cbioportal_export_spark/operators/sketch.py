@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from iatlas_cbioportal_export_spark.functions import text as T
@@ -723,8 +723,10 @@ def rank_sample_quantile_gate(
 
     Plan: ONE narrow mapInPandas pass emits ≤ B+1 rows per batch (no
     shuffle); the merged sample table is KB-bounded (batches·(B+1) rows),
-    so its global cumulative-weight window and the (N, slack, estimate)
-    reductions are driver-cheap; ONE more corpus scan computes the exact
+    so it is collected whole and the N/slack totals plus the
+    cumulative-weight estimate walk run in driver Python (r10 — one
+    collect instead of checkpoint + totals + windowed-estimate jobs);
+    ONE more corpus scan computes the exact
     ranks of the ≤ len(quantiles) literal estimates for the gate (the gate
     is the only reason the corpus is read twice — production use stops at
     the estimates). N, slack and the estimates are KB-bounded decision
@@ -763,14 +765,25 @@ def rank_sample_quantile_gate(
                 }
             )
 
-    partials = (
+    # r10: the merged sample table is KB-bounded BY CONSTRUCTION
+    # (batches·(B+1) rows — the mergeable-summary property above), so
+    # collect it ONCE and do the N/slack totals and the cumulative-weight
+    # estimate walk in plain Python. This replaces three driver-side jobs
+    # (checkpoint, totals aggregate, windowed estimate aggregate) with one
+    # collect, and removes the operator's only unpartitioned window — the
+    # runtime `WindowExec: No Partition Defined` WARN it fired was
+    # harmless (KB input) but indistinguishable in logs from a real
+    # scale-killer. The walk reproduces the window exactly: per distinct
+    # v ascending, a value qualifies for q iff the cumulative weight
+    # through its tie group reaches ⌈q·N⌉ (intra-tie row order never
+    # changed the minimal qualifying v).
+    p_rows = (
         df.select(F.col(value_col).cast("long").alias("v"))
         .mapInPandas(_partials, schema="v long, w long, is_slack boolean")
-        .localCheckpoint()  # one pass; reused by N/slack + estimate steps
+        .collect()
     )
-    totals = partials.groupBy("is_slack").agg(F.sum("w").alias("t")).collect()
-    n_total = sum(r["t"] for r in totals if not r["is_slack"])
-    slack = sum(r["t"] for r in totals if r["is_slack"])
+    n_total = sum(r["w"] for r in p_rows if not r["is_slack"])
+    slack = sum(r["w"] for r in p_rows if r["is_slack"])
     qs = [float(q) for q in quantiles]
     if n_total == 0:
         return spark.createDataFrame(
@@ -781,19 +794,17 @@ def rank_sample_quantile_gate(
     import math
 
     targets = {q: math.ceil(q * n_total) for q in qs}
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    samples = partials.filter(~F.col("is_slack")).withColumn(
-        "cum", F.sum("w").over(w)
-    )
-    est_row = samples.agg(
-        *[
-            F.min(F.when(F.col("cum") >= targets[q], F.col("v"))).alias(
-                f"e{i}"
-            )
-            for i, q in enumerate(qs)
-        ]
-    ).collect()[0]
-    ests = {q: est_row[f"e{i}"] for i, q in enumerate(qs)}
+    vw: dict[int, int] = {}
+    for r in p_rows:
+        if not r["is_slack"]:
+            vw[r["v"]] = vw.get(r["v"], 0) + r["w"]
+    ests: dict[float, int] = {}
+    acc = 0
+    for v in sorted(vw):
+        acc += vw[v]
+        for q in qs:
+            if q not in ests and acc >= targets[q]:
+                ests[q] = v
     rank_row = df.agg(
         *[
             agg

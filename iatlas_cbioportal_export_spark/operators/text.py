@@ -1026,12 +1026,34 @@ def inverted_index(
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-    pairs = toked.select("id", F.explode(term_arr).alias("term")).distinct()
-    n_docs = df.count()  # decision scalar for the df gate
-    max_df = int(n_docs * max_df_ratio)
+    # r10 (guide §5 caching + §1.2): `pairs` anchors a diamond (the df
+    # counts AND the final posting assembly) whose subtrees do NOT
+    # canonicalize equal — without the persist the tokenize + explode +
+    # distinct ran twice (two parquet scans in the before plan, no
+    # ReusedExchange). Persist the distinct (doc, term) pairs once —
+    # they are exactly the payload the docstring already budgets for the
+    # shuffle, evictable MEMORY_AND_DISK. The corpus-count decision
+    # scalar joins the plan as a broadcast one-row aggregate instead of
+    # an eager `df.count()` (a full extra pass at scale); int() and
+    # floor() agree on the non-negative product, so the gate is
+    # value-identical.
+    pairs = (
+        toked.select("id", F.explode(term_arr).alias("term"))
+        .distinct()
+        .persist()
+    )
+    n_docs_row = df.agg(F.count(F.lit(1)).alias("__n_docs"))
     dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    kept = dfreq.filter(
-        (F.col("df") >= F.lit(int(min_df))) & (F.col("df") <= F.lit(max_df))
+    kept = (
+        dfreq.crossJoin(F.broadcast(n_docs_row))
+        .filter(
+            (F.col("df") >= F.lit(int(min_df)))
+            & (
+                F.col("df")
+                <= F.floor(F.col("__n_docs") * F.lit(float(max_df_ratio)))
+            )
+        )
+        .select("term", "df")
     )
     return (
         pairs.join(kept, on="term")
