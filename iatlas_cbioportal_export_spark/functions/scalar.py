@@ -34,6 +34,27 @@ def strip_first_literal(c: Column | str, literal: str) -> Column:
     return F.when(pos > F.lit(0), stripped).otherwise(col)
 
 
+def _quote_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _strip_first_literal_sql(inner: str, literal: str) -> str:
+    """SQL-string twin of :func:`strip_first_literal` — identical
+    locate + substring surgery, rendered as one parseable expression so
+    table-wide application costs one JVM parse per column instead of
+    ~15 py4j Column calls (r10; codegen's subexpression elimination
+    collapses the repeated ``locate``)."""
+    lit = literal.replace("\\", "\\\\").replace("'", "\\'")
+    n = len(literal)
+    pos = f"locate('{lit}', {inner})"
+    return (
+        f"CASE WHEN {pos} > 0 THEN concat("
+        f"substr({inner}, 1, {pos} - 1), "
+        f"substr({inner}, {pos} + {n}, length({inner}))) "
+        f"ELSE {inner} END"
+    )
+
+
 def strip_colname_suffixes(
     df: DataFrame, special: Mapping[str, str] | None = None
 ) -> DataFrame:
@@ -47,18 +68,24 @@ def strip_colname_suffixes(
     differential test). The reference asserts the NA count is unchanged
     afterwards (``clinical.py:129-132``) — guaranteed here because the
     expression is NULL-preserving.
+
+    r10: expressions are built as SQL strings (``selectExpr``) — the
+    per-column Column-DSL construction was ~0.3 s of pure driver py4j
+    round trips on a ~15-column clinical frame, paid on every plan build.
     """
     special = dict(special or {})
     exprs = []
     for field in df.schema.fields:
         if field.dataType.typeName() == "string":
-            expr = strip_first_literal(field.name, "_" + field.name.lower())
+            expr = _strip_first_literal_sql(
+                _quote_ident(field.name), "_" + field.name.lower()
+            )
             if field.name in special:
-                expr = strip_first_literal(expr, special[field.name])
-            exprs.append(expr.alias(field.name))
+                expr = _strip_first_literal_sql(expr, special[field.name])
+            exprs.append(f"{expr} AS {_quote_ident(field.name)}")
         else:
-            exprs.append(F.col(field.name))
-    return df.select(*exprs)
+            exprs.append(_quote_ident(field.name))
+    return df.selectExpr(*exprs)
 
 
 def case_normalize(c: Column | str, mode: str | None) -> Column:

@@ -239,9 +239,17 @@ def minhash_lsh_candidates(
         )
         for band in range(bands)
     ]
-    banded = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("id", "band.band_id", "band.band_hash")
+    # r10 (guide §5): the band self-join consumes `banded` on BOTH sides
+    # and no ReusedExchange fires (the renamed subtrees canonicalize
+    # apart), so the whole scan → shingle → 16-agg signature pipeline ran
+    # twice. Persist the banded sketch once: (id, band_id, band_hash) —
+    # bands longs per doc, the exact payload the docstring already budgets
+    # for the shuffle. Evictable; callers clearCache().
+    banded = (
+        sig.select("id", F.explode(F.array(*band_structs)).alias("band"))
+        .select("id", "band.band_id", "band.band_hash")
+        .persist()
+    )
     a = banded.withColumnsRenamed({"id": "id_a"})
     b = banded.withColumnsRenamed({"id": "id_b"})
     return (

@@ -878,6 +878,15 @@ def cooccurrence_pmi(
     pairs = tokenized.select(F.explode(pair_arr).alias("p")).select(
         "p.a", "p.b"
     )
+    # r10 NEGATIVE RESULT (recorded so nobody "fixes" this again): both
+    # count tables anchor diamonds (pair_counts 2 consumers, tok_counts
+    # 3), but persisting them measured ~0.3-0.4 s SLOWER at sf0.1 in an
+    # interleaved A/B (1.6-1.8 s unpersisted vs 2.0-2.1 s persisted,
+    # reps=3, both orders) — the duplicated subtrees canonicalize EQUAL
+    # here (no renames between them), so runtime exchange reuse already
+    # deduplicates the shuffles and a cache only adds write/read
+    # overhead. Contrast minhash/inverted_index, where renamed branches
+    # defeat canonical equality and the persist wins.
     pair_counts = pairs.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("pair_count")
     )
