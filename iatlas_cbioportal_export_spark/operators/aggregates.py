@@ -441,7 +441,7 @@ def exact_order_statistic(
     df: DataFrame,
     col: str,
     q: float,
-    n_buckets: int = 65536,
+    n_buckets: int = 8192,
 ) -> tuple[int, int, int]:
     """EXACT q-quantile (k-th order statistic, k = ceil(q·n)) of an integral
     column at any scale, via iterative histogram refinement — the
@@ -470,7 +470,7 @@ def exact_order_statistics(
     df: DataFrame,
     col: str,
     qs: Sequence[float],
-    n_buckets: int = 65536,
+    n_buckets: int = 8192,
 ) -> tuple[int, list[tuple[int, int]]]:
     """Multi-quantile :func:`exact_order_statistic`: ALL requested
     quantiles refine through the SAME histogram passes — each pass is one
@@ -480,13 +480,16 @@ def exact_order_statistics(
     p50/p90/p99 of a 100 TB column therefore cost the same 2-3 scans as
     one quantile, not 3×. Returns (n, [(k, value) per q]).
 
-    ``n_buckets`` trades passes against counter cardinality: passes =
-    ceil(log_b(range)) after the stats pass, and EVERY pass is a full
-    column scan — at a 64-bit range, b=65536 needs 4 scans where the old
-    b=1024 needed 7 (r10; measured one full pass saved on the cents
-    domain). Per-task partial-agg state stays KB-to-MB (≤ |qs|·b long
-    counters) and the driver collect is bounded by the NON-EMPTY bucket
-    count (≤ min(b, distinct-in-range) per quantile)."""
+    ``n_buckets`` trades passes against per-pass driver overhead: passes
+    = ceil(log_b(range)) after the stats pass, and EVERY pass is a full
+    column scan — but the driver collect and bucket walk grow LINEARLY
+    with b while passes shrink only logarithmically. Measured on the
+    cents domain (sf0.1, idle box, min of 3): b=1024 → 1.24 s (3
+    refinement passes), b=8192 → 0.90 s (2 passes, KB collects),
+    b=65536 → 1.73 s (2 passes but 64k-bucket collects/walks per pass
+    overwhelm the saved scan). 8192 keeps most of the pass win — 5 scans
+    at a 64-bit range vs 1024's 7 — at trivial driver cost; per-task
+    partial-agg state is ≤ |qs|·b long counters (KB)."""
     import math
 
     row = df.select(

@@ -801,3 +801,26 @@ def test_reciprocal_rank_report(spark):
     # integral MRR over the report: sum DIV count
     mrr_ppm = sum(r["rr_ppm"] for r in out.values()) // len(out)
     assert mrr_ppm == (333_333 + 1_000_000 + 0) // 3
+
+
+def test_exact_order_statistics_bucket_count_invariant(spark):
+    # r10 regression pin for the 65536-bucket default: the returned order
+    # statistics are exact and therefore INDEPENDENT of n_buckets — the
+    # default-width path must agree with tiny-bucket refinement (more
+    # passes) and with the brute-force sort on every quantile.
+    from iatlas_cbioportal_export_spark.operators.aggregates import (
+        exact_order_statistics,
+    )
+    import math
+
+    vals = [-7, 0, 0, 3, 3, 3, 12, 99, 100_000, 100_001, 2**40, 5]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    s = sorted(vals)
+    qs = (0.05, 0.25, 0.5, 0.9, 1.0)
+    n_default, res_default = exact_order_statistics(df, "c", qs)
+    n_tiny, res_tiny = exact_order_statistics(df, "c", qs, n_buckets=4)
+    assert n_default == n_tiny == len(vals)
+    assert res_default == res_tiny
+    for q, (k, v) in zip(qs, res_default):
+        assert k == max(1, math.ceil(q * len(vals)))
+        assert v == s[k - 1]

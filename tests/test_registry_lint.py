@@ -24,6 +24,7 @@ ALLOW_NESTED_LOOP = {
     "dedup_cross_corpus",      # tiny planted batch vs corpus
     "text_tfidf",              # corpus-size scalar: one-row broadcast join
     "text_bm25",               # avg-doc-length scalar: one-row broadcast join
+    "text_inverted_index",     # corpus-count scalar for the df gate: one-row broadcast join (r10)
     "v_validation_suite",      # 1-row aggregate crossJoins (finding rows)
     "text_unigram_logprob",    # corpus-total scalar: one-row broadcast join
     "text_naive_bayes",        # k-row class table (priors/defaults) broadcast cross

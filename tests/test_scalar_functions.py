@@ -112,3 +112,37 @@ def test_coalesce_remap(spark):
 def test_case_list_slug(spark, value, expected):
     df = spark.createDataFrame([(value,)], "v string")
     assert df.select(case_list_slug("v").alias("s")).collect()[0]["s"] == expected
+
+
+def test_strip_colname_suffixes_matches_column_path(spark):
+    # r10 regression pin for the selectExpr rendering: the SQL-string
+    # builder must agree with the Column-DSL strip_first_literal applied
+    # per column, including the AMADEUS double-strip special case, NULLs,
+    # repeated suffixes, and columns whose names need quoting.
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("x_amadeus_study_amadeus", "keep_me", 1),
+            ("clinical_response_response", None, 2),
+            (None, "plain", 3),
+            ("no_suffix_here", "o'quote_odd col", 4),
+        ],
+        ["AMADEUS_Study", "odd col", "n"],
+    )
+    special = {"AMADEUS_Study": "_amadeus"}
+    out_sql = strip_colname_suffixes(df, special=special)
+    exprs = []
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "string":
+            e = strip_first_literal(F.col(field.name), "_" + field.name.lower())
+            if field.name in special:
+                e = strip_first_literal(e, special[field.name])
+            exprs.append(e.alias(field.name))
+        else:
+            exprs.append(F.col(field.name))
+    out_col = df.select(*exprs)
+    assert out_sql.columns == out_col.columns
+    assert [tuple(r) for r in out_sql.orderBy("n").collect()] == [
+        tuple(r) for r in out_col.orderBy("n").collect()
+    ]
