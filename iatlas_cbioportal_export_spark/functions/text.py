@@ -32,6 +32,17 @@ def tokens(c: Column | str) -> Column:
     return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
 
 
+def tokens_sql(col_sql: str) -> str:
+    """SQL-string twin of :func:`tokens` for ``selectExpr``-rendered hot
+    builders (r10 guide §1 driver fixed costs): one JVM parse instead of a
+    py4j round trip per Column operator. ``col_sql`` is a rendered SQL
+    expression (backtick-quote raw column names at the call site). The
+    string literal ``'\\\\s+'`` parses to the same ``\\s+`` regex and the
+    lambda body matches :func:`tokens` exactly, so the expression tree —
+    and every token — is identical."""
+    return f"filter(split({col_sql}, '\\\\s+'), t -> t != '')"
+
+
 def token_count(c: Column | str) -> Column:
     """Whitespace token count (size of :func:`tokens`)."""
     return F.size(tokens(c))

@@ -692,62 +692,76 @@ def grouped_multi_linear_fit(
 
     Output: (group, n, b0, b1, b2, r2).
     """
-    x1 = F.col(x1_col).cast("decimal(38,0)")
-    x2 = F.col(x2_col).cast("decimal(38,0)")
-    y = F.col(y_col).cast("decimal(38,0)")
+    # r10: both the normal-equation aggregate and the Cramer algebra are
+    # rendered as SQL strings (guide §1 driver fixed costs — the Column
+    # DSL version cost ~1700 py4j round trips ≈ 0.8 s of driver wall per
+    # build). The rendered text keeps the EXACT source parenthesization
+    # (SQL and Python share precedence/associativity here), so the
+    # expression trees — and the double rounding the docstring pins —
+    # are identical to the old Column build.
+    def _q(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
+    x1 = f"cast({_q(x1_col)} as decimal(38,0))"
+    x2 = f"cast({_q(x2_col)} as decimal(38,0))"
+    y = f"cast({_q(y_col)} as decimal(38,0))"
     sums = df.groupBy(F.col(group_col).alias("g")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x1).alias("s1"),
-        F.sum(x2).alias("s2"),
-        F.sum(y).alias("sy"),
-        F.sum(x1 * x1).alias("s11"),
-        F.sum(x2 * x2).alias("s22"),
-        F.sum(x1 * x2).alias("s12"),
-        F.sum(x1 * y).alias("s1y"),
-        F.sum(x2 * y).alias("s2y"),
-        F.sum(y * y).alias("syy"),
+        F.expr("count(1) AS n"),
+        F.expr(f"sum({x1}) AS s1"),
+        F.expr(f"sum({x2}) AS s2"),
+        F.expr(f"sum({y}) AS sy"),
+        F.expr(f"sum({x1} * {x1}) AS s11"),
+        F.expr(f"sum({x2} * {x2}) AS s22"),
+        F.expr(f"sum({x1} * {x2}) AS s12"),
+        F.expr(f"sum({x1} * {y}) AS s1y"),
+        F.expr(f"sum({x2} * {y}) AS s2y"),
+        F.expr(f"sum({y} * {y}) AS syy"),
     )
-    n = F.col("n").cast("double")
-    s1, s2, sy = (F.col(c).cast("double") for c in ("s1", "s2", "sy"))
-    s11, s22, s12 = (F.col(c).cast("double") for c in ("s11", "s22", "s12"))
-    s1y, s2y, syy = (F.col(c).cast("double") for c in ("s1y", "s2y", "syy"))
+    n = "cast(n as double)"
+    s1, s2, sy = (f"cast({c} as double)" for c in ("s1", "s2", "sy"))
+    s11, s22, s12 = (f"cast({c} as double)" for c in ("s11", "s22", "s12"))
+    s1y, s2y, syy = (f"cast({c} as double)" for c in ("s1y", "s2y", "syy"))
     # Cramer's rule on [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] b = [sy,s1y,s2y].
     # Expression shape is part of the contract: the oracle must write the
     # SAME parenthesization so double rounding replays identically.
     det = (
-        n * (s11 * s22 - s12 * s12)
-        - s1 * (s1 * s22 - s12 * s2)
-        + s2 * (s1 * s12 - s11 * s2)
+        f"{n} * ({s11} * {s22} - {s12} * {s12})"
+        f" - {s1} * ({s1} * {s22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s12} - {s11} * {s2})"
     )
     det0 = (
-        sy * (s11 * s22 - s12 * s12)
-        - s1 * (s1y * s22 - s12 * s2y)
-        + s2 * (s1y * s12 - s11 * s2y)
+        f"{sy} * ({s11} * {s22} - {s12} * {s12})"
+        f" - {s1} * ({s1y} * {s22} - {s12} * {s2y})"
+        f" + {s2} * ({s1y} * {s12} - {s11} * {s2y})"
     )
     det1 = (
-        n * (s1y * s22 - s12 * s2y)
-        - sy * (s1 * s22 - s12 * s2)
-        + s2 * (s1 * s2y - s1y * s2)
+        f"{n} * ({s1y} * {s22} - {s12} * {s2y})"
+        f" - {sy} * ({s1} * {s22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s2y} - {s1y} * {s2})"
     )
     det2 = (
-        n * (s11 * s2y - s1y * s12)
-        - s1 * (s1 * s2y - s1y * s2)
-        + sy * (s1 * s12 - s11 * s2)
+        f"{n} * ({s11} * {s2y} - {s1y} * {s12})"
+        f" - {s1} * ({s1} * {s2y} - {s1y} * {s2})"
+        f" + {sy} * ({s1} * {s12} - {s11} * {s2})"
     )
-    ok = det != F.lit(0.0)
-    b0 = F.when(ok, det0 / det)
-    b1 = F.when(ok, det1 / det)
-    b2 = F.when(ok, det2 / det)
-    sse = syy - (det0 / det) * sy - (det1 / det) * s1y - (det2 / det) * s2y
-    sst = syy - sy * sy / n
-    r2 = F.when(ok & (sst > 0), F.lit(1.0) - sse / sst)
-    return sums.select(
-        F.col("g").alias(group_col),
+    ok = f"({det}) != 0.0D"
+    b0 = f"CASE WHEN {ok} THEN ({det0}) / ({det}) END"
+    b1 = f"CASE WHEN {ok} THEN ({det1}) / ({det}) END"
+    b2 = f"CASE WHEN {ok} THEN ({det2}) / ({det}) END"
+    sse = (
+        f"{syy} - (({det0}) / ({det})) * {sy}"
+        f" - (({det1}) / ({det})) * {s1y}"
+        f" - (({det2}) / ({det})) * {s2y}"
+    )
+    sst = f"{syy} - {sy} * {sy} / {n}"
+    r2 = f"CASE WHEN ({ok}) AND (({sst}) > 0) THEN 1.0D - ({sse}) / ({sst}) END"
+    return sums.selectExpr(
+        f"g AS {_q(group_col)}",
         "n",
-        F.round(b0, 6).alias("b0"),
-        F.round(b1, 9).alias("b1"),
-        F.round(b2, 9).alias("b2"),
-        F.round(r2, 6).alias("r2"),
+        f"round({b0}, 6) AS b0",
+        f"round({b1}, 9) AS b1",
+        f"round({b2}, 9) AS b2",
+        f"round({r2}, 6) AS r2",
     )
 
 

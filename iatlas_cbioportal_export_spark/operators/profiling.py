@@ -128,82 +128,86 @@ def table_profile(
     cols = columns or df.columns
     numeric = {"int", "bigint", "double", "float", "smallint", "tinyint",
                "decimal", "long", "short"}
-    aggs = []
+    # r10: both the wide aggregate and the explode projection render as
+    # SQL strings (guide §1 driver fixed costs) — the per-column Column
+    # DSL cost ~3000 py4j round trips (~0.7 s driver wall) on a 16-column
+    # table. Expression shapes are the old trees verbatim (the decimal
+    # sum lane, the CASE WHEN guard, the greatest() clamp), so every
+    # value — including the 6dp rounded means — is unchanged.
+    dtypes = dict(df.dtypes)
+
+    def _q(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
+    def _lit_s(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    aggs: list[str] = []
     for c in cols:
-        dt = dict(df.dtypes)[c].split("(")[0]
+        dt = dtypes[c].split("(")[0]
         is_num = dt in numeric
-        col = F.col(c)
-        aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nn_{c}"))
+        qc = _q(c)
+        aggs.append(f"sum(cast(({qc} IS NULL) as bigint)) AS {_q('__nn_' + c)}")
         if exact_distinct:
-            aggs.append(F.countDistinct(col).alias(f"__nd_{c}"))
+            aggs.append(f"count(DISTINCT {qc}) AS {_q('__nd_' + c)}")
         else:
-            aggs.append(F.approx_count_distinct(col).alias(f"__nd_{c}"))
+            aggs.append(f"approx_count_distinct({qc}) AS {_q('__nd_' + c)}")
         if is_num:
-            aggs.append(F.min(col).cast("double").alias(f"__mn_{c}"))
-            aggs.append(F.max(col).cast("double").alias(f"__mx_{c}"))
+            aggs.append(f"cast(min({qc}) as double) AS {_q('__mn_' + c)}")
+            aggs.append(f"cast(max({qc}) as double) AS {_q('__mx_' + c)}")
             aggs.append(
-                F.sum(col.cast("decimal(38,6)")).alias(f"__sm_{c}")
+                f"sum(cast({qc} as decimal(38,6))) AS {_q('__sm_' + c)}"
             )
-            aggs.append(F.count(col).alias(f"__ct_{c}"))
+            aggs.append(f"count({qc}) AS {_q('__ct_' + c)}")
         else:
-            aggs.append(F.min(col.cast("string")).alias(f"__smn_{c}"))
-            aggs.append(F.max(col.cast("string")).alias(f"__smx_{c}"))
             aggs.append(
-                F.sum(F.length(col.cast("string")).cast("decimal(28,6)"))
-                .alias(f"__sl_{c}")
+                f"min(cast({qc} as string)) AS {_q('__smn_' + c)}"
             )
-            aggs.append(F.count(col).alias(f"__ct_{c}"))
-    wide = df.agg(*aggs)
-    structs = []
+            aggs.append(
+                f"max(cast({qc} as string)) AS {_q('__smx_' + c)}"
+            )
+            aggs.append(
+                f"sum(cast(length(cast({qc} as string)) as decimal(28,6)))"
+                f" AS {_q('__sl_' + c)}"
+            )
+            aggs.append(f"count({qc}) AS {_q('__ct_' + c)}")
+    wide = df.agg(*[F.expr(e) for e in aggs])
+    structs: list[str] = []
     for c in cols:
-        dt = dict(df.dtypes)[c].split("(")[0]
+        dt = dtypes[c].split("(")[0]
         is_num = dt in numeric
-        nul = F.lit(None)
-        safe_ct = F.greatest(F.col(f"__ct_{c}"), F.lit(1))
-        structs.append(
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col(f"__nn_{c}").alias("n_nulls"),
-                F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
-                (F.col(f"__mn_{c}") if is_num else nul.cast("double")).alias(
-                    "num_min"
-                ),
-                (F.col(f"__mx_{c}") if is_num else nul.cast("double")).alias(
-                    "num_max"
-                ),
-                # exact decimal SUM, then one double divide + round: decimal
-                # DIVISION scale rules differ across engines, double divide
-                # of an exactly-determined numerator does not
-                (
-                    F.when(
-                        F.col(f"__ct_{c}") > 0,
-                        F.round(
-                            F.col(f"__sm_{c}").cast("double") / safe_ct, 6
-                        ),
-                    )
-                    if is_num
-                    else nul.cast("double")
-                ).alias("num_avg"),
-                (nul.cast("string") if is_num else F.col(f"__smn_{c}")).alias(
-                    "str_min"
-                ),
-                (nul.cast("string") if is_num else F.col(f"__smx_{c}")).alias(
-                    "str_max"
-                ),
-                (
-                    nul.cast("double")
-                    if is_num
-                    else F.when(
-                        F.col(f"__ct_{c}") > 0,
-                        F.round(
-                            F.col(f"__sl_{c}").cast("double") / safe_ct, 6
-                        ),
-                    )
-                ).alias("len_avg"),
+        ct = _q(f"__ct_{c}")
+        safe_ct = f"greatest({ct}, 1)"
+        if is_num:
+            num_min = _q(f"__mn_{c}")
+            num_max = _q(f"__mx_{c}")
+            # exact decimal SUM, then one double divide + round: decimal
+            # DIVISION scale rules differ across engines, double divide
+            # of an exactly-determined numerator does not
+            num_avg = (
+                f"CASE WHEN {ct} > 0 THEN round(cast({_q('__sm_' + c)} "
+                f"as double) / {safe_ct}, 6) END"
             )
+            str_min = str_max = "cast(null as string)"
+            len_avg = "cast(null as double)"
+        else:
+            num_min = num_max = num_avg = "cast(null as double)"
+            str_min = _q(f"__smn_{c}")
+            str_max = _q(f"__smx_{c}")
+            len_avg = (
+                f"CASE WHEN {ct} > 0 THEN round(cast({_q('__sl_' + c)} "
+                f"as double) / {safe_ct}, 6) END"
+            )
+        structs.append(
+            f"named_struct('col_name', {_lit_s(c)}, "
+            f"'n_nulls', {_q('__nn_' + c)}, "
+            f"'n_distinct', cast({_q('__nd_' + c)} as bigint), "
+            f"'num_min', {num_min}, 'num_max', {num_max}, "
+            f"'num_avg', {num_avg}, 'str_min', {str_min}, "
+            f"'str_max', {str_max}, 'len_avg', {len_avg})"
         )
     return (
-        wide.select(F.explode(F.array(*structs)).alias("p"))
+        wide.selectExpr(f"explode(array({', '.join(structs)})) AS p")
         .select("p.*")
         .orderBy("col_name")
     )

@@ -48,6 +48,41 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _q(col: str) -> str:
+    """Backtick-quote a raw column name for SQL-string rendering."""
+    return "`" + col.replace("`", "``") + "`"
+
+
+def cosine_sql(a_sql: str, b_sql: str) -> str:
+    """SQL-string twin of :func:`cosine` for plain column NAMES (r10 guide
+    §1 driver fixed costs): the Column DSL builds its three higher-order
+    folds through ~5 py4j lambda registrations (~0.5 s of driver wall per
+    call site); the identical expression text parses JVM-side in one call.
+    Lambda bodies, the ``0.0D`` seed, and the ``dot / (na * nb)``
+    parenthesization replicate :func:`_dot` / :func:`_norm` exactly, so
+    every double is bit-identical."""
+    dot = (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> cast(x as double) * cast(y as double)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    na = (
+        f"sqrt(aggregate({a_sql}, 0.0D, "
+        "(acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+    nb = (
+        f"sqrt(aggregate({b_sql}, 0.0D, "
+        "(acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+    return f"{dot} / ({na} * {nb})"
+
+
+def _round6_cosine(a_col: str, b_col: str) -> Column:
+    """``round(cosine(a, b), 6)`` as one parsed expression — the shared
+    scoring projection of every ANN/similarity path below."""
+    return F.expr(f"round({cosine_sql(_q(a_col), _q(b_col))}, 6)")
+
+
 def _partition_topk(
     df: DataFrame, k: int, group_col: str, order_col: str, tiebreak_col: str
 ) -> DataFrame:
@@ -126,7 +161,7 @@ def brute_force_topk(
     scored = scored.select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+        _round6_cosine("__qvec", vec_col).alias("cosine_sim"),
     )
     partial = _partition_topk(scored, k, query_id_col, "cosine_sim", id_col)
     w = Window.partitionBy(query_id_col).orderBy(
@@ -282,15 +317,22 @@ def ann_topk_lsh(
     bigger buckets → higher recall, more work). Output schema matches
     :func:`brute_force_topk`.
     """
-    c_sig = corpus.withColumn("__sig", hyperplane_signature(F.col(vec_col), dim, num_planes))
+    # r10: ONE signature Column reused on both sides (the unresolved expr
+    # resolves per-plan) — the plane-matrix literal parses once instead of
+    # twice; the probe array renders as one expr (each bitwiseXOR Column op
+    # was a py4j round trip).
+    sig = hyperplane_signature(F.col(vec_col), dim, num_planes)
+    c_sig = corpus.withColumn("__sig", sig)
     q_sig = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        hyperplane_signature(F.col(vec_col), dim, num_planes).alias("__qsig"),
+        sig.alias("__qsig"),
     )
     # neighbor buckets: exact + 1-bit flips (multi-probe LSH)
-    probes = F.array(
-        F.col("__qsig"), *[F.col("__qsig").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)]
+    probes = F.expr(
+        "array(`__qsig`, "
+        + ", ".join(f"`__qsig` ^ {1 << p}" for p in range(num_planes))
+        + ")"
     )
     q_probed = q_sig.select(
         query_id_col, "__qvec", F.explode(probes).alias("__sig")
@@ -301,7 +343,7 @@ def ann_topk_lsh(
     scored = cands.select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+        _round6_cosine("__qvec", vec_col).alias("cosine_sim"),
     ).dropDuplicates([query_id_col, id_col])
     scored = _partition_topk(scored, k, query_id_col, "cosine_sim", id_col)
     w = Window.partitionBy(query_id_col).orderBy(
@@ -410,7 +452,7 @@ def ivf_topk(
     scored = cands.select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+        _round6_cosine("__qvec", vec_col).alias("cosine_sim"),
     ).dropDuplicates([query_id_col, id_col])
     scored = _partition_topk(scored, k, query_id_col, "cosine_sim", id_col)
     w = Window.partitionBy(query_id_col).orderBy(
@@ -507,7 +549,7 @@ def ivf_topk_trained(
     scored = cands.select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+        _round6_cosine("__qvec", vec_col).alias("cosine_sim"),
     ).dropDuplicates([query_id_col, id_col])
     scored = _partition_topk(scored, k, query_id_col, "cosine_sim", id_col)
     w = Window.partitionBy(query_id_col).orderBy(
@@ -579,7 +621,7 @@ def embedding_near_duplicates(
     return (
         cand.join(vecs.withColumnsRenamed({"id": "id_a", "__vec": "vec_a"}), "id_a")
         .join(vecs.withColumnsRenamed({"id": "id_b", "__vec": "vec_b"}), "id_b")
-        .withColumn("cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .withColumn("cosine_sim", _round6_cosine("vec_a", "vec_b"))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
@@ -899,7 +941,7 @@ def semantic_dedup_pairs(
     return (
         cand.join(vecs.withColumnsRenamed({"id": "id_a", "__vec": "vec_a"}), "id_a")
         .join(vecs.withColumnsRenamed({"id": "id_b", "__vec": "vec_b"}), "id_b")
-        .withColumn("cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .withColumn("cosine_sim", _round6_cosine("vec_a", "vec_b"))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
@@ -956,9 +998,10 @@ def query_lsh_index(
         F.col(vec_col).alias("__qvec"),
         hyperplane_signature(F.col(vec_col), dim, num_planes).alias("__qsig"),
     )
-    probes = F.array(
-        F.col("__qsig"),
-        *[F.col("__qsig").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+    probes = F.expr(
+        "array(`__qsig`, "
+        + ", ".join(f"`__qsig` ^ {1 << p}" for p in range(num_planes))
+        + ")"
     )
     q_probed = q_sig.select(query_id_col, "__qvec", F.explode(probes).alias("__sig"))
     cands = c_sig.join(F.broadcast(q_probed), on="__sig").filter(
@@ -967,7 +1010,7 @@ def query_lsh_index(
     scored = cands.select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+        _round6_cosine("__qvec", vec_col).alias("cosine_sim"),
     ).dropDuplicates([query_id_col, id_col])
     scored = _partition_topk(scored, k, query_id_col, "cosine_sim", id_col)
     w = Window.partitionBy(query_id_col).orderBy(

@@ -1739,54 +1739,42 @@ def trigram_backoff_score(
     Output: (id, n_trigrams, mean_logprob)."""
     import math
 
+    # r10: the tokenize/explode stages are rendered as SQL strings (guide
+    # §1 driver fixed costs — one JVM parse per projection instead of a
+    # py4j round trip per Column operator; ~1.1 s of build chatter on the
+    # bench corpus). Expression shapes replicate the old Column DSL
+    # exactly (CASE WHEN ⟺ when/otherwise, named_struct ⟺ aliased struct,
+    # 0-based two-arg transform lambdas in both), so counts — and the
+    # untouched float scoring below — are bit-identical.
+    toks_sql = T.tokens_sql(f"`{text_col}`")
+
     def _tg(frame):
-        t = frame.select(F.col(id_col), T.tokens(text_col).alias("__toks"))
-        return t.select(
-            F.col(id_col),
-            F.explode(
-                F.when(
-                    F.size("__toks") >= 3,
-                    F.transform(
-                        F.slice(F.col("__toks"), 1, F.size("__toks") - 2),
-                        lambda tk, i: F.struct(
-                            tk.alias("w1"),
-                            F.element_at(F.col("__toks"), i + 2).alias("w2"),
-                            F.element_at(F.col("__toks"), i + 3).alias("w3"),
-                        ),
-                    ),
-                ).otherwise(
-                    F.array().cast(
-                        "array<struct<w1:string,w2:string,w3:string>>"
-                    )
-                )
-            ).alias("__tg"),
-        ).select(
-            F.col(id_col),
-            F.col("__tg.w1").alias("w1"),
-            F.col("__tg.w2").alias("w2"),
-            F.col("__tg.w3").alias("w3"),
+        t = frame.selectExpr(f"`{id_col}`", f"{toks_sql} AS __toks")
+        tg = (
+            "CASE WHEN size(__toks) >= 3 THEN "
+            "transform(slice(__toks, 1, size(__toks) - 2), (tk, i) -> "
+            "named_struct('w1', tk, 'w2', element_at(__toks, i + 2), "
+            "'w3', element_at(__toks, i + 3))) "
+            "ELSE cast(array() as array<struct<w1:string,w2:string,w3:string>>) END"
+        )
+        return t.selectExpr(f"`{id_col}`", f"explode({tg}) AS __tg").selectExpr(
+            f"`{id_col}`",
+            "__tg.w1 AS w1",
+            "__tg.w2 AS w2",
+            "__tg.w3 AS w3",
         )
 
     def _bg_counts(frame):
-        t = frame.select(T.tokens(text_col).alias("__toks"))
+        t = frame.selectExpr(f"{toks_sql} AS __toks")
+        bg = (
+            "CASE WHEN size(__toks) >= 2 THEN "
+            "transform(slice(__toks, 1, size(__toks) - 1), (tk, i) -> "
+            "named_struct('a', tk, 'b', element_at(__toks, i + 2))) "
+            "ELSE cast(array() as array<struct<a:string,b:string>>) END"
+        )
         return (
-            t.select(
-                F.explode(
-                    F.when(
-                        F.size("__toks") >= 2,
-                        F.transform(
-                            F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
-                            lambda tk, i: F.struct(
-                                tk.alias("a"),
-                                F.element_at(F.col("__toks"), i + 2).alias("b"),
-                            ),
-                        ),
-                    ).otherwise(
-                        F.array().cast("array<struct<a:string,b:string>>")
-                    )
-                ).alias("__bg")
-            )
-            .select(F.col("__bg.a").alias("a"), F.col("__bg.b").alias("b"))
+            t.selectExpr(f"explode({bg}) AS __bg")
+            .selectExpr("__bg.a AS a", "__bg.b AS b")
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("__cab"))
         )
@@ -1800,8 +1788,8 @@ def trigram_backoff_score(
     )
     bi = _bg_counts(train)
     uni = (
-        train.select(T.tokens(text_col).alias("__toks"))
-        .select(F.explode("__toks").alias("w"))
+        train.selectExpr(f"{toks_sql} AS __toks")
+        .selectExpr("explode(__toks) AS w")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("__cw"))
     )

@@ -676,8 +676,31 @@ def constraint_suite(
     deterministic order-insensitive content; status ERROR ⟺ violations>0
     (min_rows: observed<threshold).
     """
-    agg_exprs: list[Column] = [F.count(F.lit(1)).alias("__n")]
-    agg_rules: list[tuple[str, str, Column]] = []  # (name, kind, viol col)
+    # r10: rules compile to SQL STRINGS parsed JVM-side in one shot per
+    # aggregate/projection (guide §1 driver fixed costs) — the old
+    # per-rule Column DSL cost a py4j round trip per operator (~3000
+    # round trips ≈ 1 s of pure driver time for a 12-rule suite). The
+    # rendered predicates mirror the former Column trees exactly
+    # (isNull ⟺ IS NULL, isin ⟺ IN, when/otherwise ⟺ CASE WHEN), and
+    # every violation count is an exact integer, so results are
+    # unchanged. Violation-count strings reference the slot aliases and
+    # are re-used inside the struct rows below.
+    def _lit(v) -> str:
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, float):
+            return f"{v!r}D"
+        if isinstance(v, int):
+            # F.lit(int) picks IntegerType in int32 range, LongType above
+            return str(v) if -(2**31) <= v < 2**31 else f"{v}L"
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+
+    def _q(col: str) -> str:
+        return "`" + col.replace("`", "``") + "`"
+
+    agg_exprs: list[str] = ["count(1) AS __n"]
+    agg_rules: list[tuple[str, str, str]] = []  # (name, kind, viol SQL)
     fk_frames: list[DataFrame] = []
 
     for r in rules:
@@ -688,74 +711,67 @@ def constraint_suite(
             name = name or f"not_null_{c}"
             slot = f"__v{len(agg_exprs)}"
             agg_exprs.append(
-                F.sum(F.col(c).isNull().cast("long")).alias(slot)
+                f"sum(cast(({_q(c)} IS NULL) as bigint)) AS {slot}"
             )
-            agg_rules.append((name, kind, F.coalesce(F.col(slot), F.lit(0))))
+            agg_rules.append((name, kind, f"coalesce({slot}, 0)"))
         elif kind == "range":
-            c = F.col(r["col"])
+            c = _q(r["col"])
             bounds = []
             if "min" in r:
-                bounds.append(c < F.lit(r["min"]))
+                bounds.append(f"({c} < {_lit(r['min'])})")
             if "max" in r:
-                bounds.append(c > F.lit(r["max"]))
-            bad = reduce(lambda a, b: a | b, bounds)
+                bounds.append(f"({c} > {_lit(r['max'])})")
+            bad = " OR ".join(bounds)
             name = name or f"range_{r['col']}"
             slot = f"__v{len(agg_exprs)}"
             agg_exprs.append(
-                F.sum((c.isNotNull() & bad).cast("long")).alias(slot)
+                f"sum(cast(({c} IS NOT NULL AND ({bad})) as bigint)) AS {slot}"
             )
-            agg_rules.append((name, kind, F.coalesce(F.col(slot), F.lit(0))))
+            agg_rules.append((name, kind, f"coalesce({slot}, 0)"))
         elif kind == "in_set":
-            c = F.col(r["col"])
+            c = _q(r["col"])
             name = name or f"in_set_{r['col']}"
             slot = f"__v{len(agg_exprs)}"
+            vals = ", ".join(_lit(v) for v in r["values"])
             agg_exprs.append(
-                F.sum(
-                    (c.isNotNull() & ~c.isin(list(r["values"]))).cast("long")
-                ).alias(slot)
+                f"sum(cast(({c} IS NOT NULL AND NOT ({c} IN ({vals}))) "
+                f"as bigint)) AS {slot}"
             )
-            agg_rules.append((name, kind, F.coalesce(F.col(slot), F.lit(0))))
+            agg_rules.append((name, kind, f"coalesce({slot}, 0)"))
         elif kind == "regex":
-            c = F.col(r["col"])
+            c = _q(r["col"])
             name = name or f"regex_{r['col']}"
             slot = f"__v{len(agg_exprs)}"
             agg_exprs.append(
-                F.sum(
-                    (c.isNotNull() & ~c.rlike(r["pattern"])).cast("long")
-                ).alias(slot)
+                f"sum(cast(({c} IS NOT NULL AND NOT ({c} RLIKE "
+                f"{_lit(r['pattern'])})) as bigint)) AS {slot}"
             )
-            agg_rules.append((name, kind, F.coalesce(F.col(slot), F.lit(0))))
+            agg_rules.append((name, kind, f"coalesce({slot}, 0)"))
         elif kind == "custom":
             name = name or "custom"
             slot = f"__v{len(agg_exprs)}"
             agg_exprs.append(
-                F.sum(
-                    (F.expr(r["expr"]) == F.lit(False)).cast("long")
-                ).alias(slot)
+                f"sum(cast((({r['expr']}) = FALSE) as bigint)) AS {slot}"
             )
-            agg_rules.append((name, kind, F.coalesce(F.col(slot), F.lit(0))))
+            agg_rules.append((name, kind, f"coalesce({slot}, 0)"))
         elif kind == "unique":
             cols = list(r["cols"])
             name = name or "unique_" + "_".join(cols)
             slot = f"__v{len(agg_exprs)}"
+            struct_cols = ", ".join(_q(c) for c in cols)
             agg_exprs.append(
-                F.countDistinct(F.struct(*[F.col(c) for c in cols])).alias(
-                    slot
-                )
+                f"count(DISTINCT struct({struct_cols})) AS {slot}"
             )
-            agg_rules.append(
-                (name, kind, F.col("__n") - F.coalesce(F.col(slot), F.lit(0)))
-            )
+            agg_rules.append((name, kind, f"(__n - coalesce({slot}, 0))"))
         elif kind == "min_rows":
             name = name or "min_rows"
+            thr = int(r["threshold"])
             agg_rules.append(
                 (
                     name,
                     kind,
-                    F.when(
-                        F.col("__n") < F.lit(int(r["threshold"])),
-                        F.lit(int(r["threshold"])) - F.col("__n"),
-                    ).otherwise(F.lit(0)),
+                    f"(CASE WHEN __n < {_lit(thr)} THEN {_lit(thr)} - __n "
+                    "ELSE 0 END)",
                 )
             )
         elif kind == "foreign_key":
@@ -788,21 +804,16 @@ def constraint_suite(
 
     frames: list[DataFrame] = []
     if agg_rules:
-        agg = df.agg(*agg_exprs)
-        rows = [
-            F.struct(
-                F.lit(name).alias("rule"),
-                F.lit(kind).alias("kind"),
-                viol.cast("long").alias("violations"),
-                F.col("__n").cast("long").alias("total"),
-                F.when(viol > 0, F.lit("ERROR"))
-                .otherwise(F.lit("OK"))
-                .alias("status"),
-            )
+        agg = df.agg(*[F.expr(e) for e in agg_exprs])
+        rows = ", ".join(
+            f"named_struct('rule', {_lit(name)}, 'kind', {_lit(kind)}, "
+            f"'violations', cast({viol} as bigint), "
+            "'total', cast(__n as bigint), "
+            f"'status', CASE WHEN {viol} > 0 THEN 'ERROR' ELSE 'OK' END)"
             for name, kind, viol in agg_rules
-        ]
+        )
         frames.append(
-            agg.select(F.explode(F.array(*rows)).alias("f")).select("f.*")
+            agg.selectExpr(f"explode(array({rows})) AS f").select("f.*")
         )
     frames.extend(fk_frames)
     if not frames:
