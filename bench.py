@@ -7,9 +7,11 @@ Noise handling (round-3, hardened round-9): ambient load on a shared box
 swings single-shot timings by ±50% (r1/r2 notes), which is wider than the
 regression gate — so every query runs FIVE times (whole-suite round-robin,
 so a load spike hits different queries in different reps) and reports the
-per-query MEDIAN (robust to one polluted rep). The JSON carries every
-per-rep per-query wall ("rep_values"), the per-rep totals ("rep_totals"),
-and the total spread ("rep_spread_pct") so the noise is auditable.
+per-query MEDIAN (robust to one polluted rep). The printed line carries the
+per-rep totals ("rep_totals") and the total spread ("rep_spread_pct") so
+the noise is auditable; every per-rep per-query wall ("rep_values") is in
+BENCH_LOCAL.json (kept OFF stdout since r11 so the driver's tail capture
+cannot decapitate the line — see OPTIMIZATION_r11.md).
 
 Scoring keys:
 - "value"          — sum of per-query medians over CORE (the same 20-query
@@ -202,18 +204,20 @@ def main() -> None:
     core_total = round(sum(medians[n] for n in CORE), 3)
     extended_total = round(sum(medians[n] for n in EXTENDED), 3)
     heavy_total = round(sum(medians[n] for n in HEAVY), 3)
-    # Field ORDER is load-bearing: the driver records only the TAIL of
-    # stdout, so the big per-query map goes FIRST and every scalar the
-    # round-over-round comparison needs (metric/value/totals) goes LAST —
-    # any tail window then still contains them (r7 lost the core "value"
-    # to head truncation). The complete object is also persisted to
-    # BENCH_LOCAL.json next to this script so no evidence depends on
-    # stdout capture at all.
+    # The PRINTED line must be short enough to survive the driver's stdout
+    # tail capture: round 10's full object (with the 5-rep "rep_values" map,
+    # ~15 KB) got decapitated by the tail window, which left the driver's
+    # round-over-round comparison empty (PERF_r10 n_common=0). Measurement
+    # fix (declared in OPTIMIZATION_r11.md): stdout now carries the compact
+    # object only — medians, totals, spread (~3 KB; same methodology, same
+    # keys the driver parses) — while the COMPLETE evidence, including every
+    # per-rep per-query wall, is persisted to BENCH_LOCAL.json next to this
+    # script. Field ORDER stays load-bearing too: the big medians map FIRST,
+    # every scalar the comparison needs (metric/value/totals) LAST, so even
+    # a clipped tail still contains them.
     rep_totals = [round(sum(r.values()), 3) for r in reps]
-    result = {
+    compact = {
         "queries": medians,
-        # full per-rep per-query walls — the evidence behind every median
-        "rep_values": {name: [r[name] for r in reps] for name in names},
         "io_baseline": {
             # Dedicated baseline for the two queries whose r4 numbers
             # changed when per-rep cache resets made the bench honest
@@ -234,11 +238,14 @@ def main() -> None:
         "unit": "sec",
         "value": core_total,
     }
+    # full per-rep per-query walls — the evidence behind every median
+    full = dict(compact)
+    full["rep_values"] = {name: [r[name] for r in reps] for name in names}
     local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_LOCAL.json")
     with open(local_path, "w") as fh:
-        json.dump(result, fh, indent=1)
-    print(json.dumps(result))
+        json.dump(full, fh, indent=1)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Mapping
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
 
@@ -102,13 +103,19 @@ def write_study_bundle(
     order_by = order_by or {}
 
     # Clinical views: prune 100%-null columns (P5), then header'd single file.
-    for name, view, okey in (
-        ("data_clinical_patient.txt", clinical_patient, "patient"),
-        ("data_clinical_sample.txt", clinical_sample, "sample"),
-    ):
+    # r11 (guide §2.6 overlap independent jobs): each artifact costs a fixed
+    # chain of small driver-triggered jobs (the P5 null-count aggregate, the
+    # csv write, and — for the sample view — the A1 case-list aggregate).
+    # The chains are independent (distinct output files, shared persisted
+    # inputs), so they run from a small thread pool and back-fill each
+    # other's job tails instead of serializing ~5 fixed-overhead jobs.
+    # Byte surface unchanged: same files, same contents, and the artifacts
+    # dict is assembled in the original insertion order after the futures
+    # complete.
+    def _clinical_artifact(name: str, view: DataFrame, okey: str):
         pruned = prune_all_null_columns(view)
         path = os.path.join(out_dir, name)
-        artifacts[name] = write_cbioportal_clinical(
+        written = write_cbioportal_clinical(
             pruned,
             path,
             attr_meta,
@@ -120,7 +127,27 @@ def write_study_bundle(
         meta_path = os.path.join(out_dir, meta_name)
         with open(meta_path, "w") as fh:
             fh.write(render_meta_file(_meta_clinical(study_id, datatype, name)))
-        artifacts[meta_name] = meta_path
+        return [(name, written), (meta_name, meta_path)]
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        clinical_futures = [
+            pool.submit(_clinical_artifact, name, view, okey)
+            for name, view, okey in (
+                ("data_clinical_patient.txt", clinical_patient, "patient"),
+                ("data_clinical_sample.txt", clinical_sample, "sample"),
+            )
+        ]
+        # Case lists need only the persisted sample view — kick the A1
+        # aggregate off concurrently; its rendering happens below, after
+        # the meta_study write, exactly where it happened before.
+        groups_future = pool.submit(
+            lambda: case_list_groups(
+                clinical_sample, group_col=cancer_type_col, id_col=sample_id_col
+            ).collect()
+        )
+        for fut in clinical_futures:
+            for key, value in fut.result():
+                artifacts[key] = value
 
     # data_clinical_merged.txt — the pre-split frame the reference keeps
     # next to the two views (clinical.py:611-620; it also feeds the
@@ -180,10 +207,9 @@ def write_study_bundle(
     artifacts["meta_study.txt"] = meta_study_path
 
     # Case lists. ONE aggregation pass (A1); collected result is one row per
-    # cancer type carrying its (sorted) sample-id list.
-    groups = case_list_groups(
-        clinical_sample, group_col=cancer_type_col, id_col=sample_id_col
-    ).collect()
+    # cancer type carrying its (sorted) sample-id list (computed concurrently
+    # with the clinical artifacts above).
+    groups = groups_future.result()
     all_ids: list[str] = []
     for row in sorted(groups, key=lambda r: (r[cancer_type_col] is None, r[cancer_type_col])):
         ids = row["sample_ids"]

@@ -21,6 +21,18 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # r11 NEGATIVE RESULT (guide §2, kept for the record):
+    # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true (let AQE
+    # coalesce INSIDE cached plans) was measured both ways. A dedicated sssp
+    # probe read -38% (per-round state caches collapse 32 -> 1-3 partitions),
+    # but the bench-shaped interleaved A/B over the 12 persist-heavy queries
+    # read a clear suite-wide LOSS (jaccard_prefix 1.44x, containment 1.61x,
+    # cooccurrence_pmi 1.42x, sssp itself 1.26x slower): coalescing sizes
+    # cached partitions by SHUFFLE BYTES, and the compute-dense cached frames
+    # (posting/signature tables whose per-byte downstream work is large)
+    # serialize onto 1-3 tasks. Default (false) kept; the iterative tier's
+    # tiny-state rounds are sized explicitly at the operator instead
+    # (operators/graph.py).
     # Dimension tables (oncotree / attribute maps / nation / region) are tiny;
     # let Spark broadcast aggressively, we still force broadcast() on known dims.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
