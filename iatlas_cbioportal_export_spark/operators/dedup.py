@@ -819,25 +819,63 @@ def _jaccard_deletion_candidates(toks, t: float):
     # sizes (measured 3.4s → 2.6s for candidate generation at sf0.1).
     # Cache lifetime follows the containment_join contract: evictable
     # MEMORY_AND_DISK, cleared by callers via catalog.clearCache().
-    posting = toks.select(
-        "id",
-        n.alias("n"),
-        F.explode(F.concat(sig0, del1, del2, del3)).alias("sig"),
-    ).persist()
+    #
+    # r11 ASYMMETRIC DEPTH (the PPJoin "indexing prefix" idea transplanted
+    # to deletion neighborhoods): order every qualifying pair so that
+    # a = the (n, id)-lexicographically larger side. Then with
+    # o = |a∩b| ≥ t/(1+t)·(na+nb) and na ≥ nb:
+    #   - a's deletion depth  da = na − o ≤ na − ⌈t·na⌉          (as before,
+    #     using nb ≥ t·na from the length filter), and
+    #   - b's deletion depth  db = nb − o ≤ nb − ⌈2t/(1+t)·nb⌉    (using
+    #     na ≥ nb), which is STRICTLY SHALLOWER (2t/(1+t) ≥ t).
+    # So the probe side keeps the full ≤ka neighborhood but the BUILD side
+    # only needs depth ≤ kb = n − ⌈2t/(1+t)·n⌉ (kb computed with exact
+    # integer rationals — a float ⌈⌉ that rounds up one unit too far would
+    # silently DROP pairs). At t=0.9 / sf0.1 that is ~72k build rows
+    # instead of ~1M: the sig-join's hash relation shrinks ~14x and the
+    # matched candidate rows shrink with it. Each posting row carries its
+    # deletion DEPTH so one persisted explosion serves both roles (the
+    # b side is a filter over the cache). Equal-size pairs match with
+    # either role (db ≤ kb holds for both when na = nb); the (na, id)
+    # ordering picks exactly one.
+    t_num = int(round(t * 1_000_000))
+    t_den = 1_000_000
+    tagged = F.concat(
+        F.transform(sig0, lambda s: F.struct(F.lit(0).alias("dpt"), s.alias("sig"))),
+        F.transform(del1, lambda s: F.struct(F.lit(1).alias("dpt"), s.alias("sig"))),
+        F.transform(del2, lambda s: F.struct(F.lit(2).alias("dpt"), s.alias("sig"))),
+        F.transform(del3, lambda s: F.struct(F.lit(3).alias("dpt"), s.alias("sig"))),
+    )
+    posting = (
+        toks.select("id", n.alias("n"), F.explode(tagged).alias("ds"))
+        .select("id", "n", F.col("ds.dpt").alias("dpt"), F.col("ds.sig").alias("sig"))
+        .persist()
+    )
+    # exact integer ⌈2·t_num·n / (t_num+t_den)⌉ — one long expression, no
+    # float dust either way
+    kb = F.col("n") - (
+        (F.lit(2 * t_num) * F.col("n") + F.lit(t_num + t_den - 1))
+        .cast("long") / F.lit(t_num + t_den)
+    ).cast("long")
     a = posting.select(
         F.col("id").alias("id_a"), F.col("n").alias("na"), "sig"
     )
-    b = posting.select(
+    b = posting.filter(F.col("dpt") <= kb).select(
         F.col("id").alias("id_b"), F.col("n").alias("nb"), "sig"
     )
     return (
         a.join(b, on="sig")
         .filter(
-            (F.col("id_a") < F.col("id_b"))
+            (
+                (F.col("na") > F.col("nb"))
+                | ((F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b")))
+            )
             & (F.col("nb") >= F.ceil(F.lit(t) * F.col("na")))
-            & (F.col("na") >= F.ceil(F.lit(t) * F.col("nb")))
         )
-        .select("id_a", "id_b")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .distinct()
     )
 
