@@ -6553,15 +6553,14 @@ def q_bundle_cross_checks(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's correctness harness
     checks the FIRST 50 entries only. Since round 5 every registry entry
-    has a driver-green CORRECTNESS row, so the round-10 window (the
-    ``_R10_WINDOW`` list below — applied as a reorder over the full
-    registry) is: re-check slots for every query whose operator file
-    changed this round (graph.py hits normalization; maf.py oncoprint
-    literal rank; aggregates.py running-sum persist/fallback; sinks.py
-    part-concat guard; plans/bundle.py case-list changes), then
+    has a driver-green CORRECTNESS row, so the round-11 window (the
+    ``_R11_WINDOW`` list below — applied as a reorder over the full
+    registry) is: re-check slots for every query whose operator path
+    changed this round (graph.py sssp round sizing; dedup.py asymmetric
+    deletion depth; plans/bundle.py threaded artifact chains), then
     freshness re-checks of the LONGEST-unchecked previously-green entries
-    (per CORRECTNESS_r01-r09: the r1/r2 TPC-H-and-friends cohort, then
-    r3)."""
+    (per CORRECTNESS_r01-r10: the full remaining r3 cohort — 32 entries —
+    then the oldest 15 of the r4 cohort)."""
     all_q = {
         "bundle_cross_checks": q_bundle_cross_checks,
         "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
@@ -6824,15 +6823,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_order_priority": q_tpch_q4,
         "tpch_q5_local_supplier": q_tpch_q5,
     }
-    assert len(_R10_WINDOW) <= 50, (
+    assert len(_R11_WINDOW) <= 50, (
         f"driver checks only the first 50 registry slots; window has "
-        f"{len(_R10_WINDOW)} entries (r9 ADVICE: entries past 50 are "
+        f"{len(_R11_WINDOW)} entries (r9 ADVICE: entries past 50 are "
         "silently unchecked)"
     )
-    window = [n for n in _R10_WINDOW if n in all_q]
-    assert len(window) == len(_R10_WINDOW), (
+    window = [n for n in _R11_WINDOW if n in all_q]
+    assert len(window) == len(_R11_WINDOW), (
         f"window names missing from registry: "
-        f"{set(_R10_WINDOW) - set(all_q)}"
+        f"{set(_R11_WINDOW) - set(all_q)}"
     )
     rest = [n for n in all_q if n not in set(window)]
     return {n: all_q[n] for n in [*window, *rest]}
@@ -6975,6 +6974,71 @@ _R10_WINDOW = [
     "dedup_components_star",
     "dedup_keep_best",
     "emb_l2_normalize",
+]
+
+
+# Round-11 driver window (first 50 entries, asserted <=50): re-check
+# slots for the three r11-touched code paths (operators/graph.py
+# sssp_distances round-shuffle sizing; operators/dedup.py asymmetric
+# deletion-neighborhood depth; plans/bundle.py threaded artifact chains
+# behind v_validation_suite), then PURE freshness: CORRECTNESS_r01-r10
+# leave the oldest last-checked cohort at r3 (32 entries, all below) and
+# r4 (33 entries; the alphabetically-first 15 fill the window). Histogram
+# after the r10 window: 32 x r3, 33 x r4, 35 x r5, then r6+.
+_R11_WINDOW = [
+    # r11-touched code paths
+    "graph_sssp",
+    "dedup_jaccard_prefix",
+    "v_validation_suite",
+    # freshness: last driver-checked r3 (all 32)
+    "emb_mean_pool",
+    "events_anomaly_zscore",
+    "events_funnel",
+    "events_incremental_rollup",
+    "events_point_in_time",
+    "events_retention",
+    "events_scd2",
+    "events_sliding_counts",
+    "events_time_decay",
+    "gopher_quality",
+    "grouping_sets_revenue",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "pivot_status_counts",
+    "repetition_removal",
+    "sim_pq_codes",
+    "sim_quantize_codes",
+    "source_mixture",
+    "stream_dedup_keys",
+    "stream_enriched_counts",
+    "text_bigram_logprob",
+    "text_bpe_segment",
+    "text_bpe_train",
+    "text_chunking",
+    "text_dsir_weights",
+    "text_hashed_embedding",
+    "text_length_histogram",
+    "text_normalize",
+    "text_to_ann_pipeline",
+    "text_unigram_logprob",
+    "unpivot_part_metrics",
+    "zorder_layout",
+    # freshness: last driver-checked r4 (oldest 15 of 33)
+    "emb_random_projection",
+    "equi_depth_bins",
+    "events_attribution_outer",
+    "events_exp_smoothing",
+    "events_interval_overlap",
+    "events_seasonal_residuals",
+    "events_streaks",
+    "events_time_to_convert",
+    "events_transition_matrix",
+    "graph_bfs",
+    "graph_kcore",
+    "graph_label_propagation",
+    "graph_triangles",
+    "layout_compaction",
+    "lpm_join_categories",
 ]
 
 

@@ -1,3 +1,5 @@
+import os
+
 import pytest
 
 from iatlas_cbioportal_export_spark import get_spark
@@ -7,3 +9,30 @@ from iatlas_cbioportal_export_spark import get_spark
 def spark():
     s = get_spark("tests", master="local[4]", shuffle_partitions=4)
     yield s
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-wall tests (>=10s each) skipped in the default fast "
+        "profile; run the exhaustive tier with SPARK_GRAFT_TESTS=full",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Driver-attestation fast profile (VERDICT r10 item 2): the exhaustive
+    suite (~30-40 min wall) overflows the driver's pytest capture window, so
+    the DEFAULT run skips the ~37 slowest tests (each >=10s; together ~45%
+    of the wall) and finishes in ~14 min. SPARK_GRAFT_TESTS=full runs
+    everything — the exhaustive tier is executed in-round before each
+    optimization commit (see OPTIMIZATION_r11.md Verification), and the
+    driver's own oracle re-hash of every declared query remains the primary
+    correctness gate regardless of tier."""
+    if os.environ.get("SPARK_GRAFT_TESTS", "") == "full":
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: set SPARK_GRAFT_TESTS=full to run"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -290,6 +290,7 @@ def test_exact_order_statistic_small_domain(spark):
         assert (n, kk, v) == (len(vals), k, s[k - 1])
 
 
+@pytest.mark.slow
 def test_exact_order_statistic_duplicates_and_negatives(spark):
     from iatlas_cbioportal_export_spark.operators.aggregates import (
         exact_order_statistic,
@@ -507,6 +508,7 @@ def test_mutual_information_known_cases(spark):
     assert abs(r2["mi"]) < 1e-6
 
 
+@pytest.mark.slow
 def test_sketch_accuracy_report_bounds(spark):
     """Both sketches meet their published error bounds on a 50k-row column,
     and the report carries the exact statistics for oracle comparison."""

@@ -1,6 +1,8 @@
 """CLI surface: the reference's four entry points driven end-to-end on tiny
 TSV inputs (clinical → bundle → validate → load)."""
 
+import pytest
+
 import os
 
 from iatlas_cbioportal_export_spark.cli import main
@@ -283,6 +285,7 @@ def test_cli_validate_strict_requires_passthroughs(spark, tmp_path):
     assert main(["validate", "--bundle", bundle, "--strict"]) == 1
 
 
+@pytest.mark.slow
 def test_cli_validate_passthrough_matrix_checks(spark, tmp_path, capsys):
     bundle = _make_bundle(tmp_path)
     # Valid gene-signature matrix: sample columns ⊆ clinical samples → rc 0.
@@ -299,6 +302,7 @@ def test_cli_validate_passthrough_matrix_checks(spark, tmp_path, capsys):
     assert main(["validate", "--bundle", bundle]) == 1
 
 
+@pytest.mark.slow
 def test_cli_validate_chunked_maf_numeric_position_order(spark, tmp_path):
     """Regression: the chunked data_mutations_extended/ directory is read
     header-only (all strings), so Start/End ordering must compare

@@ -1,5 +1,7 @@
 """Connected components / dedup clustering over near-dup pair lists."""
 
+import pytest
+
 import random
 
 from iatlas_cbioportal_export_spark.operators.graph import (
@@ -52,6 +54,7 @@ def _ref_components(edges):
     return {x: find(x) for x in parent}
 
 
+@pytest.mark.slow
 def test_star_matches_minlabel_on_random_graphs(spark):
     rng = random.Random(7)
     for trial in range(3):
@@ -74,6 +77,7 @@ def test_star_matches_minlabel_on_random_graphs(spark):
         assert minlabel == expected
 
 
+@pytest.mark.slow
 def test_star_long_chain_beats_minlabel_round_budget(spark):
     # diameter-40 chain: min-label needs 40 rounds; star converges well
     # inside its default O(log^2 n) budget of 25

@@ -2,6 +2,8 @@
 example ships a whole generated corpus through ONE Spark job and checks
 invariants against a driver-side Python reference."""
 
+import pytest
+
 import os
 import re
 
@@ -311,6 +313,7 @@ def test_bpe_train_matches_reference_random_corpora(spark, docs, k):
     q=st.sampled_from([0.01, 0.25, 0.5, 0.9, 1.0]),
     nb=st.sampled_from([2, 7, 64]),
 )
+@pytest.mark.slow
 def test_exact_order_statistic_any_domain(spark, vals, q, nb):
     """Histogram refinement returns the exact k-th order statistic for any
     value distribution (duplicates, negatives, huge gaps) and any bucket

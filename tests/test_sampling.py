@@ -92,6 +92,7 @@ def test_weighted_sample_matches_reference_and_partitioning(spark):
     assert got16 == expect
 
 
+@pytest.mark.slow
 def test_weighted_sample_proportional_to_weight(spark):
     # k=1 race between weight 9 and weight 1: the heavy row should win
     # about 90% of salts. Deterministic, so the count is a fixed number;

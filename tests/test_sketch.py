@@ -2,6 +2,8 @@
 shard mergeability) and HyperLogLog (accuracy gate, determinism, register
 mergeability — the properties that make them 100 TB profiling tools)."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from iatlas_cbioportal_export_spark.operators.sketch import (
@@ -21,6 +23,7 @@ def test_cms_estimates_never_undercount(spark):
         assert r["est_count"] >= r["true_count"]
 
 
+@pytest.mark.slow
 def test_cms_exact_when_width_dominates_vocab(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta alpha"), (2, "beta gamma")], "doc_id long, text string"

@@ -1,6 +1,8 @@
 """Structured Streaming: the streaming windowed agg must equal its batch
 twin over the same files (availableNow backfill)."""
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from iatlas_cbioportal_export_spark.streaming.events import (
@@ -51,6 +53,7 @@ def test_stream_equals_batch(spark, tmp_path):
     assert batch[("2024-01-01 00:00:00", "click")] == (2, 4.0)
 
 
+@pytest.mark.slow
 def test_sessionize_stream_closes_sessions(spark, tmp_path):
     """Streamed stateful sessionization emits every CLOSED session; each
     user's final session stays open (awaiting the processing-time timeout),
@@ -66,11 +69,27 @@ def test_sessionize_stream_closes_sessions(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # The stateful query holds per-user processing-time timeouts, so with
+    # availableNow it does NOT terminate after draining the input — a plain
+    # awaitTermination(120) burned the full 120s (the single slowest test
+    # in the suite). Poll the sink for the batch-drain result instead: once
+    # rows appear, give one settle period for any same-drain stragglers,
+    # read, and stop the query.
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.sql("select * from sessions_test").count() > 0:
+            break
+        if not q.isActive:
+            break
+        _time.sleep(0.5)
+    _time.sleep(2.0)
     got = {
         (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
         for r in spark.sql("select * from sessions_test").collect()
     }
+    q.stop()
     batch = sessionize(batch_df, gap_minutes=30).collect()
     last_per_user = {}
     for r in batch:
@@ -100,6 +119,7 @@ def test_sessionize_gap(spark, tmp_path):
     assert len(by_user[8]) == 1
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_event(spark, tmp_path):
     """Append-mode windowed agg with a 2h watermark over two file-source
     micro-batches: batch 2 carries an event whose 1h window closed below the
@@ -172,6 +192,7 @@ def test_watermark_drops_late_event(spark, tmp_path):
     assert got == {("2024-01-01 00:00:00", "click"): 2}
 
 
+@pytest.mark.slow
 def test_streaming_maf_annotation_equals_batch(spark, tmp_path):
     """The mapInPandas annotation stage is stream/batch agnostic: streaming
     the same files through annotate+drop_chrm must equal the batch result."""
@@ -220,6 +241,7 @@ def test_streaming_maf_annotation_equals_batch(spark, tmp_path):
     assert ("BRAF", None, "FAILED") in got
 
 
+@pytest.mark.slow
 def test_attribution_stream_equals_batch(spark, tmp_path):
     """Stream-stream inner join (watermarked both sides, event-time-bounded
     condition) over availableNow backfill must equal the batch twin; a
@@ -264,6 +286,7 @@ def test_attribution_stream_equals_batch(spark, tmp_path):
     assert got == batch
 
 
+@pytest.mark.slow
 def test_stream_dedup_keyset_equals_batch(spark, tmp_path):
     """dropDuplicatesWithinWatermark keeps the first arrival per key (batch
     dropDuplicates keeps an arbitrary one), so stream==batch is asserted on
@@ -292,6 +315,7 @@ def test_stream_dedup_keyset_equals_batch(spark, tmp_path):
     assert len(got) == 3  # (7,click),(7,view),(8,click)
 
 
+@pytest.mark.slow
 def test_session_window_matches_lag_cumsum_sessionize(spark, tmp_path):
     from iatlas_cbioportal_export_spark.streaming.events import (
         sessionize_session_window,
@@ -328,6 +352,7 @@ def test_session_window_boundary_event_joins_session(spark):
     assert {(r["n_events"]) for r in out} == {2, 1}
 
 
+@pytest.mark.slow
 def test_session_window_streaming_mode(spark, tmp_path):
     from iatlas_cbioportal_export_spark.streaming.events import (
         sessionize_session_window,
@@ -355,6 +380,7 @@ def test_session_window_streaming_mode(spark, tmp_path):
     assert got == batch
 
 
+@pytest.mark.slow
 def test_stream_static_enrichment_equals_batch(spark, tmp_path):
     from iatlas_cbioportal_export_spark.streaming.events import (
         segment_hourly_counts,
@@ -399,6 +425,7 @@ def test_enrich_events_unmatched_keys_kept(spark, tmp_path):
     assert segs[7] == "BUILDING" and segs[8] is None
 
 
+@pytest.mark.slow
 def test_idempotent_sink_exactly_once_across_restarts(spark, tmp_path):
     """Two availableNow runs over a growing source: the checkpoint resumes
     after the committed offsets, and re-running with no new data writes
@@ -575,6 +602,7 @@ def test_retention_cohorts_triangle(spark):
     }
 
 
+@pytest.mark.slow
 def test_attribution_outer_stream_expiry_emits_unmatched(spark, tmp_path):
     """Left-outer stream-stream join: an unmatched click is emitted with
     null purchase columns once the watermark passes the end of its
@@ -769,6 +797,7 @@ def test_seasonal_profile_residuals(spark):
     assert out[("2024-01-01 11:00:00", 11)] == (7.0, 7.0, 0.0)
 
 
+@pytest.mark.slow
 def test_time_to_convert_gaps_and_percentiles(spark):
     from iatlas_cbioportal_export_spark.streaming.events import (
         time_to_convert,
@@ -902,6 +931,7 @@ def test_sliding_distinct_users_manual(spark):
     assert base + 5 * 3600 not in out or out[base + 5 * 3600] == 2
 
 
+@pytest.mark.slow
 def test_topk_snapshot_stream_equals_batch(spark, tmp_path):
     from iatlas_cbioportal_export_spark.streaming.sinks import (
         read_topk_snapshot,

@@ -1,5 +1,7 @@
 """Text analysis operators: token stats, quality, language ID, fingerprints."""
 
+import pytest
+
 from iatlas_cbioportal_export_spark.functions.text import STOPWORDS
 from iatlas_cbioportal_export_spark.operators.text import (
     fingerprints,
@@ -74,6 +76,7 @@ def test_top_ngrams_counts_and_tiebreak(spark):
     assert out[2] == ("b c", 1)
 
 
+@pytest.mark.slow
 def test_tf_idf_scores_and_topk(spark):
     import math
 
@@ -208,6 +211,7 @@ def test_hashed_embedding_normalized_unit_length(spark):
     assert math.isclose(sum(v * v for v in vec), 1.0, rel_tol=1e-9)
 
 
+@pytest.mark.slow
 def test_hashed_embedding_feeds_similarity_ops(spark):
     # the text→embed→near-dup bridge: identical docs get identical vectors
     import pyspark.sql.functions as F
@@ -248,6 +252,7 @@ def test_unigram_logprob_ranks_rare_below_common(spark):
     )
 
 
+@pytest.mark.slow
 def test_unigram_logprob_partitioning_invariant(spark):
     from iatlas_cbioportal_export_spark.operators.text import unigram_logprob_score
 
@@ -411,6 +416,7 @@ def test_bpe_segment_stats_narrow_apply(spark):
     assert fp2 != out[1]["seg_fingerprint"]
 
 
+@pytest.mark.slow
 def test_cooccurrence_pmi_counts_and_window(spark):
     import math
 
@@ -540,6 +546,7 @@ def test_quality_classifier_features_and_gate(spark):
     assert not rows[3]["keep"]
 
 
+@pytest.mark.slow
 def test_cosine_pairs_exact_duplicates_and_threshold(spark):
     from iatlas_cbioportal_export_spark.operators.text import (
         cosine_similarity_pairs,
@@ -566,6 +573,7 @@ def test_cosine_pairs_exact_duplicates_and_threshold(spark):
     assert all(a != 5 and b != 5 for a, b in rows)
 
 
+@pytest.mark.slow
 def test_cosine_pairs_integer_gate_boundary(spark):
     from iatlas_cbioportal_export_spark.operators.text import (
         cosine_similarity_pairs,
@@ -583,6 +591,7 @@ def test_cosine_pairs_integer_gate_boundary(spark):
     assert len(keep) == 1 and len(drop) == 0
 
 
+@pytest.mark.slow
 def test_cosine_pairs_max_df_cap_drops_hot_terms(spark):
     from iatlas_cbioportal_export_spark.operators.text import (
         cosine_similarity_pairs,
@@ -611,6 +620,7 @@ def test_cosine_pairs_max_df_cap_drops_hot_terms(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in default} == {(1, 2)}
 
 
+@pytest.mark.slow
 def test_cosine_pairs_default_cap_fences_dense_vocabulary(spark):
     from iatlas_cbioportal_export_spark.operators.text import (
         cosine_similarity_pairs,
@@ -637,6 +647,7 @@ def test_cosine_pairs_default_cap_fences_dense_vocabulary(spark):
     assert n_exact == 30 * 29 / 2
 
 
+@pytest.mark.slow
 def test_naive_bayes_separable_classes(spark):
     from iatlas_cbioportal_export_spark.operators.text import (
         naive_bayes_train_apply,
@@ -661,6 +672,7 @@ def test_naive_bayes_separable_classes(spark):
     assert out[4]["pred_label"] == "de" and out[4]["correct"]
 
 
+@pytest.mark.slow
 def test_naive_bayes_oov_and_empty_fall_back_to_prior(spark):
     from iatlas_cbioportal_export_spark.operators.text import (
         naive_bayes_train_apply,
@@ -722,6 +734,7 @@ def test_repetition_metrics_gopher_readout(spark):
     assert r3["n_words"] == 1 and r3["top_2gram"] == "solo"
 
 
+@pytest.mark.slow
 def test_cosine_exact_dense_kernel_matches_postings_join(spark):
     from iatlas_cbioportal_export_spark.operators.text import (
         cosine_similarity_pairs,

@@ -1,6 +1,8 @@
 """Validation suite V1-V14 as lazy findings DataFrames (one action for the
 whole suite)."""
 
+import pytest
+
 from iatlas_cbioportal_export_spark.operators.validation import (
     count_equality,
     distinct_count_equality,
@@ -14,6 +16,7 @@ from iatlas_cbioportal_export_spark.operators.validation import (
 )
 
 
+@pytest.mark.slow
 def test_findings_ok_and_error(spark):
     a = spark.createDataFrame([("s1",), ("s2",)], "SAMPLE_ID string")
     b = spark.createDataFrame([("s1",)], "SAMPLE_ID string")
@@ -215,6 +218,7 @@ def test_maf_value_conformance_all_ok(spark):
     assert set(statuses.values()) == {"OK"}
 
 
+@pytest.mark.slow
 def test_table_profile_checks_matches_individual_ops(spark):
     from iatlas_cbioportal_export_spark.operators.validation import (
         count_equality,
@@ -369,6 +373,7 @@ def test_clinical_value_conformance_rules(spark):
     assert len(out) == 6
 
 
+@pytest.mark.slow
 def test_clinical_value_conformance_column_gating(spark):
     from iatlas_cbioportal_export_spark.operators.validation import (
         clinical_value_conformance,
@@ -454,6 +459,7 @@ def test_parse_meta_text_roundtrips_renderer():
         assert got[k] == v
 
 
+@pytest.mark.slow
 def test_meta_consistency_checks_planted_violations(spark):
     from iatlas_cbioportal_export_spark.operators.validation import (
         meta_consistency_checks,
@@ -514,6 +520,7 @@ def test_meta_consistency_checks_planted_violations(spark):
     assert got_dup["meta_orphan_data_files"] == ("WARN", 1)
 
 
+@pytest.mark.slow
 def test_meta_consistency_checks_clean_bundle(spark):
     from iatlas_cbioportal_export_spark.operators.validation import (
         REQUIRED_BUNDLE_FILES,
